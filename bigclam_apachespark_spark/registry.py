@@ -1,0 +1,231 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus its DuckDB oracle SQL.
+
+This is the single source of truth consumed by __spark_entry__.py
+(driver correctness gate), bench.py (timing loop), and tests.
+
+Column-name discipline: the driver sorts columns by name before
+hashing values, so every computed column is aliased identically in
+the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.operators import graph as G
+from bigclam_apachespark_spark.sources import copurchase_edges, customer_supplier_edges
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side). The driver pre-registers views for
+# the parquet tables; graph views are derived inline per FIXTURES.md §5.
+# ---------------------------------------------------------------------------
+
+EDGES_SQL = """
+edges_g AS (
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+)"""
+
+SYM_SQL = """
+sym AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM edges_g
+    UNION
+    SELECT dst AS src, src AS dst FROM edges_g
+  ) WHERE src <> dst
+)"""
+
+EDGES_CS_SQL = """
+edges_cs AS (
+  SELECT DISTINCT o.o_custkey AS src, 100000000 + l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+
+CONDUCTANCE_SQL = f"""
+WITH {EDGES_SQL}, {SYM_SQL},
+ego_pairs AS (
+  SELECT src AS u, dst AS m FROM sym
+  UNION
+  SELECT DISTINCT src AS u, src AS m FROM sym
+),
+twohop AS (
+  SELECT e.u, s.dst AS w FROM ego_pairs e JOIN sym s ON e.m = s.src
+),
+flags AS (
+  SELECT t.u, CASE WHEN ep.u IS NULL THEN 1 ELSE 0 END AS is_cut
+  FROM twohop t LEFT JOIN ego_pairs ep ON ep.u = t.u AND ep.m = t.w
+),
+agg AS (
+  SELECT u, SUM(is_cut) AS cut, COUNT(*) AS z FROM flags GROUP BY u
+),
+tot AS (SELECT COUNT(*) AS sdeg FROM sym)
+SELECT u AS id,
+  CASE WHEN z - cut = 0 THEN 0.0
+       WHEN sdeg - (z - cut) - 2 * cut = 0 THEN 1.0
+       ELSE CAST(cut AS DOUBLE) / LEAST(z - cut, sdeg - (z - cut) - 2 * cut)
+  END AS phi
+FROM agg, tot
+"""
+
+SEEDS_SQL = f"""
+WITH {EDGES_SQL}, {SYM_SQL},
+ego_pairs AS (
+  SELECT src AS u, dst AS m FROM sym
+  UNION
+  SELECT DISTINCT src AS u, src AS m FROM sym
+),
+twohop AS (
+  SELECT e.u, s.dst AS w FROM ego_pairs e JOIN sym s ON e.m = s.src
+),
+flags AS (
+  SELECT t.u, CASE WHEN ep.u IS NULL THEN 1 ELSE 0 END AS is_cut
+  FROM twohop t LEFT JOIN ego_pairs ep ON ep.u = t.u AND ep.m = t.w
+),
+agg AS (SELECT u, SUM(is_cut) AS cut, COUNT(*) AS z FROM flags GROUP BY u),
+tot AS (SELECT COUNT(*) AS sdeg FROM sym),
+cond AS (
+  SELECT u AS id,
+    CASE WHEN z - cut = 0 THEN 0.0
+         WHEN sdeg - (z - cut) - 2 * cut = 0 THEN 1.0
+         ELSE CAST(cut AS DOUBLE) / LEAST(z - cut, sdeg - (z - cut) - 2 * cut)
+    END AS phi
+  FROM agg, tot
+),
+cand AS (
+  SELECT s.src, s.dst, c.phi,
+         ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY c.phi, s.dst) AS rn
+  FROM sym s JOIN cond c ON s.dst = c.id
+)
+SELECT DISTINCT dst AS id, phi FROM cand WHERE rn = 1
+"""
+
+
+def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.symmetrize(copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Query callables (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_copurchase_edges(spark, sf_dir):
+    """A1-analog source derivation: co-purchase part graph."""
+    return copurchase_edges(spark, sf_dir)
+
+
+def q_symmetrize(spark, sf_dir):
+    """B1 on the bipartite customer-supplier graph (exercises reversal)."""
+    return G.symmetrize(customer_supplier_edges(spark, sf_dir))
+
+
+def q_degrees(spark, sf_dir):
+    """B5 per-node degree."""
+    return G.degrees(_sym(spark, sf_dir))
+
+
+def q_total_volume(spark, sf_dir):
+    """B5 global: sum of degrees = 2|E|."""
+    return G.degrees(_sym(spark, sf_dir)).agg(F.sum("degree").alias("sdeg"))
+
+
+def q_neighbors(spark, sf_dir):
+    """B3 neighbor lists, stringified for cross-engine hashing."""
+    nb = G.neighbor_lists(_sym(spark, sf_dir))
+    return nb.select(
+        "id",
+        F.array_join(F.transform("nbrs", lambda x: x.cast("string")), ",").alias("nbrs_csv"),
+        F.size("nbrs").alias("n_nbrs"),
+    )
+
+
+def q_ego_nets(spark, sf_dir):
+    """B4 ego nets, stringified."""
+    ego = G.ego_nets(G.neighbor_lists(_sym(spark, sf_dir)))
+    return ego.select(
+        "id",
+        F.array_join(F.transform("members", lambda x: x.cast("string")), ",").alias("members_csv"),
+        F.size("members").alias("n_members"),
+    )
+
+
+def q_conductance(spark, sf_dir):
+    """B6 flagship: per-node ego-net conductance."""
+    return G.ego_conductance(_sym(spark, sf_dir))
+
+
+def q_seeds(spark, sf_dir):
+    """B7 locally-minimal seed ranking (intent semantics)."""
+    sym = _sym(spark, sf_dir)
+    return G.local_min_seeds(sym, G.ego_conductance(sym))
+
+
+def q_seed_top20(spark, sf_dir):
+    """D14: top-20 of the ranked seed list."""
+    sym = _sym(spark, sf_dir)
+    return G.top_k_seeds(G.local_min_seeds(sym, G.ego_conductance(sym)), 20)
+
+
+def q_vertex_count(spark, sf_dir):
+    """B8 graph sizes."""
+    sym = _sym(spark, sf_dir)
+    return G.vertices(sym).agg(F.count("*").alias("n_vertices"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_copurchase_edges": q_copurchase_edges,
+    "graph_symmetrize_cs": q_symmetrize,
+    "graph_degrees": q_degrees,
+    "graph_total_volume": q_total_volume,
+    "graph_neighbors": q_neighbors,
+    "graph_ego_nets": q_ego_nets,
+    "graph_conductance": q_conductance,
+    "graph_seeds": q_seeds,
+    "graph_seed_top20": q_seed_top20,
+    "graph_vertex_count": q_vertex_count,
+}
+
+ORACLE: dict[str, str] = {
+    "graph_copurchase_edges": f"WITH {EDGES_SQL} SELECT src, dst FROM edges_g",
+    "graph_symmetrize_cs": f"""
+        WITH {EDGES_CS_SQL}
+        SELECT src, dst FROM (
+          SELECT src, dst FROM edges_cs
+          UNION
+          SELECT dst AS src, src AS dst FROM edges_cs
+        ) WHERE src <> dst
+    """,
+    "graph_degrees": f"WITH {EDGES_SQL}, {SYM_SQL} SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src",
+    "graph_total_volume": f"WITH {EDGES_SQL}, {SYM_SQL} SELECT COUNT(*) AS sdeg FROM sym",
+    "graph_neighbors": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}
+        SELECT src AS id,
+               STRING_AGG(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS nbrs_csv,
+               CAST(COUNT(*) AS INT) AS n_nbrs
+        FROM sym GROUP BY src
+    """,
+    "graph_ego_nets": f"""
+        WITH {EDGES_SQL}, {SYM_SQL},
+        ego_pairs AS (
+          SELECT src AS u, dst AS m FROM sym
+          UNION
+          SELECT DISTINCT src AS u, src AS m FROM sym
+        )
+        SELECT u AS id,
+               STRING_AGG(CAST(m AS VARCHAR), ',' ORDER BY m) AS members_csv,
+               CAST(COUNT(*) AS INT) AS n_members
+        FROM ego_pairs GROUP BY u
+    """,
+    "graph_conductance": CONDUCTANCE_SQL,
+    "graph_seeds": SEEDS_SQL,
+    "graph_seed_top20": f"WITH ranked AS ({SEEDS_SQL}) SELECT id, phi FROM ranked ORDER BY phi, id LIMIT 20",
+    "graph_vertex_count": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}
+        SELECT COUNT(*) AS n_vertices FROM (SELECT DISTINCT src FROM sym)
+    """,
+}

@@ -1,0 +1,89 @@
+"""Graph sources: edge-list text scan + star-schema graph derivations.
+
+Reference parity (SURVEY.md §2.A):
+  A1  GraphLoader.edgeListFile  (reference v2:14, v3:26, v47:45) —
+      whitespace-separated ``src dst`` lines, ``#`` comments skipped.
+  A2  sc.parallelize            (v2:18,85,114) → createDataFrame.
+
+Spark-first notes: the text scan stays entirely JVM-side
+(split/filter/cast are codegen'd); at 100 TB the file is splittable
+line-oriented text so Spark parallelizes the scan for free. No RDDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EDGE_SCHEMA = T.StructType(
+    [T.StructField("src", T.LongType(), False), T.StructField("dst", T.LongType(), False)]
+)
+
+
+def read_edge_list(spark: SparkSession, path: str) -> DataFrame:
+    """A1: edge-list text → ``edges(src BIGINT, dst BIGINT)``.
+
+    Matches GraphLoader.edgeListFile semantics (reference v2:14):
+    skip ``#`` comment lines and blank lines, split on arbitrary
+    whitespace, take the first two fields as (src, dst). Malformed
+    lines are dropped: ``F.get``/``try_cast`` return NULL on missing
+    fields or bad tokens — under ANSI mode (Spark 4 default) plain
+    ``getItem``/``cast`` would abort the whole 100-TB scan on one
+    bad line.
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        lines.where(~F.col("value").startswith("#"))
+        .where(F.trim(F.col("value")) != "")
+        .select(
+            F.get(parts, 0).try_cast("long").alias("src"),
+            F.get(parts, 1).try_cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+
+
+def edges_from_pairs(spark: SparkSession, pairs: list[tuple[int, int]]) -> DataFrame:
+    """A2: driver-local pairs → edges DataFrame (tests/fixtures)."""
+    return spark.createDataFrame(pairs, EDGE_SCHEMA)
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical test-harness graph (FIXTURES.md §5): parts co-ordered
+    in the same order. Symmetric by construction; src <> dst.
+
+    Scale note: the self-join shuffles on l_orderkey once; per-order
+    fan-out is bounded by order size (~7 lines), so no skew blow-up.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") != F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("src"),
+            F.col("l2.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer–supplier graph (FIXTURES.md §5): orders ⋈
+    lineitem; supplier ids offset by 1e8 to disjoint the id spaces."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(100000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,94 @@
+"""Graph substrate tests against FIXTURES.md §2/§3 hand-computed values."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigclam_apachespark_spark.operators import (
+    degrees,
+    ego_conductance,
+    ego_nets,
+    local_min_seeds,
+    neighbor_lists,
+    symmetrize,
+    top_k_seeds,
+    total_volume,
+    vertices,
+)
+
+PHI_CLIQUE = 1.0 / 12.0
+
+
+def test_symmetrize_g1(g1_edges):
+    sym = symmetrize(g1_edges)
+    assert sym.count() == 26  # FIXTURES §2: 13 undirected pairs → 26 directed
+    assert vertices(sym).count() == 8
+    # involution: symmetrizing a symmetric graph is a no-op
+    assert symmetrize(sym).count() == 26
+
+
+def test_symmetrize_drops_self_loops_and_dups(spark):
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    e = edges_from_pairs(spark, [(1, 2), (2, 1), (1, 1), (1, 2)])
+    assert symmetrize(e).count() == 2
+
+
+def test_degrees_g1(g1_edges):
+    sym = symmetrize(g1_edges)
+    got = {r["id"]: r["degree"] for r in degrees(sym).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 4, 4: 4, 5: 3, 6: 3, 7: 3}
+    assert total_volume(sym) == 26
+
+
+def test_neighbor_lists_and_ego(g1_edges):
+    sym = symmetrize(g1_edges)
+    nb = {r["id"]: list(r["nbrs"]) for r in neighbor_lists(sym).collect()}
+    assert nb[0] == [1, 2, 3]
+    assert nb[3] == [0, 1, 2, 4]
+    ego = {r["id"]: list(r["members"]) for r in ego_nets(neighbor_lists(sym)).collect()}
+    assert ego[0] == [0, 1, 2, 3]
+    assert ego[3] == [0, 1, 2, 3, 4]
+    assert ego[4] == [3, 4, 5, 6, 7]
+
+
+def test_conductance_g1(g1_edges):
+    # FIXTURES §2 exact values.
+    sym = symmetrize(g1_edges)
+    got = {r["id"]: r["phi"] for r in ego_conductance(sym).collect()}
+    for n in (0, 1, 2, 5, 6, 7):
+        assert got[n] == pytest.approx(PHI_CLIQUE, abs=1e-12)
+    for n in (3, 4):
+        assert got[n] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_conductance_g2_volt_zero_branch(g2_edges):
+    # FIXTURES §3: P4 — nodes 1,2 hit the vol_T == 0 branch → phi = 1.
+    sym = symmetrize(g2_edges)
+    got = {r["id"]: r["phi"] for r in ego_conductance(sym).collect()}
+    assert got[0] == pytest.approx(0.5)
+    assert got[3] == pytest.approx(0.5)
+    assert got[1] == 1.0
+    assert got[2] == 1.0
+
+
+def test_seeds_g1(g1_edges):
+    # FIXTURES §2: intent semantics select {0,1,5,6}, ranked [0,1,5,6].
+    sym = symmetrize(g1_edges)
+    phi = ego_conductance(sym)
+    seeds = local_min_seeds(sym, phi)
+    ranked = [r["id"] for r in seeds.collect()]
+    assert ranked == [0, 1, 5, 6]
+    top2 = [r["id"] for r in top_k_seeds(seeds, 2).collect()]
+    assert top2 == [0, 1]
+
+
+def test_edge_list_reader(spark, tmp_path):
+    # FIXTURES §4 parser fixture: comments, tabs, spaces.
+    p = tmp_path / "edges.txt"
+    p.write_text("# comment\n1\t2\n3 4\n\n# another\n5\t6\n2 1\n")
+    from bigclam_apachespark_spark.sources import read_edge_list
+
+    df = read_edge_list(spark, str(p))
+    rows = sorted((r["src"], r["dst"]) for r in df.collect())
+    assert rows == [(1, 2), (2, 1), (3, 4), (5, 6)]
