@@ -1,0 +1,78 @@
+"""Cross-engine deterministic hashing + tokenization kernels.
+
+Everything here is built from ``md5`` (identical output in Spark and
+DuckDB) so every dedup/fingerprint operator is oracle-testable: the
+driver hash-compares Spark results against DuckDB SQL, so the hash
+function itself must agree bit-for-bit across engines. Spark's
+``xxhash64``/``hash`` have no DuckDB twin; ``conv(substr(md5(x),1,15),
+16,10)`` does — a 60-bit non-negative integer, ample for dedup keys.
+
+All kernels are built-in-column expressions (JVM-side, codegen'd) —
+no Python UDFs (extension surface; SURVEY.md §2.E notes the reference
+has no string functions at all, so this whole module is north-star
+extension code, not parity code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash64(c: Column | str) -> Column:
+    """60-bit deterministic hash of a string column.
+
+    DuckDB oracle twin: ``CAST(CONCAT('0x', substr(md5(x),1,15)) AS
+    BIGINT)``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# DuckDB SQL fragment builder for the same function (kept next to the
+# Spark definition so the two can never drift apart).
+def hash64_sql(expr: str) -> str:
+    return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase + collapse non-alphanumerics to single spaces + trim.
+    DuckDB twin: ``trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))``."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def normalize_text_sql(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace word tokens of normalized text (array<string>).
+    DuckDB twin: ``string_split(<normalized>, ' ')`` (normalization
+    collapses runs, so a plain single-space split matches)."""
+    return F.split(normalize_text(c), " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split({normalize_text_sql(expr)}, ' ')"
+
+
+def char_shingles(c: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles of normalized text (array<string>,
+    may repeat). DuckDB twin: a list comprehension over
+    generate_series. Documents shorter than n yield a single
+    truncated shingle (substring clips at the string end in both
+    engines)."""
+    norm = normalize_text(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, n),
+    )
+
+
+def char_shingles_sql(expr: str, n: int = 5) -> str:
+    norm = normalize_text_sql(expr)
+    return (
+        f"[substr({norm}, i, {n}) "
+        f"for i in generate_series(1, greatest(length({norm}) - {n - 1}, 1))]"
+    )

@@ -1,0 +1,483 @@
+"""BigCLAM optimizer (SURVEY.md §2.C/§2.F) — DataFrame-native.
+
+Model state is a ``factors(node_id BIGINT, f ARRAY<DOUBLE>)``
+DataFrame (K fixed per run) plus the K-length column-sum vector
+``sumF`` (the ONLY state that crosses to the driver — K doubles,
+SURVEY §1.3). The reference instead collects the whole F matrix to
+the driver and re-broadcasts it every iteration (v2:118 ⚠ SURVEY
+§4.3.1); here both factor lookups are joins, so the model scales with
+the cluster, not driver memory.
+
+Objective (Yang & Leskovec WSDM'13, eqs. 2+4 with the Σ-trick; exact
+reference semantics at v2:187-200):
+    L = Σ_u [ Σ_{v∈N(u)} (log(1 − p̂(u,v)) + fu·fv) − fu·sumFᵀ + fu·fuᵀ ]
+    p̂(u,v) = clip(exp(−fu·fv), 1e-4, 0.9999)
+Gradient (v2:121-133):  ∇_u = Σ_{v∈N(u)} fv/(1−p̂) − sumF + fu
+Step (v2:99-102):       F_u ← clip(F_u + η·∇_u, 0, 1000)
+Armijo accept (v2:140-146): L_u(new, sumF−fu+newfu) ≥ L_u + α·η·‖∇_u‖²,
+keep the largest accepted η of the 16-step grid {1, 0.1, …, 1e-15}.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.arrays import (
+    MAX_F,
+    MIN_F,
+    arr_clamp,
+    arr_dot,
+    arr_lit,
+    prob_hat,
+)
+from bigclam_apachespark_spark.operators import graph as G
+
+# Line-search grid (v2:104-114): {1, 0.1, ..., 1e-15}, α=0.05, β=0.1.
+ALPHA = 0.05
+BETA = 0.1
+LINE_SEARCH_STEPS = [BETA**i for i in range(16)]
+
+
+# ---------------------------------------------------------------------------
+# Init (C1/C2/C3)
+# ---------------------------------------------------------------------------
+
+
+def init_factors(
+    sym_edges: DataFrame,
+    k: int,
+    seed: int = 42,
+    include_self: bool = True,
+    seeds_ranked: DataFrame | None = None,
+) -> DataFrame:
+    """C1-C3: factors init from the top-K locally-minimal seeds'
+    neighborhoods — f[u][c] = 1.0 iff u ∈ N(seed_c) (∪ {seed_c} when
+    ``include_self``, the v2:70 self-membership variant; v3/v47 omit
+    it). If fewer than K seeds exist, remaining columns are Bernoulli
+    (0.5) indicators (v2:61-63) — the reference uses unseeded
+    ``Random``; we use an xxhash64-derived coin so init is
+    deterministic and fully distributed (SURVEY §4.3.5).
+
+    Community index c = seed rank (deterministic (φ, id) order via
+    row_number — the reference's ``zipWithIndex`` after unordered ops
+    is nondeterministic, SURVEY §2.C3).
+    """
+    from pyspark.sql import Window
+
+    if seeds_ranked is None:
+        seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges))
+    w = Window.orderBy("phi", "id")
+    topk = (
+        seeds_ranked.withColumn("c", F.row_number().over(w) - 1)
+        .where(F.col("c") < k)
+        .select(F.col("id").alias("seed_id"), "c")
+    )
+
+    nbrs = G.neighbor_lists(sym_edges)
+    seed_members = topk.join(nbrs, topk.seed_id == nbrs.id).select(
+        "c",
+        (
+            F.array_union(F.array("seed_id"), "nbrs")
+            if include_self
+            else F.col("nbrs")
+        ).alias("members"),
+    )
+    # (node, c) membership triples → dense K-array per node.
+    memb = seed_members.select("c", F.explode("members").alias("node_id"))
+    per_node = memb.groupBy("node_id").agg(F.collect_set("c").alias("cs"))
+    verts = G.vertices(sym_edges).select(F.col("id").alias("node_id"))
+    joined = verts.join(per_node, "node_id", "left").select(
+        "node_id", F.coalesce("cs", F.array().cast("array<int>")).alias("cs")
+    )
+
+    n_seeds = topk.count()
+    node = F.col("node_id")
+    f = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c: F.when(c < F.lit(n_seeds), F.array_contains("cs", c.cast("int")).cast("double"))
+        .otherwise(F.pmod(F.xxhash64(node, c, F.lit(seed)), F.lit(2)).cast("double")),
+    )
+    return joined.select("node_id", f.alias("f"))
+
+
+def sum_f(factors: DataFrame) -> list[float]:
+    """C5: column sums of F → K doubles on the driver (posexplode +
+    hash agg with map-side combine; v2:95 / v3:84-85)."""
+    rows = (
+        factors.select(F.posexplode("f").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r["s"] for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Objective (F1) and gradient state (F2)
+# ---------------------------------------------------------------------------
+
+
+def _edge_factors(sym_edges: DataFrame, factors: DataFrame) -> DataFrame:
+    """(u, fu, fv) per directed edge: two joins against factors. At
+    scale these are shuffle hash joins on the node id; the factors
+    side is N×K — broadcast only if tiny (Catalyst decides)."""
+    fu = factors.select(F.col("node_id").alias("src"), F.col("f").alias("fu"))
+    fv = factors.select(F.col("node_id").alias("dst"), F.col("f").alias("fv"))
+    return sym_edges.join(fu, "src").join(fv, "dst").select("src", "dst", "fu", "fv")
+
+
+def loglikelihood(sym_edges: DataFrame, factors: DataFrame, sumf: list[float]) -> float:
+    """F1: total log-likelihood (exact v2:187-200 semantics, incl.
+    both clamps). One join pipeline → two hash aggs → one scalar."""
+    ef = _edge_factors(sym_edges, factors)
+    dot = arr_dot("fu", "fv")
+    term = F.log(1.0 - prob_hat(dot)) + dot
+    per_node_edge = ef.groupBy("src").agg(F.sum(term).alias("nbr_term"))
+
+    sf = arr_lit(sumf)
+    fu_terms = factors.select(
+        F.col("node_id").alias("src"),
+        (arr_dot(F.col("f"), sf)).alias("fusf"),
+        (arr_dot(F.col("f"), F.col("f"))).alias("fufu"),
+    )
+    total = (
+        per_node_edge.join(fu_terms, "src")
+        .select((F.col("nbr_term") - F.col("fusf") + F.col("fufu")).alias("llh_u"))
+        .agg(F.sum("llh_u").alias("llh"))
+        .collect()[0]["llh"]
+    )
+    return float(total)
+
+
+def gradient_state(sym_edges: DataFrame, factors: DataFrame, sumf: list[float]) -> DataFrame:
+    """F2: per-node optimizer state ``(node_id, fu, grad, llh_u)`` —
+    the reference's ``result1`` (v2:121-133) without the driver
+    round-trip.
+
+    The weighted neighbor sum Σ fv/(1−p̂) is computed in the LONG
+    layout (posexplode → groupBy(node, k)) so no executor ever holds
+    a deg(u)×K blob: rows stay K doubles wide, partial aggregation
+    happens map-side, and hub nodes parallelize across k.
+    """
+    ef = _edge_factors(sym_edges, factors)
+    dot = arr_dot("fu", "fv")
+    p = prob_hat(dot)
+    per_edge = ef.select(
+        "src",
+        "fv",
+        (F.log(1.0 - p) + dot).alias("term"),
+        (1.0 / (1.0 - p)).alias("w"),
+    )
+
+    nbr_llh = per_edge.groupBy("src").agg(F.sum("term").alias("nbr_term"))
+    wsum_long = (
+        per_edge.select("src", "w", F.posexplode("fv").alias("pos", "val"))
+        .groupBy("src", "pos")
+        .agg(F.sum(F.col("w") * F.col("val")).alias("ws"))
+    )
+    wsum = wsum_long.groupBy("src").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ws"))), lambda s: s["ws"]
+        ).alias("wsum")
+    )
+
+    sf = arr_lit(sumf)
+    fu = factors.select(F.col("node_id").alias("src"), F.col("f").alias("fu"))
+    return (
+        fu.join(nbr_llh, "src")
+        .join(wsum, "src")
+        .select(
+            F.col("src").alias("node_id"),
+            "fu",
+            F.zip_with(
+                F.zip_with("wsum", sf, lambda a, b: a - b), "fu", lambda a, b: a + b
+            ).alias("grad"),
+            (
+                F.col("nbr_term")
+                - arr_dot("fu", sf)
+                + arr_dot("fu", "fu")
+            ).alias("llh_u"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line search + update (F3/F4)
+# ---------------------------------------------------------------------------
+
+
+def line_search_updates(
+    sym_edges: DataFrame,
+    factors: DataFrame,
+    state: DataFrame,
+    sumf: list[float],
+    alpha: float = ALPHA,
+    steps: list[float] | None = None,
+) -> DataFrame:
+    """F3: batched backtracking line search (v2:136-146) →
+    ``(node_id, fu_old, f_new)`` for nodes with ≥1 accepted step.
+
+    All 16 candidate steps are evaluated in ONE crossJoin job (the
+    reference's cartesian trick, kept on purpose — SURVEY §4.1) with
+    the step list broadcast. Candidate local LLH re-joins the
+    neighbors' CURRENT factors; sumF is adjusted per candidate as
+    sumF − fu + newfu exactly like v2:142.
+    """
+    spark = sym_edges.sparkSession
+    steps = steps or LINE_SEARCH_STEPS
+    steps_df = spark.createDataFrame([(float(s),) for s in steps], "eta double")
+
+    # The gradient state feeds BOTH the candidate fan-out and the
+    # accept-join below; materialize it once or the whole
+    # gradient pipeline (two shuffle aggregations) re-executes per
+    # reference — measured as a 50× per-iteration blowup on the G1
+    # fixture once AQE replans the duplicated subtrees.
+    state = state.localCheckpoint(eager=True)
+
+    sf = arr_lit(sumf)
+    cand = (
+        state.crossJoin(F.broadcast(steps_df))
+        .select(
+            "node_id",
+            "fu",
+            "grad",
+            "llh_u",
+            "eta",
+            arr_clamp(
+                F.zip_with("fu", "grad", lambda a, b: a + F.col("eta") * b),
+                MIN_F,
+                MAX_F,
+            ).alias("newfu"),
+        )
+    )
+
+    fv = factors.select(F.col("node_id").alias("dst"), F.col("f").alias("fv"))
+    cand_edges = (
+        cand.select(F.col("node_id").alias("src"), "eta", "newfu")
+        .join(sym_edges, "src")
+        .join(fv, "dst")
+    )
+    cdot = arr_dot("newfu", "fv")
+    cterm = F.log(1.0 - prob_hat(cdot)) + cdot
+    cand_nbr = cand_edges.groupBy("src", "eta").agg(F.sum(cterm).alias("nbr_term"))
+
+    # newsf = sumF − fu + newfu (v2:142); accept iff candidate local
+    # LLH ≥ llh_u + α·η·‖grad‖² (v2:145).
+    newsf = F.zip_with(
+        F.zip_with(sf, "fu", lambda a, b: a - b), "newfu", lambda a, b: a + b
+    )
+    cand_llh = (
+        cand.withColumnRenamed("node_id", "src")
+        .join(cand_nbr, ["src", "eta"])
+        .select(
+            "src",
+            "eta",
+            "fu",
+            "grad",
+            "newfu",
+            (
+                F.col("nbr_term") - arr_dot(F.col("newfu"), newsf) + arr_dot("newfu", "newfu")
+            ).alias("cand_llh"),
+            (F.col("llh_u") + F.lit(alpha) * F.col("eta") * arr_dot("grad", "grad")).alias(
+                "threshold"
+            ),
+        )
+    )
+    accepted = cand_llh.where(F.col("cand_llh") >= F.col("threshold"))
+    # D9: per-node max accepted step; groupBy.agg(max_by) gives partial
+    # aggregation (the reference's groupByKey materializes all — §4.3.2).
+    best = accepted.groupBy("src").agg(
+        F.max("eta").alias("eta"),
+        F.max_by(F.struct("fu", "newfu"), "eta").alias("b"),
+    )
+    return best.select(
+        F.col("src").alias("node_id"),
+        F.col("b.fu").alias("fu_old"),
+        F.col("b.newfu").alias("f_new"),
+    )
+
+
+def apply_updates(factors: DataFrame, updates: DataFrame) -> DataFrame:
+    """F4: F ← (F anti⟕ updated) ∪ new rows (v2:152, via left_anti
+    instead of the reference's driver-collected ``contains`` set)."""
+    new_rows = updates.select("node_id", F.col("f_new").alias("f"))
+    return factors.join(updates.select("node_id"), "node_id", "left_anti").unionByName(
+        new_rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convergence loop (F5) and model selection (F6)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FitResult:
+    factors: DataFrame
+    sumf: list[float]
+    llh: float
+    iterations: int
+    history: list[float] = field(default_factory=list)
+
+
+def bigclam_fit(
+    sym_edges: DataFrame,
+    k: int,
+    seed: int = 42,
+    tol: float = 1e-4,
+    max_iter: int = 100,
+    include_self: bool = True,
+    factors0: DataFrame | None = None,
+    seeds_ranked: DataFrame | None = None,
+    verbose: bool = False,
+) -> FitResult:
+    """F5: full-batch projected-gradient-ascent loop (the reference's
+    «MBSGD», which despite the name updates ALL vertices each round —
+    v2:209, SURVEY §2.F5) until |1 − LLH_new/LLH_old| < tol.
+
+    Per iteration: gradient state → line search → anti∪new update →
+    sumF recompute (exact, not incremental — avoids the reference's
+    drift risk, SURVEY §4.1) → LLH. ``localCheckpoint`` truncates the
+    growing lineage each round (§4.2); the previous generation is
+    unpersisted.
+    """
+    sym_edges = sym_edges.cache()
+    factors = factors0 if factors0 is not None else init_factors(
+        sym_edges, k, seed=seed, include_self=include_self, seeds_ranked=seeds_ranked
+    )
+    factors = factors.localCheckpoint()
+    sumf = sum_f(factors)
+    llh_old = loglikelihood(sym_edges, factors, sumf)
+    history = [llh_old]
+
+    import time as _time
+
+    it = 0
+    for it in range(1, max_iter + 1):
+        t0 = _time.perf_counter()
+        state = gradient_state(sym_edges, factors, sumf)
+        updates = line_search_updates(sym_edges, factors, state, sumf).localCheckpoint()
+        if updates.isEmpty():
+            break
+        prev = factors
+        factors = apply_updates(factors, updates).localCheckpoint()
+        prev.unpersist()
+        sumf = sum_f(factors)
+        llh_new = loglikelihood(sym_edges, factors, sumf)
+        history.append(llh_new)
+        if verbose:
+            print(
+                f"[bigclam_fit] iter={it} llh={llh_new:.6f} "
+                f"rel={abs(1.0 - llh_new / llh_old) if llh_old else float('nan'):.3e} "
+                f"wall={_time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+        if llh_old != 0 and abs(1.0 - llh_new / llh_old) < tol:
+            llh_old = llh_new
+            break
+        llh_old = llh_new
+    return FitResult(factors=factors, sumf=sumf, llh=llh_old, iterations=it, history=history)
+
+
+def geometric_k_grid(min_com: int, max_com: int, div_com: int) -> list[int]:
+    """F6 grid (v47:116-133): geometric spacing min→max, integerized
+    with +1 bumps on collisions, end capped at max_com.
+
+    Scala parity: ``maxCom/minCom`` at v47:116 is Int/Int — INTEGER
+    division — so the ratio is floored before the log (visible only
+    when min_com doesn't divide max_com). The pasted REPL grid at
+    v47:268 is reproduced exactly by (50, 200, 15)."""
+    gap = math.exp(math.log(max_com // min_com) / div_com)
+    ks = [int(min_com)]
+    x = int(min_com)
+    while True:
+        xt = int(x * gap)
+        if xt == x:
+            xt += 1
+        x = xt
+        if x >= max_com:
+            break
+        ks.append(x)
+    ks.append(int(max_com))
+    return ks
+
+
+def model_selection(
+    sym_edges: DataFrame,
+    min_com: int,
+    max_com: int,
+    div_com: int,
+    seed: int = 42,
+    tol: float = 1e-3,
+    fit_tol: float = 1e-4,
+    max_iter: int = 50,
+) -> tuple[int, dict[int, float]]:
+    """F6 (v47:244-266): fit each K in the geometric grid; stop at the
+    first K whose relative LLH gain over the previous K is < tol;
+    return (chosen K, {K: LLH}). The conductance seed ranking is
+    computed ONCE and reused across K (the reference does the same
+    via its broadcast ``Sbc``, v47:75). The reference's
+    ``LLHKold == null`` first-point guard is dead code (Double never
+    null, SURVEY §2.F6 ⚠) — we use an explicit first-point branch.
+    """
+    sym_edges = sym_edges.cache()
+    seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges)).cache()
+    llh_by_k: dict[int, float] = {}
+    llh_prev: float | None = None
+    chosen = 0
+    for k in geometric_k_grid(min_com, max_com, div_com):
+        res = bigclam_fit(
+            sym_edges, k, seed=seed, tol=fit_tol, max_iter=max_iter,
+            seeds_ranked=seeds_ranked,
+        )
+        llh_by_k[k] = res.llh
+        if llh_prev is not None and (1.0 - res.llh / llh_prev) < tol:
+            chosen = k
+            break
+        llh_prev = res.llh
+        chosen = k
+    return chosen, llh_by_k
+
+
+# ---------------------------------------------------------------------------
+# Community extraction + inversion (F7/F8)
+# ---------------------------------------------------------------------------
+
+
+def extraction_threshold(n_vertices: int, n_undirected_edges: int) -> float:
+    """F7 δ: ε = 2|E|/(N(N−1)) background edge probability, δ =
+    √(−ln(1−ε)) (paper intent). The reference's v2:223 counts
+    vertices-having-edges instead of edges (GraphX collectEdges
+    returns a vertex-keyed RDD — SURVEY §2.F7 ⚠); we implement the
+    intent and keep this helper pure so either input can be fed."""
+    eps = 2.0 * n_undirected_edges / (n_vertices * (n_vertices - 1))
+    return math.sqrt(-math.log(1.0 - eps))
+
+
+def extract_communities(factors: DataFrame, delta: float) -> DataFrame:
+    """F7 membership (v2:226-229): u ∈ c iff F_uc ≥ δ; if max_c F_uc
+    < δ, u joins every argmax community (the reference's `value ==
+    Fmax` keeps ties — preserved). Returns ``(community, node_id)``."""
+    exploded = factors.select(
+        "node_id",
+        F.array_max("f").alias("fmax"),
+        F.posexplode("f").alias("community", "val"),
+    )
+    keep = F.when(F.col("fmax") < F.lit(delta), F.col("val") == F.col("fmax")).otherwise(
+        F.col("val") >= F.lit(delta)
+    )
+    return exploded.where(keep).select("community", "node_id")
+
+
+def invert_communities(communities: DataFrame) -> DataFrame:
+    """F8: (community → sorted member array) — the reference's
+    groupByKey + saveAsTextFile sink (v2:230) as a proper grouped
+    aggregation; write with ``df.write.parquet`` downstream."""
+    return communities.groupBy("community").agg(
+        F.array_sort(F.collect_list("node_id")).alias("members")
+    )

@@ -1,0 +1,284 @@
+"""Deduplication operators over the ``documents`` table (north-star
+extension surface): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale design (the point of each shape):
+- exact: one hash-groupBy — map-side partial agg, single shuffle.
+- MinHash+LSH: shingle→perm-hash→min is explode + hash-agg (map-side
+  combine keeps the shuffle at |docs|×num_perms rows, NOT
+  |shingles|×num_perms); band buckets join docs only within equal
+  (band, bucket) keys — candidate pairs, never the full cross join.
+- SimHash: tokens × 32 bit positions → sign sums → one 32-bit key;
+  near-dups join on band keys of the simhash (bit-block LSH).
+- n-gram Jaccard: inverted-index self-join (token → doc pairs) with
+  per-pair intersection counts — the classic |pairs-sharing-a-token|
+  plan, never |docs|².
+- embedding cosine: see operators/similarity.py (shared kernels).
+
+Everything is md5-hash-based (functions/hashing.py) so DuckDB
+reproduces every number bit-for-bit for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.hashing import (
+    char_shingles,
+    hash64,
+    normalize_text,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups keyed by the 60-bit content hash of
+    normalized text → ``(content_fp, n_docs, keep_doc_id)`` for groups
+    with ≥2 members. ``keep_doc_id`` = min doc_id (canonical
+    survivor). One shuffle (hash agg with map-side combine)."""
+    return (
+        docs.select(F.col("doc_id"), hash64(normalize_text(text_col)).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row (min doc_id) per distinct normalized text. Window-
+    free formulation: min_by over the hash group — single shuffle."""
+    return (
+        docs.select("doc_id", hash64(normalize_text(text_col)).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_perms: int = 16, shingle_n: int = 5
+) -> DataFrame:
+    """MinHash signature in LONG layout ``(doc_id, perm, minhash)``.
+
+    perm p's hash of shingle s = hash64(p || ':' || s); signature =
+    min per (doc, perm). The explode is |shingles|×num_perms rows but
+    the min-agg combines map-side, so the shuffle carries only
+    |docs|×num_perms rows — the scale-critical property.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(char_shingles(text_col, shingle_n))).alias("s")
+    )
+    perms = sh.sparkSession.range(num_perms).select(F.col("id").cast("int").alias("perm"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm",
+            hash64(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature: ``(doc_id, band, bucket)`` where bucket =
+    hash of the band's minhash values in perm order."""
+    banded = signatures.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        hash64(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any (band, bucket).
+    The join key is (band, bucket) — only intra-bucket pairs are ever
+    materialized; with balanced buckets this is the linear-ish LSH
+    cost, not |docs|²."""
+    a = buckets.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def shingle_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                    shingle_n: int = 5) -> DataFrame:
+    """Exact Jaccard over distinct char-shingle sets for given
+    candidate pairs → ``(a, b, jaccard)``. Set sizes via one agg;
+    intersections via the inverted-index join restricted to the
+    candidate pairs (semi-join pushes the restriction into the
+    shuffle)."""
+    sh = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(char_shingles(text_col, shingle_n))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a"), "s")
+    sb = sh.select(F.col("doc_id").alias("b"), "s")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "a").join(zb, "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
+    candidate pairs → exact-Jaccard verify ≥ threshold."""
+    sig = minhash_signatures(docs, text_col, num_perms, shingle_n)
+    cand = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band))
+    return shingle_jaccard(docs, cand, text_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct word tokens → ``(doc_id, simhash)``.
+
+    bit b of token t's 60-bit hash votes +1/−1; simhash bit b is set
+    iff the vote sum > 0. Long layout (doc × bit) keeps the agg
+    map-side-combining; 32× row blowup pre-combine only.
+    """
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    tok = tok.select("doc_id", hash64("t").alias("h"))
+    bits = tok.sparkSession.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
+    votes = (
+        tok.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.shiftright(F.col("h"), F.col("b")).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias("v"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("votes"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("votes") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Block-LSH join: split the 32-bit key into 4 byte-blocks; pairs
+    within Hamming ≤ 3 share at least one identical block (pigeonhole)
+    — join per block, then verify exact Hamming via bit_count(xor).
+    Never |docs|².
+    """
+    sh = simhash(docs, text_col)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = blocks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "blk", "key")
+    b = blocks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "blk", "key")
+    return (
+        a.join(b, ["blk", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram (word) Jaccard — inverted-index formulation
+# ---------------------------------------------------------------------------
+
+
+def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """All pairs with word-token-set Jaccard ≥ threshold, via the
+    inverted index: only pairs sharing ≥1 token are ever formed.
+    Hot-token skew note: at web scale, drop ultra-frequent tokens
+    first (df cap) — the candidate count is Σ_token df(token)²."""
+    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = tok.select(F.col("doc_id").alias("a"), "t")
+    tb = tok.select(F.col("doc_id").alias("b"), "t")
+    inter = (
+        ta.join(tb, "t")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "a").join(zb, "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

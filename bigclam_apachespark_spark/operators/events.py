@@ -1,0 +1,105 @@
+"""Event-time operators over the ``events`` table (north-star
+extension): tumbling/sliding window aggregations, sessionization,
+and JSON property extraction — the batch halves of the Structured
+Streaming surface in ``streaming/`` (same column logic, so batch
+tests + DuckDB oracle validate what the streaming job computes).
+
+Scale notes: window aggs are one hash-agg keyed by (bucket, ...) —
+map-side combine applies; sessionization is one window function pass
+partitioned by user (shuffle on user_id, linear within partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    events: DataFrame, width: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling event-time windows: count / sum(value) / distinct
+    users per (window_start, event_type). Uses ``F.window`` — the same
+    expression works under readStream with a watermark."""
+    w = F.window(ts_col, width)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Sliding windows (width, slide): event counts per window. Each
+    event lands in width/slide windows — explode factor 2 here."""
+    w = F.window(ts_col, width, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when
+    the gap to the previous event exceeds ``gap_minutes``. Classic
+    lag + cumulative-sum window pass → ``(user_id, session_id,
+    session_start, session_end, n_events, sum_value)``.
+
+    session_id is per-user, 1-based, deterministic (ordered by ts,
+    event_id tiebreak)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(ts_col, "event_id")
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    with_break = events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_sid = with_break.withColumn("session_id", F.sum("is_new").over(w))
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
+    """JSON property extraction from the ``props`` string column →
+    ``(event_id, k_val)``. ``get_json_object`` is JVM-side; at scale
+    prefer parsing once via ``from_json`` into a struct column when
+    multiple keys are read."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", f"$.{key}").cast("long").alias("k_val"),
+    )
+
+
+def event_type_funnel(events: DataFrame) -> DataFrame:
+    """Per-user event-type counts in wide form (pivot) — the
+    engagement-funnel shape: one shuffle on user_id, pivot values
+    fixed so the plan is static."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count("*"))
+        .na.fill(0)
+    )

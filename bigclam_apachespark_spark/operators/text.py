@@ -1,0 +1,120 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension surface — the reference has no string processing at all,
+SURVEY.md §2.E; these are the training-data-pipeline ops the rebuild
+adds as first-class components).
+
+All operators are pure DataFrame → DataFrame built from JVM-side
+column expressions: at 100 TB the scan is the cost, so every function
+here is a narrow map over the scan with no shuffle (except the
+explicit aggregations), full predicate-pushdown/column-pruning
+compatible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.hashing import (
+    char_shingles,
+    hash64,
+    normalize_text,
+    tokens,
+)
+
+# Tiny embedded stopword lists for the n-gram language heuristic.
+# Deliberately small + hard-coded so the DuckDB oracle can inline the
+# identical lists; real deployments would swap in fastText-style
+# models behind the same column contract.
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"]
+FR_STOPWORDS = ["le", "la", "de", "et", "un", "que", "est", "en", "du", "pour"]
+
+# BPE-ish subtoken regex: alpha runs, digit runs, single punctuation.
+SUBTOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, arr))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace word tokens + BPE-ish subtoken count
+    (regexp match count) + char count. One narrow projection."""
+    toks = tokens(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(SUBTOKEN_RE)).alias("n_subtokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio, mean word length — composed into a [0,1] score. The exact
+    blend is arbitrary (documented, deterministic); the value is the
+    relational shape: narrow map, no shuffle."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = _stopword_hits(toks, EN_STOPWORDS).cast("double") / F.greatest(
+        F.size(F.array_distinct(toks)), F.lit(1)
+    ).cast("double")
+    mean_word_len = F.length(normalize_text(text_col)).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    length_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    word_len_score = F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 1.0).otherwise(0.5)
+    score = (
+        F.lit(0.3) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + F.lit(0.2) * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.2) * word_len_score
+    )
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword-list hit counts per language,
+    argmax with 'und' when nothing hits. n-gram-free variant of the
+    classic heuristic — set-intersection counts on distinct tokens."""
+    toks = F.array_distinct(tokens(text_col))
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    es = _stopword_hits(toks, ES_STOPWORDS)
+    fr = _stopword_hits(toks, FR_STOPWORDS)
+    best = F.greatest(en, es, fr)
+    lang = (
+        F.when(best == 0, "und")
+        # tie-break order fixed: en > es > fr (documented, matches oracle)
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id", en.alias("en_hits"), es.alias("es_hits"), fr.alias("fr_hits"),
+        lang.alias("lang_pred"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Document fingerprinting: (a) full-content hash of the
+    normalized text (exact-dup key), (b) winnowing-style min-hash of
+    the char n-gram shingle set (robust to local edits). Both 60-bit
+    md5-derived so the DuckDB oracle reproduces them exactly."""
+    sh = char_shingles(text_col, n)
+    return docs.select(
+        "doc_id",
+        hash64(normalize_text(text_col)).alias("content_fp"),
+        F.array_min(F.transform(sh, lambda s: hash64(s))).alias("min_shingle_fp"),
+    )

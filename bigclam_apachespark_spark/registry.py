@@ -18,92 +18,18 @@ from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.operators import graph as G
 from bigclam_apachespark_spark.sources import copurchase_edges, customer_supplier_edges
+from bigclam_apachespark_spark.sqlfrag import (
+    CONDUCTANCE_SQL,
+    EDGES_CS_SQL,
+    EDGES_SQL,
+    SEEDS_SQL,
+    SYM_SQL,
+)
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB side). The driver pre-registers views for
 # the parquet tables; graph views are derived inline per FIXTURES.md §5.
 # ---------------------------------------------------------------------------
-
-EDGES_SQL = """
-edges_g AS (
-  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
-  FROM lineitem l1 JOIN lineitem l2
-    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
-)"""
-
-SYM_SQL = """
-sym AS (
-  SELECT src, dst FROM (
-    SELECT src, dst FROM edges_g
-    UNION
-    SELECT dst AS src, src AS dst FROM edges_g
-  ) WHERE src <> dst
-)"""
-
-EDGES_CS_SQL = """
-edges_cs AS (
-  SELECT DISTINCT o.o_custkey AS src, 100000000 + l.l_suppkey AS dst
-  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-)"""
-
-CONDUCTANCE_SQL = f"""
-WITH {EDGES_SQL}, {SYM_SQL},
-ego_pairs AS (
-  SELECT src AS u, dst AS m FROM sym
-  UNION
-  SELECT DISTINCT src AS u, src AS m FROM sym
-),
-twohop AS (
-  SELECT e.u, s.dst AS w FROM ego_pairs e JOIN sym s ON e.m = s.src
-),
-flags AS (
-  SELECT t.u, CASE WHEN ep.u IS NULL THEN 1 ELSE 0 END AS is_cut
-  FROM twohop t LEFT JOIN ego_pairs ep ON ep.u = t.u AND ep.m = t.w
-),
-agg AS (
-  SELECT u, SUM(is_cut) AS cut, COUNT(*) AS z FROM flags GROUP BY u
-),
-tot AS (SELECT COUNT(*) AS sdeg FROM sym)
-SELECT u AS id,
-  CASE WHEN z - cut = 0 THEN 0.0
-       WHEN sdeg - (z - cut) - 2 * cut = 0 THEN 1.0
-       ELSE CAST(cut AS DOUBLE) / LEAST(z - cut, sdeg - (z - cut) - 2 * cut)
-  END AS phi
-FROM agg, tot
-"""
-
-SEEDS_SQL = f"""
-WITH {EDGES_SQL}, {SYM_SQL},
-ego_pairs AS (
-  SELECT src AS u, dst AS m FROM sym
-  UNION
-  SELECT DISTINCT src AS u, src AS m FROM sym
-),
-twohop AS (
-  SELECT e.u, s.dst AS w FROM ego_pairs e JOIN sym s ON e.m = s.src
-),
-flags AS (
-  SELECT t.u, CASE WHEN ep.u IS NULL THEN 1 ELSE 0 END AS is_cut
-  FROM twohop t LEFT JOIN ego_pairs ep ON ep.u = t.u AND ep.m = t.w
-),
-agg AS (SELECT u, SUM(is_cut) AS cut, COUNT(*) AS z FROM flags GROUP BY u),
-tot AS (SELECT COUNT(*) AS sdeg FROM sym),
-cond AS (
-  SELECT u AS id,
-    CASE WHEN z - cut = 0 THEN 0.0
-         WHEN sdeg - (z - cut) - 2 * cut = 0 THEN 1.0
-         ELSE CAST(cut AS DOUBLE) / LEAST(z - cut, sdeg - (z - cut) - 2 * cut)
-    END AS phi
-  FROM agg, tot
-),
-cand AS (
-  SELECT s.src, s.dst, c.phi,
-         ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY c.phi, s.dst) AS rn
-  FROM sym s JOIN cond c ON s.dst = c.id
-)
-SELECT DISTINCT dst AS id, phi FROM cand WHERE rn = 1
-"""
-
 
 def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.symmetrize(copurchase_edges(spark, sf_dir))
@@ -229,3 +155,20 @@ ORACLE: dict[str, str] = {
         SELECT COUNT(*) AS n_vertices FROM (SELECT DISTINCT src FROM sym)
     """,
 }
+
+# ---------------------------------------------------------------------------
+# Merge: extension surface (text/dedup/similarity/events/streaming/
+# multimodal) and BigCLAM kernel queries. Imported last to keep this
+# module the single source of truth for the driver contract.
+# ---------------------------------------------------------------------------
+
+from bigclam_apachespark_spark.registry_bigclam import (  # noqa: E402
+    BIGCLAM_ORACLE,
+    BIGCLAM_QUERIES,
+)
+from bigclam_apachespark_spark.registry_ext import EXT_ORACLE, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(BIGCLAM_QUERIES)
+QUERIES.update(EXT_QUERIES)
+ORACLE.update(BIGCLAM_ORACLE)
+ORACLE.update(EXT_ORACLE)

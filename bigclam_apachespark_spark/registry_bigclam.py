@@ -1,0 +1,338 @@
+"""Registry part 3: BigCLAM numeric kernels as oracle-testable
+queries (SURVEY.md §2.C/§2.F).
+
+The iterative fit itself is not SQL-expressible (driver loop), but
+every kernel inside one iteration IS — evaluated on deterministic
+FIXTURE FACTORS over the co-purchase graph so DuckDB can reproduce
+the numbers exactly:
+
+    f[k] = ((node_id * 31 + 7 * k) % 10) / 10.0        (K = 4)
+
+Sum-accumulated floats are round(x, 6)'d on both sides (float
+addition order differs across engines).
+
+The full convergence loop (F5) and streaming-style ops are registered
+as rows-only queries (no oracle entry) — the driver records the
+weaker check, as the contract allows for iterative algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.arrays import arr_dot, prob_hat
+from bigclam_apachespark_spark.operators import bigclam as B
+from bigclam_apachespark_spark.operators import graph as G
+from bigclam_apachespark_spark.sqlfrag import EDGES_SQL, SYM_SQL
+from bigclam_apachespark_spark.sources import copurchase_edges
+
+K_FX = 4
+
+# ---------------------------------------------------------------------------
+# Fixture factors (shared Spark + SQL definition)
+# ---------------------------------------------------------------------------
+
+
+def fixture_factors(sym_edges: DataFrame) -> DataFrame:
+    """Deterministic factors over the graph's vertex set: f[k] =
+    ((node_id*31 + 7k) % 10) / 10."""
+    verts = G.vertices(sym_edges).select(F.col("id").alias("node_id"))
+    f = F.transform(
+        F.sequence(F.lit(0), F.lit(K_FX - 1)),
+        lambda k: ((F.col("node_id") * 31 + 7 * k) % 10).cast("double") / 10.0,
+    )
+    return verts.select("node_id", f.alias("f"))
+
+
+# SQL: long layout (node_id, k, val) — factors as triples.
+FACTORS_LONG_SQL = f"""
+verts AS (SELECT DISTINCT src AS node_id FROM sym),
+ks AS (SELECT unnest(generate_series(0, {K_FX - 1})) AS k),
+factors_long AS (
+  SELECT node_id, k, CAST((node_id * 31 + 7 * k) % 10 AS DOUBLE) / 10.0 AS val
+  FROM verts CROSS JOIN ks
+)"""
+
+# Per-edge dot product fu·fv and clamped probability (C6/C9).
+EDGE_DOT_SQL = """
+edot AS (
+  SELECT a.src, a.dst, SUM(fa.val * fb.val) AS dot
+  FROM sym a
+  JOIN factors_long fa ON fa.node_id = a.src
+  JOIN factors_long fb ON fb.node_id = a.dst AND fb.k = fa.k
+  GROUP BY a.src, a.dst
+),
+ep AS (
+  SELECT src, dst, dot,
+         least(greatest(exp(-dot), 0.0001), 0.9999) AS p
+  FROM edot
+)"""
+
+SUMF_SQL = """
+sumf AS (SELECT k, SUM(val) AS s FROM factors_long GROUP BY k)
+"""
+
+
+def _with_base(*parts: str) -> str:
+    return "WITH " + ", ".join(
+        p.strip().removeprefix("WITH").strip() for p in parts
+    )
+
+
+BIGCLAM_ORACLE = {
+    # C5: column sums of F.
+    "bigclam_sumf": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}
+        SELECT CAST(k AS INT) AS pos, round(SUM(val), 6) AS s
+        FROM factors_long GROUP BY k
+    """,
+    # C6+C9: per-edge dot + clamped probability.
+    "bigclam_edge_prob": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}
+        SELECT src, dst, round(dot, 6) AS dot, round(p, 6) AS p FROM ep
+    """,
+    # F1: total log-likelihood (one scalar).
+    "bigclam_llh": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}, {SUMF_SQL},
+        nbr AS (SELECT src, SUM(ln(1 - p) + dot) AS nbr_term FROM ep GROUP BY src),
+        node_terms AS (
+          SELECT f.node_id,
+                 SUM(f.val * s.s) AS fusf,
+                 SUM(f.val * f.val) AS fufu
+          FROM factors_long f JOIN sumf s ON s.k = f.k
+          GROUP BY f.node_id
+        )
+        SELECT round(SUM(n.nbr_term - t.fusf + t.fufu), 6) AS llh
+        FROM nbr n JOIN node_terms t ON t.node_id = n.src
+    """,
+    # F2: gradient in long layout (node_id, k, gval).
+    "bigclam_gradient": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}, {SUMF_SQL},
+        wsum AS (
+          SELECT e.src AS node_id, fb.k,
+                 SUM(fb.val / (1 - e.p)) AS ws
+          FROM ep e JOIN factors_long fb ON fb.node_id = e.dst
+          GROUP BY e.src, fb.k
+        )
+        SELECT w.node_id, CAST(w.k AS INT) AS k,
+               round(w.ws - s.s + f.val, 6) AS gval
+        FROM wsum w
+        JOIN sumf s ON s.k = w.k
+        JOIN factors_long f ON f.node_id = w.node_id AND f.k = w.k
+    """,
+    # C8: one projected step at fixed eta over the fixture gradient.
+    "bigclam_step": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}, {SUMF_SQL},
+        wsum AS (
+          SELECT e.src AS node_id, fb.k, SUM(fb.val / (1 - e.p)) AS ws
+          FROM ep e JOIN factors_long fb ON fb.node_id = e.dst
+          GROUP BY e.src, fb.k
+        )
+        SELECT w.node_id, CAST(w.k AS INT) AS k,
+               round(least(greatest(f.val + 0.1 * (w.ws - s.s + f.val), 0.0), 1000.0), 6)
+                 AS newval
+        FROM wsum w
+        JOIN sumf s ON s.k = w.k
+        JOIN factors_long f ON f.node_id = w.node_id AND f.k = w.k
+    """,
+    # F7: community membership at a fixed threshold δ=0.75 on fixture
+    # factors (argmax-fallback branch included: keeps ALL argmax ties,
+    # v2:226-229 semantics).
+    "bigclam_extract": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL},
+        fmax AS (SELECT node_id, MAX(val) AS fm FROM factors_long GROUP BY node_id)
+        SELECT CAST(f.k AS INT) AS community, f.node_id
+        FROM factors_long f JOIN fmax m ON m.node_id = f.node_id
+        WHERE CASE WHEN m.fm < 0.75 THEN f.val = m.fm ELSE f.val >= 0.75 END
+    """,
+    # F8: membership inversion → community member lists (stringified).
+    "bigclam_invert": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL},
+        fmax AS (SELECT node_id, MAX(val) AS fm FROM factors_long GROUP BY node_id),
+        memb AS (
+          SELECT CAST(f.k AS INT) AS community, f.node_id
+          FROM factors_long f JOIN fmax m ON m.node_id = f.node_id
+          WHERE CASE WHEN m.fm < 0.75 THEN f.val = m.fm ELSE f.val >= 0.75 END
+        )
+        SELECT community,
+               array_to_string(list(CAST(node_id AS VARCHAR) ORDER BY node_id), ',')
+                 AS members_csv,
+               CAST(COUNT(*) AS INT) AS n_members
+        FROM memb GROUP BY community
+    """,
+    # C1/C3 (deterministic branch): seed-neighborhood indicator init
+    # in long layout for the top-4 seeds (all columns seeded — no
+    # random completion, so fully oracle-checkable).
+    "bigclam_init_membership": f"""
+        WITH {EDGES_SQL}, {SYM_SQL},
+        ego_pairs AS (
+          SELECT src AS u, dst AS m FROM sym
+          UNION
+          SELECT DISTINCT src AS u, src AS m FROM sym
+        ),
+        twohop AS (
+          SELECT e.u, s.dst AS w FROM ego_pairs e JOIN sym s ON e.m = s.src
+        ),
+        flags AS (
+          SELECT t.u, CASE WHEN ep.u IS NULL THEN 1 ELSE 0 END AS is_cut
+          FROM twohop t LEFT JOIN ego_pairs ep ON ep.u = t.u AND ep.m = t.w
+        ),
+        agg AS (SELECT u, SUM(is_cut) AS cut, COUNT(*) AS z FROM flags GROUP BY u),
+        tot AS (SELECT COUNT(*) AS sdeg FROM sym),
+        cond AS (
+          SELECT u AS id,
+            CASE WHEN z - cut = 0 THEN 0.0
+                 WHEN sdeg - (z - cut) - 2 * cut = 0 THEN 1.0
+                 ELSE CAST(cut AS DOUBLE) / LEAST(z - cut, sdeg - (z - cut) - 2 * cut)
+            END AS phi
+          FROM agg, tot
+        ),
+        lmin AS (
+          SELECT s.src, s.dst, c.phi,
+                 ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY c.phi, s.dst) AS rn
+          FROM sym s JOIN cond c ON s.dst = c.id
+        ),
+        seeds AS (SELECT DISTINCT dst AS id, phi FROM lmin WHERE rn = 1),
+        topk AS (
+          SELECT id AS seed_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY phi, id) - 1 AS INT) AS c
+          FROM seeds QUALIFY c < 4
+        )
+        SELECT DISTINCT t.c, m.member AS node_id, 1.0 AS val
+        FROM topk t
+        JOIN (
+          SELECT src AS seed, dst AS member FROM sym
+          UNION
+          SELECT DISTINCT src AS seed, src AS member FROM sym
+        ) m ON m.seed = t.seed_id
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.symmetrize(copurchase_edges(spark, sf_dir))
+
+
+def q_sumf(spark, sf_dir):
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    return (
+        fx.select(F.posexplode("f").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.sum("val"), 6).alias("s"))
+    )
+
+
+def q_edge_prob(spark, sf_dir):
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    ef = B._edge_factors(sym, fx)
+    dot = arr_dot("fu", "fv")
+    return ef.select(
+        "src", "dst", F.round(dot, 6).alias("dot"), F.round(prob_hat(dot), 6).alias("p")
+    )
+
+
+def q_llh(spark, sf_dir):
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    sumf = B.sum_f(fx)
+    llh = B.loglikelihood(sym, fx, sumf)
+    return spark.createDataFrame([(round(llh, 6),)], "llh double")
+
+
+def q_gradient(spark, sf_dir):
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    sumf = B.sum_f(fx)
+    state = B.gradient_state(sym, fx, sumf)
+    return state.select(
+        "node_id", F.posexplode("grad").alias("k", "gv")
+    ).select("node_id", "k", F.round("gv", 6).alias("gval"))
+
+
+def q_step(spark, sf_dir):
+    from bigclam_apachespark_spark.functions.arrays import arr_clamp
+
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    sumf = B.sum_f(fx)
+    state = B.gradient_state(sym, fx, sumf)
+    stepped = state.select(
+        "node_id",
+        arr_clamp(
+            F.zip_with("fu", "grad", lambda a, b: a + F.lit(0.1) * b), 0.0, 1000.0
+        ).alias("newf"),
+    )
+    return stepped.select(
+        "node_id", F.posexplode("newf").alias("k", "nv")
+    ).select("node_id", "k", F.round("nv", 6).alias("newval"))
+
+
+def q_extract(spark, sf_dir):
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    return B.extract_communities(fx, delta=0.75)
+
+
+def q_invert(spark, sf_dir):
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    com = B.extract_communities(fx, delta=0.75)
+    inv = B.invert_communities(com)
+    return inv.select(
+        "community",
+        F.array_join(F.transform("members", lambda x: x.cast("string")), ",").alias(
+            "members_csv"
+        ),
+        F.size("members").alias("n_members"),
+    )
+
+
+def q_init_membership(spark, sf_dir):
+    sym = _sym(spark, sf_dir)
+    seeds = G.local_min_seeds(sym, G.ego_conductance(sym))
+    from pyspark.sql import Window
+
+    topk = (
+        seeds.withColumn("c", F.row_number().over(Window.orderBy("phi", "id")) - 1)
+        .where(F.col("c") < 4)
+        .select(F.col("id").alias("seed_id"), "c")
+    )
+    nbrs = G.neighbor_lists(sym)
+    members = topk.join(nbrs, topk.seed_id == nbrs.id).select(
+        "c", F.explode(F.array_union(F.array("seed_id"), "nbrs")).alias("node_id")
+    )
+    return members.distinct().select("c", "node_id", F.lit(1.0).alias("val"))
+
+
+def q_fit_smoke(spark, sf_dir):
+    """F5 end-to-end (rows-only: iterative, not SQL-expressible):
+    2 optimizer iterations at K=4 on the co-purchase graph, returning
+    per-community member counts of the extracted communities."""
+    sym = _sym(spark, sf_dir).cache()
+    res = B.bigclam_fit(sym, k=4, seed=42, tol=1e-4, max_iter=2)
+    n_v = G.vertices(sym).count()
+    n_e = sym.count() // 2
+    delta = B.extraction_threshold(n_v, n_e)
+    com = B.extract_communities(res.factors, delta)
+    return com.groupBy("community").agg(F.count("*").alias("n_members"))
+
+
+BIGCLAM_QUERIES = {
+    "bigclam_sumf": q_sumf,
+    "bigclam_edge_prob": q_edge_prob,
+    "bigclam_llh": q_llh,
+    "bigclam_gradient": q_gradient,
+    "bigclam_step": q_step,
+    "bigclam_extract": q_extract,
+    "bigclam_invert": q_invert,
+    "bigclam_init_membership": q_init_membership,
+    "bigclam_fit_smoke": q_fit_smoke,  # rows-only (no oracle)
+}

@@ -1,0 +1,444 @@
+"""Registry part 2: north-star extension queries (text analysis,
+dedup, similarity search, event windows, streaming) + their DuckDB
+oracle SQL.
+
+Cross-engine discipline:
+- every hash is md5-derived (functions/hashing.py) so DuckDB
+  reproduces it bit-for-bit;
+- every float produced by a sum over variable-order rows is
+  ``round(x, 6)`` on BOTH sides (float addition isn't associative;
+  engine-order differences die at the 6th decimal);
+- array outputs are stringified in deterministic order (the driver
+  hashes scalar columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.hashing import (
+    hash64_sql,
+    normalize_text_sql,
+    tokens_sql,
+    char_shingles_sql,
+)
+from bigclam_apachespark_spark.operators import dedup as D
+from bigclam_apachespark_spark.operators import events as E
+from bigclam_apachespark_spark.operators import similarity as S
+from bigclam_apachespark_spark.operators import text as X
+from bigclam_apachespark_spark.operators.text import (
+    EN_STOPWORDS,
+    ES_STOPWORDS,
+    FR_STOPWORDS,
+    SUBTOKEN_RE,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark, sf_dir):
+    # float32 parquet column → double so Spark and DuckDB do identical
+    # double arithmetic in identical fold order.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+TOKENS = tokens_sql("text")
+
+TEXT_ORACLE = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({TOKENS}) AS INT) AS n_tokens,
+               CAST(len(list_distinct({TOKENS})) AS INT) AS n_distinct_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{SUBTOKEN_RE}')) AS INT) AS n_subtokens,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 {TOKENS} AS toks,
+                 length(text) AS nc,
+                 length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+                 length({normalize_text_sql('text')}) AS norm_len
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(punct AS DOUBLE) / greatest(nc, 1) AS punct_ratio,
+                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS DOUBLE)
+                   / greatest(len(list_distinct(toks)), 1) AS stop_ratio,
+                 CAST(norm_len AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
+                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_score
+          FROM t
+        )
+        SELECT doc_id,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(mean_word_len, 6) AS mean_word_len,
+               round(0.3 * length_score
+                   + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+                   + 0.2 * least(stop_ratio * 4.0, 1.0)
+                   + 0.2 * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                                 THEN 1.0 ELSE 0.5 END), 6) AS quality
+        FROM m
+    """,
+    "text_lang_id": f"""
+        WITH t AS (
+          SELECT doc_id, list_distinct({TOKENS}) AS toks FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS INT) AS en_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(ES_STOPWORDS)})) AS INT) AS es_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(FR_STOPWORDS)})) AS INT) AS fr_hits
+          FROM t
+        )
+        SELECT doc_id, en_hits, es_hits, fr_hits,
+               CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'und'
+                    WHEN en_hits = greatest(en_hits, es_hits, fr_hits) THEN 'en'
+                    WHEN es_hits = greatest(en_hits, es_hits, fr_hits) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM h
+    """,
+    "text_fingerprints": f"""
+        SELECT doc_id,
+               {hash64_sql(normalize_text_sql('text'))} AS content_fp,
+               list_min(list_transform({char_shingles_sql('text', 5)},
+                        s -> {hash64_sql('s')})) AS min_shingle_fp
+        FROM documents
+    """,
+}
+
+TEXT_QUERIES = {
+    "text_token_stats": lambda spark, sf: X.token_stats(_docs(spark, sf)),
+    "text_quality": lambda spark, sf: X.quality_score(_docs(spark, sf)),
+    "text_lang_id": lambda spark, sf: X.lang_id(_docs(spark, sf)),
+    "text_fingerprints": lambda spark, sf: X.fingerprints(_docs(spark, sf)),
+}
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+# Shared CTEs for minhash (16 perms over distinct 5-char shingles).
+MINHASH_SQL = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct({char_shingles_sql('text', 5)})) AS s
+  FROM documents
+),
+perms AS (SELECT unnest(generate_series(0, 15)) AS perm),
+sig AS (
+  SELECT doc_id, perm,
+         min({hash64_sql("concat(CAST(perm AS VARCHAR), ':', s)")}) AS minhash
+  FROM sh CROSS JOIN perms
+  GROUP BY doc_id, perm
+)"""
+
+BUCKETS_SQL = f"""
+buckets AS (
+  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+         {hash64_sql("array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY perm), ',')")} AS bucket
+  FROM sig
+  GROUP BY doc_id, CAST(perm // 4 AS INT)
+)"""
+
+CAND_SQL = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)"""
+
+SIMHASH_SQL = f"""
+tok AS (
+  SELECT doc_id, {hash64_sql('t')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS t FROM documents)
+),
+bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN bits GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+DEDUP_ORACLE = {
+    "dedup_exact": f"""
+        SELECT min(doc_id) AS doc_id, content_fp FROM (
+          SELECT doc_id, {hash64_sql(normalize_text_sql('text'))} AS content_fp
+          FROM documents
+        ) GROUP BY content_fp
+    """,
+    "dedup_minhash_signatures": f"WITH {MINHASH_SQL} SELECT doc_id, CAST(perm AS INT) AS perm, minhash FROM sig",
+    "dedup_lsh_buckets": f"WITH {MINHASH_SQL}, {BUCKETS_SQL} SELECT doc_id, band, bucket FROM buckets",
+    "dedup_minhash_lsh_pairs": f"""
+        WITH {MINHASH_SQL}, {BUCKETS_SQL}, {CAND_SQL},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, COUNT(*) AS n_inter
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+          GROUP BY c.a, c.b
+        )
+        SELECT i.a, i.b,
+               round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+        FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+        WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.35
+    """,
+    "dedup_simhash": f"WITH {SIMHASH_SQL} SELECT doc_id, simhash FROM sim",
+    "dedup_simhash_pairs": f"""
+        WITH {SIMHASH_SQL},
+        blocks AS (
+          SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS key
+          FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk)
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.key = b.key
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT a, b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 2
+    """,
+    "dedup_token_jaccard": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS t FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.a, i.b,
+               round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+        FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+        WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.8
+    """,
+}
+
+DEDUP_QUERIES = {
+    "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
+    "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)),
+    "dedup_lsh_buckets": lambda spark, sf: D.lsh_buckets(D.minhash_signatures(_docs(spark, sf))),
+    "dedup_minhash_lsh_pairs": lambda spark, sf: D.minhash_lsh_dups(
+        _docs(spark, sf), threshold=0.35
+    ),
+    "dedup_simhash": lambda spark, sf: D.simhash(_docs(spark, sf)),
+    "dedup_simhash_pairs": lambda spark, sf: D.simhash_near_dups(_docs(spark, sf), max_hamming=2),
+    "dedup_token_jaccard": lambda spark, sf: D.token_jaccard_pairs(_docs(spark, sf), threshold=0.8),
+}
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _queries_subset(spark, sf):
+    return _emb(spark, sf).where(F.col("vec_id") < 10)
+
+
+def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """Hyperplane literals as a DuckDB CTE (plane, vec)."""
+    rows = []
+    for p in range(n_planes):
+        vec = S._hyperplane(dim, p, seed)
+        rows.append(f"({p}, [{', '.join(repr(v) for v in vec)}])")
+    return "planes(plane, vec) AS (VALUES " + ", ".join(rows) + ")"
+
+
+_COS = """
+list_dot_product(a.emb, b.emb)
+ / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+"""
+
+EMB_SQL = "emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+
+BUCKETS64_SQL = f"""
+vb AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_dot_product(e.emb, p.vec) > 0
+                  THEN (1::BIGINT << p.plane) ELSE 0 END) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id
+)"""
+
+SIM_ORACLE = {
+    "sim_topk_brute": f"""
+        WITH {EMB_SQL},
+        scored AS (
+          SELECT b.vec_id AS q, a.vec_id,
+                 round({_COS}, 6) AS cos_sim
+          FROM emb a CROSS JOIN emb b
+          WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+        )
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+          SELECT q, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    "sim_hyperplane_buckets": f"""
+        WITH {EMB_SQL}, {_planes_sql(8)}, {BUCKETS64_SQL}
+        SELECT vec_id, bucket FROM vb
+    """,
+    "sim_cosine_near_dups": f"""
+        WITH {EMB_SQL}, {_planes_sql(4)}, {BUCKETS64_SQL},
+        joined AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb2
+          FROM vb a JOIN vb b ON a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT va AS a, vb2 AS b,
+               round({_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')}, 6) AS cos_sim
+        FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
+        WHERE round({_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')}, 6) >= 0.35
+    """,
+}
+
+SIM_QUERIES = {
+    "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5
+    ),
+    "sim_hyperplane_buckets": lambda spark, sf: S.hyperplane_buckets(_emb(spark, sf)),
+    "sim_cosine_near_dups": lambda spark, sf: S.cosine_near_dup_pairs(
+        _emb(spark, sf), threshold=0.35, n_planes=4
+    ),
+}
+
+# ---------------------------------------------------------------------------
+# Events (batch + one streaming replay)
+# ---------------------------------------------------------------------------
+
+EVENT_ORACLE = {
+    "events_tumbling": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sliding": """
+        WITH expanded AS (
+          SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS window_start,
+                 value
+          FROM events
+        )
+        SELECT window_start, COUNT(*) AS n_events, round(AVG(value), 6) AS avg_value
+        FROM expanded GROUP BY 1
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+               COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "events_props": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    "events_funnel": """
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'view') AS view,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'error') AS error
+        FROM events GROUP BY user_id
+    """,
+    # Streaming replay of the same tumbling agg — watermarked
+    # Structured Streaming run must equal the batch/DuckDB answer.
+    "events_stream_tumbling": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+
+def _q_stream_tumbling(spark, sf):
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_counts_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    name = "stream_tumbling_oracle"
+    return run_stream_to_memory(windowed_counts_stream(stream, "1 hour"), name, "complete")
+
+
+EVENT_QUERIES = {
+    "events_tumbling": lambda spark, sf: E.tumbling_window_agg(_events(spark, sf)),
+    "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
+    "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
+    "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
+    "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
+    "events_stream_tumbling": _q_stream_tumbling,
+}
+
+# ---------------------------------------------------------------------------
+# Multimodal (no SQL oracle — binary plumbing; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def _q_media_features(spark, sf):
+    from bigclam_apachespark_spark.operators.multimodal import (
+        media_features,
+        synthetic_media,
+    )
+
+    feats = media_features(synthetic_media(spark, n=64), dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
+MULTIMODAL_QUERIES = {
+    "multimodal_media_features": _q_media_features,
+}
+
+EXT_QUERIES = {
+    **TEXT_QUERIES,
+    **DEDUP_QUERIES,
+    **SIM_QUERIES,
+    **EVENT_QUERIES,
+    **MULTIMODAL_QUERIES,
+}
+EXT_ORACLE = {**TEXT_ORACLE, **DEDUP_ORACLE, **SIM_ORACLE, **EVENT_ORACLE}

@@ -1,0 +1,181 @@
+"""Structured Streaming surface over the ``events`` table (north-star
+extension; the reference has no streaming of any kind — SURVEY.md §2
+"not present"): watermarked event-time windows + custom stateful
+sessionization via ``applyInPandasWithState``.
+
+Design: the aggregation logic is the SAME column expressions as the
+batch versions in ``operators/events.py`` — batch tests + DuckDB
+oracle validate the semantics; streaming tests validate watermark /
+state plumbing by replaying the parquet table as a file stream and
+comparing the final sink contents to the batch answer.
+
+Scale notes: windowed aggs keep one state row per (window, key) in
+the state store (RocksDB provider in production); the watermark
+bounds state size. Sessionization state is one open session per
+user; ``applyInPandasWithState`` processes Arrow batches per key
+group with timeout-driven eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events parquet directory — replays
+    the batch table as a stream (the standard replay-test harness;
+    in production this is a Kafka source with the same schema)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — same expressions as the
+    batch ``tumbling_window_agg``; the watermark lets Spark finalize
+    and evict windows older than max(event time) − watermark, which
+    is what bounds state at 100-TB stream scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start", T.LongType(), True),  # epoch micros
+        T.StructField("last_ts", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+        T.StructField("n_closed", T.LongType(), True),
+    ]
+)
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+    ]
+)
+
+
+def _session_fn(gap_seconds: int):
+    """Custom stateful operator: gap-based sessions per user. Emits a
+    session row when the gap closes it; keeps the open session in
+    state; a processing-time timeout flushes idle users."""
+    import pandas as pd
+
+    GAP_US = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n, sv, _ = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(s0, unit="us")],
+                        "session_end": [pd.Timestamp(last, unit="us")],
+                        "n_events": [n],
+                        "sum_value": [sv],
+                    }
+                )
+            return
+
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        if state.exists:
+            s0, last, n, sv, closed = state.get
+        else:
+            s0 = last = None
+            n, sv, closed = 0, 0.0, 0
+        out = []
+        for _, r in rows.iterrows():
+            ts_us = int(r["ts"].value // 1000)  # ns → us
+            if s0 is None:
+                s0, last, n, sv = ts_us, ts_us, 1, float(r["value"])
+            elif ts_us - last > GAP_US:
+                out.append((user_id, s0, last, n, sv))
+                s0, last, n, sv = ts_us, ts_us, 1, float(r["value"])
+            else:
+                last = ts_us
+                n += 1
+                sv += float(r["value"])
+        state.update((s0, last, n, sv, closed + len(out)))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "n_events": [o[3] for o in out],
+                    "sum_value": [o[4] for o in out],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming sessionization (the op Spark's
+    built-in aggs lack) via ``applyInPandasWithState`` — per-user
+    state, processing-time timeout eviction. Batch twin:
+    ``operators.events.sessionize`` (same gap semantics)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes * 60),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> "DataFrame":
+    """Run a streaming query to completion against a replayed file
+    source (processAllAvailable) into an in-memory sink; returns the
+    sink table. Test harness helper."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(query_name)

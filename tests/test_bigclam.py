@@ -1,0 +1,116 @@
+"""BigCLAM optimizer tests: FIXTURES.md §2 hand-computed values (FX1)
+plus invariants and an end-to-end fit recovering the two cliques."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.operators import symmetrize
+from bigclam_apachespark_spark.operators.bigclam import (
+    LINE_SEARCH_STEPS,
+    apply_updates,
+    bigclam_fit,
+    extract_communities,
+    extraction_threshold,
+    geometric_k_grid,
+    gradient_state,
+    init_factors,
+    invert_communities,
+    line_search_updates,
+    loglikelihood,
+    sum_f,
+)
+
+FX1 = [(n, [1.0, 0.0]) for n in range(4)] + [(n, [0.0, 1.0]) for n in range(4, 8)]
+
+
+@pytest.fixture(scope="module")
+def fx1(spark):
+    return spark.createDataFrame(FX1, "node_id long, f array<double>").cache()
+
+
+def test_line_search_grid():
+    assert len(LINE_SEARCH_STEPS) == 16
+    assert LINE_SEARCH_STEPS[0] == 1.0
+    assert LINE_SEARCH_STEPS[-1] == pytest.approx(1e-15)
+
+
+def test_sumf_fx1(fx1):
+    assert sum_f(fx1) == pytest.approx([4.0, 4.0])
+
+
+def test_llh_fx1(g1_edges, fx1):
+    # FIXTURES §2: total LLH = −29.42888423324233 (tol 1e-9)
+    sym = symmetrize(g1_edges)
+    llh = loglikelihood(sym, fx1, [4.0, 4.0])
+    assert llh == pytest.approx(-29.42888423324233, abs=1e-9)
+
+
+def test_gradient_fx1(g1_edges, fx1):
+    # FIXTURES §2: grad(node 0) = [1.745930120607979, −4.0] (tol 1e-9)
+    sym = symmetrize(g1_edges)
+    state = gradient_state(sym, fx1, [4.0, 4.0])
+    row = state.where(F.col("node_id") == 0).collect()[0]
+    assert list(row["grad"]) == pytest.approx([1.745930120607979, -4.0], abs=1e-9)
+    # llh_u for a clique-interior node (FIXTURES §2): −1.3760254361612458
+    assert row["llh_u"] == pytest.approx(-1.3760254361612458, abs=1e-9)
+
+
+def test_line_search_improves_llh(g1_edges, fx1):
+    # Invariant (SURVEY §5.2): an accepted update never decreases LLH.
+    sym = symmetrize(g1_edges)
+    sumf = sum_f(fx1)
+    llh0 = loglikelihood(sym, fx1, sumf)
+    state = gradient_state(sym, fx1, sumf)
+    updates = line_search_updates(sym, fx1, state, sumf)
+    assert updates.count() > 0
+    factors1 = apply_updates(fx1, updates)
+    sumf1 = sum_f(factors1)
+    llh1 = loglikelihood(sym, factors1, sumf1)
+    assert llh1 >= llh0
+    # C8 box invariant
+    bad = factors1.where(
+        F.exists("f", lambda v: (v < 0.0) | (v > 1000.0))
+    ).count()
+    assert bad == 0
+
+
+def test_init_factors_deterministic(g1_edges, spark):
+    sym = symmetrize(g1_edges)
+    f1 = init_factors(sym, k=4, seed=7)
+    f2 = init_factors(sym, k=4, seed=7)
+    assert sorted(map(repr, f1.collect())) == sorted(map(repr, f2.collect()))
+    # Seeds on G1 are {0,1,5,6}: community 0 = N(0)∪{0} = clique A.
+    rows = {r["node_id"]: list(r["f"]) for r in f1.collect()}
+    for n in range(4):
+        assert rows[n][0] == 1.0  # clique A members in community 0
+    for n in range(4, 8):
+        assert rows[n][0] == 0.0
+
+
+def test_fit_recovers_cliques(g1_edges):
+    # End-to-end sanity: K=2 fit on G1 separates the cliques (FIXTURES §2).
+    sym = symmetrize(g1_edges)
+    res = bigclam_fit(sym, k=2, seed=42, tol=1e-4, max_iter=30)
+    assert res.iterations >= 1
+    # LLH must be monotone non-decreasing across iterations.
+    assert all(b >= a - 1e-9 for a, b in zip(res.history, res.history[1:]))
+    delta = extraction_threshold(8, 13)
+    assert delta == pytest.approx(0.7900343720881031, abs=1e-12)
+    com = extract_communities(res.factors, delta)
+    groups = {
+        r["community"]: set(r["members"])
+        for r in invert_communities(com).collect()
+    }
+    assert {0, 1, 2, 3} in groups.values()
+    assert {4, 5, 6, 7} in groups.values()
+
+
+def test_geometric_k_grid_matches_reference_output():
+    # v47:268 pasted REPL output; reproduced by minCom=50, maxCom=200,
+    # divCom=15 (the file's declared divCom=100 yields a denser grid —
+    # the paste is from a different REPL run).
+    assert geometric_k_grid(50, 200, 15) == [
+        50, 54, 59, 64, 70, 76, 83, 91, 99, 108, 118, 129, 141, 154, 168, 184, 200,
+    ]

@@ -1,0 +1,173 @@
+"""Similarity-search, event-window, and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.operators.events import (
+    event_type_funnel,
+    extract_props,
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from bigclam_apachespark_spark.operators.multimodal import (
+    frame_sample_plan,
+    media_features,
+    synthetic_media,
+)
+from bigclam_apachespark_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    hyperplane_buckets,
+    lsh_topk,
+)
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.98, 0.02, 0.0]),   # near-dup of 2
+    (4, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>").cache()
+
+
+def test_brute_force_topk(vecs):
+    q = vecs.where(F.col("vec_id") == 0)
+    top = brute_force_topk(vecs, q, k=2, vec_col="embedding")
+    rows = sorted((r["rank"], r["vec_id"]) for r in top.collect())
+    assert rows[0] == (1, 1)  # nearest neighbor of 0 is 1
+    cs = {r["vec_id"]: r["cos_sim"] for r in top.collect()}
+    assert cs[1] == pytest.approx(0.99 / math.sqrt(0.99**2 + 0.01**2), abs=1e-5)
+
+
+def test_hyperplane_lsh(vecs):
+    b = {r["vec_id"]: r["bucket"] for r in
+         hyperplane_buckets(vecs, n_planes=4, dim=4).collect()}
+    assert b[0] == b[1]  # near-identical vectors share the bucket
+    assert b[2] == b[3]
+    q = vecs.where(F.col("vec_id") == 0)
+    top = lsh_topk(vecs, q, k=1, n_planes=4, dim=4)
+    got = [(r["vec_id"], r["rank"]) for r in top.collect()]
+    assert got == [(1, 1)]
+    dups = {(r["a"], r["b"]) for r in
+            cosine_near_dup_pairs(vecs, threshold=0.99, n_planes=4, dim=4).collect()}
+    assert (0, 1) in dups
+    assert (2, 3) in dups
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+EVENTS = [
+    # user 1: two sessions (gap > 30 min between e2 and e3)
+    (0, T0, 1, "view", 1.0, '{"k": 5}'),
+    (1, T0 + dt.timedelta(minutes=10), 1, "click", 2.0, '{"k": 6}'),
+    (2, T0 + dt.timedelta(minutes=20), 1, "purchase", 3.0, '{"k": 7}'),
+    (3, T0 + dt.timedelta(minutes=90), 1, "view", 4.0, '{"k": 8}'),
+    # user 2: one session spanning an hour boundary
+    (4, T0 + dt.timedelta(minutes=55), 2, "view", 5.0, '{"k": 9}'),
+    (5, T0 + dt.timedelta(minutes=65), 2, "error", 6.0, '{"k": 10}'),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        EVENTS, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).cache()
+
+
+def test_tumbling_window(events):
+    rows = tumbling_window_agg(events, "1 hour").collect()
+    by_key = {(r["window_start"].minute + r["window_start"].hour * 60, r["event_type"]): r for r in rows}
+    assert by_key[(0, "view")]["n_events"] == 2  # e0 (u1) + e4 (u2) in hour 0
+    assert by_key[(0, "view")]["n_users"] == 2
+    assert by_key[(60, "view")]["n_events"] == 1  # e3 in hour 1
+
+
+def test_sliding_window(events):
+    rows = sliding_window_agg(events, "1 hour", "30 minutes").collect()
+    # event at minute 10 appears in windows starting at -30 and 0
+    starts = sorted({r["window_start"] for r in rows})
+    assert len(starts) >= 4
+    total = sum(r["n_events"] for r in rows)
+    assert total == 2 * len(EVENTS)  # each event in exactly 2 sliding windows
+
+
+def test_sessionize(events):
+    rows = sessionize(events, gap_minutes=30).collect()
+    u1 = sorted([r for r in rows if r["user_id"] == 1], key=lambda r: r["session_id"])
+    assert len(u1) == 2
+    assert u1[0]["n_events"] == 3 and u1[0]["sum_value"] == 6.0
+    assert u1[1]["n_events"] == 1
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 2
+
+
+def test_props_and_funnel(events):
+    k = {r["event_id"]: r["k_val"] for r in extract_props(events).collect()}
+    assert k[0] == 5 and k[5] == 10
+    f = {r["user_id"]: r for r in event_type_funnel(events).collect()}
+    assert f[1]["view"] == 2 and f[1]["click"] == 1 and f[1]["error"] == 0
+    assert f[2]["error"] == 1
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=12)
+    feats = media_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic: same input → same features
+    rows2 = media_features(media, dim=8).collect()
+    assert sorted(map(repr, rows)) == sorted(map(repr, rows2))
+    frames = frame_sample_plan(media, every_n=4)
+    per_vid = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in per_vid)  # 12 frames step 4 → 0,4,8
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path, events):
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_counts_stream,
+    )
+
+    path = str(tmp_path / "events_parquet")
+    events.write.parquet(path)
+    stream = read_events_stream(spark, path)
+    result = run_stream_to_memory(
+        windowed_counts_stream(stream, "1 hour"), "tumbling_test", "complete"
+    )
+    batch = tumbling_window_agg(events, "1 hour").select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+    assert sorted(map(repr, result.collect())) == sorted(map(repr, batch.collect()))
+
+
+def test_streaming_sessionize(spark, tmp_path, events):
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    path = str(tmp_path / "events_parquet2")
+    events.write.parquet(path)
+    stream = read_events_stream(spark, path)
+    result = run_stream_to_memory(
+        sessionize_stream(stream, gap_minutes=30), "session_test", "append"
+    )
+    # closed sessions only: user 1's first session closes when e3 arrives.
+    rows = result.collect()
+    closed = [(r["user_id"], r["n_events"], r["sum_value"]) for r in rows]
+    assert (1, 3, 6.0) in closed

@@ -1,0 +1,107 @@
+"""Text-analysis + dedup operator tests on hand-built documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    lsh_buckets,
+    lsh_candidate_pairs,
+    minhash_lsh_dups,
+    minhash_signatures,
+    simhash,
+    simhash_near_dups,
+    token_jaccard_pairs,
+)
+from bigclam_apachespark_spark.operators.text import (
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog!"),  # exact dup after normalize
+    (2, "The quick brown fox jumps over the lazy cat"),   # near dup
+    (3, "el perro es un animal que vive en la casa"),
+    (4, "le chat est un animal qui vit pour la maison du village"),
+    (5, "zzz qqq xxx www"),
+    (6, "completely different content about spark engines and shuffles"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[0]["n_distinct_tokens"] == 8  # 'the' twice
+    assert rows[5]["n_tokens"] == 4
+    assert rows[0]["n_chars"] == len(DOCS[0][1])
+
+
+def test_quality_and_lang(docs):
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["stop_ratio"] > 0
+    assert q[5]["stop_ratio"] == 0.0
+    lang = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[3] == "es"
+    assert lang[4] == "fr"
+    assert lang[5] == "und"
+
+
+def test_exact_dedup(docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_doc_id"] == 0
+    kept = exact_dedup(docs)
+    assert kept.count() == 6  # 7 docs, one exact pair collapsed
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3, 4, 5, 6}
+
+
+def test_fingerprints_match_exact_dups(docs):
+    fp = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    assert fp[0]["content_fp"] == fp[1]["content_fp"]
+    assert fp[0]["content_fp"] != fp[2]["content_fp"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sig = minhash_signatures(docs, num_perms=16)
+    assert sig.count() == 7 * 16
+    # exact dups have identical signatures
+    s = sig.groupBy("perm").agg(
+        F.count_distinct("minhash").alias("d"), F.count("*").alias("n")
+    )
+    pairs = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band=4))
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always a candidate
+    dups = minhash_lsh_dups(docs, num_perms=16, rows_per_band=4, threshold=0.5)
+    got2 = {(r["a"], r["b"]): r["jaccard"] for r in dups.collect()}
+    assert got2[(0, 1)] == 1.0
+    if (0, 2) in got2:  # near-dup jaccard high but < 1
+        assert 0.5 <= got2[(0, 2)] < 1.0
+
+
+def test_simhash(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical token sets
+    assert all(0 <= v < 2**32 for v in sh.values())
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_token_jaccard(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in token_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0  # same token set
+    assert (0, 2) in pairs  # 8 of 9 distinct tokens shared
+    assert (5, 6) not in pairs
