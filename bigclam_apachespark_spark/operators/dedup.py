@@ -195,7 +195,9 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select(
             "doc_id",
             "b",
-            F.when(F.shiftright(F.col("h"), F.col("b")).bitwiseAND(F.lit(1)) == 1, 1)
+            # SQL-expr form: F.shiftright only takes a Python int for
+            # numBits, but the SQL function accepts a column shift.
+            F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias("v"),
         )
@@ -204,7 +206,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return votes.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("votes") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(
+            F.when(F.col("votes") > 0, F.expr("shiftleft(1L, b)")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("simhash")

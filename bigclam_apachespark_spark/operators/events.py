@@ -100,6 +100,8 @@ def event_type_funnel(events: DataFrame) -> DataFrame:
     return (
         events.groupBy("user_id")
         .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
-        .agg(F.count("*"))
+        # count(lit(1)): Spark 4 rejects count(*) inside a pivot agg
+        # (INVALID_USAGE_OF_STAR_OR_REGEX).
+        .agg(F.count(F.lit(1)))
         .na.fill(0)
     )

@@ -86,7 +86,11 @@ def hyperplane_buckets(
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
-        bit = F.when(arr_dot(F.col(vec_col), hp) > 0, F.lit(1).cast("long")).otherwise(
+        # Quantize before the sign test: Spark's sequential aggregate
+        # fold and DuckDB's list_dot_product can differ in the last
+        # ulp, which flips sign(dot) for near-zero dots. round(·, 6)
+        # on both engines makes the discontinuous comparison stable.
+        bit = F.when(F.round(arr_dot(F.col(vec_col), hp), 6) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + F.shiftleft(bit, p)

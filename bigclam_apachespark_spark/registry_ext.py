@@ -39,7 +39,17 @@ def _docs(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    """Read the events table. The driver's parquet stores ts as
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL); ``nanosAsLong`` surfaces it as a long we
+    convert with integer division (``div`` — float division would lose
+    precision above 2^53 ns). Set at call time because the driver may
+    hand us a session our ``session.py`` did not build."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def _emb(spark, sf_dir):
@@ -271,10 +281,13 @@ list_dot_product(a.emb, b.emb)
 
 EMB_SQL = "emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
 
+# round(dot, 6) before the sign test on BOTH engines: last-ulp fold
+# differences between Spark's aggregate and list_dot_product would
+# otherwise flip the bit for near-zero dots (seen at sf0.01).
 BUCKETS64_SQL = f"""
 vb AS (
   SELECT e.vec_id,
-         SUM(CASE WHEN list_dot_product(e.emb, p.vec) > 0
+         SUM(CASE WHEN round(list_dot_product(e.emb, p.vec), 6) > 0
                   THEN (1::BIGINT << p.plane) ELSE 0 END) AS bucket
   FROM emb e CROSS JOIN planes p
   GROUP BY e.vec_id

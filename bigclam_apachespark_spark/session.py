@@ -35,6 +35,9 @@ def get_spark(app_name: str = "bigclam_spark", shuffle_partitions: int | None = 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver's parquet fixtures store TIMESTAMP(NANOS), which the
+        # Spark reader rejects outright; read as long and convert at use.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,10 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# ts is declared LongType because the driver's parquet stores
+# TIMESTAMP(NANOS), which Spark can only surface as a long (under
+# spark.sql.legacy.parquet.nanosAsLong); read_events_stream converts
+# it back to a proper timestamp for the watermark/window operators.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("ts", T.LongType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -39,11 +43,27 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over an events parquet directory — replays
     the batch table as a stream (the standard replay-test harness;
-    in production this is a Kafka source with the same schema)."""
+    in production this is a Kafka source with the same schema).
+
+    nanos→micros uses integer ``div`` (float division loses precision
+    above 2^53 ns ≈ 104 days of epoch nanos).
+
+    The file source requires a *directory*; when handed a single
+    parquet file (the driver's fixtures are one file per table) we
+    stage a symlink directory next to it in /tmp."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="events_stream_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
 
 

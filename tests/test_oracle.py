@@ -46,6 +46,12 @@ def _norm(rows, colnames):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
+    if name not in ORACLE:
+        # rows-only queries (bigclam_fit_smoke, multimodal, …): the
+        # driver applies a weaker ≥0-rows check; rehearse that here.
+        sdf = QUERIES[name](spark, SF_DIR)
+        assert len(sdf.columns) > 0 and sdf.count() >= 0
+        return
     sdf = QUERIES[name](spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
