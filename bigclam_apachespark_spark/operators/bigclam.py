@@ -65,26 +65,44 @@ def init_factors(
     Community index c = seed rank (deterministic (φ, id) order via
     row_number — the reference's ``zipWithIndex`` after unordered ops
     is nondeterministic, SURVEY §2.C3).
+
+    Deviation (documented): seeds whose membership set duplicates a
+    better-ranked seed's are SKIPPED before taking the top K. Two
+    identical indicator columns receive identical gradients forever
+    (the dynamics are symmetric in community index), so duplicate-
+    neighborhood seeds provably waste columns — on the G1 fixture the
+    deterministic (φ, id) ranking picks two seeds from the same clique
+    and the K=2 fit can never separate the cliques. The reference
+    takes the first K of its (nondeterministically ordered) list
+    (v3:62, v47:83) and avoids this only by luck of ordering.
     """
     from pyspark.sql import Window
 
     if seeds_ranked is None:
         seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges))
-    w = Window.orderBy("phi", "id")
-    topk = (
-        seeds_ranked.withColumn("c", F.row_number().over(w) - 1)
-        .where(F.col("c") < k)
-        .select(F.col("id").alias("seed_id"), "c")
-    )
-
     nbrs = G.neighbor_lists(sym_edges)
-    seed_members = topk.join(nbrs, topk.seed_id == nbrs.id).select(
-        "c",
+    ranked = seeds_ranked.withColumn(
+        "rk", F.row_number().over(Window.orderBy("phi", "id"))
+    )
+    # array_sort: the dedup key must be order-insensitive (array_union
+    # puts self first, so equal SETS would otherwise compare unequal).
+    cand = ranked.join(nbrs, "id").select(
+        "rk",
+        F.col("id").alias("seed_id"),
         (
-            F.array_union(F.array("seed_id"), "nbrs")
+            F.array_sort(F.array_union(F.array("id"), "nbrs"))
             if include_self
             else F.col("nbrs")
         ).alias("members"),
+    )
+    # Drop duplicate-membership seeds (keep best rank), re-rank → c.
+    dedup = cand.withColumn(
+        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
+    ).where(F.col("dd") == 1)
+    seed_members = (
+        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
+        .where(F.col("c") < k)
+        .select("c", "members")
     )
     # (node, c) membership triples → dense K-array per node.
     memb = seed_members.select("c", F.explode("members").alias("node_id"))
@@ -94,7 +112,7 @@ def init_factors(
         "node_id", F.coalesce("cs", F.array().cast("array<int>")).alias("cs")
     )
 
-    n_seeds = topk.count()
+    n_seeds = seed_members.count()
     node = F.col("node_id")
     f = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
@@ -102,6 +120,42 @@ def init_factors(
         .otherwise(F.pmod(F.xxhash64(node, c, F.lit(seed)), F.lit(2)).cast("double")),
     )
     return joined.select("node_id", f.alias("f"))
+
+
+def checkpoint_fresh(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + stats reset — THE enabler of iterative
+    DataFrame loops on Spark ≥3.4.
+
+    ``localCheckpoint`` carries the origin plan's *estimated* stats
+    into the resulting LogicalRDD (SPARK-39834), and the size-only
+    estimator models a join's output size as the PRODUCT of its
+    children's sizes. An iterative loop that joins the checkpointed
+    state back against data therefore compounds the estimate
+    exponentially: measured on the 8-node fixture, sizeInBytes went
+    8 → 80 → 443 → 2255 decimal DIGITS over four iterations, after
+    which every plan compile burned minutes in BigInteger multiplies
+    (the round-1 "fit cannot converge on 8 nodes" defect). Re-wrapping
+    the checkpointed RDD via createDataFrame drops the origin stats;
+    the two Row↔InternalRow conversion maps this adds are narrow,
+    JVM-side, and negligible next to a checkpoint.
+
+    Returns the fresh DataFrame with the checkpointed parent attached
+    as ``_ckpt_handle`` (call ``.unpersist()`` on it to free blocks).
+    """
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    fresh = DataFrame(
+        spark._jsparkSession.createDataFrame(ck._jdf.javaRDD(), ck._jdf.schema()),
+        spark,
+    )
+    fresh._ckpt_handle = ck
+    return fresh
+
+
+def _unpersist_ckpt(df: DataFrame) -> None:
+    handle = getattr(df, "_ckpt_handle", None)
+    if handle is not None:
+        handle.unpersist()
 
 
 def sum_f(factors: DataFrame) -> list[float]:
@@ -115,6 +169,31 @@ def sum_f(factors: DataFrame) -> list[float]:
         .collect()
     )
     return [r["s"] for r in rows]
+
+
+def sum_f_and_sq(factors: DataFrame) -> tuple[list[float], float]:
+    """C5 fused with Σ_u fu·fu: one posexplode + hash agg returning
+    (sumF, Σ_u ‖fu‖²) — the two driver-side scalars the convergence
+    loop needs per iteration, in ONE job (K rows collected)."""
+    rows = (
+        factors.select(F.posexplode("f").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"), F.sum(F.col("val") * F.col("val")).alias("sq"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r["s"] for r in rows], float(sum(r["sq"] for r in rows))
+
+
+def edge_llh_term(sym_edges: DataFrame, factors: DataFrame) -> float:
+    """Σ over directed edges of (log(1 − p̂(u,v)) + fu·fv) — the only
+    LLH component that needs the edge join; one join pipeline → one
+    global agg → one scalar (no per-node regrouping)."""
+    ef = _edge_factors(sym_edges, factors)
+    dot = arr_dot("fu", "fv")
+    term = F.log(1.0 - prob_hat(dot)) + dot
+    row = ef.agg(F.sum(term).alias("s")).collect()[0]
+    return float(row["s"]) if row["s"] is not None else 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +297,7 @@ def line_search_updates(
     sumf: list[float],
     alpha: float = ALPHA,
     steps: list[float] | None = None,
+    checkpoint_state: bool = True,
 ) -> DataFrame:
     """F3: batched backtracking line search (v2:136-146) →
     ``(node_id, fu_old, f_new)`` for nodes with ≥1 accepted step.
@@ -236,8 +316,11 @@ def line_search_updates(
     # accept-join below; materialize it once or the whole
     # gradient pipeline (two shuffle aggregations) re-executes per
     # reference — measured as a 50× per-iteration blowup on the G1
-    # fixture once AQE replans the duplicated subtrees.
-    state = state.localCheckpoint(eager=True)
+    # fixture once AQE replans the duplicated subtrees. Callers that
+    # already checkpointed (the fit loop, which must unpersist it
+    # afterwards) pass checkpoint_state=False.
+    if checkpoint_state:
+        state = checkpoint_fresh(state)
 
     sf = arr_lit(sumf)
     cand = (
@@ -340,19 +423,28 @@ def bigclam_fit(
     «MBSGD», which despite the name updates ALL vertices each round —
     v2:209, SURVEY §2.F5) until |1 − LLH_new/LLH_old| < tol.
 
-    Per iteration: gradient state → line search → anti∪new update →
-    sumF recompute (exact, not incremental — avoids the reference's
-    drift risk, SURVEY §4.1) → LLH. ``localCheckpoint`` truncates the
-    growing lineage each round (§4.2); the previous generation is
-    unpersisted.
+    Per-iteration job structure (round 1 ran ~6 multi-stage shuffle
+    pipelines per iteration and leaked every intermediate checkpoint —
+    disqualifying overhead): gradient-state checkpoint → line-search
+    checkpoint → count (trivial scan of the checkpointed blocks, no
+    recompute — replaces round 1's separate ``isEmpty``) → anti∪new
+    factor rewrite → ONE fused stats agg (sumF + Σ‖fu‖² in a single
+    posexplode pass) → ONE global edge-term agg. LLH assembles on the
+    driver as  edge_term − sumF·sumF + Σ‖fu‖²  (Σ_u fu·sumF =
+    sumF·sumF), eliminating round 1's per-node LLH regroup + join.
+    Every checkpoint generation is unpersisted when superseded.
     """
+
+    def _self_dot(xs: list[float]) -> float:
+        return float(sum(x * x for x in xs))
+
     sym_edges = sym_edges.cache()
     factors = factors0 if factors0 is not None else init_factors(
         sym_edges, k, seed=seed, include_self=include_self, seeds_ranked=seeds_ranked
     )
-    factors = factors.localCheckpoint()
-    sumf = sum_f(factors)
-    llh_old = loglikelihood(sym_edges, factors, sumf)
+    factors = checkpoint_fresh(factors)
+    sumf, fufu = sum_f_and_sq(factors)
+    llh_old = edge_llh_term(sym_edges, factors) - _self_dot(sumf) + fufu
     history = [llh_old]
 
     import time as _time
@@ -360,19 +452,25 @@ def bigclam_fit(
     it = 0
     for it in range(1, max_iter + 1):
         t0 = _time.perf_counter()
-        state = gradient_state(sym_edges, factors, sumf)
-        updates = line_search_updates(sym_edges, factors, state, sumf).localCheckpoint()
-        if updates.isEmpty():
+        state = checkpoint_fresh(gradient_state(sym_edges, factors, sumf))
+        updates = checkpoint_fresh(
+            line_search_updates(sym_edges, factors, state, sumf, checkpoint_state=False)
+        )
+        n_updated = updates.count()
+        if n_updated == 0:
+            _unpersist_ckpt(state)
             break
         prev = factors
-        factors = apply_updates(factors, updates).localCheckpoint()
-        prev.unpersist()
-        sumf = sum_f(factors)
-        llh_new = loglikelihood(sym_edges, factors, sumf)
+        factors = checkpoint_fresh(apply_updates(factors, updates))
+        _unpersist_ckpt(prev)
+        _unpersist_ckpt(state)
+        _unpersist_ckpt(updates)
+        sumf, fufu = sum_f_and_sq(factors)
+        llh_new = edge_llh_term(sym_edges, factors) - _self_dot(sumf) + fufu
         history.append(llh_new)
         if verbose:
             print(
-                f"[bigclam_fit] iter={it} llh={llh_new:.6f} "
+                f"[bigclam_fit] iter={it} llh={llh_new:.6f} n_upd={n_updated} "
                 f"rel={abs(1.0 - llh_new / llh_old) if llh_old else float('nan'):.3e} "
                 f"wall={_time.perf_counter() - t0:.2f}s",
                 flush=True,

@@ -87,28 +87,43 @@ def ego_conductance(sym_edges: DataFrame) -> DataFrame:
 
     The reference does the 2-hop expansion by broadcasting the WHOLE
     adjacency map to every executor (v2:48 ⚠ SURVEY §4.3.1). Here it
-    is one join: explode ego members, join each member's neighbor
-    list, and count cut members via ``array_except`` (set semantics —
-    ``nbrs`` is a set, so per-member counts are exact). Plan: two hash
-    aggregations + one shuffle join; no driver data motion except the
-    Σdeg scalar.
+    is the row-oriented pair plan: ego membership as (u, m) PAIRS →
+    two-hop pairs (u, w) via one equi-join on m → LEFT-join membership
+    flag → hash agg. No row ever carries a neighbor ARRAY, so hub
+    nodes produce many tiny (16-byte) rows instead of few huge
+    array-carrying rows — shuffle skew from celebrity nodes is
+    splittable by AQE skew-join, which array-typed rows are not.
+    (Round-1 formulation exploded ego members while carrying the full
+    ``members`` array per row: Σ deg² array *elements* through the
+    shuffle; this shape moves Σ deg² fixed-width rows, the best known
+    for exact ego conductance, and matches the DuckDB oracle twin in
+    sqlfrag.py.)
     """
-    # sym_edges feeds three subplans (neighbor agg, the member join,
-    # and the Σdeg count that runs eagerly anyway) — cache it so the
-    # upstream scan+shuffle executes once. Same for nbrs (used by
-    # ego_nets and the member join). Spark LRU-evicts when pressured.
+    # sym_edges feeds three subplans (ego pairs, the two-hop join, and
+    # the Σdeg count that runs eagerly anyway) — cache it so the
+    # upstream scan+shuffle executes once.
     sym_edges = sym_edges.cache()
-    nbrs = neighbor_lists(sym_edges).cache()
-    ego = ego_nets(nbrs)
     sdeg = total_volume(sym_edges)  # scalar: 2|E|; materializes the cache
 
-    member = ego.select("id", "members", F.explode("members").alias("m"))
-    joined = member.join(
-        nbrs.select(F.col("id").alias("m"), F.col("nbrs").alias("m_nbrs")), "m"
+    # S(u) = {u} ∪ N(u) as pairs; sym is deduped so only (u,u) rows
+    # need a distinct.
+    self_pairs = sym_edges.select(F.col("src").alias("u"), F.col("src").alias("m")).distinct()
+    ego_pairs = (
+        sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("m"))
+        .unionByName(self_pairs)
+    ).cache()
+
+    twohop = ego_pairs.join(
+        sym_edges.select(F.col("src").alias("m"), F.col("dst").alias("w")), "m"
+    ).select("u", "w")
+    flags = twohop.join(
+        ego_pairs.select("u", F.col("m").alias("w"), F.lit(1).alias("in_s")),
+        ["u", "w"],
+        "left",
     )
-    agg = joined.groupBy("id").agg(
-        F.sum(F.size(F.array_except("m_nbrs", "members"))).alias("cut"),
-        F.sum(F.size("m_nbrs")).alias("z_total"),
+    agg = flags.groupBy("u").agg(
+        F.sum(F.when(F.col("in_s").isNull(), 1).otherwise(0)).alias("cut"),
+        F.count("*").alias("z_total"),
     )
     vol_s = F.col("z_total") - F.col("cut")
     vol_t = F.lit(sdeg) - vol_s - 2 * F.col("cut")
@@ -117,7 +132,7 @@ def ego_conductance(sym_edges: DataFrame) -> DataFrame:
         .when(vol_t == 0, F.lit(1.0))
         .otherwise(F.col("cut").cast("double") / F.least(vol_s, vol_t))
     )
-    return agg.select("id", phi.alias("phi"))
+    return agg.select(F.col("u").alias("id"), phi.alias("phi"))
 
 
 def local_min_seeds(sym_edges: DataFrame, conductance: DataFrame) -> DataFrame:

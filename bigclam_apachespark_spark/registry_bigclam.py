@@ -194,10 +194,36 @@ BIGCLAM_ORACLE = {
           FROM sym s JOIN cond c ON s.dst = c.id
         ),
         seeds AS (SELECT DISTINCT dst AS id, phi FROM lmin WHERE rn = 1),
+        ranked AS (
+          SELECT id AS seed_id, ROW_NUMBER() OVER (ORDER BY phi, id) AS rk
+          FROM seeds
+        ),
+        -- membership key per seed (ego-net incl. self) for the
+        -- duplicate-neighborhood dedup (init_factors deviation)
+        seedmem AS (
+          SELECT r.rk, r.seed_id, m.member
+          FROM ranked r
+          JOIN (
+            SELECT src AS seed, dst AS member FROM sym
+            UNION
+            SELECT DISTINCT src AS seed, src AS member FROM sym
+          ) m ON m.seed = r.seed_id
+        ),
+        keyed AS (
+          SELECT rk, seed_id,
+                 array_to_string(list(CAST(member AS VARCHAR) ORDER BY member), ',')
+                   AS mem_key
+          FROM seedmem GROUP BY rk, seed_id
+        ),
+        dedup AS (
+          SELECT rk, seed_id,
+                 ROW_NUMBER() OVER (PARTITION BY mem_key ORDER BY rk) AS dd
+          FROM keyed QUALIFY dd = 1
+        ),
         topk AS (
-          SELECT id AS seed_id,
-                 CAST(ROW_NUMBER() OVER (ORDER BY phi, id) - 1 AS INT) AS c
-          FROM seeds QUALIFY c < 4
+          SELECT seed_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY rk) - 1 AS INT) AS c
+          FROM dedup QUALIFY c < 4
         )
         SELECT DISTINCT t.c, m.member AS node_id, 1.0 AS val
         FROM topk t
@@ -296,19 +322,27 @@ def q_invert(spark, sf_dir):
 
 
 def q_init_membership(spark, sf_dir):
+    """Mirrors init_factors' deterministic branch exactly, including
+    the duplicate-neighborhood seed dedup (operators/bigclam.py
+    init_factors docstring)."""
     sym = _sym(spark, sf_dir)
     seeds = G.local_min_seeds(sym, G.ego_conductance(sym))
     from pyspark.sql import Window
 
-    topk = (
-        seeds.withColumn("c", F.row_number().over(Window.orderBy("phi", "id")) - 1)
-        .where(F.col("c") < 4)
-        .select(F.col("id").alias("seed_id"), "c")
-    )
     nbrs = G.neighbor_lists(sym)
-    members = topk.join(nbrs, topk.seed_id == nbrs.id).select(
-        "c", F.explode(F.array_union(F.array("seed_id"), "nbrs")).alias("node_id")
+    ranked = seeds.withColumn("rk", F.row_number().over(Window.orderBy("phi", "id")))
+    cand = ranked.join(nbrs, "id").select(
+        "rk", F.array_sort(F.array_union(F.array("id"), "nbrs")).alias("members")
     )
+    dedup = cand.withColumn(
+        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
+    ).where(F.col("dd") == 1)
+    seed_members = (
+        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
+        .where(F.col("c") < 4)
+        .select("c", "members")
+    )
+    members = seed_members.select("c", F.explode("members").alias("node_id"))
     return members.distinct().select("c", "node_id", F.lit(1.0).alias("val"))
 
 
