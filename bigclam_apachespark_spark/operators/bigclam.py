@@ -579,3 +579,46 @@ def invert_communities(communities: DataFrame) -> DataFrame:
     return communities.groupBy("community").agg(
         F.array_sort(F.collect_list("node_id")).alias("members")
     )
+
+
+def bigclam_pipeline(
+    spark,
+    edge_path: str,
+    k: int = 10,
+    seed: int = 42,
+    tol: float = 1e-4,
+    max_iter: int = 50,
+    out_path: str | None = None,
+    include_self: bool = True,
+    verbose: bool = False,
+) -> tuple[DataFrame, FitResult]:
+    """The reference's complete v2 flow (codes/Bigclamv2.scala:14-230):
+    edge-list scan (A1) → symmetrize (B1) → conductance seeding
+    (B6/B7) → F init (C1-C3) → optimize (F1-F5) → community extraction
+    (F7) → inversion (F8) → parquet sink + re-read (A3).
+
+    Sanity target (BASELINE.md): facebook_combined at K≈10 converges
+    in minutes on a local session — measured ~6 s/iteration on
+    local[32], rel ΔLLH < 2e-3 by iteration 8.
+
+    Returns (inverted communities DataFrame, FitResult). When
+    ``out_path`` is given the communities are round-tripped through
+    the parquet sink, so the returned DataFrame reads from storage.
+    """
+    from bigclam_apachespark_spark.operators import graph as G2
+    from bigclam_apachespark_spark.sources.edgelist import read_edge_list
+
+    edges = read_edge_list(spark, edge_path)
+    sym = G2.symmetrize(edges).cache()
+    res = bigclam_fit(
+        sym, k=k, seed=seed, tol=tol, max_iter=max_iter,
+        include_self=include_self, verbose=verbose,
+    )
+    n_v = G2.vertices(sym).count()
+    n_e = sym.count() // 2
+    delta = extraction_threshold(n_v, n_e)
+    inv = invert_communities(extract_communities(res.factors, delta))
+    if out_path is not None:
+        inv.write.mode("overwrite").parquet(out_path)
+        inv = spark.read.parquet(out_path)
+    return inv, res

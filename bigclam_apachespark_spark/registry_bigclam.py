@@ -346,6 +346,27 @@ def q_init_membership(spark, sf_dir):
     return members.distinct().select("c", "node_id", F.lit(1.0).alias("val"))
 
 
+def q_facebook_pipeline(spark, sf_dir):
+    """Reference end-to-end on the reference's own dataset (rows-only:
+    iterative): facebook_combined (4,039 nodes / 88,234 edges) at
+    K=10 — load → fit → extract → invert → parquet sink → re-read
+    (codes/Bigclamv2.scala:14-230 incl. the v2:230 sink). tol=1e-3
+    bounds the driver-run budget (~10 iterations ≈ 70 s on local[32]);
+    returns per-community member counts from the re-read sink."""
+    import tempfile
+
+    inv, _res = B.bigclam_pipeline(
+        spark,
+        "/root/reference/data/facebook_combined.txt",
+        k=10,
+        seed=42,
+        tol=1e-3,
+        max_iter=12,
+        out_path=tempfile.mkdtemp(prefix="bigclam_fb_") + "/communities.parquet",
+    )
+    return inv.select("community", F.size("members").alias("n_members"))
+
+
 def q_fit_smoke(spark, sf_dir):
     """F5 end-to-end (rows-only: iterative, not SQL-expressible):
     2 optimizer iterations at K=4 on the co-purchase graph, returning
@@ -369,4 +390,5 @@ BIGCLAM_QUERIES = {
     "bigclam_invert": q_invert,
     "bigclam_init_membership": q_init_membership,
     "bigclam_fit_smoke": q_fit_smoke,  # rows-only (no oracle)
+    "bigclam_facebook_pipeline": q_facebook_pipeline,  # rows-only (no oracle)
 }

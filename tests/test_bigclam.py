@@ -112,6 +112,29 @@ def test_fit_recovers_cliques(g1_edges):
     assert {4, 5, 6, 7} in groups.values()
 
 
+def test_pipeline_end_to_end_with_sink(spark, tmp_path):
+    # A1 + full flow + A3: G1 as a text edge list (with comments and a
+    # malformed line) -> pipeline -> parquet sink -> re-read.
+    from bigclam_apachespark_spark.operators.bigclam import bigclam_pipeline
+
+    lines = ["# comment", "bad line here"] + [
+        f"{a} {b}" for a, b in
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7), (3, 4)]
+    ]
+    p = tmp_path / "g1.txt"
+    p.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "communities.parquet")
+    inv, res = bigclam_pipeline(
+        spark, str(p), k=2, seed=42, tol=1e-4, max_iter=6, out_path=out
+    )
+    groups = {r["community"]: set(r["members"]) for r in inv.collect()}
+    assert set().union(*groups.values()) == set(range(8))
+    assert res.history[-1] > res.history[0]
+    # sink actually written and re-readable
+    assert spark.read.parquet(out).count() == len(groups)
+
+
 def test_geometric_k_grid_matches_reference_output():
     # v47:268 pasted REPL output; reproduced by minCom=50, maxCom=200,
     # divCom=15 (the file's declared divCom=100 yields a denser grid —
