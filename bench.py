@@ -22,13 +22,20 @@ from bigclam_apachespark_spark.registry import QUERIES  # noqa: E402
 from bigclam_apachespark_spark.session import get_spark  # noqa: E402
 
 # Headline subset: the expensive, representative plans. Cheap
-# count-style queries are excluded to keep signal high.
+# count-style queries are excluded to keep signal high. Covers every
+# major surface: graph substrate, dedup (MinHash-LSH end-to-end),
+# events (window agg + sessionize), similarity, and text.
 HEADLINE = [
     "graph_copurchase_edges",
     "graph_degrees",
     "graph_neighbors",
     "graph_conductance",
     "graph_seeds",
+    "dedup_minhash_lsh_pairs",
+    "events_tumbling",
+    "events_sessionize",
+    "sim_cosine_near_dups",
+    "text_quality",
 ]
 
 

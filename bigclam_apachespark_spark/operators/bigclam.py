@@ -298,9 +298,15 @@ def line_search_updates(
     alpha: float = ALPHA,
     steps: list[float] | None = None,
     checkpoint_state: bool = True,
+    quantize: int | None = None,
 ) -> DataFrame:
     """F3: batched backtracking line search (v2:136-146) →
-    ``(node_id, fu_old, f_new)`` for nodes with ≥1 accepted step.
+    ``(node_id, eta, fu_old, f_new)`` for nodes with ≥1 accepted step.
+
+    ``quantize``: round both sides of the Armijo comparison to N
+    decimals first — used ONLY by the oracle twin (cross-engine float
+    fold order can flip an accept at the last ulp); production runs
+    compare exact same-engine floats (quantize=None).
 
     All 16 candidate steps are evaluated in ONE crossJoin job (the
     reference's cartesian trick, kept on purpose — SURVEY §4.1) with
@@ -371,7 +377,12 @@ def line_search_updates(
             ),
         )
     )
-    accepted = cand_llh.where(F.col("cand_llh") >= F.col("threshold"))
+    if quantize is not None:
+        accepted = cand_llh.where(
+            F.round(F.col("cand_llh"), quantize) >= F.round(F.col("threshold"), quantize)
+        )
+    else:
+        accepted = cand_llh.where(F.col("cand_llh") >= F.col("threshold"))
     # D9: per-node max accepted step; groupBy.agg(max_by) gives partial
     # aggregation (the reference's groupByKey materializes all — §4.3.2).
     best = accepted.groupBy("src").agg(
@@ -380,6 +391,7 @@ def line_search_updates(
     )
     return best.select(
         F.col("src").alias("node_id"),
+        "eta",
         F.col("b.fu").alias("fu_old"),
         F.col("b.newfu").alias("f_new"),
     )

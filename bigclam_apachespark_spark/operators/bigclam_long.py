@@ -1,0 +1,379 @@
+"""BigCLAM in the LONG (sparse) factor layout — the high-K path
+(SURVEY.md §7: beyond K ≈ 10⁴ dense arrays stop fitting in a row; the
+reference's v3 pivot to SparseVector at codes/bigclamv3-7.scala:17 is
+the evidence dense rows were already the pain point at K=8,385).
+
+State is ``factors_long(node_id BIGINT, k INT, val DOUBLE)`` holding
+ONLY non-zero entries. Every kernel is a plain join + hash aggregation
+— no K-wide arrays anywhere, so no row ever exceeds a few dozen bytes
+and hub/hot-community skew is AQE-splittable.
+
+Sparsity is CLOSED under the projected-gradient update: for an entry
+with fu[k] = 0 and no neighbor support (wsum[k] = 0), the gradient is
+−sumF[k] ≤ 0, so clamp(0 + η·grad, 0, 1000) stays 0. Fill-in can only
+appear at (node, k) pairs produced by the neighbor join — exactly the
+rows the long-layout pipeline materializes.
+
+Semantics match operators/bigclam.py (same clamps, same Armijo rule,
+same Σ-trick objective — v2:99-146,187-200); test_bigclam_long checks
+dense↔long LLH parity to 1e-9 on the G1 fixture.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.arrays import MAX_F, MIN_F, MAX_P, MIN_P
+from bigclam_apachespark_spark.operators import graph as G
+from bigclam_apachespark_spark.operators.bigclam import (
+    ALPHA,
+    LINE_SEARCH_STEPS,
+    checkpoint_fresh,
+    _unpersist_ckpt,
+)
+
+
+def _clamp_p(dot):
+    return F.least(F.greatest(F.exp(-dot), F.lit(MIN_P)), F.lit(MAX_P))
+
+
+def init_factors_long(
+    sym_edges: DataFrame,
+    k: int,
+    include_self: bool = True,
+    seeds_ranked: DataFrame | None = None,
+) -> DataFrame:
+    """C1/C3 in long layout: (node_id, c, 1.0) triples for the top-K
+    deduped seed neighborhoods — naturally sparse, no Bernoulli fill
+    (matching v3/v47, whose sparse init is indicator-only and which
+    cap K at the seed count; v3:60-87)."""
+    from pyspark.sql import Window
+
+    if seeds_ranked is None:
+        seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges))
+    nbrs = G.neighbor_lists(sym_edges)
+    ranked = seeds_ranked.withColumn(
+        "rk", F.row_number().over(Window.orderBy("phi", "id"))
+    )
+    cand = ranked.join(nbrs, "id").select(
+        "rk",
+        (
+            F.array_sort(F.array_union(F.array("id"), "nbrs"))
+            if include_self
+            else F.col("nbrs")
+        ).alias("members"),
+    )
+    dedup = cand.withColumn(
+        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
+    ).where(F.col("dd") == 1)
+    seed_members = (
+        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
+        .where(F.col("c") < k)
+        .select(F.col("c").cast("int").alias("k"), "members")
+    )
+    return seed_members.select(
+        F.explode("members").alias("node_id"), "k", F.lit(1.0).alias("val")
+    )
+
+
+def sum_f_long(factors_long: DataFrame) -> DataFrame:
+    """C5 distributed: (k, s) — stays a DataFrame (at K = 10⁶ even the
+    sumF vector should not be a driver literal)."""
+    return factors_long.groupBy("k").agg(F.sum("val").alias("s"))
+
+
+def _edge_dots(sym_edges: DataFrame, factors_long: DataFrame) -> DataFrame:
+    """(src, dst, dot) per directed edge — the SpGEMM-shaped join:
+    factors on src ⋈ factors on (dst, k) → sum over k. Shuffle volume
+    is Σ_edges nnz-overlap rows of ~24 bytes."""
+    fu = factors_long.select(
+        F.col("node_id").alias("src"), "k", F.col("val").alias("vu")
+    )
+    fv = factors_long.select(
+        F.col("node_id").alias("dst"), "k", F.col("val").alias("vv")
+    )
+    return (
+        sym_edges.join(fu, "src")
+        .join(fv, ["dst", "k"])
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("vu") * F.col("vv")).alias("dot"))
+    )
+
+
+def edge_stats_long(sym_edges: DataFrame, factors_long: DataFrame) -> DataFrame:
+    """(src, dst, dot, p, w): per-edge dot (zero-overlap edges kept at
+    dot=0 via the left join), clamped probability, gradient weight."""
+    dots = _edge_dots(sym_edges, factors_long)
+    ed = sym_edges.join(dots, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("dot", F.lit(0.0)).alias("dot")
+    )
+    p = _clamp_p(F.col("dot"))
+    return ed.select(
+        "src", "dst", "dot", p.alias("p"), (1.0 / (1.0 - p)).alias("w")
+    )
+
+
+def loglikelihood_long(sym_edges: DataFrame, factors_long: DataFrame) -> float:
+    """F1 via the Σ-trick, all scalars assembled in one driver pass:
+    L = Σ_edges (log(1−p̂)+dot) − sumF·sumF + Σ‖fu‖²."""
+    es = edge_stats_long(sym_edges, factors_long)
+    edge_term = es.agg(
+        F.sum(F.log(1.0 - F.col("p")) + F.col("dot")).alias("s")
+    ).collect()[0]["s"] or 0.0
+    sq = factors_long.agg(F.sum(F.col("val") * F.col("val")).alias("sq")).collect()[0][
+        "sq"
+    ] or 0.0
+    sf2 = (
+        sum_f_long(factors_long)
+        .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+        .collect()[0]["s2"]
+        or 0.0
+    )
+    return float(edge_term - sf2 + sq)
+
+
+def gradient_long(
+    sym_edges: DataFrame, factors_long: DataFrame, sumf: DataFrame
+) -> DataFrame:
+    """F2 in long layout: (node_id, k, fval, gval) at the support
+    (node, k) pairs — wsum[k] > 0 or fu[k] > 0 (sparsity closure, see
+    module docstring). gval = wsum − sumF[k] + fu[k]."""
+    es = edge_stats_long(sym_edges, factors_long)
+    fv = factors_long.select(
+        F.col("node_id").alias("dst"), "k", F.col("val").alias("vv")
+    )
+    wsum = (
+        es.join(fv, "dst")
+        .groupBy(F.col("src").alias("node_id"), "k")
+        .agg(F.sum(F.col("w") * F.col("vv")).alias("ws"))
+    )
+    fu = factors_long.select("node_id", "k", F.col("val").alias("fval"))
+    support = (
+        wsum.join(fu, ["node_id", "k"], "full")
+        .select(
+            "node_id",
+            "k",
+            F.coalesce("ws", F.lit(0.0)).alias("ws"),
+            F.coalesce("fval", F.lit(0.0)).alias("fval"),
+        )
+    )
+    return support.join(F.broadcast(sumf), "k").select(
+        "node_id",
+        "k",
+        "fval",
+        (F.col("ws") - F.col("s") + F.col("fval")).alias("gval"),
+    )
+
+
+def line_search_updates_long(
+    sym_edges: DataFrame,
+    factors_long: DataFrame,
+    grad: DataFrame,
+    sumf: DataFrame,
+    alpha: float = ALPHA,
+    steps: list[float] | None = None,
+) -> DataFrame:
+    """F3 in long layout → accepted new rows ``(node_id, k, val)`` for
+    nodes with ≥1 accepted step (only non-zero vals kept — sparsity).
+
+    Same batched-cartesian Armijo as the dense path: candidates for
+    all 16 η in one plan; per-candidate local LLH re-joins neighbors'
+    CURRENT factors; sumF adjusted per candidate (v2:142).
+    """
+    spark = sym_edges.sparkSession
+    steps = steps or LINE_SEARCH_STEPS
+    steps_df = spark.createDataFrame([(float(s),) for s in steps], "eta double")
+
+    # Per-node scalars of the CURRENT state: llh_u and ‖grad‖².
+    es = edge_stats_long(sym_edges, factors_long)
+    nbr = es.groupBy("src").agg(
+        F.sum(F.log(1.0 - F.col("p")) + F.col("dot")).alias("nbr_term")
+    )
+    per_nk = grad.join(F.broadcast(sumf), "k").select(
+        "node_id",
+        (F.col("fval") * F.col("s")).alias("fusf"),
+        (F.col("fval") * F.col("fval")).alias("fufu"),
+        (F.col("gval") * F.col("gval")).alias("g2"),
+    )
+    node_stats = per_nk.groupBy("node_id").agg(
+        F.sum("fusf").alias("fusf"), F.sum("fufu").alias("fufu"), F.sum("g2").alias("g2")
+    )
+    llh_u = node_stats.join(
+        nbr.withColumnRenamed("src", "node_id"), "node_id", "left"
+    ).select(
+        "node_id",
+        (
+            F.coalesce("nbr_term", F.lit(0.0)) - F.col("fusf") + F.col("fufu")
+        ).alias("llh_u"),
+        "g2",
+    )
+
+    # Candidate rows: (node_id, eta, k, newval, fval); clamp keeps the
+    # box, zero rows dropped (sparse).
+    cand = (
+        grad.crossJoin(F.broadcast(steps_df))
+        .select(
+            "node_id",
+            "eta",
+            "k",
+            "fval",
+            F.least(
+                F.greatest(F.col("fval") + F.col("eta") * F.col("gval"), F.lit(MIN_F)),
+                F.lit(MAX_F),
+            ).alias("newval"),
+        )
+    )
+    cand_nz = cand.where((F.col("newval") != 0.0) | (F.col("fval") != 0.0))
+
+    # Per-candidate neighbor term: dot'(u,v) = Σ_k newval·fv[k].
+    fv = factors_long.select(
+        F.col("node_id").alias("dst"), "k", F.col("val").alias("vv")
+    )
+    cdot = (
+        cand_nz.where(F.col("newval") != 0.0)
+        .withColumnRenamed("node_id", "src")
+        .join(sym_edges, "src")
+        .join(fv, ["dst", "k"])
+        .groupBy("src", "eta", "dst")
+        .agg(F.sum(F.col("newval") * F.col("vv")).alias("dot"))
+    )
+    # Edges with zero-overlap candidate dot still contribute log(1−p̂(0)):
+    # join back the full edge set per (src, eta).
+    deg = sym_edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nz_nbr = cdot.groupBy("src", "eta").agg(
+        F.sum(F.log(1.0 - _clamp_p(F.col("dot"))) + F.col("dot")).alias("nz_term"),
+        F.count("*").alias("nz_edges"),
+    )
+    import math as _math
+
+    log_1mp0 = _math.log(1.0 - min(max(_math.exp(-0.0), MIN_P), MAX_P))
+    cand_nbr = (
+        nz_nbr.join(F.broadcast(deg), "src")
+        .select(
+            "src",
+            "eta",
+            (
+                F.col("nz_term")
+                + (F.col("deg") - F.col("nz_edges")) * F.lit(log_1mp0)
+            ).alias("nbr_term"),
+        )
+    )
+
+    # Candidate self terms: newfu·(sumF − fu + newfu) and ‖newfu‖²
+    # over the candidate support rows.
+    cself = (
+        cand_nz.join(F.broadcast(sumf), "k")
+        .groupBy("node_id", "eta")
+        .agg(
+            F.sum(
+                F.col("newval") * (F.col("s") - F.col("fval") + F.col("newval"))
+            ).alias("fusf_new"),
+            F.sum(F.col("newval") * F.col("newval")).alias("fufu_new"),
+        )
+    )
+    scored = (
+        cself.join(
+            cand_nbr.withColumnRenamed("src", "node_id"), ["node_id", "eta"], "left"
+        )
+        .join(llh_u, "node_id")
+        .select(
+            "node_id",
+            "eta",
+            (
+                F.coalesce("nbr_term", F.lit(0.0))
+                - F.col("fusf_new")
+                + F.col("fufu_new")
+            ).alias("cand_llh"),
+            (F.col("llh_u") + F.lit(alpha) * F.col("eta") * F.col("g2")).alias(
+                "threshold"
+            ),
+        )
+    )
+    best = (
+        scored.where(F.col("cand_llh") >= F.col("threshold"))
+        .groupBy("node_id")
+        .agg(F.max("eta").alias("eta"))
+    )
+    return (
+        best.join(cand_nz, ["node_id", "eta"])
+        .where(F.col("newval") != 0.0)
+        .select("node_id", "k", F.col("newval").alias("val"))
+    )
+
+
+def apply_updates_long(
+    factors_long: DataFrame, updates: DataFrame, updated_nodes: DataFrame
+) -> DataFrame:
+    """F4: drop ALL rows of updated nodes, union their new non-zero
+    rows (a node's accepted step may zero out entries, so the anti
+    join must be on node_id, not (node_id, k))."""
+    kept = factors_long.join(updated_nodes, "node_id", "left_anti")
+    return kept.unionByName(updates.select("node_id", "k", "val"))
+
+
+@dataclass
+class FitLongResult:
+    factors_long: DataFrame
+    llh: float
+    iterations: int
+    history: list[float] = field(default_factory=list)
+
+
+def bigclam_fit_long(
+    sym_edges: DataFrame,
+    k: int,
+    tol: float = 1e-4,
+    max_iter: int = 100,
+    include_self: bool = True,
+    factors0: DataFrame | None = None,
+    seeds_ranked: DataFrame | None = None,
+    verbose: bool = False,
+) -> FitLongResult:
+    """F5 convergence loop over the long layout — same driver-loop
+    shape as bigclam_fit (checkpoint_fresh per generation, fused
+    scalar jobs), usable at K where dense arrays cannot go."""
+    import time as _time
+
+    sym_edges = sym_edges.cache()
+    factors = factors0 if factors0 is not None else init_factors_long(
+        sym_edges, k, include_self=include_self, seeds_ranked=seeds_ranked
+    )
+    factors = checkpoint_fresh(factors)
+    llh_old = loglikelihood_long(sym_edges, factors)
+    history = [llh_old]
+    it = 0
+    for it in range(1, max_iter + 1):
+        t0 = _time.perf_counter()
+        sumf = sum_f_long(factors)
+        grad = checkpoint_fresh(gradient_long(sym_edges, factors, sumf))
+        updates = checkpoint_fresh(
+            line_search_updates_long(sym_edges, factors, grad, sumf)
+        )
+        upd_nodes = updates.select("node_id").distinct()
+        n_updated = upd_nodes.count()
+        if n_updated == 0:
+            _unpersist_ckpt(grad)
+            break
+        prev = factors
+        factors = checkpoint_fresh(apply_updates_long(factors, updates, upd_nodes))
+        _unpersist_ckpt(prev)
+        _unpersist_ckpt(grad)
+        _unpersist_ckpt(updates)
+        llh_new = loglikelihood_long(sym_edges, factors)
+        history.append(llh_new)
+        if verbose:
+            print(
+                f"[bigclam_fit_long] iter={it} llh={llh_new:.6f} n_upd={n_updated} "
+                f"wall={_time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+        if llh_old != 0 and abs(1.0 - llh_new / llh_old) < tol:
+            llh_old = llh_new
+            break
+        llh_old = llh_new
+    return FitLongResult(
+        factors_long=factors, llh=llh_old, iterations=it, history=history
+    )

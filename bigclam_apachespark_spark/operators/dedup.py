@@ -108,11 +108,29 @@ def lsh_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing any (band, bucket).
     The join key is (band, bucket) — only intra-bucket pairs are ever
     materialized; with balanced buckets this is the linear-ish LSH
-    cost, not |docs|²."""
+    cost, not |docs|².
+
+    ``max_bucket_size``: hot-bucket guard — (band, bucket) keys with
+    more than this many members are EXCLUDED from pair generation.
+    A degenerate bucket of m docs yields m²/2 pairs; one boilerplate-
+    text bucket with 10⁶ members at web scale means 5·10¹¹ pairs from
+    a single key, which no skew-join splitting can make useful. The
+    cap bounds per-key work at max_bucket_size²/2; near-dup recall
+    for such docs is preserved by the OTHER bands."""
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("m"))
+            .where(F.col("m") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"])
     a = buckets.select(F.col("doc_id").alias("a"), "band", "bucket")
     b = buckets.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (
@@ -163,11 +181,13 @@ def minhash_lsh_dups(
     rows_per_band: int = 4,
     shingle_n: int = 5,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
-    candidate pairs → exact-Jaccard verify ≥ threshold."""
+    candidate pairs (optional hot-bucket cap) → exact-Jaccard verify
+    ≥ threshold."""
     sig = minhash_signatures(docs, text_col, num_perms, shingle_n)
-    cand = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band))
+    cand = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band), max_bucket_size)
     return shingle_jaccard(docs, cand, text_col, shingle_n).where(
         F.col("jaccard") >= threshold
     )
@@ -255,21 +275,52 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
 
 
 def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """All pairs with word-token-set Jaccard ≥ threshold, via the
     inverted index: only pairs sharing ≥1 token are ever formed.
-    Hot-token skew note: at web scale, drop ultra-frequent tokens
-    first (df cap) — the candidate count is Σ_token df(token)²."""
+
+    ``max_df``: hot-token cap. Candidate generation excludes tokens
+    whose document frequency exceeds max_df (candidate count is
+    Σ_token df², so one stopword-like token with df=10⁷ alone yields
+    5·10¹³ pairs); the Jaccard VALUE for surviving candidates is still
+    exact — the intersection recount below runs over the FULL token
+    sets. Only pairs whose every shared token is hot are missed, and
+    such pairs are overwhelmingly low-jaccard boilerplate at scale."""
     tok = docs.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("t"))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = tok.select(F.col("doc_id").alias("a"), "t")
-    tb = tok.select(F.col("doc_id").alias("b"), "t")
-    inter = (
-        ta.join(tb, "t")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if max_df is not None:
+        ok_t = (
+            tok.groupBy("t").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("t")
+        )
+        idx = tok.join(ok_t, "t")
+        cand = (
+            idx.select(F.col("doc_id").alias("a"), "t")
+            .join(idx.select(F.col("doc_id").alias("b"), "t"), "t")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        # exact intersection over FULL token sets, restricted to cand
+        sa = tok.select(F.col("doc_id").alias("a"), "t")
+        sb = tok.select(F.col("doc_id").alias("b"), "t")
+        inter = (
+            cand.join(sa, "a")
+            .join(sb, ["b", "t"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        ta = tok.select(F.col("doc_id").alias("a"), "t")
+        tb = tok.select(F.col("doc_id").alias("b"), "t")
+        inter = (
+            ta.join(tb, "t")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     za = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     return (

@@ -136,6 +136,80 @@ BIGCLAM_ORACLE = {
         JOIN sumf s ON s.k = w.k
         JOIN factors_long f ON f.node_id = w.node_id AND f.k = w.k
     """,
+    # F3: one full Armijo line-search round on the fixture factors
+    # (v2:136-146 semantics): per node, the LARGEST of the 16 steps
+    # η = 0.1^i whose candidate local LLH (with sumF adjusted to
+    # sumF − fu + newfu, v2:142) beats llh_u + α·η·‖grad‖², plus the
+    # chosen new factor row in long layout. Accept comparison is
+    # quantized to 6 dp on BOTH engines (fold-order stability).
+    "bigclam_line_search": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}, {SUMF_SQL},
+        wsum AS (
+          SELECT e.src AS node_id, fb.k, SUM(fb.val / (1 - e.p)) AS ws
+          FROM ep e JOIN factors_long fb ON fb.node_id = e.dst
+          GROUP BY e.src, fb.k
+        ),
+        grad AS (
+          SELECT w.node_id, w.k, w.ws - s.s + f.val AS g, f.val AS fv
+          FROM wsum w
+          JOIN sumf s ON s.k = w.k
+          JOIN factors_long f ON f.node_id = w.node_id AND f.k = w.k
+        ),
+        nbr AS (SELECT src, SUM(ln(1 - p) + dot) AS nbr_term FROM ep GROUP BY src),
+        llh_u AS (
+          SELECT g.node_id,
+                 n.nbr_term
+                   - SUM(g.fv * s.s) + SUM(g.fv * g.fv) AS llh,
+                 SUM(g.g * g.g) AS g2
+          FROM grad g
+          JOIN sumf s ON s.k = g.k
+          JOIN nbr n ON n.src = g.node_id
+          GROUP BY g.node_id, n.nbr_term
+        ),
+        etas AS (SELECT power(0.1, i) AS eta FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+        cand AS (
+          SELECT g.node_id, e.eta, g.k,
+                 least(greatest(g.fv + e.eta * g.g, 0.0), 1000.0) AS newval,
+                 g.fv
+          FROM grad g CROSS JOIN etas e
+        ),
+        cdot AS (
+          SELECT c.node_id, c.eta, s.dst,
+                 SUM(c.newval * fb.val) AS dot
+          FROM cand c
+          JOIN sym s ON s.src = c.node_id
+          JOIN factors_long fb ON fb.node_id = s.dst AND fb.k = c.k
+          GROUP BY c.node_id, c.eta, s.dst
+        ),
+        cnbr AS (
+          SELECT node_id, eta,
+                 SUM(ln(1 - least(greatest(exp(-dot), 0.0001), 0.9999)) + dot) AS nbr_term
+          FROM cdot GROUP BY node_id, eta
+        ),
+        cself AS (
+          SELECT c.node_id, c.eta,
+                 SUM(c.newval * (s.s - c.fv + c.newval)) AS fusf_new,
+                 SUM(c.newval * c.newval) AS fufu_new
+          FROM cand c JOIN sumf s ON s.k = c.k
+          GROUP BY c.node_id, c.eta
+        ),
+        scored AS (
+          SELECT n.node_id, n.eta,
+                 n.nbr_term - cs.fusf_new + cs.fufu_new AS cand_llh,
+                 l.llh + 0.05 * n.eta * l.g2 AS threshold
+          FROM cnbr n
+          JOIN cself cs ON cs.node_id = n.node_id AND cs.eta = n.eta
+          JOIN llh_u l ON l.node_id = n.node_id
+        ),
+        best AS (
+          SELECT node_id, MAX(eta) AS eta
+          FROM scored WHERE round(cand_llh, 6) >= round(threshold, 6)
+          GROUP BY node_id
+        )
+        SELECT b.node_id, round(b.eta, 9) AS eta, CAST(c.k AS INT) AS k,
+               round(c.newval, 6) AS newval
+        FROM best b JOIN cand c ON c.node_id = b.node_id AND c.eta = b.eta
+    """,
     # F7: community membership at a fixed threshold δ=0.75 on fixture
     # factors (argmax-fallback branch included: keeps ALL argmax ties,
     # v2:226-229 semantics).
@@ -301,6 +375,20 @@ def q_step(spark, sf_dir):
     ).select("node_id", "k", F.round("nv", 6).alias("newval"))
 
 
+def q_line_search(spark, sf_dir):
+    """F3 oracle twin: one Armijo round on the fixture factors with
+    the accept comparison quantized to 6 dp (see line_search_updates
+    docstring — production keeps the exact comparison)."""
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    sumf = B.sum_f(fx)
+    state = B.gradient_state(sym, fx, sumf)
+    upd = B.line_search_updates(sym, fx, state, sumf, quantize=6)
+    return upd.select(
+        "node_id", F.round("eta", 9).alias("eta"), F.posexplode("f_new").alias("k", "nv")
+    ).select("node_id", "eta", "k", F.round("nv", 6).alias("newval"))
+
+
 def q_extract(spark, sf_dir):
     sym = _sym(spark, sf_dir)
     fx = fixture_factors(sym)
@@ -367,6 +455,39 @@ def q_facebook_pipeline(spark, sf_dir):
     return inv.select("community", F.size("members").alias("n_members"))
 
 
+def q_fit_long_smoke(spark, sf_dir):
+    """High-K long-layout fit (rows-only: iterative) — the sparse
+    (node, k, val) path for the v3/v47 K≈10³-10⁴ regime
+    (codes/bigclamv3-7.scala:17; SURVEY §7 long-layout fallback).
+    K=64 requested; effective columns cap at the distinct-seed count.
+    Returns per-community member counts at the extraction threshold."""
+    from bigclam_apachespark_spark.operators import bigclam_long as BL
+
+    sym = _sym(spark, sf_dir).cache()
+    res = BL.bigclam_fit_long(sym, k=64, tol=1e-3, max_iter=2)
+    n_v = G.vertices(sym).count()
+    n_e = sym.count() // 2
+    delta = B.extraction_threshold(n_v, n_e)
+    return (
+        res.factors_long.where(F.col("val") >= delta)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+def q_model_selection_smoke(spark, sf_dir):
+    """F6 end-to-end (rows-only: iterative): K-search over the
+    geometric grid (2, 8, 2) → Ks {2, 4, 8} on the co-purchase graph
+    (v47:244-266 semantics — stop at first diminishing-returns K),
+    budget-bounded at 3 optimizer iterations per K."""
+    sym = _sym(spark, sf_dir).cache()
+    chosen, llh_by_k = B.model_selection(
+        sym, 2, 8, 2, seed=42, tol=1e-3, fit_tol=1e-2, max_iter=3
+    )
+    rows = [(int(k), float(v), bool(k == chosen)) for k, v in sorted(llh_by_k.items())]
+    return spark.createDataFrame(rows, "k int, llh double, chosen boolean")
+
+
 def q_fit_smoke(spark, sf_dir):
     """F5 end-to-end (rows-only: iterative, not SQL-expressible):
     2 optimizer iterations at K=4 on the co-purchase graph, returning
@@ -386,9 +507,12 @@ BIGCLAM_QUERIES = {
     "bigclam_llh": q_llh,
     "bigclam_gradient": q_gradient,
     "bigclam_step": q_step,
+    "bigclam_line_search": q_line_search,
     "bigclam_extract": q_extract,
     "bigclam_invert": q_invert,
     "bigclam_init_membership": q_init_membership,
     "bigclam_fit_smoke": q_fit_smoke,  # rows-only (no oracle)
     "bigclam_facebook_pipeline": q_facebook_pipeline,  # rows-only (no oracle)
+    "bigclam_model_selection_smoke": q_model_selection_smoke,  # rows-only (no oracle)
+    "bigclam_fit_long_smoke": q_fit_long_smoke,  # rows-only (no oracle)
 }

@@ -22,20 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts is declared LongType because the driver's parquet stores
-# TIMESTAMP(NANOS), which Spark can only surface as a long (under
-# spark.sql.legacy.parquet.nanosAsLong); read_events_stream converts
-# it back to a proper timestamp for the watermark/window operators.
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Spark-native parquet (TIMESTAMP micros) — the common case.
+EVENT_SCHEMA = _event_schema(T.TimestampType())
 
 
 def read_events_stream(
@@ -45,8 +46,12 @@ def read_events_stream(
     the batch table as a stream (the standard replay-test harness;
     in production this is a Kafka source with the same schema).
 
-    nanos→micros uses integer ``div`` (float division loses precision
-    above 2^53 ns ≈ 104 days of epoch nanos).
+    Handles BOTH ts physical types: Spark-written parquet stores
+    TIMESTAMP(MICROS); the driver's fixtures store TIMESTAMP(NANOS),
+    which Spark only surfaces as a long (nanosAsLong) — a cheap batch
+    probe of the footer decides, and the nanos path converts with
+    integer ``div`` (float division loses precision at epoch-nanos
+    magnitudes).
 
     The file source requires a *directory*; when handed a single
     parquet file (the driver's fixtures are one file per table) we
@@ -59,12 +64,17 @@ def read_events_stream(
         d = tempfile.mkdtemp(prefix="events_stream_src_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
+    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    stream = (
+        spark.readStream.schema(
+            _event_schema(T.LongType() if ts_is_nanos else T.TimestampType())
+        )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if ts_is_nanos:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def windowed_counts_stream(
@@ -185,17 +195,50 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: float = 180.0,
 ) -> "DataFrame":
     """Run a streaming query to completion against a replayed file
     source (processAllAvailable) into an in-memory sink; returns the
-    sink table. Test harness helper."""
+    sink table. Test harness helper.
+
+    A watchdog hard-stops the query after ``timeout_sec`` —
+    ``processAllAvailable`` can block indefinitely on stateful
+    queries (timeout-driven evictions keep scheduling batches), and a
+    hung streaming call must never wedge the test suite or the
+    driver's correctness gate. On a watchdog stop, whatever reached
+    the sink is returned."""
+    import threading
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    timed_out = threading.Event()
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout_sec):
+            timed_out.set()
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        if not timed_out.is_set():
+            raise
+    finally:
+        done.set()
+        try:
+            q.stop()
+        except Exception:
+            pass
     return stream_df.sparkSession.table(query_name)

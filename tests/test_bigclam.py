@@ -89,6 +89,38 @@ def test_init_factors_deterministic(g1_edges, spark):
         assert rows[n][0] == 0.0
 
 
+def test_init_factors_random_completion(g1_edges):
+    # C2: k > n_seeds exercises the seeded-Bernoulli fill. On G1 the
+    # duplicate-neighborhood dedup leaves 2 distinct seeds (cliques),
+    # so k=6 fills columns 2..5 with the xxhash64 coin.
+    sym = symmetrize(g1_edges)
+    f1 = init_factors(sym, k=6, seed=11)
+    f2 = init_factors(sym, k=6, seed=11)
+    assert sorted(map(repr, f1.collect())) == sorted(map(repr, f2.collect()))
+    rows = {r["node_id"]: list(r["f"]) for r in f1.collect()}
+    assert all(len(v) == 6 for v in rows.values())
+    vals = [rows[n][c] for n in range(8) for c in range(2, 6)]
+    assert set(vals) <= {0.0, 1.0}
+    assert 0.0 in vals and 1.0 in vals  # the coin actually varies
+    # different seed → different fill
+    f3 = init_factors(sym, k=6, seed=12)
+    assert sorted(map(repr, f1.collect())) != sorted(map(repr, f3.collect()))
+
+
+def test_model_selection_small_grid(g1_edges):
+    # F6: grid (2, 4, 1) → Ks {2, 4}; both fit briefly; a chosen K
+    # is returned and every grid point records an LLH.
+    from bigclam_apachespark_spark.operators.bigclam import model_selection
+
+    sym = symmetrize(g1_edges)
+    chosen, llh_by_k = model_selection(
+        sym, 2, 4, 1, seed=42, tol=1e-3, fit_tol=1e-2, max_iter=2
+    )
+    assert set(llh_by_k) == {2, 4}
+    assert chosen in llh_by_k
+    assert all(isinstance(v, float) for v in llh_by_k.values())
+
+
 def test_fit_recovers_cliques(g1_edges):
     # End-to-end sanity: K=2 fit on G1 separates the cliques (FIXTURES §2).
     sym = symmetrize(g1_edges)

@@ -162,10 +162,17 @@ def test_streaming_sessionize(spark, tmp_path, events):
     )
 
     path = str(tmp_path / "events_parquet2")
-    events.write.parquet(path)
+    # One chronologically-sorted file: the file source replays part
+    # files in nondeterministic order, and gap-sessionization state is
+    # order-sensitive across micro-batches (the streaming analogue of
+    # late data; the batch twin + watermark tests cover semantics).
+    events.orderBy("ts").coalesce(1).write.parquet(path)
     stream = read_events_stream(spark, path)
     result = run_stream_to_memory(
-        sessionize_stream(stream, gap_minutes=30), "session_test", "append"
+        sessionize_stream(stream, gap_minutes=30), "session_test", "append",
+        # processAllAvailable never settles while processing-time
+        # timers are pending — the watchdog IS the exit path here.
+        timeout_sec=30,
     )
     # closed sessions only: user 1's first session closes when e3 arrives.
     rows = result.collect()

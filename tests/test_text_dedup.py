@@ -105,3 +105,42 @@ def test_token_jaccard(docs):
     assert pairs[(0, 1)] == 1.0  # same token set
     assert (0, 2) in pairs  # 8 of 9 distinct tokens shared
     assert (5, 6) not in pairs
+
+
+def test_token_jaccard_df_cap(spark):
+    # Skew fixture: every doc shares the hot token "common"; only
+    # docs 0/1 share rare tokens. With max_df=3 the hot token cannot
+    # generate candidates, bounding the pair count; the surviving
+    # pair's jaccard is still computed over the FULL token sets.
+    rows = [(0, "common alpha beta gamma"),
+            (1, "common alpha beta delta"),
+            (2, "common zeta"),
+            (3, "common eta"),
+            (4, "common theta"),
+            (5, "common iota")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = token_jaccard_pairs(docs, threshold=0.0)
+    capped = token_jaccard_pairs(docs, threshold=0.0, max_df=3)
+    n_unc = uncapped.count()
+    assert n_unc == 15  # all C(6,2) pairs share "common"
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(0, 1)}  # only the rare-token pair survives
+    # full-set jaccard: |{common,alpha,beta}| / |{common,alpha,beta,gamma,delta}|
+    assert got[(0, 1)] == pytest.approx(3 / 5, abs=1e-6)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # Skew fixture: 6 identical docs collapse into one bucket per
+    # band; with max_bucket_size=4 those buckets generate no pairs,
+    # while a distinct near-dup pair in a small bucket still does.
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(6)]
+    rows += [(10, "a genuinely unique document about spark executors"),
+             (11, "a genuinely unique document about spark executor")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs)
+    buckets = lsh_buckets(sig)
+    unc = lsh_candidate_pairs(buckets).count()
+    capped = lsh_candidate_pairs(buckets, max_bucket_size=4)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert unc == 16  # C(6,2) boilerplate + (10,11)
+    assert pairs == {(10, 11)}  # hot bucket suppressed, real pair kept
