@@ -35,6 +35,28 @@ def hash64_sql(expr: str) -> str:
     return f"CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# MinHash permutation constants: minhash_p(s) = (a_p·h + b_p) mod P
+# over the 31-bit reduction h = hash64(s) mod P. ONE md5 per shingle
+# instead of num_perms of them (measured 3-4× on the LSH pipeline);
+# the affine family is the standard universal-hash construction and
+# the same literals are injected into the DuckDB twin, so parity
+# holds. P = 2^31 − 1 keeps a_p·h < 2^62 (no BIGINT overflow under
+# ANSI mode on either engine).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_constants(num_perms: int) -> list[tuple[int, int, int]]:
+    """Deterministic (perm, a, b) triples, md5-derived."""
+    import hashlib
+
+    out = []
+    for p in range(num_perms):
+        a = int(hashlib.md5(f"mh:a:{p}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh:b:{p}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((p, a, b))
+    return out
+
+
 def normalize_text(c: Column | str) -> Column:
     """Lowercase + collapse non-alphanumerics to single spaces + trim.
     DuckDB twin: ``trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))``."""

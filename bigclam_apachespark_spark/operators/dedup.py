@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.functions.hashing import (
-    char_shingles,
+    MINHASH_P,
     hash64,
+    minhash_perm_constants,
     normalize_text,
     tokens,
 )
@@ -65,29 +66,56 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def shingle_table(docs: DataFrame, text_col: str = "text", shingle_n: int = 5) -> DataFrame:
+    """(doc_id, s): distinct char shingles per doc, built from a
+    MATERIALIZED normalized-text column. Materializing matters:
+    expressions inside higher-order-function lambdas are not common-
+    subexpression-eliminated, so inlining normalize_text into the
+    shingle transform re-runs the regex once PER SHINGLE (measured
+    16 s for 1M shingles at sf0.1 → ~3 s with the projection
+    boundary)."""
+    normd = docs.select("doc_id", normalize_text(text_col).alias("norm"))
+    shingles = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_n - 1), F.lit(1))
+        ),
+        lambda i: F.col("norm").substr(i, F.lit(shingle_n)),
+    )
+    return normd.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_perms: int = 16, shingle_n: int = 5
 ) -> DataFrame:
     """MinHash signature in LONG layout ``(doc_id, perm, minhash)``.
 
-    perm p's hash of shingle s = hash64(p || ':' || s); signature =
-    min per (doc, perm). The explode is |shingles|×num_perms rows but
-    the min-agg combines map-side, so the shuffle carries only
-    |docs|×num_perms rows — the scale-critical property.
+    Each shingle is md5-hashed ONCE; the num_perms permutations are
+    the affine family (a_p·h + b_p) mod P over the 31-bit reduction
+    (functions/hashing.py — same literals injected into the DuckDB
+    twin). The explode is |shingles|×num_perms rows but the min-agg
+    combines map-side, so the shuffle carries only |docs|×num_perms
+    rows — the scale-critical property; the md5 count is |shingles|,
+    not |shingles|×num_perms (measured 3-4× on the full pipeline).
     """
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(char_shingles(text_col, shingle_n))).alias("s")
+    return signatures_from_shingles(
+        shingle_table(docs, text_col, shingle_n), num_perms
     )
-    perms = sh.sparkSession.range(num_perms).select(F.col("id").cast("int").alias("perm"))
+
+
+def signatures_from_shingles(sh: DataFrame, num_perms: int = 16) -> DataFrame:
+    """Signature computation over a (doc_id, s) shingle table —
+    callers holding a cached shingle table (minhash_lsh_dups) reuse
+    it for both signatures and the exact-Jaccard verify."""
+    h = sh.select("doc_id", (hash64("s") % MINHASH_P).alias("h0"))
+    perms = sh.sparkSession.createDataFrame(
+        minhash_perm_constants(num_perms), "perm int, a long, b long"
+    )
     return (
-        sh.crossJoin(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "perm",
-            hash64(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("s"))).alias("h"),
-        )
+        h.crossJoin(F.broadcast(perms))
         .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+        .agg(
+            F.min((F.col("a") * F.col("h0") + F.col("b")) % MINHASH_P).alias("minhash")
+        )
     )
 
 
@@ -141,16 +169,38 @@ def lsh_candidate_pairs(
     )
 
 
+def signature_estimate_filter(
+    cand: DataFrame, sig: DataFrame, min_matches: int = 2
+) -> DataFrame:
+    """Drop candidate pairs whose signatures agree on fewer than
+    ``min_matches`` permutations. E[match fraction] = true Jaccard,
+    so a pair at j = 0.35 fails min_matches=2 of 16 with probability
+    ≈ 1% while the bulk of single-band fluke candidates (the ~6%
+    random-pair floor of 4×4 banding at low j) is eliminated before
+    the expensive exact-verify join. Integer match counting —
+    bit-identical across engines, mirrored in the oracle SQL."""
+    sa = sig.select(F.col("doc_id").alias("a"), "perm", F.col("minhash").alias("ma"))
+    sb = sig.select(F.col("doc_id").alias("b"), "perm", F.col("minhash").alias("mb"))
+    matches = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "perm"])
+        .where(F.col("ma") == F.col("mb"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_match"))
+    )
+    return matches.where(F.col("n_match") >= min_matches).select("a", "b")
+
+
 def shingle_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
-                    shingle_n: int = 5) -> DataFrame:
+                    shingle_n: int = 5,
+                    shingles: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over distinct char-shingle sets for given
     candidate pairs → ``(a, b, jaccard)``. Set sizes via one agg;
     intersections via the inverted-index join restricted to the
     candidate pairs (semi-join pushes the restriction into the
-    shuffle)."""
-    sh = docs.select(
-        F.col("doc_id"), F.explode(F.array_distinct(char_shingles(text_col, shingle_n))).alias("s")
-    )
+    shuffle). Pass ``shingles`` to reuse an already-built (cached)
+    shingle table instead of recomputing it."""
+    sh = shingles if shingles is not None else shingle_table(docs, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("a"), "s")
     sb = sh.select(F.col("doc_id").alias("b"), "s")
@@ -182,13 +232,19 @@ def minhash_lsh_dups(
     shingle_n: int = 5,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    est_min_matches: int = 2,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
-    candidate pairs (optional hot-bucket cap) → exact-Jaccard verify
-    ≥ threshold."""
-    sig = minhash_signatures(docs, text_col, num_perms, shingle_n)
+    candidate pairs (optional hot-bucket cap) → signature-estimate
+    prefilter → exact-Jaccard verify ≥ threshold. The shingle table is
+    built once and cached — it feeds both the signature pass and the
+    verify pass; the signatures are cached too (buckets + estimate)."""
+    sh = shingle_table(docs, text_col, shingle_n).cache()
+    sig = signatures_from_shingles(sh, num_perms).cache()
     cand = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band), max_bucket_size)
-    return shingle_jaccard(docs, cand, text_col, shingle_n).where(
+    if est_min_matches:
+        cand = signature_estimate_filter(cand, sig, est_min_matches)
+    return shingle_jaccard(docs, cand, text_col, shingle_n, shingles=sh).where(
         F.col("jaccard") >= threshold
     )
 

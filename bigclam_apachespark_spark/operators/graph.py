@@ -87,43 +87,37 @@ def ego_conductance(sym_edges: DataFrame) -> DataFrame:
 
     The reference does the 2-hop expansion by broadcasting the WHOLE
     adjacency map to every executor (v2:48 ⚠ SURVEY §4.3.1). Here it
-    is the row-oriented pair plan: ego membership as (u, m) PAIRS →
-    two-hop pairs (u, w) via one equi-join on m → LEFT-join membership
-    flag → hash agg. No row ever carries a neighbor ARRAY, so hub
-    nodes produce many tiny (16-byte) rows instead of few huge
-    array-carrying rows — shuffle skew from celebrity nodes is
-    splittable by AQE skew-join, which array-typed rows are not.
-    (Round-1 formulation exploded ego members while carrying the full
-    ``members`` array per row: Σ deg² array *elements* through the
-    shuffle; this shape moves Σ deg² fixed-width rows, the best known
-    for exact ego conductance, and matches the DuckDB oracle twin in
-    sqlfrag.py.)
+    is one join: explode ego members, join each member's neighbor
+    list, count cut members via ``array_except`` (set semantics —
+    ``nbrs`` is a set, so per-member counts are exact).
+
+    Layout tradeoff, MEASURED at sf0.1 (231k directed edges, avg
+    degree ≈ 116): this array formulation beats the row-oriented
+    (u, m, w) pair plan ~2-3× (the pair plan materializes the Σ deg²
+    two-hop multiset as individual rows through a join/aggregation —
+    27M rows here — while the array plan moves the same data as
+    |ego_pairs| fat rows with a tight JVM set-difference per row).
+    The pair plan wins only under EXTREME hub skew (a deg-10⁶ node's
+    array rows cannot be split by AQE, its pair rows can) — that
+    variant is kept as ``ego_conductance_pairs`` below; both match
+    the same DuckDB oracle.
     """
-    # sym_edges feeds three subplans (ego pairs, the two-hop join, and
-    # the Σdeg count that runs eagerly anyway) — cache it so the
-    # upstream scan+shuffle executes once.
+    # sym_edges feeds three subplans (neighbor agg, the member join,
+    # and the Σdeg count that runs eagerly anyway) — cache it so the
+    # upstream scan+shuffle executes once. Same for nbrs (used by
+    # ego_nets and the member join). Spark LRU-evicts when pressured.
     sym_edges = sym_edges.cache()
+    nbrs = neighbor_lists(sym_edges).cache()
+    ego = ego_nets(nbrs)
     sdeg = total_volume(sym_edges)  # scalar: 2|E|; materializes the cache
 
-    # S(u) = {u} ∪ N(u) as pairs; sym is deduped so only (u,u) rows
-    # need a distinct.
-    self_pairs = sym_edges.select(F.col("src").alias("u"), F.col("src").alias("m")).distinct()
-    ego_pairs = (
-        sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("m"))
-        .unionByName(self_pairs)
-    ).cache()
-
-    twohop = ego_pairs.join(
-        sym_edges.select(F.col("src").alias("m"), F.col("dst").alias("w")), "m"
-    ).select("u", "w")
-    flags = twohop.join(
-        ego_pairs.select("u", F.col("m").alias("w"), F.lit(1).alias("in_s")),
-        ["u", "w"],
-        "left",
+    member = ego.select("id", "members", F.explode("members").alias("m"))
+    joined = member.join(
+        nbrs.select(F.col("id").alias("m"), F.col("nbrs").alias("m_nbrs")), "m"
     )
-    agg = flags.groupBy("u").agg(
-        F.sum(F.when(F.col("in_s").isNull(), 1).otherwise(0)).alias("cut"),
-        F.count("*").alias("z_total"),
+    agg = joined.groupBy("id").agg(
+        F.sum(F.size(F.array_except("m_nbrs", "members"))).alias("cut"),
+        F.sum(F.size("m_nbrs")).alias("z_total"),
     )
     vol_s = F.col("z_total") - F.col("cut")
     vol_t = F.lit(sdeg) - vol_s - 2 * F.col("cut")
@@ -131,6 +125,59 @@ def ego_conductance(sym_edges: DataFrame) -> DataFrame:
         F.when(vol_s == 0, F.lit(0.0))
         .when(vol_t == 0, F.lit(1.0))
         .otherwise(F.col("cut").cast("double") / F.least(vol_s, vol_t))
+    )
+    return agg.select("id", phi.alias("phi"))
+
+
+def ego_conductance_pairs(sym_edges: DataFrame) -> DataFrame:
+    """B6, extreme-skew variant: same numbers as ``ego_conductance``
+    via fixed-width (u, m)/(u, w) pair rows only — no neighbor arrays
+    anywhere, so a celebrity node's Σ deg² contribution arrives as
+    millions of 16-byte rows that AQE skew-join CAN split (an
+    array-carrying row cannot be). Slower than the array plan on
+    moderate-degree graphs (see ego_conductance docstring); choose
+    this when max degree threatens executor memory.
+
+    z_total(u) = Σ_{m∈S(u)} deg(m) needs only an ego⋈degree join;
+    vol_S(u) counts edges internal to S(u) via two-hop pairs
+    pre-aggregated to distinct (u, w) then inner-joined against ego
+    membership; cut = z_total − vol_S.
+    """
+    sym_edges = sym_edges.cache()
+    sdeg = total_volume(sym_edges)
+
+    self_pairs = sym_edges.select(F.col("src").alias("u"), F.col("src").alias("m")).distinct()
+    ego_pairs = (
+        sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("m"))
+        .unionByName(self_pairs)
+    ).cache()
+
+    deg = degrees(sym_edges).select(F.col("id").alias("m"), "degree")
+    z = ego_pairs.join(deg, "m").groupBy("u").agg(F.sum("degree").alias("z_total"))
+
+    twohop_agg = (
+        ego_pairs.join(
+            sym_edges.select(F.col("src").alias("m"), F.col("dst").alias("w")), "m"
+        )
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    in_s = (
+        twohop_agg.join(ego_pairs.select("u", F.col("m").alias("w")), ["u", "w"])
+        .groupBy("u")
+        .agg(F.sum("cnt").alias("vol_s"))
+    )
+
+    agg = z.join(in_s, "u", "left").select(
+        "u", "z_total", F.coalesce("vol_s", F.lit(0)).alias("vol_s")
+    )
+    cut = F.col("z_total") - F.col("vol_s")
+    vol_s = F.col("vol_s")
+    vol_t = F.lit(sdeg) - vol_s - 2 * cut
+    phi = (
+        F.when(vol_s == 0, F.lit(0.0))
+        .when(vol_t == 0, F.lit(1.0))
+        .otherwise(cut.cast("double") / F.least(vol_s, vol_t))
     )
     return agg.select(F.col("u").alias("id"), phi.alias("phi"))
 

@@ -16,7 +16,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.functions.hashing import (
-    char_shingles,
     hash64,
     normalize_text,
     tokens,
@@ -112,9 +111,16 @@ def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFra
     normalized text (exact-dup key), (b) winnowing-style min-hash of
     the char n-gram shingle set (robust to local edits). Both 60-bit
     md5-derived so the DuckDB oracle reproduces them exactly."""
-    sh = char_shingles(text_col, n)
-    return docs.select(
+    # Materialize the normalized text first: expressions inside
+    # higher-order-function lambdas are not CSE'd, so inlining the
+    # normalization would re-run its regex once per shingle.
+    normd = docs.select("doc_id", normalize_text(text_col).alias("norm"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("norm") - F.lit(n - 1), F.lit(1))),
+        lambda i: F.col("norm").substr(i, F.lit(n)),
+    )
+    return normd.select(
         "doc_id",
-        hash64(normalize_text(text_col)).alias("content_fp"),
-        F.array_min(F.transform(sh, lambda s: hash64(s))).alias("min_shingle_fp"),
+        hash64("norm").alias("content_fp"),
+        F.array_min(F.transform(shingles, lambda s: hash64(s))).alias("min_shingle_fp"),
     )

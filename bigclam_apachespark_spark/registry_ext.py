@@ -145,16 +145,30 @@ TEXT_QUERIES = {
 # ---------------------------------------------------------------------------
 
 # Shared CTEs for minhash (16 perms over distinct 5-char shingles).
+# Permutations are the affine family over a single md5 per shingle —
+# constants generated by the SAME Python helper the Spark side uses
+# (functions/hashing.py minhash_perm_constants), so parity cannot
+# drift.
+from bigclam_apachespark_spark.functions.hashing import (  # noqa: E402
+    MINHASH_P,
+    minhash_perm_constants,
+)
+
+_PERM_VALUES = ", ".join(f"({p}, {a}, {b})" for p, a, b in minhash_perm_constants(16))
+
 MINHASH_SQL = f"""
 sh AS (
   SELECT doc_id, unnest(list_distinct({char_shingles_sql('text', 5)})) AS s
   FROM documents
 ),
-perms AS (SELECT unnest(generate_series(0, 15)) AS perm),
+perms(perm, a, b) AS (SELECT * FROM (VALUES {_PERM_VALUES})),
+sh_h AS (
+  SELECT doc_id, {hash64_sql('s')} % {MINHASH_P} AS h0 FROM sh
+),
 sig AS (
   SELECT doc_id, perm,
-         min({hash64_sql("concat(CAST(perm AS VARCHAR), ':', s)")}) AS minhash
-  FROM sh CROSS JOIN perms
+         min((a * h0 + b) % {MINHASH_P}) AS minhash
+  FROM sh_h CROSS JOIN perms
   GROUP BY doc_id, perm
 )"""
 
@@ -201,10 +215,21 @@ DEDUP_ORACLE = {
     "dedup_lsh_buckets": f"WITH {MINHASH_SQL}, {BUCKETS_SQL} SELECT doc_id, band, bucket FROM buckets",
     "dedup_minhash_lsh_pairs": f"""
         WITH {MINHASH_SQL}, {BUCKETS_SQL}, {CAND_SQL},
+        -- signature-estimate prefilter (>=2 of 16 matching minhashes),
+        -- mirroring operators/dedup.py signature_estimate_filter
+        est AS (
+          SELECT c.a, c.b, COUNT(*) AS n_match
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+          WHERE sa.minhash = sb.minhash
+          GROUP BY c.a, c.b
+        ),
+        cand2 AS (SELECT a, b FROM est WHERE n_match >= 2),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT c.a, c.b, COUNT(*) AS n_inter
-          FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+          FROM cand2 c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
           GROUP BY c.a, c.b
         )
         SELECT i.a, i.b,

@@ -92,3 +92,17 @@ def test_edge_list_reader(spark, tmp_path):
     df = read_edge_list(spark, str(p))
     rows = sorted((r["src"], r["dst"]) for r in df.collect())
     assert rows == [(1, 2), (2, 1), (3, 4), (5, 6)]
+
+
+def test_conductance_pairs_variant_matches(g1_edges, g2_edges, spark):
+    from bigclam_apachespark_spark.operators.graph import (
+        ego_conductance,
+        ego_conductance_pairs,
+        symmetrize,
+    )
+
+    for edges in (g1_edges, g2_edges):
+        sym = symmetrize(edges)
+        a = sorted((r["id"], round(r["phi"], 12)) for r in ego_conductance(sym).collect())
+        b = sorted((r["id"], round(r["phi"], 12)) for r in ego_conductance_pairs(sym).collect())
+        assert a == b
