@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.operators import graph as G
-from bigclam_apachespark_spark.sources import copurchase_edges, customer_supplier_edges
+from bigclam_apachespark_spark.sources import (
+    copurchase_edges,
+    customer_supplier_edges,
+    edges_from_pairs,
+    read_edge_list,
+)
 from bigclam_apachespark_spark.sqlfrag import (
     CONDUCTANCE_SQL,
     EDGES_CS_SQL,
@@ -43,6 +48,32 @@ def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_copurchase_edges(spark, sf_dir):
     """A1-analog source derivation: co-purchase part graph."""
     return copurchase_edges(spark, sf_dir)
+
+
+# The reference's own shipped dataset (codes/Bigclamv2.scala:14 loads
+# edge-list text via GraphLoader.edgeListFile). facebook_combined is
+# space-separated with no comments; the '#'-comment + CRLF + tab path
+# (Email-Enron) is covered by tests/test_graph.py unit fixtures.
+FACEBOOK_EDGES = "/root/reference/data/facebook_combined.txt"
+
+# A2 fixture pairs (FIXTURES.md §2: two 4-cliques + bridge).
+G1_PAIRS = [
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),
+    (3, 4),
+]
+
+
+def q_edge_list_scan(spark, sf_dir):
+    """A1: whitespace edge-list text scan (GraphLoader.edgeListFile
+    parity) on the reference's facebook_combined dataset."""
+    return read_edge_list(spark, FACEBOOK_EDGES)
+
+
+def q_parallelize_pairs(spark, sf_dir):
+    """A2: driver-local collection → DataFrame (sc.parallelize parity,
+    reference v2:18,85,114)."""
+    return edges_from_pairs(spark, G1_PAIRS)
 
 
 def q_symmetrize(spark, sf_dir):
@@ -105,6 +136,8 @@ def q_vertex_count(spark, sf_dir):
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_copurchase_edges": q_copurchase_edges,
+    "graph_edge_list_scan": q_edge_list_scan,
+    "graph_parallelize_pairs": q_parallelize_pairs,
     "graph_symmetrize_cs": q_symmetrize,
     "graph_degrees": q_degrees,
     "graph_total_volume": q_total_volume,
@@ -118,6 +151,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "graph_copurchase_edges": f"WITH {EDGES_SQL} SELECT src, dst FROM edges_g",
+    "graph_edge_list_scan": f"""
+        SELECT src, dst FROM read_csv('{FACEBOOK_EDGES}', delim=' ',
+            header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})
+    """,
+    "graph_parallelize_pairs": (
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM (VALUES "
+        + ", ".join(f"({s}, {d})" for s, d in G1_PAIRS)
+        + ") AS t(src, dst)"
+    ),
     "graph_symmetrize_cs": f"""
         WITH {EDGES_CS_SQL}
         SELECT src, dst FROM (

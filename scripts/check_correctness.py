@@ -1,0 +1,94 @@
+"""Local rehearsal of the driver's sf0.01 correctness gate.
+
+Runs every registry query on Spark and (where present) its DuckDB
+oracle, compares row count + schema + order-insensitive values, and
+prints one JSON report. Usage:
+
+    python scripts/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+import traceback
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bigclam_apachespark_spark.registry import ORACLE, QUERIES
+from bigclam_apachespark_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = 0.0 if v == 0 else round(v, 9) if math.isfinite(v) else v
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or sorted(QUERIES)
+    spark = get_spark("correctness_check")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    report: dict[str, dict] = {}
+    for name in names:
+        t0 = time.time()
+        entry: dict = {}
+        try:
+            sdf = QUERIES[name](spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            entry["spark_rows"] = len(spark_rows)
+            if name in ORACLE:
+                res = duck.execute(ORACLE[name])
+                duck_cols = [d[0] for d in res.description]
+                duck_rows = res.fetchall()
+                entry["oracle_rows"] = len(duck_rows)
+                entry["rows_match"] = len(spark_rows) == len(duck_rows)
+                entry["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
+                ns, nd = _norm(spark_rows, spark_cols), _norm(duck_rows, duck_cols)
+                entry["hash_match"] = ns == nd
+                if not entry["hash_match"]:
+                    entry["first_mismatch"] = repr(
+                        next(((a, b) for a, b in zip(ns, nd) if a != b), None)
+                    )[:400]
+            else:
+                entry["err"] = "no_oracle"
+        except Exception:
+            entry["err"] = traceback.format_exc()[-800:]
+        entry["sec"] = round(time.time() - t0, 2)
+        report[name] = entry
+        ok = entry.get("hash_match", entry.get("err") == "no_oracle" and entry.get("spark_rows") is not None)
+        print(f"{name}: {'OK' if ok else 'FAIL'} ({entry['sec']}s)", flush=True)
+
+    out = Path(__file__).resolve().parent.parent / "CORRECTNESS_local.json"
+    out.write_text(json.dumps(report, indent=1))
+    bad = [n for n, e in report.items()
+           if e.get("err") not in (None, "no_oracle") or e.get("hash_match") is False
+           or e.get("rows_match") is False or e.get("schema_match") is False]
+    print(json.dumps({"total": len(report), "bad": bad}))
+
+
+if __name__ == "__main__":
+    main()
