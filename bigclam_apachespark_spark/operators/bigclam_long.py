@@ -116,10 +116,24 @@ def edge_stats_long(sym_edges: DataFrame, factors_long: DataFrame) -> DataFrame:
     )
 
 
-def loglikelihood_long(sym_edges: DataFrame, factors_long: DataFrame) -> float:
+def loglikelihood_long(
+    sym_edges: DataFrame,
+    factors_long: DataFrame,
+    es: DataFrame | None = None,
+    sumf: DataFrame | None = None,
+) -> float:
     """F1 via the Σ-trick, all scalars assembled in one driver pass:
-    L = Σ_edges (log(1−p̂)+dot) − sumF·sumF + Σ‖fu‖²."""
-    es = edge_stats_long(sym_edges, factors_long)
+    L = Σ_edges (log(1−p̂)+dot) − sumF·sumF + Σ‖fu‖².
+
+    Pass ``es`` (a checkpointed ``edge_stats_long`` of the SAME
+    factors) and ``sumf`` to reuse them — the fit loop computes edge
+    stats ONCE per generation and shares it across LLH, gradient, and
+    line search (the SpGEMM-shaped dot join is the dominant iteration
+    cost; recomputing it per consumer measured ~4× per iteration)."""
+    if es is None:
+        es = edge_stats_long(sym_edges, factors_long)
+    if sumf is None:
+        sumf = sum_f_long(factors_long)
     edge_term = es.agg(
         F.sum(F.log(1.0 - F.col("p")) + F.col("dot")).alias("s")
     ).collect()[0]["s"] or 0.0
@@ -127,21 +141,23 @@ def loglikelihood_long(sym_edges: DataFrame, factors_long: DataFrame) -> float:
         "sq"
     ] or 0.0
     sf2 = (
-        sum_f_long(factors_long)
-        .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
-        .collect()[0]["s2"]
+        sumf.agg(F.sum(F.col("s") * F.col("s")).alias("s2")).collect()[0]["s2"]
         or 0.0
     )
     return float(edge_term - sf2 + sq)
 
 
 def gradient_long(
-    sym_edges: DataFrame, factors_long: DataFrame, sumf: DataFrame
+    sym_edges: DataFrame,
+    factors_long: DataFrame,
+    sumf: DataFrame,
+    es: DataFrame | None = None,
 ) -> DataFrame:
     """F2 in long layout: (node_id, k, fval, gval) at the support
     (node, k) pairs — wsum[k] > 0 or fu[k] > 0 (sparsity closure, see
     module docstring). gval = wsum − sumF[k] + fu[k]."""
-    es = edge_stats_long(sym_edges, factors_long)
+    if es is None:
+        es = edge_stats_long(sym_edges, factors_long)
     fv = factors_long.select(
         F.col("node_id").alias("dst"), "k", F.col("val").alias("vv")
     )
@@ -175,6 +191,7 @@ def line_search_updates_long(
     sumf: DataFrame,
     alpha: float = ALPHA,
     steps: list[float] | None = None,
+    es: DataFrame | None = None,
 ) -> DataFrame:
     """F3 in long layout → accepted new rows ``(node_id, k, val)`` for
     nodes with ≥1 accepted step (only non-zero vals kept — sparsity).
@@ -188,7 +205,8 @@ def line_search_updates_long(
     steps_df = spark.createDataFrame([(float(s),) for s in steps], "eta double")
 
     # Per-node scalars of the CURRENT state: llh_u and ‖grad‖².
-    es = edge_stats_long(sym_edges, factors_long)
+    if es is None:
+        es = edge_stats_long(sym_edges, factors_long)
     nbr = es.groupBy("src").agg(
         F.sum(F.log(1.0 - F.col("p")) + F.col("dot")).alias("nbr_term")
     )
@@ -334,7 +352,14 @@ def bigclam_fit_long(
 ) -> FitLongResult:
     """F5 convergence loop over the long layout — same driver-loop
     shape as bigclam_fit (checkpoint_fresh per generation, fused
-    scalar jobs), usable at K where dense arrays cannot go."""
+    scalar jobs), usable at K where dense arrays cannot go.
+
+    Per-generation sharing: ``edge_stats_long`` (the SpGEMM-shaped
+    dot join — the dominant cost) is computed ONCE per factor
+    generation, checkpointed, and consumed by the LLH scalars, the
+    gradient, and the line-search current-state terms. Before this
+    sharing the loop recomputed it ~4× per iteration (measured 242 s
+    → ~110 s for the K=64 sf0.01 smoke)."""
     import time as _time
 
     sym_edges = sym_edges.cache()
@@ -342,27 +367,32 @@ def bigclam_fit_long(
         sym_edges, k, include_self=include_self, seeds_ranked=seeds_ranked
     )
     factors = checkpoint_fresh(factors)
-    llh_old = loglikelihood_long(sym_edges, factors)
+    es = checkpoint_fresh(edge_stats_long(sym_edges, factors))
+    sumf = sum_f_long(factors).cache()
+    llh_old = loglikelihood_long(sym_edges, factors, es=es, sumf=sumf)
     history = [llh_old]
     it = 0
     for it in range(1, max_iter + 1):
         t0 = _time.perf_counter()
-        sumf = sum_f_long(factors)
-        grad = checkpoint_fresh(gradient_long(sym_edges, factors, sumf))
+        grad = checkpoint_fresh(gradient_long(sym_edges, factors, sumf, es=es))
         updates = checkpoint_fresh(
-            line_search_updates_long(sym_edges, factors, grad, sumf)
+            line_search_updates_long(sym_edges, factors, grad, sumf, es=es)
         )
         upd_nodes = updates.select("node_id").distinct()
         n_updated = upd_nodes.count()
         if n_updated == 0:
             _unpersist_ckpt(grad)
             break
-        prev = factors
+        prev, prev_es, prev_sumf = factors, es, sumf
         factors = checkpoint_fresh(apply_updates_long(factors, updates, upd_nodes))
+        es = checkpoint_fresh(edge_stats_long(sym_edges, factors))
+        sumf = sum_f_long(factors).cache()
         _unpersist_ckpt(prev)
+        _unpersist_ckpt(prev_es)
+        prev_sumf.unpersist()
         _unpersist_ckpt(grad)
         _unpersist_ckpt(updates)
-        llh_new = loglikelihood_long(sym_edges, factors)
+        llh_new = loglikelihood_long(sym_edges, factors, es=es, sumf=sumf)
         history.append(llh_new)
         if verbose:
             print(
