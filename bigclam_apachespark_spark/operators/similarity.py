@@ -130,6 +130,114 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer → ``(cell, cvec)``: the ``n_cells`` corpus
+    vectors with the smallest md5-derived sample key act as centroids
+    (a deterministic pseudo-random sample both engines reproduce
+    bit-for-bit; k-means refinement would be an orthogonal driver
+    loop and would break oracle determinism).
+
+    Scale shape: ``orderBy(...).limit(n)`` compiles to
+    TakeOrderedAndProject — a distributed per-partition top-n + driver
+    merge of n_cells rows, NOT a global sort; the row_number window
+    then ranks only the n_cells selected rows."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    keyed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hash64(F.col(id_col).cast("string")).alias("skey"),
+    )
+    cent = keyed.orderBy("skey", id_col).limit(n_cells)
+    w = Window.orderBy("skey", id_col)
+    return cent.withColumn("cell", F.row_number().over(w) - 1).select(
+        "cell", F.col(vec_col).alias("cvec")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-file assignment → ``(vec_id, cell)``: nearest centroid
+    by cosine (rounded to 6 dp for cross-engine argmax stability; ties
+    → lowest cell). Centroids broadcast — the corpus never shuffles
+    for the scoring; the argmax is a per-vector window over n_cells
+    scored rows."""
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        "cell",
+        F.round(_cos(F.col(vec_col), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos_sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k → ``(q, vec_id, rank, cos_sim)``: score
+    only vectors assigned to the query's ``nprobe`` closest cells.
+
+    The 100-TB shape: the corpus is scanned once for assignment (a
+    narrow broadcast-scored map + per-vector argmax), then candidate
+    scoring joins corpus rows against the (tiny, broadcast) probe
+    list on the cell key — expected candidate volume is
+    |Q| · nprobe/n_cells · |N|, against the brute-force |Q| · |N|. In
+    a persisted deployment the assignment is written bucketed by
+    ``cell`` so probes prune at the scan."""
+    from pyspark.sql import Window
+
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cent, id_col, vec_col)
+    corpus = embeddings.join(assign, id_col)
+
+    qscored = queries.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).alias("q"),
+        F.col(vec_col).alias("qvec"),
+        "cell",
+        F.round(_cos(F.col(vec_col), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    wq = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col("cell"))
+    probes = (
+        qscored.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("q", "qvec", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("q") != F.col(id_col))
+        .select("q", id_col, F.round(_cos("qvec", vec_col), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", id_col, "rank", "cos_sim")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

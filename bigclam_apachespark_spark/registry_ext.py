@@ -321,7 +321,60 @@ vb AS (
   GROUP BY e.vec_id
 )"""
 
+# IVF fragments: deterministic md5-sample centroids → nearest-cell
+# assignment → nprobe probing. Constants (16 cells, 4 probes, top-5,
+# queries vec_id < 10) mirror SIM_QUERIES["sim_ivf_topk"].
+_IVF_COS_EC = """
+round(list_dot_product(e.emb, c.cvec)
+ / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
+"""
+
+IVF_SQL = f"""
+keyed AS (
+  SELECT vec_id, emb, {hash64_sql('CAST(vec_id AS VARCHAR)')} AS skey FROM emb
+),
+cent AS (
+  SELECT rn - 1 AS cell, emb AS cvec FROM (
+    SELECT emb, ROW_NUMBER() OVER (ORDER BY skey, vec_id) AS rn FROM keyed
+  ) WHERE rn <= 16
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS_EC} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q, cell FROM (
+    SELECT e.vec_id AS q, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS_EC} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN cent c WHERE e.vec_id < 10
+  ) WHERE rn <= 4
+)"""
+
 SIM_ORACLE = {
+    "sim_ivf_topk": f"""
+        WITH {EMB_SQL}, {IVF_SQL},
+        scored AS (
+          SELECT p.q, a.vec_id,
+                 round(list_dot_product(qe.emb, a.emb)
+                  / (sqrt(list_dot_product(qe.emb, qe.emb))
+                     * sqrt(list_dot_product(a.emb, a.emb))), 6) AS cos_sim
+          FROM probes p
+          JOIN assign s ON s.cell = p.cell
+          JOIN emb a ON a.vec_id = s.vec_id
+          JOIN emb qe ON qe.vec_id = p.q
+          WHERE a.vec_id <> p.q
+        )
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+          SELECT q, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
     "sim_topk_brute": f"""
         WITH {EMB_SQL},
         scored AS (
@@ -355,6 +408,9 @@ SIM_ORACLE = {
 }
 
 SIM_QUERIES = {
+    "sim_ivf_topk": lambda spark, sf: S.ivf_topk(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
+    ),
     "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5
     ),
@@ -442,6 +498,33 @@ def _q_stream_tumbling(spark, sf):
     return run_stream_to_memory(windowed_counts_stream(stream, "1 hour"), name, "complete")
 
 
+def _q_stream_sessionize(spark, sf):
+    """Custom stateful streaming operator (rows-only: per-user session
+    state via applyInPandasWithState has no SQL twin — the driver's
+    weaker ≥0-rows check applies; batch sessionize IS oracle-checked
+    as events_sessionize). Replays the events table through the
+    file-source; sessions closed by an in-stream gap are emitted in
+    the replay batch, each user's final open session stays in the
+    state store (processing-time timeout would flush it later)."""
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_stream_to_memory(
+        sessionize_stream(stream, gap_minutes=30),
+        "stream_sessionize_oracle",
+        "append",
+        # The processing-time-timeout evictions keep scheduling
+        # batches, so processAllAvailable blocks until the watchdog —
+        # 60 s covers the replay batch (~25 s at sf0.01) with margin
+        # while bounding the driver-gate cost of a rows-only entry.
+        timeout_sec=60.0,
+    )
+
+
 EVENT_QUERIES = {
     "events_tumbling": lambda spark, sf: E.tumbling_window_agg(_events(spark, sf)),
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
@@ -449,6 +532,7 @@ EVENT_QUERIES = {
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
     "events_stream_tumbling": _q_stream_tumbling,
+    "events_stream_sessionize": _q_stream_sessionize,  # rows-only (stateful)
 }
 
 # ---------------------------------------------------------------------------

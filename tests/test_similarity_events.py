@@ -24,6 +24,9 @@ from bigclam_apachespark_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
     hyperplane_buckets,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -39,6 +42,26 @@ VECS = [
 @pytest.fixture(scope="module")
 def vecs(spark):
     return spark.createDataFrame(VECS, "vec_id long, embedding array<double>").cache()
+
+
+def test_ivf(vecs):
+    cent = ivf_centroids(vecs, n_cells=2, vec_col="embedding")
+    assert cent.count() == 2
+    assert {r["cell"] for r in cent.collect()} == {0, 1}
+    assign = ivf_assign(vecs, cent, vec_col="embedding")
+    # Every vector gets exactly one cell, all cells in range.
+    rows = assign.collect()
+    assert len(rows) == len(VECS)
+    assert all(0 <= r["cell"] < 2 for r in rows)
+    # With nprobe = n_cells IVF degenerates to brute force — identical
+    # ranking (the recall guarantee at full probe width).
+    q = vecs.where(F.col("vec_id") == 0)
+    full = ivf_topk(vecs, q, k=2, n_cells=2, nprobe=2, vec_col="embedding")
+    brute = brute_force_topk(vecs, q, k=2, vec_col="embedding")
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+    # Probing 1 of 2 cells returns a subset of the corpus ranking.
+    part = ivf_topk(vecs, q, k=2, n_cells=2, nprobe=1, vec_col="embedding")
+    assert part.count() <= 2
 
 
 def test_brute_force_topk(vecs):
