@@ -555,8 +555,57 @@ def _q_media_features(spark, sf):
     )
 
 
+def _q_media_stats(spark, sf):
+    """Binary-column metadata stats, ORACLE-CHECKED: Spark measures
+    the ACTUAL payload byte length (length() on the binary column);
+    the DuckDB twin derives the expected sizes independently from the
+    synthetic generator's closed form (payload = 32-byte sha256 digest
+    × (4 + i%7) repeats; kind cycles image/audio/video) — a genuine
+    cross-check that binary payloads survive the Arrow/JVM boundary
+    intact."""
+    from bigclam_apachespark_spark.operators.multimodal import synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.sum(F.coalesce(F.col("width") * F.col("height"), F.lit(0))).alias("total_px"),
+    )
+
+
+def _q_frame_sample(spark, sf):
+    """Video frame-sampling fan-out (explode over typed metadata),
+    ORACLE-CHECKED against an independent generate_series formulation."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    return frame_sample_plan(synthetic_media(spark, n=64), every_n=4)
+
+
+MULTIMODAL_ORACLE = {
+    # Generator closed form: i in 0..63; kind = [image,audio,video][i%3];
+    # payload bytes = 32·(4 + i%7); width×height = 32·24 for image/video.
+    "multimodal_media_stats": """
+        SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               COUNT(*) AS n_media,
+               SUM(32 * (4 + i % 7)) AS total_bytes,
+               SUM(CASE WHEN i % 3 IN (0, 2) THEN 32 * 24 ELSE 0 END) AS total_px
+        FROM generate_series(0, 63) t(i)
+        GROUP BY 1
+    """,
+    "multimodal_frame_sample": """
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx
+        FROM (SELECT i AS media_id FROM generate_series(0, 63) t(i) WHERE i % 3 = 2)
+        CROSS JOIN (SELECT unnest([0, 4, 8]) AS frame_idx)
+    """,
+}
+
 MULTIMODAL_QUERIES = {
     "multimodal_media_features": _q_media_features,
+    "multimodal_media_stats": _q_media_stats,
+    "multimodal_frame_sample": _q_frame_sample,
 }
 
 EXT_QUERIES = {
@@ -566,4 +615,10 @@ EXT_QUERIES = {
     **EVENT_QUERIES,
     **MULTIMODAL_QUERIES,
 }
-EXT_ORACLE = {**TEXT_ORACLE, **DEDUP_ORACLE, **SIM_ORACLE, **EVENT_ORACLE}
+EXT_ORACLE = {
+    **TEXT_ORACLE,
+    **DEDUP_ORACLE,
+    **SIM_ORACLE,
+    **EVENT_ORACLE,
+    **MULTIMODAL_ORACLE,
+}
