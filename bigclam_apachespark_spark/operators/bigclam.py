@@ -437,14 +437,18 @@ def bigclam_fit(
 
     Per-iteration job structure (round 1 ran ~6 multi-stage shuffle
     pipelines per iteration and leaked every intermediate checkpoint —
-    disqualifying overhead): gradient-state checkpoint → line-search
+    disqualifying overhead): gradient-state checkpoint → ONE tiny agg
+    over the checkpointed state for the LLH (Σ llh_u over the state's
+    per-node terms equals edge_term − sumF·sumF + Σ‖fu‖² exactly —
+    the gradient join already computed every per-node piece, so the
+    separate edge-LLH join job is eliminated) → line-search
     checkpoint → count (trivial scan of the checkpointed blocks, no
     recompute — replaces round 1's separate ``isEmpty``) → anti∪new
-    factor rewrite → ONE fused stats agg (sumF + Σ‖fu‖² in a single
-    posexplode pass) → ONE global edge-term agg. LLH assembles on the
-    driver as  edge_term − sumF·sumF + Σ‖fu‖²  (Σ_u fu·sumF =
-    sumF·sumF), eliminating round 1's per-node LLH regroup + join.
-    Every checkpoint generation is unpersisted when superseded.
+    factor rewrite → sumF collect. The LLH of a new factor generation
+    is observed at the TOP of the next iteration (same comparisons as
+    the reference's post-update check, evaluated lazily); only a
+    max_iter exhaustion pays one final standalone LLH job. Every
+    checkpoint generation is unpersisted when superseded.
     """
 
     def _self_dot(xs: list[float]) -> float:
@@ -455,42 +459,54 @@ def bigclam_fit(
         sym_edges, k, seed=seed, include_self=include_self, seeds_ranked=seeds_ranked
     )
     factors = checkpoint_fresh(factors)
-    sumf, fufu = sum_f_and_sq(factors)
-    llh_old = edge_llh_term(sym_edges, factors) - _self_dot(sumf) + fufu
-    history = [llh_old]
+    sumf = sum_f(factors)
+    llh_old: float | None = None
+    history: list[float] = []
 
     import time as _time
 
     it = 0
+    converged = False
     for it in range(1, max_iter + 1):
         t0 = _time.perf_counter()
         state = checkpoint_fresh(gradient_state(sym_edges, factors, sumf))
+        row = state.agg(F.sum("llh_u").alias("llh")).collect()[0]
+        llh_new = float(row["llh"]) if row["llh"] is not None else 0.0
+        history.append(llh_new)
+        if verbose:
+            print(
+                f"[bigclam_fit] iter={it} llh={llh_new:.6f} "
+                f"rel={abs(1.0 - llh_new / llh_old) if llh_old else float('nan'):.3e} "
+                f"wall={_time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+        if llh_old is not None and llh_old != 0 and abs(1.0 - llh_new / llh_old) < tol:
+            llh_old = llh_new
+            _unpersist_ckpt(state)
+            converged = True
+            break
+        llh_old = llh_new
         updates = checkpoint_fresh(
             line_search_updates(sym_edges, factors, state, sumf, checkpoint_state=False)
         )
         n_updated = updates.count()
         if n_updated == 0:
             _unpersist_ckpt(state)
+            _unpersist_ckpt(updates)
+            converged = True
             break
         prev = factors
         factors = checkpoint_fresh(apply_updates(factors, updates))
         _unpersist_ckpt(prev)
         _unpersist_ckpt(state)
         _unpersist_ckpt(updates)
-        sumf, fufu = sum_f_and_sq(factors)
-        llh_new = edge_llh_term(sym_edges, factors) - _self_dot(sumf) + fufu
-        history.append(llh_new)
-        if verbose:
-            print(
-                f"[bigclam_fit] iter={it} llh={llh_new:.6f} n_upd={n_updated} "
-                f"rel={abs(1.0 - llh_new / llh_old) if llh_old else float('nan'):.3e} "
-                f"wall={_time.perf_counter() - t0:.2f}s",
-                flush=True,
-            )
-        if llh_old != 0 and abs(1.0 - llh_new / llh_old) < tol:
-            llh_old = llh_new
-            break
-        llh_old = llh_new
+        sumf = sum_f(factors)
+    if not converged:
+        # max_iter exhausted right after applying an update: one final
+        # LLH job for the returned generation.
+        sumf_sq, fufu = sum_f_and_sq(factors)
+        llh_old = edge_llh_term(sym_edges, factors) - _self_dot(sumf_sq) + fufu
+        history.append(llh_old)
     return FitResult(factors=factors, sumf=sumf, llh=llh_old, iterations=it, history=history)
 
 
