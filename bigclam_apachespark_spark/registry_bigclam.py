@@ -74,12 +74,6 @@ sumf AS (SELECT k, SUM(val) AS s FROM factors_long GROUP BY k)
 """
 
 
-def _with_base(*parts: str) -> str:
-    return "WITH " + ", ".join(
-        p.strip().removeprefix("WITH").strip() for p in parts
-    )
-
-
 BIGCLAM_ORACLE = {
     # C5: column sums of F.
     "bigclam_sumf": f"""

@@ -393,6 +393,24 @@ SIM_ORACLE = {
         WITH {EMB_SQL}, {_planes_sql(8)}, {BUCKETS64_SQL}
         SELECT vec_id, bucket FROM vb
     """,
+    "sim_lsh_topk": f"""
+        WITH {EMB_SQL}, {_planes_sql(8)}, {BUCKETS64_SQL},
+        scored AS (
+          SELECT qb.vec_id AS q, cb.vec_id,
+                 round({_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')}, 6)
+                   AS cos_sim
+          FROM vb qb
+          JOIN vb cb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+          JOIN emb ea ON ea.vec_id = cb.vec_id
+          JOIN emb eb ON eb.vec_id = qb.vec_id
+          WHERE qb.vec_id < 10
+        )
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+          SELECT q, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
     "sim_cosine_near_dups": f"""
         WITH {EMB_SQL}, {_planes_sql(4)}, {BUCKETS64_SQL},
         joined AS (
@@ -415,6 +433,9 @@ SIM_QUERIES = {
         _emb(spark, sf), _queries_subset(spark, sf), k=5
     ),
     "sim_hyperplane_buckets": lambda spark, sf: S.hyperplane_buckets(_emb(spark, sf)),
+    "sim_lsh_topk": lambda spark, sf: S.lsh_topk(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=8
+    ),
     "sim_cosine_near_dups": lambda spark, sf: S.cosine_near_dup_pairs(
         _emb(spark, sf), threshold=0.35, n_planes=4
     ),
