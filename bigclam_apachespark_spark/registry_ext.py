@@ -255,6 +255,13 @@ DEDUP_ORACLE = {
         )
         SELECT a, b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 2
     """,
+    # Streaming replay of exact dedup: the watermark-free
+    # dropDuplicates stream must emit exactly the distinct
+    # fingerprint set the batch computes.
+    "dedup_stream_exact": f"""
+        SELECT DISTINCT {hash64_sql(normalize_text_sql('text'))} AS content_fp
+        FROM documents
+    """,
     "dedup_token_jaccard": f"""
         WITH tok AS (
           SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS t FROM documents
@@ -272,8 +279,22 @@ DEDUP_ORACLE = {
     """,
 }
 
+def _q_dedup_stream(spark, sf):
+    from bigclam_apachespark_spark.streaming import (
+        dedup_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_documents_stream(spark, f"{sf}/documents.parquet")
+    return run_stream_to_memory(
+        dedup_stream(stream), "dedup_stream_exact_sink", "append"
+    )
+
+
 DEDUP_QUERIES = {
     "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
+    "dedup_stream_exact": _q_dedup_stream,
     "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)),
     "dedup_lsh_buckets": lambda spark, sf: D.lsh_buckets(D.minhash_signatures(_docs(spark, sf))),
     "dedup_minhash_lsh_pairs": lambda spark, sf: D.minhash_lsh_dups(

@@ -4,10 +4,16 @@ from bigclam_apachespark_spark.streaming.events_stream import (
     sessionize_stream,
     run_stream_to_memory,
 )
+from bigclam_apachespark_spark.streaming.docs_stream import (
+    read_documents_stream,
+    dedup_stream,
+)
 
 __all__ = [
     "read_events_stream",
     "windowed_counts_stream",
     "sessionize_stream",
     "run_stream_to_memory",
+    "read_documents_stream",
+    "dedup_stream",
 ]

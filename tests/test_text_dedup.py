@@ -144,3 +144,36 @@ def test_lsh_hot_bucket_cap(spark):
     pairs = {(r["a"], r["b"]) for r in capped.collect()}
     assert unc == 16  # C(6,2) boilerplate + (10,11)
     assert pairs == {(10, 11)}  # hot bucket suppressed, real pair kept
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicates over a replayed file source emits
+    exactly the batch-distinct fingerprint set (exact_dedup twin)."""
+    from bigclam_apachespark_spark.functions.hashing import hash64, normalize_text
+    from bigclam_apachespark_spark.streaming import (
+        dedup_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same text"), (1, "Same   TEXT"), (2, "other"), (3, "other"), (4, "unique")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    path = str(tmp_path / "docs_parquet")
+    docs.write.parquet(path)
+    result = run_stream_to_memory(
+        dedup_stream(read_documents_stream(spark, path)),
+        "dedup_stream_test",
+        "append",
+    )
+    got = sorted(r["content_fp"] for r in result.collect())
+    want = sorted(
+        r["content_fp"]
+        for r in docs.select(hash64(normalize_text("text")).alias("content_fp"))
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) == 3
