@@ -25,6 +25,7 @@ from bigclam_apachespark_spark.functions.hashing import (
 from bigclam_apachespark_spark.operators import dedup as D
 from bigclam_apachespark_spark.operators import events as E
 from bigclam_apachespark_spark.operators import similarity as S
+from bigclam_apachespark_spark.operators import temporal as TJ
 from bigclam_apachespark_spark.operators import text as X
 from bigclam_apachespark_spark.operators.text import (
     EN_STOPWORDS,
@@ -517,6 +518,39 @@ EVENT_ORACLE = {
                COUNT(*) FILTER (event_type = 'error') AS error
         FROM events GROUP BY user_id
     """,
+    # As-of join (operators/temporal.py): the oracle states the same
+    # semantics relationally — max prior click ts per purchase, then
+    # max click_id at that ts (the deterministic tie-break the Spark
+    # union-sort applies via its (ts, tie) ordering).
+    "events_asof_attribution": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             best AS (
+               SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                      max(c.ts) AS click_ts
+               FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+               GROUP BY 1, 2, 3
+             )
+        SELECT b.purchase_id, b.user_id, b.purchase_ts, b.click_ts,
+               max(c2.event_id) AS click_id,
+               CASE WHEN b.click_ts IS NULL THEN NULL
+                    ELSE epoch_us(b.purchase_ts) - epoch_us(b.click_ts) END AS gap_us
+        FROM best b LEFT JOIN c c2
+          ON c2.user_id = b.user_id AND c2.ts = b.click_ts
+        GROUP BY 1, 2, 3, 4
+    """,
+    # Range join: closed attribution window [purchase_ts - 1h, purchase_ts].
+    "events_range_attribution": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               COUNT(c.ts) AS n_clicks,
+               round(COALESCE(SUM(c.value), 0), 6) AS sum_click_value
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
+        GROUP BY 1, 2, 3
+    """,
     # Streaming replay of the same tumbling agg — watermarked
     # Structured Streaming run must equal the batch/DuckDB answer.
     "events_stream_tumbling": """
@@ -573,6 +607,10 @@ EVENT_QUERIES = {
     "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
+    "events_asof_attribution": lambda spark, sf: TJ.click_attribution(_events(spark, sf)),
+    "events_range_attribution": lambda spark, sf: TJ.click_window_stats(
+        _events(spark, sf), window_minutes=60
+    ),
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_sessionize": _q_stream_sessionize,  # rows-only (stateful)
 }

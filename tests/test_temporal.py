@@ -1,0 +1,110 @@
+"""As-of / range join unit tests over a hand-built event fixture.
+
+Timeline (one user unless noted), times in seconds from t0:
+  u1: click#10 @0, click#11 @0 (same-ts tie), purchase#20 @0 (exact-ts
+      match allowed), click#12 @100, purchase#21 @160, purchase#22 @50
+  u2: purchase#30 @10 (no clicks at all → NULL match)
+  u3: click#40 @500, purchase#41 @100 (click AFTER purchase → NULL)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bigclam_apachespark_spark.operators.temporal import (
+    as_of_join,
+    click_attribution,
+    click_window_stats,
+)
+
+T0 = "2024-01-01 00:00:00"
+
+
+def _events(spark):
+    rows = [
+        (10, 0, 1, "click", 1.5),
+        (11, 0, 1, "click", 2.5),
+        (20, 0, 1, "purchase", 9.0),
+        (12, 100, 1, "click", 4.0),
+        (21, 160, 1, "purchase", 9.0),
+        (22, 50, 1, "purchase", 9.0),
+        (30, 10, 2, "purchase", 9.0),
+        (40, 500, 3, "click", 1.0),
+        (41, 100, 3, "purchase", 9.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, off long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        (F.to_timestamp(F.lit(T0)) + F.make_interval(secs=F.col("off"))).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def test_click_attribution_semantics(spark):
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_us"])
+        for r in click_attribution(_events(spark)).collect()
+    }
+    assert got[20] == (11, 0)  # exact-ts match; tie → max click_id
+    assert got[22] == (11, 50_000_000)  # latest prior is still the @0 pair
+    assert got[21] == (12, 60_000_000)  # @100 click wins over @0 pair
+    assert got[30] == (None, None)  # user with no clicks
+    assert got[41] == (None, None)  # only click is AFTER the purchase
+    assert len(got) == 5
+
+
+def test_as_of_tolerance(spark):
+    ev = _events(spark)
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = as_of_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts",
+        payload=["click_id"], right_tie="click_id", tolerance_sec=55.0,
+    )
+    got = {r["purchase_id"]: r["asof_click_id"] for r in j.collect()}
+    assert got[22] == 11  # gap 50s ≤ 55s survives
+    # merge_asof tolerance semantics: the latest prior click (@100,
+    # gap 60s) exceeds the horizon → NO match; no fallback to older rows.
+    assert got[21] is None
+    assert got[20] == 11  # gap 0
+    assert got[30] is None and got[41] is None
+
+
+def test_click_window_stats_semantics(spark):
+    got = {
+        r["purchase_id"]: (r["n_clicks"], r["sum_click_value"])
+        for r in click_window_stats(_events(spark), window_minutes=1).collect()
+    }
+    # 1-minute window: purchase@0 sees both @0 clicks; @50 sees them too;
+    # @160 sees only the @100 click; u2/u3 purchases see none.
+    assert got[20] == (2, 4.0)
+    assert got[22] == (2, 4.0)
+    assert got[21] == (1, 4.0)
+    assert got[30] == (0, 0.0)
+    assert got[41] == (0, 0.0)
+
+
+def test_range_join_bin_boundary(spark):
+    """A right row exactly window_sec before the left row sits in the
+    previous bin — the bin-1 probe must find it (closed lower bound)."""
+    ev = _events(spark)
+    purchases = ev.where("event_id = 21").select(  # @160
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    got = {
+        r["purchase_id"]: r["n_clicks"]
+        for r in click_window_stats(
+            ev.where(F.col("event_id").isin(21, 10, 11, 12)), window_minutes=1
+        ).collect()
+    }
+    # window [100, 160]: @100 click qualifies exactly at the bound... and
+    # the @0 pair (160s gap) must NOT leak in via the bin-1 probe.
+    assert got[21] == 1
+    assert purchases.count() == 1
