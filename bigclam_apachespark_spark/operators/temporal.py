@@ -31,6 +31,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(col: Column, dtype_name: str) -> Column:
+    """Epoch-microsecond extraction valid for BOTH timestamp flavors.
+
+    The testdata parquet surfaces ``ts`` as TIMESTAMP_NTZ (micros,
+    isAdjustedToUTC=false); ``unix_micros`` rejects NTZ outright, and
+    casting NTZ→LTZ first would make the result depend on the session
+    timezone. NTZ is instead measured against the NTZ epoch literal —
+    timezone-free on any session — while LTZ keeps ``unix_micros``.
+    """
+    if dtype_name == "timestamp_ntz":
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", epoch, col)
+    return F.unix_micros(col)
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -89,9 +104,10 @@ def as_of_join(
         .where(F.col("_side") == 1)
     )
     if tolerance_sec is not None:
+        ts_type = left.schema[left_ts].dataType.typeName()
         horizon = int(tolerance_sec * 1_000_000)
         fresh = (
-            F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_m._rts"))
+            _micros(F.col("_t"), ts_type) - _micros(F.col("_m._rts"), ts_type)
         ) <= horizon
         matched = matched.withColumn(
             "_m", F.when(fresh, F.col("_m"))  # else NULL
@@ -121,8 +137,12 @@ def range_join(
     """
     right_cols = right_cols if right_cols is not None else []
     span = F.lit(window_sec * 1_000_000).cast("long")
+    l_type = left.schema[left_ts].dataType.typeName()
+    r_type = right.schema[right_ts].dataType.typeName()
 
-    lb = left.withColumn("_bin", (F.unix_micros(F.col(left_ts)) / span).cast("long"))
+    lb = left.withColumn(
+        "_bin", (_micros(F.col(left_ts), l_type) / span).cast("long")
+    )
     l2 = lb.select(
         "*", F.explode(F.array(F.col("_bin"), F.col("_bin") - 1)).alias("_jbin")
     ).drop("_bin")
@@ -130,13 +150,13 @@ def range_join(
         *on,
         F.col(right_ts).alias("_rts"),
         *right_cols,
-        (F.unix_micros(F.col(right_ts)) / span).cast("long").alias("_jbin"),
+        (_micros(F.col(right_ts), r_type) / span).cast("long").alias("_jbin"),
     )
     joined = l2.join(rb, [*on, "_jbin"]).where(
-        (F.unix_micros(F.col("_rts")) <= F.unix_micros(F.col(left_ts)))
+        (_micros(F.col("_rts"), r_type) <= _micros(F.col(left_ts), l_type))
         & (
-            F.unix_micros(F.col("_rts"))
-            >= F.unix_micros(F.col(left_ts)) - span
+            _micros(F.col("_rts"), r_type)
+            >= _micros(F.col(left_ts), l_type) - span
         )
     )
     return joined.drop("_jbin").withColumnRenamed("_rts", f"r_{right_ts}")
@@ -171,6 +191,7 @@ def click_attribution(events: DataFrame) -> DataFrame:
         right_tie="click_id",
         prefix="c_",
     )
+    ts_type = events.schema["ts"].dataType.typeName()
     return j.select(
         "purchase_id",
         "user_id",
@@ -178,7 +199,8 @@ def click_attribution(events: DataFrame) -> DataFrame:
         F.col("c_ts").alias("click_ts"),
         F.col("c_click_id").alias("click_id"),
         (
-            F.unix_micros("purchase_ts") - F.unix_micros("c_ts")
+            _micros(F.col("purchase_ts"), ts_type)
+            - _micros(F.col("c_ts"), ts_type)
         ).alias("gap_us"),
     )
 
