@@ -64,8 +64,15 @@ def sessionize(
     event_id tiebreak)."""
     from pyspark.sql import Window
 
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
     w = Window.partitionBy("user_id").orderBy(ts_col, "event_id")
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # Floor-seconds gap (not micros): matches the oracle's
+    # floor(epoch(ts)) difference and the LTZ cast(long) truncation,
+    # and works for TIMESTAMP_NTZ where cast(long) is illegal.
+    ts_type = events.schema[ts_col].dataType.typeName()
+    sec = epoch_seconds(F.col(ts_col), ts_type)
+    gap = sec - F.lag(sec).over(w)
     with_break = events.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),

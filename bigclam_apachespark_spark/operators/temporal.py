@@ -31,19 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _micros(col: Column, dtype_name: str) -> Column:
-    """Epoch-microsecond extraction valid for BOTH timestamp flavors.
-
-    The testdata parquet surfaces ``ts`` as TIMESTAMP_NTZ (micros,
-    isAdjustedToUTC=false); ``unix_micros`` rejects NTZ outright, and
-    casting NTZ→LTZ first would make the result depend on the session
-    timezone. NTZ is instead measured against the NTZ epoch literal —
-    timezone-free on any session — while LTZ keeps ``unix_micros``.
-    """
-    if dtype_name == "timestamp_ntz":
-        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        return F.timestamp_diff("MICROSECOND", epoch, col)
-    return F.unix_micros(col)
+from bigclam_apachespark_spark.functions.timeutil import epoch_micros as _micros
 
 
 def as_of_join(

@@ -37,7 +37,11 @@ from bigclam_apachespark_spark.sqlfrag import (
 # ---------------------------------------------------------------------------
 
 def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.symmetrize(copurchase_edges(spark, sf_dir))
+    # copurchase_edges is symmetric, src<>dst, and distinct by
+    # construction, so symmetrize's union+distinct would be a no-op
+    # costing one full extra shuffle — skip it. (B1 symmetrize itself
+    # is oracle-exercised on the bipartite graph: graph_symmetrize_cs.)
+    return copurchase_edges(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

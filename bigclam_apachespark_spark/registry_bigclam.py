@@ -310,7 +310,9 @@ BIGCLAM_ORACLE = {
 
 
 def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.symmetrize(copurchase_edges(spark, sf_dir))
+    # Symmetric / src<>dst / distinct by construction — see
+    # registry.py _sym for why symmetrize is skipped here.
+    return copurchase_edges(spark, sf_dir)
 
 
 def q_sumf(spark, sf_dir):

@@ -54,22 +54,20 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical test-harness graph (FIXTURES.md §5): parts co-ordered
     in the same order. Symmetric by construction; src <> dst.
 
-    Scale note: the self-join shuffles on l_orderkey once; per-order
-    fan-out is bounded by order size (~7 lines), so no skew blow-up.
+    Formulated as basket-aggregate + pair explode rather than a
+    lineitem self-join: ONE shuffle of lineitem (with map-side
+    collect_set combine) instead of two shuffled join inputs plus the
+    sort-merge, then pair generation is narrow. Per-order fan-out is
+    bounded by order size (~7 lines, TPC-H max 7), so the explode
+    cannot skew. The final distinct (pairs recur across orders) is the
+    same shuffle either way.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
-    l1 = li.alias("l1")
-    l2 = li.alias("l2")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
     return (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") != F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("src"),
-            F.col("l2.l_partkey").alias("dst"),
-        )
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
     )
 

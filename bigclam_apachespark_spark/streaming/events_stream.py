@@ -64,16 +64,31 @@ def read_events_stream(
         d = tempfile.mkdtemp(prefix="events_stream_src_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
-    ts_is_nanos = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts")
+    if ts_dtype == "bigint":  # TIMESTAMP(NANOS) surfaced via nanosAsLong
+        ts_type: T.DataType = T.LongType()
+    elif ts_dtype == "timestamp_ntz":  # micros, isAdjustedToUTC=false
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
     stream = (
-        spark.readStream.schema(
-            _event_schema(T.LongType() if ts_is_nanos else T.TimestampType())
-        )
+        spark.readStream.schema(_event_schema(ts_type))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    if ts_is_nanos:
+    if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dtype == "timestamp_ntz":
+        # Streaming watermarks require TIMESTAMP (LTZ); interpret the
+        # NTZ wall times as UTC instants, timezone-independently
+        # (epoch micros vs the NTZ epoch literal → timestamp_micros),
+        # so the event-time windows land on the same boundaries the
+        # batch/oracle compute on the naive values.
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))),
+        )
     return stream
 
 
@@ -84,6 +99,14 @@ def windowed_counts_stream(
     batch ``tumbling_window_agg``; the watermark lets Spark finalize
     and evict windows older than max(event time) − watermark, which
     is what bounds state at 100-TB stream scale."""
+    # window_start emitted as TIMESTAMP_NTZ (UTC wall time) via the
+    # timezone-free inverse of the read-side NTZ→LTZ conversion, so the
+    # sink compares bit-for-bit against the naive-timestamp oracle on
+    # any session timezone.
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    start_ntz = F.timestamp_add(
+        "MICROSECOND", F.unix_micros(F.col("w.start")), epoch
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
@@ -91,7 +114,7 @@ def windowed_counts_stream(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .select(start_ntz.alias("window_start"), "event_type", "n_events", "sum_value")
     )
 
 
