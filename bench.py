@@ -47,12 +47,12 @@ HEADLINE = [
 # MIN is reported — standard min-of-N practice that converges to the
 # code's actual cost as soon as one run lands in a sane window.
 EXPECTED = {
-    "graph_copurchase_edges": 10.0,
-    "graph_degrees": 5.8,
-    "graph_neighbors": 4.0,
-    "graph_conductance": 8.4,
+    "graph_copurchase_edges": 4.6,
+    "graph_degrees": 1.7,
+    "graph_neighbors": 2.0,
+    "graph_conductance": 5.7,
     "graph_seeds": 7.0,
-    "dedup_minhash_lsh_pairs": 16.0,
+    "dedup_minhash_lsh_pairs": 14.0,
     "events_tumbling": 0.9,
     "events_sessionize": 1.2,
     "sim_cosine_near_dups": 3.8,
