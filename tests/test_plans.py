@@ -1,0 +1,115 @@
+"""Physical-plan shape regressions: the 100-TB design properties the
+operators rely on, asserted against `.explain`-style plan text so a
+refactor that silently reintroduces a scan-wide read, an extra
+shuffle, or a cartesian product fails CI — not just a bench run.
+
+Checks are substring-based and deliberately loose (Spark version
+shifts operator names); each asserts ONE property the docstrings
+promise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigclam_apachespark_spark.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    # Other tests may leave operator-internal caches behind, which
+    # would swap FileScan for InMemoryTableScan and change exchange
+    # counts — plan shapes are asserted cache-free.
+    spark.catalog.clearCache()
+    df = QUERIES[name](spark, SF_DIR)
+    if execute:
+        # AQE prints `AdaptiveSparkPlan isFinalPlan=false` with no
+        # WholeStageCodegen markers until the plan materializes;
+        # collect() finalizes THIS df's queryExecution (count() would
+        # build and execute a different plan).
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query may degrade to an unbounded cartesian. The only
+    intended cross join (line-search step fan-out) broadcasts a
+    16-row side, which Spark plans as BroadcastNestedLoopJoin — also
+    not a CartesianProduct."""
+    for name in [
+        "graph_conductance",
+        "dedup_token_jaccard",
+        "dedup_minhash_lsh_pairs",
+        "sim_cosine_near_dups",
+        "sim_lsh_topk",
+        "bigclam_line_search",
+    ]:
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_copurchase_scan_is_pruned(spark):
+    """Column pruning must reach the lineitem scan: the co-purchase
+    derivation reads exactly (l_orderkey, l_partkey), never the
+    16-column table."""
+    plan = _plan(spark, "graph_copurchase_edges")
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln]
+    scan_txt = "\n".join(scan) or plan
+    assert "l_orderkey" in scan_txt
+    assert "l_comment" not in scan_txt
+    assert "l_extendedprice" not in scan_txt
+
+
+def test_copurchase_single_lineitem_pass(spark):
+    """The basket formulation scans lineitem ONCE (the old self-join
+    scanned it twice). Also exercises the partial-aggregate combine:
+    exactly one hash-partitioning exchange on l_orderkey."""
+    plan = _plan(spark, "graph_copurchase_edges")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_events_filter_pushdown(spark):
+    """The temporal attribution queries read events filtered to two
+    event types — the predicate must reach the scan (PushedFilters),
+    not run post-scan only."""
+    plan = _plan(spark, "events_asof_attribution")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters in events scan"
+    assert any("event_type" in ln for ln in pushed)
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    """sim_topk_brute: the tiny query side is broadcast — the corpus
+    never shuffles. A SortMergeJoin here would be a full-corpus
+    shuffle at 100 TB."""
+    plan = _plan(spark, "sim_topk_brute")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_queries_have_no_shuffle(spark):
+    """Per-document text analysis is a narrow map over the scan —
+    zero exchanges (what makes it embarrassingly parallel at 100 TB)."""
+    for name in ["text_token_stats", "text_quality", "text_fingerprints"]:
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_whole_stage_codegen_covers_numeric_kernels(spark):
+    """The LLH/gradient arithmetic must stay inside whole-stage
+    codegen (JVM-side), not fall out to interpreted eval or Python."""
+    plan = _plan(spark, "bigclam_gradient", execute=True)
+    # `*(n)` prefixes are the WholeStageCodegen markers in the
+    # finalized plan's toString rendering.
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_no_python_udfs(spark):
+    """MinHash/LSH is pure built-in expressions — no Python eval
+    nodes anywhere in the pipeline's plan."""
+    plan = _plan(spark, "dedup_minhash_lsh_pairs")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
