@@ -98,3 +98,28 @@ def char_shingles_sql(expr: str, n: int = 5) -> str:
         f"[substr({norm}, i, {n}) "
         f"for i in generate_series(1, greatest(length({norm}) - {n - 1}, 1))]"
     )
+
+
+def word_ngrams(c: Column | str, n: int = 2) -> Column:
+    """Word n-grams of normalized text, space-joined (array<string>,
+    may repeat; empty for documents with < n tokens). DuckDB twin:
+    ``word_ngrams_sql`` — both sides index the same token array, so
+    the grams match byte-for-byte."""
+    tk = tokens(c)
+    # sequence(a, b) with a > b DESCENDS in Spark (it would emit
+    # [1, 0] for a 1-token doc) — gate on size explicitly.
+    idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+    return F.when(F.size(tk) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams_sql(tokens_expr: str, n: int = 2) -> str:
+    """DuckDB list comprehension over an in-scope token-list
+    expression (give it a CTE column, e.g. ``tk``)."""
+    joined = " || ' ' || ".join(f"{tokens_expr}[i + {j}]" for j in range(n))
+    return (
+        f"[{joined} for i in "
+        f"generate_series(1, greatest(len({tokens_expr}) - {n - 1}, 0))]"
+    )

@@ -361,9 +361,15 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
 
 def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        ngram: int = 1) -> DataFrame:
     """All pairs with word-token-set Jaccard ≥ threshold, via the
     inverted index: only pairs sharing ≥1 token are ever formed.
+
+    ``ngram``: unit size — 1 compares word sets, n>1 compares word
+    n-gram sets (order-sensitive near-dup detection: shuffled text
+    keeps unigram Jaccard but loses its n-grams). Documents with
+    < n words have no n-grams and drop out of pair generation.
 
     ``max_df``: hot-token cap. Candidate generation excludes tokens
     whose document frequency exceeds max_df (candidate count is
@@ -372,7 +378,10 @@ def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     exact — the intersection recount below runs over the FULL token
     sets. Only pairs whose every shared token is hot are missed, and
     such pairs are overwhelmingly low-jaccard boilerplate at scale."""
-    tok = docs.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    from bigclam_apachespark_spark.functions.hashing import word_ngrams
+
+    units = tokens(text_col) if ngram == 1 else word_ngrams(text_col, ngram)
+    tok = docs.select("doc_id", F.explode(F.array_distinct(units)).alias("t"))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if max_df is not None:
         ok_t = (

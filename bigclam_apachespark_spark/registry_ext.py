@@ -21,6 +21,7 @@ from bigclam_apachespark_spark.functions.hashing import (
     normalize_text_sql,
     tokens_sql,
     char_shingles_sql,
+    word_ngrams_sql,
 )
 from bigclam_apachespark_spark.operators import dedup as D
 from bigclam_apachespark_spark.operators import events as E
@@ -263,6 +264,26 @@ DEDUP_ORACLE = {
         SELECT DISTINCT {hash64_sql(normalize_text_sql('text'))} AS content_fp
         FROM documents
     """,
+    # Word-BIGRAM Jaccard: order-sensitive near-dup (a token-shuffled
+    # copy keeps unigram Jaccard ~1 but loses its bigrams). Same
+    # inverted-index shape as dedup_token_jaccard.
+    "dedup_ngram_jaccard": f"""
+        WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(list_distinct({word_ngrams_sql('tk', 2)})) AS t
+          FROM tk
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
+          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.a, i.b,
+               round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+        FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+        WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.6
+    """,
     "dedup_token_jaccard": f"""
         WITH tok AS (
           SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS t FROM documents
@@ -304,6 +325,9 @@ DEDUP_QUERIES = {
     "dedup_simhash": lambda spark, sf: D.simhash(_docs(spark, sf)),
     "dedup_simhash_pairs": lambda spark, sf: D.simhash_near_dups(_docs(spark, sf), max_hamming=2),
     "dedup_token_jaccard": lambda spark, sf: D.token_jaccard_pairs(_docs(spark, sf), threshold=0.8),
+    "dedup_ngram_jaccard": lambda spark, sf: D.token_jaccard_pairs(
+        _docs(spark, sf), threshold=0.6, ngram=2
+    ),
 }
 
 # ---------------------------------------------------------------------------

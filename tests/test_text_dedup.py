@@ -107,6 +107,31 @@ def test_token_jaccard(docs):
     assert (5, 6) not in pairs
 
 
+def test_ngram_jaccard_is_order_sensitive(spark):
+    """A word-shuffled copy keeps unigram Jaccard = 1.0 but loses its
+    bigrams — the property that makes n-gram Jaccard catch reordered
+    boilerplate that token-set Jaccard can't distinguish."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "zeta epsilon delta gamma beta alpha"),  # reversed
+            (2, "alpha beta gamma delta epsilon zeta eta"),  # one extra word
+        ],
+        "doc_id long, text string",
+    )
+    uni = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    bi = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, threshold=0.0, ngram=2).collect()
+    }
+    assert uni[(0, 1)] == 1.0  # same word set
+    assert (0, 1) not in bi  # reversed text shares ZERO bigrams
+    assert bi[(0, 2)] == pytest.approx(5 / 6)  # prefix-shared bigrams
+
+
 def test_token_jaccard_df_cap(spark):
     # Skew fixture: every doc shares the hot token "common"; only
     # docs 0/1 share rare tokens. With max_df=3 the hot token cannot
