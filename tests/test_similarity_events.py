@@ -201,3 +201,79 @@ def test_streaming_sessionize(spark, tmp_path, events):
     rows = result.collect()
     closed = [(r["user_id"], r["n_events"], r["sum_value"]) for r in rows]
     assert (1, 3, 6.0) in closed
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """The watermark contract itself: an event arriving in a later
+    micro-batch, timestamped behind the watermark, must be EXCLUDED
+    from its (already finalized) window — this is what bounds state
+    at stream scale, and complete-mode replay tests can't see it."""
+    import os
+
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_counts_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    h10 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    path = str(tmp_path / "late_events")
+    # Batch 1: two events in the 10:00 window + one at 13:00 that
+    # advances the watermark (10 min delay → 12:50, far past 11:00).
+    def _parts():
+        return {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+
+    # Batch 0: two events in the 10:00 window + one at 13:00 that
+    # advances the watermark (10 min delay → 12:50, far past 11:00).
+    mk(
+        [
+            (0, h10, 1, "view", 1.0, "{}"),
+            (1, h10 + dt.timedelta(minutes=20), 1, "view", 1.0, "{}"),
+            (2, h10 + dt.timedelta(hours=3), 1, "view", 1.0, "{}"),
+        ]
+    ).coalesce(1).write.parquet(path)
+    first = _parts()
+    # Batch 1: a fresh event; during this batch the 10:00 window
+    # (end 11:00 < watermark 12:50) is finalized, emitted, and
+    # EVICTED from the state store.
+    mk([(3, h10 + dt.timedelta(hours=3, minutes=30), 1, "view", 1.0, "{}")]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    second = _parts() - first
+    # Batch 2: a LATE event back in the long-evicted 10:00 window —
+    # must be dropped, NOT resurrect the window. (Spark merges a late
+    # row that lands in the SAME batch as its window's eviction; the
+    # drop guarantee applies once the window has been evicted, which
+    # is why this arrives a batch later.)
+    mk([(4, h10 + dt.timedelta(minutes=15), 1, "view", 99.0, "{}")]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    third = _parts() - first - second
+    # FileStreamSource replays files oldest-mtime-first; pin the
+    # intended order explicitly (writes can land in the same ms).
+    for i, group in enumerate((first, second, third)):
+        for f in group:
+            os.utime(os.path.join(path, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    result = run_stream_to_memory(
+        windowed_counts_stream(stream, "1 hour", watermark="10 minutes"),
+        "late_drop_test",
+        "append",
+    )
+    rows = result.collect()
+    # Exactly the finalized 10:00 window, WITHOUT the late event: its
+    # 99.0 value would show in sum_value had it leaked in, and a
+    # resurrected window would add a second 10:00 row.
+    assert [(r["window_start"], r["event_type"], r["n_events"], r["sum_value"]) for r in rows] == [
+        (h10, "view", 2, 2.0)
+    ]
