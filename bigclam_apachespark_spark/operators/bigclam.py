@@ -47,6 +47,48 @@ LINE_SEARCH_STEPS = [BETA**i for i in range(16)]
 # ---------------------------------------------------------------------------
 
 
+def seed_membership(
+    sym_edges: DataFrame,
+    k: int,
+    include_self: bool = True,
+    seeds_ranked: DataFrame | None = None,
+) -> DataFrame:
+    """Top-K deduped seed neighborhoods → ``(c, members)``.
+
+    Shared by the dense (``init_factors``) and long
+    (``bigclam_long.init_factors_long``) inits so the documented
+    duplicate-neighborhood dedup deviation (see ``init_factors``) is
+    defined in exactly one place.
+    """
+    from pyspark.sql import Window
+
+    if seeds_ranked is None:
+        seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges))
+    nbrs = G.neighbor_lists(sym_edges)
+    ranked = seeds_ranked.withColumn(
+        "rk", F.row_number().over(Window.orderBy("phi", "id"))
+    )
+    # array_sort: the dedup key must be order-insensitive (array_union
+    # puts self first, so equal SETS would otherwise compare unequal).
+    cand = ranked.join(nbrs, "id").select(
+        "rk",
+        (
+            F.array_sort(F.array_union(F.array("id"), "nbrs"))
+            if include_self
+            else F.col("nbrs")
+        ).alias("members"),
+    )
+    # Drop duplicate-membership seeds (keep best rank), re-rank → c.
+    dedup = cand.withColumn(
+        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
+    ).where(F.col("dd") == 1)
+    return (
+        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
+        .where(F.col("c") < k)
+        .select("c", "members")
+    )
+
+
 def init_factors(
     sym_edges: DataFrame,
     k: int,
@@ -76,33 +118,8 @@ def init_factors(
     takes the first K of its (nondeterministically ordered) list
     (v3:62, v47:83) and avoids this only by luck of ordering.
     """
-    from pyspark.sql import Window
-
-    if seeds_ranked is None:
-        seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges))
-    nbrs = G.neighbor_lists(sym_edges)
-    ranked = seeds_ranked.withColumn(
-        "rk", F.row_number().over(Window.orderBy("phi", "id"))
-    )
-    # array_sort: the dedup key must be order-insensitive (array_union
-    # puts self first, so equal SETS would otherwise compare unequal).
-    cand = ranked.join(nbrs, "id").select(
-        "rk",
-        F.col("id").alias("seed_id"),
-        (
-            F.array_sort(F.array_union(F.array("id"), "nbrs"))
-            if include_self
-            else F.col("nbrs")
-        ).alias("members"),
-    )
-    # Drop duplicate-membership seeds (keep best rank), re-rank → c.
-    dedup = cand.withColumn(
-        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
-    ).where(F.col("dd") == 1)
-    seed_members = (
-        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
-        .where(F.col("c") < k)
-        .select("c", "members")
+    seed_members = seed_membership(
+        sym_edges, k, include_self=include_self, seeds_ranked=seeds_ranked
     )
     # (node, c) membership triples → dense K-array per node.
     memb = seed_members.select("c", F.explode("members").alias("node_id"))

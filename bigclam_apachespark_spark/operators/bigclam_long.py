@@ -49,31 +49,14 @@ def init_factors_long(
     """C1/C3 in long layout: (node_id, c, 1.0) triples for the top-K
     deduped seed neighborhoods — naturally sparse, no Bernoulli fill
     (matching v3/v47, whose sparse init is indicator-only and which
-    cap K at the seed count; v3:60-87)."""
-    from pyspark.sql import Window
+    cap K at the seed count; v3:60-87). Seed ranking/dedup is shared
+    with the dense init (``seed_membership``) so the documented
+    duplicate-neighborhood deviation lives in exactly one place."""
+    from bigclam_apachespark_spark.operators.bigclam import seed_membership
 
-    if seeds_ranked is None:
-        seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges))
-    nbrs = G.neighbor_lists(sym_edges)
-    ranked = seeds_ranked.withColumn(
-        "rk", F.row_number().over(Window.orderBy("phi", "id"))
-    )
-    cand = ranked.join(nbrs, "id").select(
-        "rk",
-        (
-            F.array_sort(F.array_union(F.array("id"), "nbrs"))
-            if include_self
-            else F.col("nbrs")
-        ).alias("members"),
-    )
-    dedup = cand.withColumn(
-        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
-    ).where(F.col("dd") == 1)
-    seed_members = (
-        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
-        .where(F.col("c") < k)
-        .select(F.col("c").cast("int").alias("k"), "members")
-    )
+    seed_members = seed_membership(
+        sym_edges, k, include_self=include_self, seeds_ranked=seeds_ranked
+    ).select(F.col("c").cast("int").alias("k"), "members")
     return seed_members.select(
         F.explode("members").alias("node_id"), "k", F.lit(1.0).alias("val")
     )
@@ -193,8 +176,13 @@ def line_search_updates_long(
     steps: list[float] | None = None,
     es: DataFrame | None = None,
 ) -> DataFrame:
-    """F3 in long layout → accepted new rows ``(node_id, k, val)`` for
-    nodes with ≥1 accepted step (only non-zero vals kept — sparsity).
+    """F3 in long layout → accepted new rows ``(node_id, k, val)``,
+    INCLUDING explicit val=0 rows on the accepted candidate's support:
+    an accepted step may zero out every entry of a node, and that node
+    must still appear here so the F-rewrite clears its old rows
+    (``apply_updates_long`` drops the zeros when unioning). One
+    checkpoint of this frame therefore serves both the update rows and
+    the accepted-node set.
 
     Same batched-cartesian Armijo as the dense path: candidates for
     all 16 η in one plan; per-candidate local LLH re-joins neighbors'
@@ -210,14 +198,37 @@ def line_search_updates_long(
     nbr = es.groupBy("src").agg(
         F.sum(F.log(1.0 - F.col("p")) + F.col("dot")).alias("nbr_term")
     )
+    # ‖grad‖² must cover ALL K components like the dense path (and the
+    # reference's dense Breeze norm, v2:145): for k outside the
+    # support rows grad[k] = −sumF[k], so the full norm is
+    # Σ_support gval² + (Σ_k sumF[k]² − Σ_support sumF[k]²). The
+    # global Σ sumF² arrives as a broadcast 1-row cross join (no
+    # driver collect — sumf stays a DataFrame at high K).
     per_nk = grad.join(F.broadcast(sumf), "k").select(
         "node_id",
         (F.col("fval") * F.col("s")).alias("fusf"),
         (F.col("fval") * F.col("fval")).alias("fufu"),
         (F.col("gval") * F.col("gval")).alias("g2"),
+        (F.col("s") * F.col("s")).alias("sfk2"),
     )
-    node_stats = per_nk.groupBy("node_id").agg(
-        F.sum("fusf").alias("fusf"), F.sum("fufu").alias("fufu"), F.sum("g2").alias("g2")
+    s2row = sumf.agg(F.sum(F.col("s") * F.col("s")).alias("s2_total"))
+    node_stats = (
+        per_nk.groupBy("node_id")
+        .agg(
+            F.sum("fusf").alias("fusf"),
+            F.sum("fufu").alias("fufu"),
+            F.sum("g2").alias("g2_sup"),
+            F.sum("sfk2").alias("sfk2_sup"),
+        )
+        .crossJoin(F.broadcast(s2row))
+        .select(
+            "node_id",
+            "fusf",
+            "fufu",
+            (
+                F.col("g2_sup") + F.col("s2_total") - F.col("sfk2_sup")
+            ).alias("g2"),
+        )
     )
     llh_u = node_stats.join(
         nbr.withColumnRenamed("src", "node_id"), "node_id", "left"
@@ -259,7 +270,11 @@ def line_search_updates_long(
         .agg(F.sum(F.col("newval") * F.col("vv")).alias("dot"))
     )
     # Edges with zero-overlap candidate dot still contribute log(1−p̂(0)):
-    # join back the full edge set per (src, eta).
+    # join back the full edge set per (src, eta). The deg backfill is
+    # applied in `scored` (NOT via an inner join against cdot) so a
+    # candidate with zero overlap on EVERY edge — no cdot rows at all
+    # — still pays deg·log(1−p̂(0)) ≈ −9.21·deg instead of silently
+    # scoring 0 and stealing the Armijo accept from a real step.
     deg = sym_edges.groupBy("src").agg(F.count("*").alias("deg"))
     nz_nbr = cdot.groupBy("src", "eta").agg(
         F.sum(F.log(1.0 - _clamp_p(F.col("dot"))) + F.col("dot")).alias("nz_term"),
@@ -268,17 +283,6 @@ def line_search_updates_long(
     import math as _math
 
     log_1mp0 = _math.log(1.0 - min(max(_math.exp(-0.0), MIN_P), MAX_P))
-    cand_nbr = (
-        nz_nbr.join(F.broadcast(deg), "src")
-        .select(
-            "src",
-            "eta",
-            (
-                F.col("nz_term")
-                + (F.col("deg") - F.col("nz_edges")) * F.lit(log_1mp0)
-            ).alias("nbr_term"),
-        )
-    )
 
     # Candidate self terms: newfu·(sumF − fu + newfu) and ‖newfu‖²
     # over the candidate support rows.
@@ -294,14 +298,20 @@ def line_search_updates_long(
     )
     scored = (
         cself.join(
-            cand_nbr.withColumnRenamed("src", "node_id"), ["node_id", "eta"], "left"
+            nz_nbr.withColumnRenamed("src", "node_id"), ["node_id", "eta"], "left"
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("src", "node_id")), "node_id", "left"
         )
         .join(llh_u, "node_id")
         .select(
             "node_id",
             "eta",
             (
-                F.coalesce("nbr_term", F.lit(0.0))
+                F.coalesce("nz_term", F.lit(0.0))
+                + (
+                    F.coalesce("deg", F.lit(0)) - F.coalesce("nz_edges", F.lit(0))
+                ) * F.lit(log_1mp0)
                 - F.col("fusf_new")
                 + F.col("fufu_new")
             ).alias("cand_llh"),
@@ -315,10 +325,8 @@ def line_search_updates_long(
         .groupBy("node_id")
         .agg(F.max("eta").alias("eta"))
     )
-    return (
-        best.join(cand_nz, ["node_id", "eta"])
-        .where(F.col("newval") != 0.0)
-        .select("node_id", "k", F.col("newval").alias("val"))
+    return best.join(cand_nz, ["node_id", "eta"]).select(
+        "node_id", "k", F.col("newval").alias("val")
     )
 
 
@@ -329,7 +337,9 @@ def apply_updates_long(
     rows (a node's accepted step may zero out entries, so the anti
     join must be on node_id, not (node_id, k))."""
     kept = factors_long.join(updated_nodes, "node_id", "left_anti")
-    return kept.unionByName(updates.select("node_id", "k", "val"))
+    return kept.unionByName(
+        updates.where(F.col("val") != 0.0).select("node_id", "k", "val")
+    )
 
 
 @dataclass
@@ -378,10 +388,13 @@ def bigclam_fit_long(
         updates = checkpoint_fresh(
             line_search_updates_long(sym_edges, factors, grad, sumf, es=es)
         )
+        # Accepted NODES (updates keeps explicit zero rows, so a step
+        # that zeroes a node out still rewrites — clears — that node).
         upd_nodes = updates.select("node_id").distinct()
         n_updated = upd_nodes.count()
         if n_updated == 0:
             _unpersist_ckpt(grad)
+            _unpersist_ckpt(updates)
             break
         prev, prev_es, prev_sumf = factors, es, sumf
         factors = checkpoint_fresh(apply_updates_long(factors, updates, upd_nodes))

@@ -180,15 +180,20 @@ def lsh_candidate_pairs(
 
 
 def signature_estimate_filter(
-    cand: DataFrame, sig: DataFrame, min_matches: int = 2
+    cand: DataFrame, sig: DataFrame, min_matches: int = 6
 ) -> DataFrame:
     """Drop candidate pairs whose signatures agree on fewer than
-    ``min_matches`` permutations. E[match fraction] = true Jaccard,
-    so a pair at j = 0.35 fails min_matches=2 of 16 with probability
-    ≈ 1% while the bulk of single-band fluke candidates (the ~6%
-    random-pair floor of 4×4 banding at low j) is eliminated before
-    the expensive exact-verify join. Integer match counting —
-    bit-identical across engines, mirrored in the oracle SQL."""
+    ``min_matches`` permutations. E[match fraction] = true Jaccard.
+
+    ``min_matches`` MUST EXCEED rows_per_band to filter anything:
+    every LSH candidate already shares one full band, i.e. agrees on
+    rows_per_band permutations by construction — any threshold at or
+    below that is a guaranteed no-op that still pays the two joins.
+    The default 6 (= 4-row bands + 2 corroborating perms) eliminates
+    the single-band-fluke floor of 4×4 banding at low j before the
+    expensive exact-verify join, at measured zero true-pair loss at
+    sf0.1 for j ≥ 0.35. Integer match counting — bit-identical across
+    engines, mirrored in the oracle SQL."""
     sa = sig.select(F.col("doc_id").alias("a"), "perm", F.col("minhash").alias("ma"))
     sb = sig.select(F.col("doc_id").alias("b"), "perm", F.col("minhash").alias("mb"))
     matches = (
@@ -242,7 +247,7 @@ def minhash_lsh_dups(
     shingle_n: int = 5,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
-    est_min_matches: int = 2,
+    est_min_matches: int = 6,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs (optional hot-bucket cap) → signature-estimate
@@ -258,7 +263,10 @@ def minhash_lsh_dups(
     that small table THREE times (sizes + both join sides), and
     caching it cut the end-to-end pipeline 23 s → 16 s at sf0.1. At
     100 TB the same holds: the cached set is the near-dup cluster
-    neighborhood, not the corpus."""
+    neighborhood, not the corpus. The handles are not returned, so
+    repeated invocations in one session rely on LRU eviction;
+    long-running sessions interleaving many pipelines should
+    ``spark.catalog.clearCache()`` between them."""
     sig = signatures_from_shingles(
         shingle_table(docs, text_col, shingle_n), num_perms
     ).cache()

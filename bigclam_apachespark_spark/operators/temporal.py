@@ -50,8 +50,10 @@ def as_of_join(
     key (NULLs when no such row — left-outer semantics).
 
     Ties: right rows sharing the maximal timestamp are resolved to the
-    greatest ``right_tie`` value (deterministic, cross-engine-stable);
-    a right row timestamped exactly at ``left_ts`` DOES match (the
+    greatest ``right_tie`` value — or, when no tie column is given, to
+    the greatest payload struct (field-order comparison) — so the
+    result is deterministic and cross-engine-stable either way. A
+    right row timestamped exactly at ``left_ts`` DOES match (the
     union sort places right before left at equal timestamps).
 
     ``tolerance_sec`` nulls out matches older than the horizon — the
@@ -67,7 +69,10 @@ def as_of_join(
         *on,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        (F.col(right_tie) if right_tie else F.lit(0)).alias("_tie"),
+        # Constant _tie would leave equal-timestamp right rows in
+        # arbitrary shuffle order under last() — tie-break on the
+        # payload struct itself when no explicit column is given.
+        (F.col(right_tie) if right_tie else rp).alias("_tie"),
         rp.alias("_rp"),
     )
     rp_type = r.schema["_rp"].dataType

@@ -51,6 +51,73 @@ def test_sumf_long(g1_edges):
     assert s == {0: 4.0, 1: 4.0}
 
 
+def test_line_search_parity_disjoint_support(spark):
+    """Dense↔long Armijo parity on a fixture built to hit the two
+    cases where the long layout's sparse bookkeeping can silently
+    diverge from the dense (reference) arithmetic:
+
+    - spoke 1's only surviving candidate direction (c0) is held by no
+      neighbor → ZERO cdot rows → its candidate neighbor term must be
+      deg·log(1−p̂(0)), not a coalesced 0;
+    - c2 is outside spoke 1's support → ‖grad‖² must still include
+      the off-support (−sumF[2])² component like the dense full-K dot.
+    """
+    from bigclam_apachespark_spark.operators.bigclam import (
+        gradient_state,
+        line_search_updates,
+    )
+    from bigclam_apachespark_spark.operators.bigclam_long import (
+        gradient_long,
+        line_search_updates_long,
+    )
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    # Star: hub 0 — spokes 1..12. Spoke 1 holds c0 alone; hub + spokes
+    # 2..12 hold c1 at the box max so sumF[1] = 11001 exceeds spoke
+    # 1's c1 weight-sum (w·1 = 10000) → grad(spoke1, c1) < 0, its
+    # candidate zeroes c1, and the surviving c0 direction is held by
+    # NO neighbor (hub holds only c1) → zero cdot rows for spoke 1.
+    # Spoke 2 additionally holds c2 (spoke 1's off-support component).
+    sym = symmetrize(edges_from_pairs(spark, [(0, i) for i in range(1, 13)]))
+    rows = [(1, 0, 1.0), (0, 1, 1.0)]
+    rows += [(i, 1, 1000.0) for i in range(2, 13)]
+    rows += [(2, 2, 5.0)]
+    K = 3
+    long_f = spark.createDataFrame(rows, "node_id long, k int, val double")
+    dense_map = {n: [0.0] * K for n in range(13)}
+    for n, k, v in rows:
+        dense_map[n][k] = v
+    dense_f = spark.createDataFrame(
+        sorted(dense_map.items()), "node_id long, f array<double>"
+    )
+
+    sumf_list = sum_f(dense_f)
+    upd_d = line_search_updates(
+        sym, dense_f, gradient_state(sym, dense_f, sumf_list), sumf_list
+    )
+    d_rows = set()
+    d_nodes = set()
+    for r in upd_d.collect():
+        d_nodes.add(r["node_id"])
+        for k, v in enumerate(r["f_new"]):
+            if v != 0.0:
+                d_rows.add((r["node_id"], k, round(v, 9)))
+
+    long_sumf = sum_f_long(long_f)
+    upd_l = line_search_updates_long(
+        sym, long_f, gradient_long(sym, long_f, long_sumf), long_sumf
+    )
+    l_collect = upd_l.collect()
+    l_nodes = {r["node_id"] for r in l_collect}
+    l_rows = {
+        (r["node_id"], r["k"], round(r["val"], 9))
+        for r in l_collect
+        if r["val"] != 0.0
+    }
+    assert l_nodes == d_nodes
+    assert l_rows == d_rows
+
+
 def test_fit_trajectory_parity(g1_edges):
     # 3 iterations dense vs long from the same init: identical LLH
     # trajectory to float tolerance.
