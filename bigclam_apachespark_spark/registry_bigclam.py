@@ -406,27 +406,14 @@ def q_invert(spark, sf_dir):
 
 
 def q_init_membership(spark, sf_dir):
-    """Mirrors init_factors' deterministic branch exactly, including
-    the duplicate-neighborhood seed dedup (operators/bigclam.py
-    init_factors docstring)."""
+    """The PRODUCTION seed-membership path (shared by the dense and
+    long inits — operators/bigclam.py seed_membership, including the
+    duplicate-neighborhood dedup deviation), oracle-checked as
+    (c, node_id, 1.0) indicator triples."""
     sym = _sym(spark, sf_dir)
-    seeds = G.local_min_seeds(sym, G.ego_conductance(sym))
-    from pyspark.sql import Window
-
-    nbrs = G.neighbor_lists(sym)
-    ranked = seeds.withColumn("rk", F.row_number().over(Window.orderBy("phi", "id")))
-    cand = ranked.join(nbrs, "id").select(
-        "rk", F.array_sort(F.array_union(F.array("id"), "nbrs")).alias("members")
+    members = B.seed_membership(sym, K_FX, include_self=True).select(
+        "c", F.explode("members").alias("node_id")
     )
-    dedup = cand.withColumn(
-        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
-    ).where(F.col("dd") == 1)
-    seed_members = (
-        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
-        .where(F.col("c") < 4)
-        .select("c", "members")
-    )
-    members = seed_members.select("c", F.explode("members").alias("node_id"))
     return members.distinct().select("c", "node_id", F.lit(1.0).alias("val"))
 
 
