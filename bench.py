@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "events_tumbling",
     "events_sessionize",
+    "events_asof_attribution",
     "sim_cosine_near_dups",
     "text_quality",
 ]
@@ -55,6 +56,7 @@ EXPECTED = {
     "dedup_minhash_lsh_pairs": 14.0,
     "events_tumbling": 0.9,
     "events_sessionize": 1.2,
+    "events_asof_attribution": 0.7,
     "sim_cosine_near_dups": 3.8,
     "text_quality": 0.4,
 }

@@ -266,18 +266,33 @@ DEDUP_ORACLE = {
     """,
     # Word-BIGRAM Jaccard: order-sensitive near-dup (a token-shuffled
     # copy keeps unigram Jaccard ~1 but loses its bigrams). Same
-    # inverted-index shape as dedup_token_jaccard.
+    # inverted-index shape as dedup_token_jaccard, WITH the hot-gram
+    # df cap live (df ≤ 50): candidate generation from the capped
+    # index (Σ df² stays linear in corpus size), exact intersection
+    # recount over the FULL gram sets — the 100-TB configuration
+    # (this query measured 38 s uncapped at sf0.1 vs 15 s capped,
+    # with zero pair loss at either oracle SF).
     "dedup_ngram_jaccard": f"""
         WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
         tok AS (
           SELECT doc_id, unnest(list_distinct({word_ngrams_sql('tk', 2)})) AS t
           FROM tk
         ),
+        dfreq AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+        idx AS (
+          SELECT tok.doc_id, tok.t FROM tok JOIN dfreq USING (t) WHERE df <= 50
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM idx a JOIN idx b ON a.t = b.t AND a.doc_id < b.doc_id
+        ),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
         inter AS (
-          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_inter
-          FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
+          SELECT c.a, c.b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.a
+          JOIN tok tb ON tb.doc_id = c.b AND tb.t = ta.t
+          GROUP BY c.a, c.b
         )
         SELECT i.a, i.b,
                round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
@@ -326,7 +341,7 @@ DEDUP_QUERIES = {
     "dedup_simhash_pairs": lambda spark, sf: D.simhash_near_dups(_docs(spark, sf), max_hamming=2),
     "dedup_token_jaccard": lambda spark, sf: D.token_jaccard_pairs(_docs(spark, sf), threshold=0.8),
     "dedup_ngram_jaccard": lambda spark, sf: D.token_jaccard_pairs(
-        _docs(spark, sf), threshold=0.6, ngram=2
+        _docs(spark, sf), threshold=0.6, ngram=2, max_df=50
     ),
 }
 
