@@ -48,17 +48,17 @@ HEADLINE = [
 # MIN is reported — standard min-of-N practice that converges to the
 # code's actual cost as soon as one run lands in a sane window.
 EXPECTED = {
-    "graph_copurchase_edges": 4.6,
-    "graph_degrees": 1.7,
-    "graph_neighbors": 2.0,
-    "graph_conductance": 5.7,
-    "graph_seeds": 7.0,
-    "dedup_minhash_lsh_pairs": 14.0,
-    "events_tumbling": 0.9,
-    "events_sessionize": 1.2,
-    "events_asof_attribution": 0.7,
-    "sim_cosine_near_dups": 3.8,
-    "text_quality": 0.4,
+    "graph_copurchase_edges": 3.7,
+    "graph_degrees": 1.3,
+    "graph_neighbors": 1.4,
+    "graph_conductance": 4.7,
+    "graph_seeds": 5.6,
+    "dedup_minhash_lsh_pairs": 10.1,
+    "events_tumbling": 0.5,
+    "events_sessionize": 1.0,
+    "events_asof_attribution": 0.5,
+    "sim_cosine_near_dups": 3.5,
+    "text_quality": 0.3,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
