@@ -626,6 +626,21 @@ def invert_communities(communities: DataFrame) -> DataFrame:
     )
 
 
+def save_communities_text(inverted: DataFrame, path: str) -> None:
+    """A3 text-format sink twin of the reference's ``saveAsTextFile``
+    (codes/Bigclamv2.scala:230): one line per community,
+    ``community<TAB>m1,m2,...``, written distributed via the text
+    datasource (no driver collect). Parquet remains the primary sink
+    (bigclam_pipeline); this closes the text-output parity delta."""
+    inverted.select(
+        F.concat_ws(
+            "\t",
+            F.col("community").cast("string"),
+            F.array_join(F.transform("members", lambda x: x.cast("string")), ","),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
 def bigclam_pipeline(
     spark,
     edge_path: str,

@@ -191,9 +191,22 @@ def signature_estimate_filter(
     below that is a guaranteed no-op that still pays the two joins.
     The default 6 (= 4-row bands + 2 corroborating perms) eliminates
     the single-band-fluke floor of 4×4 banding at low j before the
-    expensive exact-verify join, at measured zero true-pair loss at
-    sf0.1 for j ≥ 0.35. Integer match counting — bit-identical across
-    engines, mirrored in the oracle SQL."""
+    expensive exact-verify join. Integer match counting —
+    bit-identical across engines, mirrored in the oracle SQL.
+
+    THE PREFILTER IS LOSSY at low Jaccard. Conditional on sharing one
+    band, the other num_perms − rows_per_band permutations match
+    i.i.d. with prob j, so a true pair at threshold j is dropped with
+    prob P[Binom(num_perms − rows_per_band, j) < min_matches −
+    rows_per_band]; at the defaults (16 perms, 4-row bands,
+    min_matches=6) that is P[Binom(12, j) < 2] ≈ 4% at j = 0.35,
+    0.8% at j = 0.5, ≈ 0 at j ≥ 0.7. "Zero true-pair loss" is an
+    empirical sf0.1 observation at j ≥ 0.35, not a guarantee — and
+    the DuckDB oracle mirrors the same deterministic filter, so the
+    correctness gate cannot see this recall loss. Callers verifying
+    at low thresholds should lower min_matches toward
+    rows_per_band + 1 (trading exact-verify volume for recall) or
+    raise num_perms."""
     sa = sig.select(F.col("doc_id").alias("a"), "perm", F.col("minhash").alias("ma"))
     sb = sig.select(F.col("doc_id").alias("b"), "perm", F.col("minhash").alias("mb"))
     matches = (
@@ -248,10 +261,17 @@ def minhash_lsh_dups(
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
     est_min_matches: int = 6,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs (optional hot-bucket cap) → signature-estimate
     prefilter → exact-Jaccard verify ≥ threshold.
+
+    ``cache_handles``: pass a list to receive the three internally
+    cached DataFrames (signatures, surviving candidates, candidate
+    shingles); the caller unpersists them once the result is
+    consumed — deterministic release for long sessions interleaving
+    many pipelines.
 
     Cache discipline (measured at sf0.1): cache the signatures
     (|docs|×num_perms rows — tiny), the surviving candidate pairs,
@@ -263,10 +283,8 @@ def minhash_lsh_dups(
     that small table THREE times (sizes + both join sides), and
     caching it cut the end-to-end pipeline 23 s → 16 s at sf0.1. At
     100 TB the same holds: the cached set is the near-dup cluster
-    neighborhood, not the corpus. The handles are not returned, so
-    repeated invocations in one session rely on LRU eviction;
-    long-running sessions interleaving many pipelines should
-    ``spark.catalog.clearCache()`` between them."""
+    neighborhood, not the corpus. Without ``cache_handles``, repeated
+    invocations in one session rely on LRU eviction."""
     sig = signatures_from_shingles(
         shingle_table(docs, text_col, shingle_n), num_perms
     ).cache()
@@ -281,6 +299,8 @@ def minhash_lsh_dups(
     )
     docs_cand = docs.join(cand_ids, "doc_id", "left_semi")
     sh_cand = shingle_table(docs_cand, text_col, shingle_n).cache()
+    if cache_handles is not None:
+        cache_handles += [sig, cand, sh_cand]
     return shingle_jaccard(docs_cand, cand, text_col, shingle_n, shingles=sh_cand).where(
         F.col("jaccard") >= threshold
     )

@@ -77,8 +77,16 @@ def ego_nets(neighbors: DataFrame) -> DataFrame:
     )
 
 
-def ego_conductance(sym_edges: DataFrame) -> DataFrame:
+def ego_conductance(
+    sym_edges: DataFrame, cache_handles: list | None = None
+) -> DataFrame:
     """B6: per-node ego-net conductance ``(id, phi DOUBLE)``.
+
+    ``cache_handles``: pass a list to receive the internally cached
+    DataFrames (sym_edges, nbrs); the caller unpersists them once the
+    result is consumed. Without it, release is left to LRU eviction —
+    fine for one-shot queries, leaky for long sessions interleaving
+    many pipelines.
 
     Reference formula (v2:47-53): for ego set S(u) = {u} ∪ N(u),
     z = multiset of neighbors of S's members, cut = |{w ∈ z : w ∉ S}|,
@@ -108,6 +116,8 @@ def ego_conductance(sym_edges: DataFrame) -> DataFrame:
     # ego_nets and the member join). Spark LRU-evicts when pressured.
     sym_edges = sym_edges.cache()
     nbrs = neighbor_lists(sym_edges).cache()
+    if cache_handles is not None:
+        cache_handles += [sym_edges, nbrs]
     ego = ego_nets(nbrs)
     sdeg = total_volume(sym_edges)  # scalar: 2|E|; materializes the cache
 

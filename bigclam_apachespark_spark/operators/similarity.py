@@ -1,6 +1,7 @@
 """Similarity search over the ``embeddings`` table (north-star
-extension): brute-force cosine top-k as the exact baseline, plus an
-LSH-bucketed (random-hyperplane) variant as the 100-TB scale path.
+extension): brute-force cosine top-k as the exact baseline, plus
+LSH-bucketed (random-hyperplane) and IVF variants as the 100-TB
+scale paths.
 
 Scale shapes:
 - brute force: queries × corpus join. Correct baseline; cost is
@@ -12,6 +13,23 @@ Scale shapes:
   multiple tables (independent hyperplane sets) recall rises; each
   table is one hash-join. Hyperplanes are deterministic md5-derived
   pseudo-Gaussians so the DuckDB oracle reproduces the exact buckets.
+
+Cross-engine exactness (why the integer fixed-point): every discrete
+decision here — a hyperplane sign bit, an IVF argmax, a threshold, a
+top-k rank — must agree bit-for-bit with the DuckDB oracle. Float
+dot products don't: the two engines fold the 64 products in
+different orders, and a last-ulp difference flips sign(dot) for
+near-zero dots (observed twice at sf0.01). So vectors are quantized
+ONCE to integer micro-units (round(x·10⁶) as long — exact and
+identical on both engines since it is a single IEEE multiply+round
+of the same double), and every dot product is an exact 64-bit
+integer sum: |e| ≤ 1 ⇒ self-dots ≤ 64·10¹² ≪ 2⁶³ (and ≪ 2⁵³, so
+even the double conversions below are exact). Cosines are then
+derived as dot/(‖a‖·‖b‖) from exact integers through correctly-
+rounded IEEE ops (sqrt, ×, ÷) — bit-identical cross-engine, which
+also makes the ≥ threshold filters and rank orderings exact. Norms
+are computed once per vector, not once per pair (3× fewer array
+aggregations in the pair-scoring inner loop).
 """
 
 from __future__ import annotations
@@ -19,16 +37,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigclam_apachespark_spark.functions.arrays import arr_dot
+# Fixed-point quantum: micro-units. DuckDB twin fragments live in
+# registry_ext.py next to the oracle SQL (QEMB_SQL / _dotq_sql).
+SCALE = 1_000_000
 
 
-def _cos(a: Column | str, b: Column | str) -> Column:
+def _qvec(c: Column | str) -> Column:
+    """array<double> → array<long> micro-units (exact cross-engine)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: F.round(x * SCALE, 0).cast("long"))
+
+
+def _dot_long(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two quantized vectors."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    dot = arr_dot(a, b)
-    na = F.sqrt(arr_dot(a, a))
-    nb = F.sqrt(arr_dot(b, b))
-    return dot / (na * nb)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qv, nrm): quantized vector + its L2 norm (in micro-units),
+    computed once per vector. Narrow map — no shuffle."""
+    q = embeddings.select(F.col(id_col), _qvec(vec_col).alias("qv"))
+    return q.select(
+        id_col, "qv", F.sqrt(_dot_long("qv", "qv").cast("double")).alias("nrm")
+    )
+
+
+def _cos_q(qa: str, na: str, qb: str, nb: str) -> Column:
+    """Cosine from quantized vectors + precomputed norms — every op
+    from exact integers, so the double result is bit-identical
+    cross-engine."""
+    return _dot_long(qa, qb).cast("double") / (F.col(na) * F.col(nb))
 
 
 def brute_force_topk(
@@ -45,10 +91,12 @@ def brute_force_topk(
     |Q|·|N| scored rows, partitioned by q)."""
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("q"), F.col(vec_col).alias("qvec"))
-    corpus = embeddings.select(F.col(id_col), F.col(vec_col))
+    q = quantized(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q"), F.col("qv").alias("qqv"), F.col("nrm").alias("qnrm")
+    )
+    corpus = quantized(embeddings, id_col, vec_col)
     scored = corpus.crossJoin(F.broadcast(q)).where(F.col("q") != F.col(id_col)).select(
-        "q", id_col, F.round(_cos("qvec", vec_col), 6).alias("cos_sim")
+        "q", id_col, F.round(_cos_q("qv", "nrm", "qqv", "qnrm"), 6).alias("cos_sim")
     )
     w = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -73,6 +121,13 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     return vals
 
 
+def _hyperplane_q(dim: int, plane: int, seed: int = 42) -> list[int]:
+    """Hyperplane quantized to integer micro-units — the SAME literals
+    are injected into the DuckDB oracle (registry_ext._planes_sql), so
+    the sign test is an exact integer comparison on both engines."""
+    return [int(round(v * SCALE)) for v in _hyperplane(dim, plane, seed)]
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -82,19 +137,17 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector → ``(vec_id, bucket)``;
-    bucket = Σ_p (sign(v·h_p) > 0) << p. Narrow map, no shuffle."""
+    bucket = Σ_p (v·h_p > 0) << p over exact integer dots. Narrow map,
+    no shuffle, no float anywhere near the discrete decision."""
+    e = embeddings.select(F.col(id_col), _qvec(vec_col).alias("qv"))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
-        # Quantize before the sign test: Spark's sequential aggregate
-        # fold and DuckDB's list_dot_product can differ in the last
-        # ulp, which flips sign(dot) for near-zero dots. round(·, 6)
-        # on both engines makes the discontinuous comparison stable.
-        bit = F.when(F.round(arr_dot(F.col(vec_col), hp), 6) > 0, F.lit(1).cast("long")).otherwise(
+        hp = F.array(*[F.lit(v).cast("long") for v in _hyperplane_q(dim, p, seed)])
+        bit = F.when(_dot_long(F.col("qv"), hp) > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + F.shiftleft(bit, p)
-    return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+    return e.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def lsh_topk(
@@ -113,14 +166,20 @@ def lsh_topk(
     from pyspark.sql import Window
 
     b = hyperplane_buckets(embeddings, n_planes, seed, dim, id_col, vec_col)
-    corpus = embeddings.join(b, id_col)
+    corpus = quantized(embeddings, id_col, vec_col).join(b, id_col)
     qb = hyperplane_buckets(queries, n_planes, seed, dim, id_col, vec_col)
     q = (
-        queries.join(qb, id_col)
-        .select(F.col(id_col).alias("q"), F.col(vec_col).alias("qvec"), "bucket")
+        quantized(queries, id_col, vec_col)
+        .join(qb, id_col)
+        .select(
+            F.col(id_col).alias("q"),
+            F.col("qv").alias("qqv"),
+            F.col("nrm").alias("qnrm"),
+            "bucket",
+        )
     )
     scored = corpus.join(F.broadcast(q), "bucket").where(F.col("q") != F.col(id_col)).select(
-        "q", id_col, F.round(_cos("qvec", vec_col), 6).alias("cos_sim")
+        "q", id_col, F.round(_cos_q("qv", "nrm", "qqv", "qnrm"), 6).alias("cos_sim")
     )
     w = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -136,11 +195,11 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantizer → ``(cell, cvec)``: the ``n_cells`` corpus
-    vectors with the smallest md5-derived sample key act as centroids
-    (a deterministic pseudo-random sample both engines reproduce
-    bit-for-bit; k-means refinement would be an orthogonal driver
-    loop and would break oracle determinism).
+    """IVF coarse quantizer → ``(cell, cqv, cnrm)``: the ``n_cells``
+    corpus vectors with the smallest md5-derived sample key act as
+    centroids (a deterministic pseudo-random sample both engines
+    reproduce bit-for-bit; k-means refinement would be an orthogonal
+    driver loop and would break oracle determinism).
 
     Scale shape: ``orderBy(...).limit(n)`` compiles to
     TakeOrderedAndProject — a distributed per-partition top-n + driver
@@ -150,15 +209,16 @@ def ivf_centroids(
 
     from bigclam_apachespark_spark.functions.hashing import hash64
 
-    keyed = embeddings.select(
+    keyed = quantized(embeddings, id_col, vec_col).select(
         F.col(id_col),
-        F.col(vec_col),
+        "qv",
+        "nrm",
         hash64(F.col(id_col).cast("string")).alias("skey"),
     )
     cent = keyed.orderBy("skey", id_col).limit(n_cells)
     w = Window.orderBy("skey", id_col)
     return cent.withColumn("cell", F.row_number().over(w) - 1).select(
-        "cell", F.col(vec_col).alias("cvec")
+        "cell", F.col("qv").alias("cqv"), F.col("nrm").alias("cnrm")
     )
 
 
@@ -169,16 +229,18 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Inverted-file assignment → ``(vec_id, cell)``: nearest centroid
-    by cosine (rounded to 6 dp for cross-engine argmax stability; ties
-    → lowest cell). Centroids broadcast — the corpus never shuffles
-    for the scoring; the argmax is a per-vector window over n_cells
-    scored rows."""
+    by cosine (exact fixed-point cosine, so the argmax is cross-engine
+    stable; ties → lowest cell). Centroids broadcast — the corpus
+    never shuffles for the scoring; the argmax is a per-vector window
+    over n_cells scored rows."""
     from pyspark.sql import Window
 
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+    scored = quantized(embeddings, id_col, vec_col).crossJoin(
+        F.broadcast(centroids)
+    ).select(
         F.col(id_col),
         "cell",
-        F.round(_cos(F.col(vec_col), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(_cos_q("qv", "nrm", "cqv", "cnrm"), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos_sim").desc(), F.col("cell"))
     return (
@@ -211,24 +273,27 @@ def ivf_topk(
 
     cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     assign = ivf_assign(embeddings, cent, id_col, vec_col)
-    corpus = embeddings.join(assign, id_col)
+    corpus = quantized(embeddings, id_col, vec_col).join(assign, id_col)
 
-    qscored = queries.crossJoin(F.broadcast(cent)).select(
+    qscored = quantized(queries, id_col, vec_col).crossJoin(F.broadcast(cent)).select(
         F.col(id_col).alias("q"),
-        F.col(vec_col).alias("qvec"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnrm"),
         "cell",
-        F.round(_cos(F.col(vec_col), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(_cos_q("qv", "nrm", "cqv", "cnrm"), 6).alias("cos_sim"),
     )
     wq = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col("cell"))
     probes = (
         qscored.withColumn("pr", F.row_number().over(wq))
         .where(F.col("pr") <= nprobe)
-        .select("q", "qvec", "cell")
+        .select("q", "qqv", "qnrm", "cell")
     )
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .where(F.col("q") != F.col(id_col))
-        .select("q", id_col, F.round(_cos("qvec", vec_col), 6).alias("cos_sim"))
+        .select(
+            "q", id_col, F.round(_cos_q("qv", "nrm", "qqv", "qnrm"), 6).alias("cos_sim")
+        )
     )
     w = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -252,13 +317,17 @@ def cosine_near_dup_pairs(
     High-cosine pairs land in the same bucket with prob ≥
     (1−θ/π)^n_planes — for θ near 0 (near-dups) that is ≈1."""
     b = hyperplane_buckets(embeddings, n_planes, seed, dim, id_col, vec_col)
-    e = embeddings.join(b, id_col)
-    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    c = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    e = quantized(embeddings, id_col, vec_col).join(b, id_col)
+    a = e.select(
+        F.col(id_col).alias("a"), F.col("qv").alias("qa"), F.col("nrm").alias("na"), "bucket"
+    )
+    c = e.select(
+        F.col(id_col).alias("b"), F.col("qv").alias("qb"), F.col("nrm").alias("nb"), "bucket"
+    )
     return (
         a.join(c, "bucket")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(_cos("va", "vb"), 6).alias("cos_sim"))
+        .select("a", "b", F.round(_cos_q("qa", "na", "qb", "nb"), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
         .distinct()

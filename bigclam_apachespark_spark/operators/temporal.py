@@ -97,10 +97,14 @@ def as_of_join(
         .where(F.col("_side") == 1)
     )
     if tolerance_sec is not None:
-        ts_type = left.schema[left_ts].dataType.typeName()
+        # Dispatch epoch extraction on EACH side's own dtype: _t came
+        # from the left column, _m._rts from the right one, and the two
+        # may carry different timestamp flavors (NTZ vs LTZ).
+        l_type = left.schema[left_ts].dataType.typeName()
+        r_type = right.schema[right_ts].dataType.typeName()
         horizon = int(tolerance_sec * 1_000_000)
         fresh = (
-            _micros(F.col("_t"), ts_type) - _micros(F.col("_m._rts"), ts_type)
+            _micros(F.col("_t"), l_type) - _micros(F.col("_m._rts"), r_type)
         ) <= horizon
         matched = matched.withColumn(
             "_m", F.when(fresh, F.col("_m"))  # else NULL

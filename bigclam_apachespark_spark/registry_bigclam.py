@@ -73,6 +73,76 @@ SUMF_SQL = """
 sumf AS (SELECT k, SUM(val) AS s FROM factors_long GROUP BY k)
 """
 
+# Shared CTE chain for the Armijo line search (F3) — also the core of
+# the one-full-iteration query (F4/F5): per-node gradient, local LLH,
+# the 16-step candidate fan-out, candidate local LLHs with sumF
+# adjusted per candidate (sumF − fu + newfu, v2:142), and the largest
+# accepted step per node. Accept comparison quantized to 6 dp on both
+# engines (fold-order stability).
+LINE_SEARCH_CORE_SQL = """
+        wsum AS (
+          SELECT e.src AS node_id, fb.k, SUM(fb.val / (1 - e.p)) AS ws
+          FROM ep e JOIN factors_long fb ON fb.node_id = e.dst
+          GROUP BY e.src, fb.k
+        ),
+        grad AS (
+          SELECT w.node_id, w.k, w.ws - s.s + f.val AS g, f.val AS fv
+          FROM wsum w
+          JOIN sumf s ON s.k = w.k
+          JOIN factors_long f ON f.node_id = w.node_id AND f.k = w.k
+        ),
+        nbr AS (SELECT src, SUM(ln(1 - p) + dot) AS nbr_term FROM ep GROUP BY src),
+        llh_u AS (
+          SELECT g.node_id,
+                 n.nbr_term
+                   - SUM(g.fv * s.s) + SUM(g.fv * g.fv) AS llh,
+                 SUM(g.g * g.g) AS g2
+          FROM grad g
+          JOIN sumf s ON s.k = g.k
+          JOIN nbr n ON n.src = g.node_id
+          GROUP BY g.node_id, n.nbr_term
+        ),
+        etas AS (SELECT power(0.1, i) AS eta FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+        cand AS (
+          SELECT g.node_id, e.eta, g.k,
+                 least(greatest(g.fv + e.eta * g.g, 0.0), 1000.0) AS newval,
+                 g.fv
+          FROM grad g CROSS JOIN etas e
+        ),
+        cdot AS (
+          SELECT c.node_id, c.eta, s.dst,
+                 SUM(c.newval * fb.val) AS dot
+          FROM cand c
+          JOIN sym s ON s.src = c.node_id
+          JOIN factors_long fb ON fb.node_id = s.dst AND fb.k = c.k
+          GROUP BY c.node_id, c.eta, s.dst
+        ),
+        cnbr AS (
+          SELECT node_id, eta,
+                 SUM(ln(1 - least(greatest(exp(-dot), 0.0001), 0.9999)) + dot) AS nbr_term
+          FROM cdot GROUP BY node_id, eta
+        ),
+        cself AS (
+          SELECT c.node_id, c.eta,
+                 SUM(c.newval * (s.s - c.fv + c.newval)) AS fusf_new,
+                 SUM(c.newval * c.newval) AS fufu_new
+          FROM cand c JOIN sumf s ON s.k = c.k
+          GROUP BY c.node_id, c.eta
+        ),
+        scored AS (
+          SELECT n.node_id, n.eta,
+                 n.nbr_term - cs.fusf_new + cs.fufu_new AS cand_llh,
+                 l.llh + 0.05 * n.eta * l.g2 AS threshold
+          FROM cnbr n
+          JOIN cself cs ON cs.node_id = n.node_id AND cs.eta = n.eta
+          JOIN llh_u l ON l.node_id = n.node_id
+        ),
+        best AS (
+          SELECT node_id, MAX(eta) AS eta
+          FROM scored WHERE round(cand_llh, 6) >= round(threshold, 6)
+          GROUP BY node_id
+        )"""
+
 
 BIGCLAM_ORACLE = {
     # C5: column sums of F.
@@ -138,71 +208,28 @@ BIGCLAM_ORACLE = {
     # quantized to 6 dp on BOTH engines (fold-order stability).
     "bigclam_line_search": f"""
         WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}, {SUMF_SQL},
-        wsum AS (
-          SELECT e.src AS node_id, fb.k, SUM(fb.val / (1 - e.p)) AS ws
-          FROM ep e JOIN factors_long fb ON fb.node_id = e.dst
-          GROUP BY e.src, fb.k
-        ),
-        grad AS (
-          SELECT w.node_id, w.k, w.ws - s.s + f.val AS g, f.val AS fv
-          FROM wsum w
-          JOIN sumf s ON s.k = w.k
-          JOIN factors_long f ON f.node_id = w.node_id AND f.k = w.k
-        ),
-        nbr AS (SELECT src, SUM(ln(1 - p) + dot) AS nbr_term FROM ep GROUP BY src),
-        llh_u AS (
-          SELECT g.node_id,
-                 n.nbr_term
-                   - SUM(g.fv * s.s) + SUM(g.fv * g.fv) AS llh,
-                 SUM(g.g * g.g) AS g2
-          FROM grad g
-          JOIN sumf s ON s.k = g.k
-          JOIN nbr n ON n.src = g.node_id
-          GROUP BY g.node_id, n.nbr_term
-        ),
-        etas AS (SELECT power(0.1, i) AS eta FROM (SELECT unnest(generate_series(0, 15)) AS i)),
-        cand AS (
-          SELECT g.node_id, e.eta, g.k,
-                 least(greatest(g.fv + e.eta * g.g, 0.0), 1000.0) AS newval,
-                 g.fv
-          FROM grad g CROSS JOIN etas e
-        ),
-        cdot AS (
-          SELECT c.node_id, c.eta, s.dst,
-                 SUM(c.newval * fb.val) AS dot
-          FROM cand c
-          JOIN sym s ON s.src = c.node_id
-          JOIN factors_long fb ON fb.node_id = s.dst AND fb.k = c.k
-          GROUP BY c.node_id, c.eta, s.dst
-        ),
-        cnbr AS (
-          SELECT node_id, eta,
-                 SUM(ln(1 - least(greatest(exp(-dot), 0.0001), 0.9999)) + dot) AS nbr_term
-          FROM cdot GROUP BY node_id, eta
-        ),
-        cself AS (
-          SELECT c.node_id, c.eta,
-                 SUM(c.newval * (s.s - c.fv + c.newval)) AS fusf_new,
-                 SUM(c.newval * c.newval) AS fufu_new
-          FROM cand c JOIN sumf s ON s.k = c.k
-          GROUP BY c.node_id, c.eta
-        ),
-        scored AS (
-          SELECT n.node_id, n.eta,
-                 n.nbr_term - cs.fusf_new + cs.fufu_new AS cand_llh,
-                 l.llh + 0.05 * n.eta * l.g2 AS threshold
-          FROM cnbr n
-          JOIN cself cs ON cs.node_id = n.node_id AND cs.eta = n.eta
-          JOIN llh_u l ON l.node_id = n.node_id
-        ),
-        best AS (
-          SELECT node_id, MAX(eta) AS eta
-          FROM scored WHERE round(cand_llh, 6) >= round(threshold, 6)
-          GROUP BY node_id
-        )
+        {LINE_SEARCH_CORE_SQL}
         SELECT b.node_id, round(b.eta, 9) AS eta, CAST(c.k AS INT) AS k,
                round(c.newval, 6) AS newval
         FROM best b JOIN cand c ON c.node_id = b.node_id AND c.eta = b.eta
+    """,
+    # F4+F5 (one full optimizer iteration), oracle-checked: gradient →
+    # Armijo line search → apply_updates (v2:148-155) → the complete
+    # NEW factor matrix in long layout. Nodes with an accepted step
+    # take their chosen candidate vector wholesale; all others keep
+    # their old row — exactly operators/bigclam.py apply_updates
+    # (anti-join ∪ new rows).
+    "bigclam_one_iteration": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}, {SUMF_SQL},
+        {LINE_SEARCH_CORE_SQL},
+        upd AS (
+          SELECT b.node_id, c.k, c.newval
+          FROM best b JOIN cand c ON c.node_id = b.node_id AND c.eta = b.eta
+        )
+        SELECT f.node_id, CAST(f.k AS INT) AS k,
+               round(COALESCE(u.newval, f.val), 6) AS fval
+        FROM factors_long f
+        LEFT JOIN upd u ON u.node_id = f.node_id AND u.k = f.k
     """,
     # F7: community membership at a fixed threshold δ=0.75 on fixture
     # factors (argmax-fallback branch included: keeps ALL argmax ties,
@@ -293,7 +320,10 @@ BIGCLAM_ORACLE = {
                  CAST(ROW_NUMBER() OVER (ORDER BY rk) - 1 AS INT) AS c
           FROM dedup QUALIFY c < 4
         )
-        SELECT DISTINCT t.c, m.member AS node_id, 1.0 AS val
+        -- CAST: a bare 1.0 literal is DECIMAL(2,1) in DuckDB — the
+        -- dtype-parity guard (test_oracle_no_hugeint_outputs) wants
+        -- every output column in a type pandas maps like Spark's.
+        SELECT DISTINCT t.c, m.member AS node_id, CAST(1.0 AS DOUBLE) AS val
         FROM topk t
         JOIN (
           SELECT src AS seed, dst AS member FROM sym
@@ -383,6 +413,24 @@ def q_line_search(spark, sf_dir):
     return upd.select(
         "node_id", F.round("eta", 9).alias("eta"), F.posexplode("f_new").alias("k", "nv")
     ).select("node_id", "eta", "k", F.round("nv", 6).alias("newval"))
+
+
+def q_one_iteration(spark, sf_dir):
+    """F4+F5 oracle twin (one full optimizer iteration, reference
+    codes/Bigclamv2.scala:148-155): fixture factors → gradient state →
+    Armijo line search (quantized accept, as q_line_search) →
+    apply_updates → the complete new factor matrix in long layout.
+    Upgrades F4 (factor rewrite) and the F5 iteration body from
+    rows-only smokes to a hash-checked result."""
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    sumf = B.sum_f(fx)
+    state = B.gradient_state(sym, fx, sumf)
+    upd = B.line_search_updates(sym, fx, state, sumf, quantize=6)
+    newf = B.apply_updates(fx, upd)
+    return newf.select(
+        "node_id", F.posexplode("f").alias("k", "v")
+    ).select("node_id", "k", F.round("v", 6).alias("fval"))
 
 
 def q_extract(spark, sf_dir):
@@ -491,6 +539,7 @@ BIGCLAM_QUERIES = {
     "bigclam_gradient": q_gradient,
     "bigclam_step": q_step,
     "bigclam_line_search": q_line_search,
+    "bigclam_one_iteration": q_one_iteration,
     "bigclam_extract": q_extract,
     "bigclam_invert": q_invert,
     "bigclam_init_membership": q_init_membership,

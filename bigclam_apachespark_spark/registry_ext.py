@@ -201,8 +201,11 @@ votes AS (
   FROM tok CROSS JOIN bits GROUP BY doc_id, b
 ),
 sim AS (
+  -- CAST: SUM over BIGINT yields HUGEINT, which pandas/arrow surface
+  -- as float64/decimal — the driver's value hash then sees x.0 vs
+  -- Spark's LONG x (the r1/r2 dedup_simhash hash-FAIL root cause).
   SELECT doc_id,
-         SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )"""
 
@@ -355,29 +358,56 @@ def _queries_subset(spark, sf):
 
 
 def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
-    """Hyperplane literals as a DuckDB CTE (plane, vec)."""
+    """Hyperplane literals as a DuckDB CTE (plane, qvec) — the SAME
+    integer micro-unit components the Spark side uses
+    (similarity._hyperplane_q), so the sign test is exact on both."""
     rows = []
     for p in range(n_planes):
-        vec = S._hyperplane(dim, p, seed)
-        rows.append(f"({p}, [{', '.join(repr(v) for v in vec)}])")
-    return "planes(plane, vec) AS (VALUES " + ", ".join(rows) + ")"
+        vec = S._hyperplane_q(dim, p, seed)
+        rows.append(f"({p}, [{', '.join(str(v) for v in vec)}]::BIGINT[])")
+    return "planes(plane, qvec) AS (VALUES " + ", ".join(rows) + ")"
 
 
-_COS = """
-list_dot_product(a.emb, b.emb)
- / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
-"""
+def _dotq_sql(a: str, b: str) -> str:
+    """Exact integer dot of two quantized BIGINT lists (DuckDB twin of
+    similarity._dot_long)."""
+    return f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 
-EMB_SQL = "emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
 
-# round(dot, 6) before the sign test on BOTH engines: last-ulp fold
-# differences between Spark's aggregate and list_dot_product would
-# otherwise flip the bit for near-zero dots (seen at sf0.01).
+def _cosq_sql(aq: str, an: str, bq: str, bn: str) -> str:
+    """Cosine from quantized vectors + precomputed norms — every op
+    from exact integers (dot < 2^53, so the DOUBLE cast is exact),
+    bit-identical to the Spark side."""
+    return f"(CAST({_dotq_sql(aq, bq)} AS DOUBLE) / ({an} * {bn}))"
+
+
+# Quantized embeddings (twin of similarity.quantized): micro-unit
+# BIGINT vectors + the L2 norm derived from the exact self-dot.
+# round(x·10⁶) is a single IEEE multiply+round of the same double on
+# both engines → identical integers; no float ever reaches a discrete
+# decision (sign bit, argmax, threshold) downstream.
+EMB_SQL = """emb0 AS (
+  SELECT vec_id,
+         [CAST(round(x * 1000000.0) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+  FROM embeddings
+),
+emb AS (
+  SELECT vec_id, qv,
+         sqrt(CAST(list_sum([v * v for v in qv]) AS DOUBLE)) AS nrm
+  FROM emb0
+)"""
+
+_PAIR_COS = _cosq_sql("ea.qv", "ea.nrm", "eb.qv", "eb.nrm")
+
+# CAST(... AS BIGINT): SUM over integers yields HUGEINT in DuckDB,
+# which pandas/arrow surface as float64/decimal — the driver's value
+# hash then sees 3.0 vs Spark's 3. Every integer aggregate that
+# REACHES AN OUTPUT COLUMN must be cast back to BIGINT.
 BUCKETS64_SQL = f"""
 vb AS (
   SELECT e.vec_id,
-         SUM(CASE WHEN round(list_dot_product(e.emb, p.vec), 6) > 0
-                  THEN (1::BIGINT << p.plane) ELSE 0 END) AS bucket
+         CAST(SUM(CASE WHEN {_dotq_sql('e.qv', 'p.qvec')} > 0
+                  THEN (1::BIGINT << p.plane) ELSE 0 END) AS BIGINT) AS bucket
   FROM emb e CROSS JOIN planes p
   GROUP BY e.vec_id
 )"""
@@ -385,18 +415,15 @@ vb AS (
 # IVF fragments: deterministic md5-sample centroids → nearest-cell
 # assignment → nprobe probing. Constants (16 cells, 4 probes, top-5,
 # queries vec_id < 10) mirror SIM_QUERIES["sim_ivf_topk"].
-_IVF_COS_EC = """
-round(list_dot_product(e.emb, c.cvec)
- / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
-"""
+_IVF_COS_EC = f"round({_cosq_sql('e.qv', 'e.nrm', 'c.cqv', 'c.cnrm')}, 6)"
 
 IVF_SQL = f"""
 keyed AS (
-  SELECT vec_id, emb, {hash64_sql('CAST(vec_id AS VARCHAR)')} AS skey FROM emb
+  SELECT vec_id, qv, nrm, {hash64_sql('CAST(vec_id AS VARCHAR)')} AS skey FROM emb
 ),
 cent AS (
-  SELECT rn - 1 AS cell, emb AS cvec FROM (
-    SELECT emb, ROW_NUMBER() OVER (ORDER BY skey, vec_id) AS rn FROM keyed
+  SELECT rn - 1 AS cell, qv AS cqv, nrm AS cnrm FROM (
+    SELECT qv, nrm, ROW_NUMBER() OVER (ORDER BY skey, vec_id) AS rn FROM keyed
   ) WHERE rn <= 16
 ),
 assign AS (
@@ -420,15 +447,13 @@ SIM_ORACLE = {
     "sim_ivf_topk": f"""
         WITH {EMB_SQL}, {IVF_SQL},
         scored AS (
-          SELECT p.q, a.vec_id,
-                 round(list_dot_product(qe.emb, a.emb)
-                  / (sqrt(list_dot_product(qe.emb, qe.emb))
-                     * sqrt(list_dot_product(a.emb, a.emb))), 6) AS cos_sim
+          SELECT p.q, ea.vec_id,
+                 round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) AS cos_sim
           FROM probes p
           JOIN assign s ON s.cell = p.cell
-          JOIN emb a ON a.vec_id = s.vec_id
-          JOIN emb qe ON qe.vec_id = p.q
-          WHERE a.vec_id <> p.q
+          JOIN emb ea ON ea.vec_id = s.vec_id
+          JOIN emb eb ON eb.vec_id = p.q
+          WHERE ea.vec_id <> p.q
         )
         SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
           SELECT q, vec_id, cos_sim,
@@ -439,10 +464,10 @@ SIM_ORACLE = {
     "sim_topk_brute": f"""
         WITH {EMB_SQL},
         scored AS (
-          SELECT b.vec_id AS q, a.vec_id,
-                 round({_COS}, 6) AS cos_sim
-          FROM emb a CROSS JOIN emb b
-          WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
         )
         SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
           SELECT q, vec_id, cos_sim,
@@ -458,12 +483,12 @@ SIM_ORACLE = {
         WITH {EMB_SQL}, {_planes_sql(8)}, {BUCKETS64_SQL},
         scored AS (
           SELECT qb.vec_id AS q, cb.vec_id,
-                 round({_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')}, 6)
+                 round({_PAIR_COS.replace('ea.', 'ec.').replace('eb.', 'eq.')}, 6)
                    AS cos_sim
           FROM vb qb
           JOIN vb cb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
-          JOIN emb ea ON ea.vec_id = cb.vec_id
-          JOIN emb eb ON eb.vec_id = qb.vec_id
+          JOIN emb ec ON ec.vec_id = cb.vec_id
+          JOIN emb eq ON eq.vec_id = qb.vec_id
           WHERE qb.vec_id < 10
         )
         SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
@@ -479,10 +504,9 @@ SIM_ORACLE = {
           FROM vb a JOIN vb b ON a.bucket = b.bucket
           WHERE a.vec_id < b.vec_id
         )
-        SELECT va AS a, vb2 AS b,
-               round({_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')}, 6) AS cos_sim
+        SELECT va AS a, vb2 AS b, round({_PAIR_COS}, 6) AS cos_sim
         FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
-        WHERE round({_COS.replace('a.emb', 'ea.emb').replace('b.emb', 'eb.emb')}, 6) >= 0.35
+        WHERE round({_PAIR_COS}, 6) >= 0.35
     """,
 }
 
@@ -535,9 +559,12 @@ EVENT_ORACLE = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
+          -- CAST: the running SUM over INTEGER yields HUGEINT →
+          -- float64 through pandas — the r2 events_sessionize
+          -- hash-FAIL root cause (Spark emits LONG).
           SELECT user_id, ts, value,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM flagged
         )
         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -620,7 +647,8 @@ def _q_stream_sessionize(spark, sf):
     as events_sessionize). Replays the events table through the
     file-source; sessions closed by an in-stream gap are emitted in
     the replay batch, each user's final open session stays in the
-    state store (processing-time timeout would flush it later)."""
+    state store (production runs keep timeout_eviction=True, whose
+    processing-time timers flush idle users)."""
     from bigclam_apachespark_spark.streaming import (
         read_events_stream,
         run_stream_to_memory,
@@ -629,14 +657,15 @@ def _q_stream_sessionize(spark, sf):
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
     return run_stream_to_memory(
-        sessionize_stream(stream, gap_minutes=30),
+        # timeout_eviction=False + AvailableNow: the query stops
+        # itself right after the replay batch (~5 s at sf0.01) instead
+        # of idling on 30-min processing-time timers until a watchdog
+        # kills it (the r2 gate-truncation suspect). The watchdog
+        # below is a hang backstop only, not the expected exit path.
+        sessionize_stream(stream, gap_minutes=30, timeout_eviction=False),
         "stream_sessionize_oracle",
         "append",
-        # The processing-time-timeout evictions keep scheduling
-        # batches, so processAllAvailable blocks until the watchdog —
-        # 60 s covers the replay batch (~25 s at sf0.01) with margin
-        # while bounding the driver-gate cost of a rows-only entry.
-        timeout_sec=60.0,
+        timeout_sec=45.0,
     )
 
 
@@ -709,8 +738,8 @@ MULTIMODAL_ORACLE = {
     "multimodal_media_stats": """
         SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                COUNT(*) AS n_media,
-               SUM(32 * (4 + i % 7)) AS total_bytes,
-               SUM(CASE WHEN i % 3 IN (0, 2) THEN 32 * 24 ELSE 0 END) AS total_px
+               CAST(SUM(32 * (4 + i % 7)) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN i % 3 IN (0, 2) THEN 32 * 24 ELSE 0 END) AS BIGINT) AS total_px
         FROM generate_series(0, 63) t(i)
         GROUP BY 1
     """,
@@ -727,12 +756,17 @@ MULTIMODAL_QUERIES = {
     "multimodal_frame_sample": _q_frame_sample,
 }
 
+# Registration order = driver execution order. The cheap oracle-
+# checked MULTIMODAL queries run BEFORE the events group (whose tail
+# holds the two streaming replays) so a budget/timeout hit on the
+# streaming tail can never silently drop oracle-checkable entries —
+# the r2 gate recorded nothing after events_range_attribution.
 EXT_QUERIES = {
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIM_QUERIES,
-    **EVENT_QUERIES,
     **MULTIMODAL_QUERIES,
+    **EVENT_QUERIES,
 }
 EXT_ORACLE = {
     **TEXT_ORACLE,

@@ -98,7 +98,15 @@ def windowed_counts_stream(
     """Watermarked tumbling-window counts — same expressions as the
     batch ``tumbling_window_agg``; the watermark lets Spark finalize
     and evict windows older than max(event time) − watermark, which
-    is what bounds state at 100-TB stream scale."""
+    is what bounds state at 100-TB stream scale.
+
+    Output contract: ``window_start`` is ALWAYS TIMESTAMP_NTZ (UTC
+    wall time), regardless of the source ts flavor — the inverse of
+    the read-side conversion (read_events_stream normalizes every
+    flavor to LTZ-as-UTC-instant for the watermark, since watermarks
+    require LTZ). Emitting NTZ keeps the sink timezone-independent
+    and bit-comparable against naive-timestamp batch/oracle answers;
+    consumers that need an LTZ column should cast explicitly."""
     # window_start emitted as TIMESTAMP_NTZ (UTC wall time) via the
     # timezone-free inverse of the read-side NTZ→LTZ conversion, so the
     # sink compares bit-for-bit against the naive-timestamp oracle on
@@ -139,10 +147,11 @@ SESSION_OUT_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(gap_seconds: int):
+def _session_fn(gap_seconds: int, timeout_eviction: bool = True):
     """Custom stateful operator: gap-based sessions per user. Emits a
     session row when the gap closes it; keeps the open session in
-    state; a processing-time timeout flushes idle users."""
+    state; a processing-time timeout flushes idle users (when
+    ``timeout_eviction``)."""
     import pandas as pd
 
     GAP_US = gap_seconds * 1_000_000
@@ -183,7 +192,8 @@ def _session_fn(gap_seconds: int):
                 n += 1
                 sv += float(r["value"])
         state.update((s0, last, n, sv, closed + len(out)))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if timeout_eviction:
+            state.setTimeoutDuration(gap_seconds * 1000)
         if out:
             yield pd.DataFrame(
                 {
@@ -198,21 +208,36 @@ def _session_fn(gap_seconds: int):
     return fn
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, timeout_eviction: bool = True
+) -> DataFrame:
     """Custom stateful streaming sessionization (the op Spark's
     built-in aggs lack) via ``applyInPandasWithState`` — per-user
     state, processing-time timeout eviction. Batch twin:
-    ``operators.events.sessionize`` (same gap semantics)."""
+    ``operators.events.sessionize`` (same gap semantics).
+
+    ``timeout_eviction=False`` drops the processing-time timers
+    (NoTimeout): open sessions then stay in state forever instead of
+    being flushed after an idle gap. Production keeps the default;
+    bounded replays (tests, the driver's correctness gate) turn it
+    off so a Trigger.AvailableNow run terminates as soon as the data
+    is consumed — pending timers otherwise keep the query scheduling
+    micro-batches until a watchdog kills it."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_eviction
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_minutes * 60),
+            _session_fn(gap_minutes * 60, timeout_eviction),
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=conf,
         )
     )
 
@@ -222,25 +247,35 @@ def run_stream_to_memory(
     query_name: str,
     output_mode: str = "complete",
     timeout_sec: float = 180.0,
+    available_now: bool = True,
 ) -> "DataFrame":
-    """Run a streaming query to completion against a replayed file
-    source (processAllAvailable) into an in-memory sink; returns the
-    sink table. Test harness helper.
+    """Run a streaming query over a replayed file source into an
+    in-memory sink; returns the sink table. Test harness helper.
 
-    A watchdog hard-stops the query after ``timeout_sec`` —
-    ``processAllAvailable`` can block indefinitely on stateful
-    queries (timeout-driven evictions keep scheduling batches), and a
+    ``available_now=True`` (default): Trigger.AvailableNow — the query
+    processes everything available at start and then STOPS ITSELF, so
+    the replay terminates deterministically in ~one batch of work.
+    This matters for stateful queries (applyInPandasWithState with
+    processing-time timeouts): under processAllAvailable their
+    timeout-driven evictions keep scheduling batches forever, and the
+    run only ends when a watchdog kills it — which burned the whole
+    watchdog budget per streaming query inside the driver's
+    correctness gate (the r2 gate-truncation suspect).
+
+    ``timeout_sec`` is retained as a hard watchdog for either mode: a
     hung streaming call must never wedge the test suite or the
-    driver's correctness gate. On a watchdog stop, whatever reached
-    the sink is returned."""
+    driver's gate. On timeout, whatever reached the sink is
+    returned."""
     import threading
 
-    q = (
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     timed_out = threading.Event()
     done = threading.Event()
 
@@ -254,7 +289,10 @@ def run_stream_to_memory(
 
     threading.Thread(target=_watchdog, daemon=True).start()
     try:
-        q.processAllAvailable()
+        if available_now:
+            q.awaitTermination(timeout_sec)
+        else:
+            q.processAllAvailable()
     except Exception:
         if not timed_out.is_set():
             raise

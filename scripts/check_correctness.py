@@ -73,6 +73,22 @@ def main() -> None:
                     entry["first_mismatch"] = repr(
                         next(((a, b) for a, b in zip(ns, nd) if a != b), None)
                     )[:400]
+                # Dtype-parity guard: fetchall() compares Python ints,
+                # which is BLIND to DuckDB HUGEINT/DECIMAL outputs —
+                # but the driver goes through pandas/arrow, where
+                # HUGEINT becomes float64/decimal128 and its stringified
+                # values ("3.0") hash-mismatch Spark's LONG ("3"). That
+                # was the r1/r2 dedup_simhash / sim_hyperplane_buckets /
+                # events_sessionize failure class: green locally, red
+                # under the driver. DESCRIBE gets the types without
+                # re-executing the query.
+                bad_types = [
+                    f"{r[0]}:{r[1]}"
+                    for r in duck.execute(f"DESCRIBE {ORACLE[name]}").fetchall()
+                    if "HUGEINT" in r[1] or r[1].startswith("DECIMAL")
+                ]
+                if bad_types:
+                    entry["dtype_flags"] = bad_types
             else:
                 entry["err"] = "no_oracle"
         except Exception:
@@ -86,7 +102,8 @@ def main() -> None:
     out.write_text(json.dumps(report, indent=1))
     bad = [n for n, e in report.items()
            if e.get("err") not in (None, "no_oracle") or e.get("hash_match") is False
-           or e.get("rows_match") is False or e.get("schema_match") is False]
+           or e.get("rows_match") is False or e.get("schema_match") is False
+           or e.get("dtype_flags")]
     print(json.dumps({"total": len(report), "bad": bad}))
 
 

@@ -65,3 +65,21 @@ def test_query_matches_oracle(spark, duck, name):
     ns, nd = _norm(spark_rows, spark_cols), _norm(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_no_hugeint_outputs(duck, name):
+    """Dtype-parity guard: Python-value comparison above is BLIND to
+    DuckDB HUGEINT/DECIMAL output columns, but the driver's hasher
+    goes through pandas/arrow where HUGEINT becomes float64/decimal128
+    and stringifies as "3.0" vs Spark's LONG "3" — the r1/r2
+    dedup_simhash / sim_hyperplane_buckets / events_sessionize
+    failure class (SUM over integers promotes to HUGEINT; the oracle
+    must CAST every integer aggregate it outputs back to BIGINT).
+    DESCRIBE resolves types without executing the query."""
+    bad = [
+        f"{r[0]}:{r[1]}"
+        for r in duck.execute(f"DESCRIBE {ORACLE[name]}").fetchall()
+        if "HUGEINT" in r[1] or r[1].startswith("DECIMAL")
+    ]
+    assert not bad, f"{name}: driver-hostile oracle output types {bad}"

@@ -10,11 +10,15 @@ promise.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from bigclam_apachespark_spark.registry import QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+# Same fixture-root override test_oracle.py honors; default = the
+# driver's smallest fixture.
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _plan(spark, name: str, execute: bool = False) -> str:
