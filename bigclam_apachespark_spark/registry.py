@@ -211,10 +211,17 @@ ORACLE: dict[str, str] = {
 from bigclam_apachespark_spark.registry_bigclam import (  # noqa: E402
     BIGCLAM_ORACLE,
     BIGCLAM_QUERIES,
+    BIGCLAM_SMOKES,
 )
 from bigclam_apachespark_spark.registry_ext import EXT_ORACLE, EXT_QUERIES  # noqa: E402
 
+# Registration order = the driver's execution order. Oracle-checked
+# queries first (graph → bigclam kernels → text/dedup/sim/multimodal/
+# events, ~3 min of gate budget at sf0.01); the four expensive
+# iterative rows-only smokes LAST (~5 min), so a driver-side budget
+# truncation can only ever drop rows-only entries.
 QUERIES.update(BIGCLAM_QUERIES)
 QUERIES.update(EXT_QUERIES)
+QUERIES.update(BIGCLAM_SMOKES)
 ORACLE.update(BIGCLAM_ORACLE)
 ORACLE.update(EXT_ORACLE)
