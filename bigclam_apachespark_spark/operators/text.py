@@ -51,11 +51,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality scoring: length, punctuation ratio, stopword
-    ratio, mean word length — composed into a [0,1] score. The exact
-    blend is arbitrary (documented, deterministic); the value is the
-    relational shape: narrow map, no shuffle."""
+def _quality_parts(text_col: str) -> tuple[Column, Column, Column, Column]:
+    """(punct_ratio, stop_ratio, mean_word_len, score) expression
+    builders — shared by ``quality_score`` and ``clean_corpus`` so the
+    two can never drift. Pure expression trees (fixed fold order), so
+    the doubles are bit-identical cross-engine."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
@@ -75,6 +75,33 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.2) * F.least(stop_ratio * 4.0, F.lit(1.0))
         + F.lit(0.2) * word_len_score
     )
+    return punct_ratio, stop_ratio, mean_word_len, score
+
+
+def _lang_pred(text_col: str) -> tuple[Column, Column, Column, Column]:
+    """(en_hits, es_hits, fr_hits, lang_pred) expression builders —
+    shared by ``lang_id`` and ``clean_corpus``."""
+    toks = F.array_distinct(tokens(text_col))
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    es = _stopword_hits(toks, ES_STOPWORDS)
+    fr = _stopword_hits(toks, FR_STOPWORDS)
+    best = F.greatest(en, es, fr)
+    lang = (
+        F.when(best == 0, "und")
+        # tie-break order fixed: en > es > fr (documented, matches oracle)
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .otherwise("fr")
+    )
+    return en, es, fr, lang
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio, mean word length — composed into a [0,1] score. The exact
+    blend is arbitrary (documented, deterministic); the value is the
+    relational shape: narrow map, no shuffle."""
+    punct_ratio, stop_ratio, mean_word_len, score = _quality_parts(text_col)
     return docs.select(
         "doc_id",
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -88,21 +115,47 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic: stopword-list hit counts per language,
     argmax with 'und' when nothing hits. n-gram-free variant of the
     classic heuristic — set-intersection counts on distinct tokens."""
-    toks = F.array_distinct(tokens(text_col))
-    en = _stopword_hits(toks, EN_STOPWORDS)
-    es = _stopword_hits(toks, ES_STOPWORDS)
-    fr = _stopword_hits(toks, FR_STOPWORDS)
-    best = F.greatest(en, es, fr)
-    lang = (
-        F.when(best == 0, "und")
-        # tie-break order fixed: en > es > fr (documented, matches oracle)
-        .when(en == best, "en")
-        .when(es == best, "es")
-        .otherwise("fr")
-    )
+    en, es, fr, lang = _lang_pred(text_col)
     return docs.select(
         "doc_id", en.alias("en_hits"), es.alias("es_hits"), fr.alias("fr_hits"),
         lang.alias("lang_pred"),
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    quality_threshold: float = 0.5,
+    lang: str = "en",
+) -> DataFrame:
+    """Training-data corpus cleaning — the canonical LLM-pipeline
+    composition, as ONE query: quality filter → language filter →
+    exact dedup among the survivors (keep min doc_id per
+    normalized-content hash) → ``(doc_id, content_fp, quality,
+    lang_pred)``.
+
+    Filter-before-dedup is the standard order (the cheap narrow
+    filters shrink the dedup input). 100-TB shape: a single narrow
+    map computes fingerprint + quality + language per document (no
+    joins between the metric operators — they share one projection);
+    the only shuffle is the hash-agg on content_fp (map-side combine)
+    that elects survivors, plus the survivor equi-join whose build
+    side is (content_fp, doc_id) pairs only. The quality threshold
+    compares the ROUNDED score — bit-identical cross-engine, so the
+    discrete keep/drop decision cannot flip (see registry_ext twin).
+    """
+    _, _, _, score = _quality_parts(text_col)
+    _, _, _, lang_col = _lang_pred(text_col)
+    m = docs.select(
+        "doc_id",
+        hash64(normalize_text(text_col)).alias("content_fp"),
+        F.round(score, 6).alias("quality"),
+        lang_col.alias("lang_pred"),
+    )
+    f = m.where((F.col("quality") >= quality_threshold) & (F.col("lang_pred") == lang))
+    keep = f.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
+    return f.join(keep, ["content_fp", "doc_id"]).select(
+        "doc_id", "content_fp", "quality", "lang_pred"
     )
 
 

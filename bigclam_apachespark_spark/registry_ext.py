@@ -133,6 +133,50 @@ TEXT_ORACLE = {
                         s -> {hash64_sql('s')})) AS min_shingle_fp
         FROM documents
     """,
+    # Corpus-cleaning composition (operators/text.py clean_corpus):
+    # quality >= 0.5 AND lang = 'en', then exact dedup among survivors
+    # (min doc_id per content hash). Threshold compares the ROUNDED
+    # score on both engines so the keep/drop decision is bit-exact.
+    "text_clean_corpus": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 {hash64_sql(normalize_text_sql('text'))} AS content_fp,
+                 {TOKENS} AS toks,
+                 length(text) AS nc,
+                 length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+                 length({normalize_text_sql('text')}) AS norm_len
+          FROM documents
+        ), m AS (
+          SELECT doc_id, content_fp,
+                 CAST(punct AS DOUBLE) / greatest(nc, 1) AS punct_ratio,
+                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS DOUBLE)
+                   / greatest(len(list_distinct(toks)), 1) AS stop_ratio,
+                 CAST(norm_len AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
+                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_score,
+                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS INT) AS en_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(ES_STOPWORDS)})) AS INT) AS es_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(FR_STOPWORDS)})) AS INT) AS fr_hits
+          FROM t
+        ), scored AS (
+          SELECT doc_id, content_fp,
+                 round(0.3 * length_score
+                     + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+                     + 0.2 * least(stop_ratio * 4.0, 1.0)
+                     + 0.2 * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                                   THEN 1.0 ELSE 0.5 END), 6) AS quality,
+                 CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'und'
+                      WHEN en_hits = greatest(en_hits, es_hits, fr_hits) THEN 'en'
+                      WHEN es_hits = greatest(en_hits, es_hits, fr_hits) THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM m
+        ), f AS (
+          SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+        ), keep AS (
+          SELECT content_fp, min(doc_id) AS doc_id FROM f GROUP BY content_fp
+        )
+        SELECT f.doc_id, f.content_fp, f.quality, f.lang_pred
+        FROM f JOIN keep ON keep.content_fp = f.content_fp AND keep.doc_id = f.doc_id
+    """,
 }
 
 TEXT_QUERIES = {
@@ -140,6 +184,9 @@ TEXT_QUERIES = {
     "text_quality": lambda spark, sf: X.quality_score(_docs(spark, sf)),
     "text_lang_id": lambda spark, sf: X.lang_id(_docs(spark, sf)),
     "text_fingerprints": lambda spark, sf: X.fingerprints(_docs(spark, sf)),
+    "text_clean_corpus": lambda spark, sf: X.clean_corpus(
+        _docs(spark, sf), quality_threshold=0.5, lang="en"
+    ),
 }
 
 # ---------------------------------------------------------------------------

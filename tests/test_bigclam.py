@@ -165,6 +165,18 @@ def test_pipeline_end_to_end_with_sink(spark, tmp_path):
     assert res.history[-1] > res.history[0]
     # sink actually written and re-readable
     assert spark.read.parquet(out).count() == len(groups)
+    # A3 text-format twin (reference saveAsTextFile, v2:230):
+    # community<TAB>csv-members lines, distributed write, re-readable.
+    from bigclam_apachespark_spark.operators.bigclam import save_communities_text
+
+    tout = str(tmp_path / "communities_text")
+    save_communities_text(inv, tout)
+    lines_back = [r["value"] for r in spark.read.text(tout).collect()]
+    parsed = {
+        int(c): set(map(int, m.split(",")))
+        for c, m in (ln.split("\t") for ln in lines_back)
+    }
+    assert parsed == groups
 
 
 def test_geometric_k_grid_matches_reference_output():

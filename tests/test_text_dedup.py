@@ -17,6 +17,7 @@ from bigclam_apachespark_spark.operators.dedup import (
     token_jaccard_pairs,
 )
 from bigclam_apachespark_spark.operators.text import (
+    clean_corpus,
     fingerprints,
     lang_id,
     quality_score,
@@ -57,6 +58,31 @@ def test_quality_and_lang(docs):
     assert lang[3] == "es"
     assert lang[4] == "fr"
     assert lang[5] == "und"
+
+
+def test_clean_corpus_composition(docs):
+    """Filter → language → dedup-among-survivors semantics: doc 1 is
+    an exact dup of doc 0 after normalization (min doc_id 0 survives);
+    non-English and low-stopword docs drop at the language gate."""
+    out = {r["doc_id"]: r for r in clean_corpus(docs, quality_threshold=0.0).collect()}
+    assert 0 in out and 1 not in out  # dup group keeps min doc_id
+    assert 3 not in out and 4 not in out and 5 not in out  # es / fr / und
+    assert all(r["lang_pred"] == "en" for r in out.values())
+    # threshold actually gates: an impossible bar keeps nothing
+    assert clean_corpus(docs, quality_threshold=1.1).count() == 0
+
+
+def test_minhash_cache_handles_release(docs, spark):
+    """cache_handles returns exactly the pipeline's cached frames and
+    unpersisting them leaves no orphaned storage behind."""
+    handles: list = []
+    out = minhash_lsh_dups(docs, threshold=0.3, cache_handles=handles)
+    out.count()
+    assert len(handles) == 3
+    assert all(h.storageLevel.useMemory for h in handles)
+    for h in handles:
+        h.unpersist(blocking=True)
+    assert all(not h.storageLevel.useMemory for h in handles)
 
 
 def test_exact_dedup(docs):
