@@ -138,12 +138,15 @@ def clean_corpus(
     filters shrink the dedup input). 100-TB shape: a single narrow
     map computes fingerprint + quality + language per document (no
     joins between the metric operators — they share one projection);
-    the only shuffle is the hash-agg on content_fp (map-side combine)
-    that elects survivors, plus the survivor equi-join whose build
-    side is (content_fp, doc_id) pairs only. The quality threshold
-    compares the ROUNDED score — bit-identical cross-engine, so the
-    discrete keep/drop decision cannot flip (see registry_ext twin).
+    survivor election is a row_number window over content_fp — ONE
+    scan and ONE shuffle total (a groupBy-min + join-back would
+    re-scan the corpus and re-run the quality expressions for the
+    second input). The quality threshold compares the ROUNDED score —
+    bit-identical cross-engine, so the discrete keep/drop decision
+    cannot flip (see registry_ext twin).
     """
+    from pyspark.sql import Window
+
     _, _, _, score = _quality_parts(text_col)
     _, _, _, lang_col = _lang_pred(text_col)
     m = docs.select(
@@ -153,9 +156,11 @@ def clean_corpus(
         lang_col.alias("lang_pred"),
     )
     f = m.where((F.col("quality") >= quality_threshold) & (F.col("lang_pred") == lang))
-    keep = f.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
-    return f.join(keep, ["content_fp", "doc_id"]).select(
-        "doc_id", "content_fp", "quality", "lang_pred"
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    return (
+        f.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "content_fp", "quality", "lang_pred")
     )
 
 

@@ -171,11 +171,9 @@ TEXT_ORACLE = {
           FROM m
         ), f AS (
           SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
-        ), keep AS (
-          SELECT content_fp, min(doc_id) AS doc_id FROM f GROUP BY content_fp
         )
-        SELECT f.doc_id, f.content_fp, f.quality, f.lang_pred
-        FROM f JOIN keep ON keep.content_fp = f.content_fp AND keep.doc_id = f.doc_id
+        SELECT doc_id, content_fp, quality, lang_pred FROM f
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY content_fp ORDER BY doc_id) = 1
     """,
 }
 

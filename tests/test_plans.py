@@ -73,6 +73,18 @@ def test_copurchase_single_lineitem_pass(spark):
     assert "partial_" in plan  # map-side combine before the shuffle
 
 
+def test_clean_corpus_single_scan_single_shuffle(spark):
+    """The corpus-cleaning composition computes fingerprint + quality
+    + language in ONE narrow map and elects dedup survivors with a
+    window — one documents scan, one exchange, no join (the naive
+    groupBy-min + join-back shape re-scans the corpus and re-runs the
+    quality expressions)."""
+    plan = _plan(spark, "text_clean_corpus")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
 def test_events_filter_pushdown(spark):
     """The temporal attribution queries read events filtered to two
     event types — the predicate must reach the scan (PushedFilters),
