@@ -128,6 +128,19 @@ def _hyperplane_q(dim: int, plane: int, seed: int = 42) -> list[int]:
     return [int(round(v * SCALE)) for v in _hyperplane(dim, plane, seed)]
 
 
+def _bucket_expr(qv: Column, n_planes: int, seed: int, dim: int) -> Column:
+    """Hyperplane LSH bucket of a quantized vector column:
+    bucket = Σ_p (v·h_p > 0) << p over exact integer dots."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        hp = F.array(*[F.lit(v).cast("long") for v in _hyperplane_q(dim, p, seed)])
+        bit = F.when(_dot_long(qv, hp) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -136,18 +149,33 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector → ``(vec_id, bucket)``;
-    bucket = Σ_p (v·h_p > 0) << p over exact integer dots. Narrow map,
-    no shuffle, no float anywhere near the discrete decision."""
+    """Random-hyperplane LSH bucket per vector → ``(vec_id, bucket)``.
+    Narrow map, no shuffle, no float anywhere near the discrete
+    decision."""
     e = embeddings.select(F.col(id_col), _qvec(vec_col).alias("qv"))
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        hp = F.array(*[F.lit(v).cast("long") for v in _hyperplane_q(dim, p, seed)])
-        bit = F.when(_dot_long(F.col("qv"), hp) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + F.shiftleft(bit, p)
-    return e.select(F.col(id_col), bucket.alias("bucket"))
+    return e.select(F.col(id_col), _bucket_expr(F.col("qv"), n_planes, seed, dim).alias("bucket"))
+
+
+def quantized_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qv, nrm, bucket) in ONE narrow projection — the fused form
+    the bucketed pair/top-k operators consume. Joining the separate
+    ``hyperplane_buckets`` output back onto ``quantized`` would scan
+    and re-quantize the corpus twice per side (measured 4 scans → 2 on
+    the self-join pair plans); at 100 TB the scan IS the cost."""
+    q = embeddings.select(F.col(id_col), _qvec(vec_col).alias("qv"))
+    return q.select(
+        id_col,
+        "qv",
+        F.sqrt(_dot_long("qv", "qv").cast("double")).alias("nrm"),
+        _bucket_expr(F.col("qv"), n_planes, seed, dim).alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -165,18 +193,12 @@ def lsh_topk(
     scale path (per-bucket candidate lists, not the full corpus)."""
     from pyspark.sql import Window
 
-    b = hyperplane_buckets(embeddings, n_planes, seed, dim, id_col, vec_col)
-    corpus = quantized(embeddings, id_col, vec_col).join(b, id_col)
-    qb = hyperplane_buckets(queries, n_planes, seed, dim, id_col, vec_col)
-    q = (
-        quantized(queries, id_col, vec_col)
-        .join(qb, id_col)
-        .select(
-            F.col(id_col).alias("q"),
-            F.col("qv").alias("qqv"),
-            F.col("nrm").alias("qnrm"),
-            "bucket",
-        )
+    corpus = quantized_buckets(embeddings, n_planes, seed, dim, id_col, vec_col)
+    q = quantized_buckets(queries, n_planes, seed, dim, id_col, vec_col).select(
+        F.col(id_col).alias("q"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
     )
     scored = corpus.join(F.broadcast(q), "bucket").where(F.col("q") != F.col(id_col)).select(
         "q", id_col, F.round(_cos_q("qv", "nrm", "qqv", "qnrm"), 6).alias("cos_sim")
@@ -227,27 +249,33 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Inverted-file assignment → ``(vec_id, cell)``: nearest centroid
     by cosine (exact fixed-point cosine, so the argmax is cross-engine
     stable; ties → lowest cell). Centroids broadcast — the corpus
     never shuffles for the scoring; the argmax is a per-vector window
-    over n_cells scored rows."""
+    over n_cells scored rows.
+
+    ``keep_vec=True`` carries (qv, nrm) through into the result so a
+    downstream candidate-scoring join (ivf_topk) consumes the
+    assignment directly instead of re-scanning + re-quantizing the
+    corpus for an extra equi-join."""
     from pyspark.sql import Window
 
     scored = quantized(embeddings, id_col, vec_col).crossJoin(
         F.broadcast(centroids)
     ).select(
         F.col(id_col),
+        "qv",
+        "nrm",
         "cell",
         F.round(_cos_q("qv", "nrm", "cqv", "cnrm"), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos_sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "cell")
-    )
+    out = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    cols = [id_col, "qv", "nrm", "cell"] if keep_vec else [id_col, "cell"]
+    return out.select(*cols)
 
 
 def ivf_topk(
@@ -272,8 +300,7 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
-    assign = ivf_assign(embeddings, cent, id_col, vec_col)
-    corpus = quantized(embeddings, id_col, vec_col).join(assign, id_col)
+    corpus = ivf_assign(embeddings, cent, id_col, vec_col, keep_vec=True)
 
     qscored = quantized(queries, id_col, vec_col).crossJoin(F.broadcast(cent)).select(
         F.col(id_col).alias("q"),
@@ -316,8 +343,7 @@ def cosine_near_dup_pairs(
     hyperplane-bucket blocking: score pairs only within a bucket.
     High-cosine pairs land in the same bucket with prob ≥
     (1−θ/π)^n_planes — for θ near 0 (near-dups) that is ≈1."""
-    b = hyperplane_buckets(embeddings, n_planes, seed, dim, id_col, vec_col)
-    e = quantized(embeddings, id_col, vec_col).join(b, id_col)
+    e = quantized_buckets(embeddings, n_planes, seed, dim, id_col, vec_col)
     a = e.select(
         F.col(id_col).alias("a"), F.col("qv").alias("qa"), F.col("nrm").alias("na"), "bucket"
     )
