@@ -390,7 +390,8 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
 def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         threshold: float = 0.5,
                         max_df: int | None = None,
-                        ngram: int = 1) -> DataFrame:
+                        ngram: int = 1,
+                        cache_handles: list | None = None) -> DataFrame:
     """All pairs with word-token-set Jaccard ≥ threshold, via the
     inverted index: only pairs sharing ≥1 token are ever formed.
 
@@ -405,11 +406,19 @@ def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     5·10¹³ pairs); the Jaccard VALUE for surviving candidates is still
     exact — the intersection recount below runs over the FULL token
     sets. Only pairs whose every shared token is hot are missed, and
-    such pairs are overwhelmingly low-jaccard boilerplate at scale."""
+    such pairs are overwhelmingly low-jaccard boilerplate at scale.
+
+    The exploded token table feeds 4-8 subplans (sizes, both join
+    sides, df counts); it is CACHED so the corpus is scanned and
+    tokenized once, not once per consumer (measured 8 scans → 1 at the
+    bigram setting). ``cache_handles``: pass a list to receive the
+    handle for deterministic release; otherwise LRU eviction applies."""
     from bigclam_apachespark_spark.functions.hashing import word_ngrams
 
     units = tokens(text_col) if ngram == 1 else word_ngrams(text_col, ngram)
-    tok = docs.select("doc_id", F.explode(F.array_distinct(units)).alias("t"))
+    tok = docs.select("doc_id", F.explode(F.array_distinct(units)).alias("t")).cache()
+    if cache_handles is not None:
+        cache_handles.append(tok)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if max_df is not None:
         ok_t = (
