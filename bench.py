@@ -31,11 +31,13 @@ HEADLINE = [
     "graph_neighbors",
     "graph_conductance",
     "graph_seeds",
+    "bigclam_gradient",
     "dedup_minhash_lsh_pairs",
     "events_tumbling",
     "events_sessionize",
     "events_asof_attribution",
     "sim_cosine_near_dups",
+    "sim_ivf_topk",
     "text_quality",
 ]
 
@@ -52,12 +54,14 @@ EXPECTED = {
     "graph_degrees": 1.3,
     "graph_neighbors": 1.4,
     "graph_conductance": 4.7,
-    "graph_seeds": 5.6,
+    "graph_seeds": 4.7,
+    "bigclam_gradient": 8.8,
     "dedup_minhash_lsh_pairs": 10.1,
     "events_tumbling": 0.5,
     "events_sessionize": 1.0,
     "events_asof_attribution": 0.5,
-    "sim_cosine_near_dups": 3.5,
+    "sim_cosine_near_dups": 3.4,
+    "sim_ivf_topk": 2.1,
     "text_quality": 0.3,
 }
 RERUN_FACTOR = 2.0

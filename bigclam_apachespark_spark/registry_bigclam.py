@@ -342,7 +342,17 @@ BIGCLAM_ORACLE = {
 def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Symmetric / src<>dst / distinct by construction — see
     # registry.py _sym for why symmetrize is skipped here.
-    return copurchase_edges(spark, sf_dir)
+    #
+    # CACHED: every BigCLAM kernel query references the edge set from
+    # several subplans (both _edge_factors join sides, the vertex set
+    # for fixture factors, the separate sumF action, candidate
+    # re-joins in the line search) — uncached, the full co-purchase
+    # derivation (lineitem scan → basket agg → pair explode →
+    # distinct) re-executes once per consumer (measured 7 lineitem
+    # scans inside bigclam_gradient alone). CacheManager keys entries
+    # by plan, so repeated _sym calls across kernel queries in one
+    # session share a single cached materialization.
+    return copurchase_edges(spark, sf_dir).cache()
 
 
 def q_sumf(spark, sf_dir):
