@@ -692,8 +692,8 @@ def _q_stream_sessionize(spark, sf):
     as events_sessionize). Replays the events table through the
     file-source; sessions closed by an in-stream gap are emitted in
     the replay batch, each user's final open session stays in the
-    state store (production runs keep timeout_eviction=True, whose
-    processing-time timers flush idle users)."""
+    state store (production runs use timeout="event" — watermark-
+    driven flush — or "processing" wall-clock timers)."""
     from bigclam_apachespark_spark.streaming import (
         read_events_stream,
         run_stream_to_memory,
@@ -702,12 +702,12 @@ def _q_stream_sessionize(spark, sf):
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
     return run_stream_to_memory(
-        # timeout_eviction=False + AvailableNow: the query stops
-        # itself right after the replay batch (~5 s at sf0.01) instead
-        # of idling on 30-min processing-time timers until a watchdog
-        # kills it (the r2 gate-truncation suspect). The watchdog
-        # below is a hang backstop only, not the expected exit path.
-        sessionize_stream(stream, gap_minutes=30, timeout_eviction=False),
+        # timeout="none" + AvailableNow: the query stops itself right
+        # after the replay batch (~5 s at sf0.01) instead of idling on
+        # 30-min processing-time timers until a watchdog kills it (the
+        # r2 gate-truncation suspect). The watchdog below is a hang
+        # backstop only, not the expected exit path.
+        sessionize_stream(stream, gap_minutes=30, timeout="none"),
         "stream_sessionize_oracle",
         "append",
         timeout_sec=45.0,

@@ -147,11 +147,19 @@ SESSION_OUT_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(gap_seconds: int, timeout_eviction: bool = True):
+def _session_fn(gap_seconds: int, timeout: str = "processing"):
     """Custom stateful operator: gap-based sessions per user. Emits a
     session row when the gap closes it; keeps the open session in
-    state; a processing-time timeout flushes idle users (when
-    ``timeout_eviction``)."""
+    state. ``timeout`` selects the idle-flush mechanism:
+
+    - ``"processing"``: wall-clock timers (reference behavior for
+      always-on jobs; nondeterministic relative to the data).
+    - ``"event"``: watermark-driven — the session flushes when the
+      EVENT-TIME watermark passes session_end + gap, which makes the
+      emitted output a pure function of the data + batch boundaries
+      (the production semantics; replay-deterministic).
+    - ``"none"``: no timers (bounded replays; open sessions stay in
+      state)."""
     import pandas as pd
 
     GAP_US = gap_seconds * 1_000_000
@@ -192,8 +200,12 @@ def _session_fn(gap_seconds: int, timeout_eviction: bool = True):
                 n += 1
                 sv += float(r["value"])
         state.update((s0, last, n, sv, closed + len(out)))
-        if timeout_eviction:
+        if timeout == "processing":
             state.setTimeoutDuration(gap_seconds * 1000)
+        elif timeout == "event":
+            # Flush when the watermark passes the open session's close
+            # horizon (last event + gap), in epoch millis.
+            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
         if out:
             yield pd.DataFrame(
                 {
@@ -209,31 +221,43 @@ def _session_fn(gap_seconds: int, timeout_eviction: bool = True):
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: int = 30, timeout_eviction: bool = True
+    events: DataFrame,
+    gap_minutes: int = 30,
+    timeout: str = "processing",
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Custom stateful streaming sessionization (the op Spark's
     built-in aggs lack) via ``applyInPandasWithState`` — per-user
-    state, processing-time timeout eviction. Batch twin:
+    state with timeout-driven eviction. Batch twin:
     ``operators.events.sessionize`` (same gap semantics).
 
-    ``timeout_eviction=False`` drops the processing-time timers
-    (NoTimeout): open sessions then stay in state forever instead of
-    being flushed after an idle gap. Production keeps the default;
-    bounded replays (tests, the driver's correctness gate) turn it
-    off so a Trigger.AvailableNow run terminates as soon as the data
-    is consumed — pending timers otherwise keep the query scheduling
-    micro-batches until a watchdog kills it."""
+    ``timeout`` (see ``_session_fn``):
+    - ``"event"`` — the 100-TB production semantics: sessions flush
+      when the EVENT-TIME watermark (``watermark`` delay applied here)
+      passes session_end + gap. Output is a deterministic function of
+      the data + batch boundaries: a replay emits exactly the sessions
+      the batch operator computes for every user whose horizon the
+      watermark passed — replay-testable, unlike wall-clock timers.
+    - ``"processing"`` (default, reference behavior): wall-clock idle
+      flush for always-on jobs.
+    - ``"none"``: no timers. Bounded replays (the driver's correctness
+      gate) use this so a Trigger.AvailableNow run terminates as soon
+      as the data is consumed — pending timers otherwise keep the
+      query scheduling micro-batches until a watchdog kills it.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout_eviction
-        else GroupStateTimeout.NoTimeout
-    )
+    conf = {
+        "processing": GroupStateTimeout.ProcessingTimeTimeout,
+        "event": GroupStateTimeout.EventTimeTimeout,
+        "none": GroupStateTimeout.NoTimeout,
+    }[timeout]
+    if timeout == "event":
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _session_fn(gap_minutes * 60, timeout_eviction),
+            _session_fn(gap_minutes * 60, timeout),
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",

@@ -203,6 +203,69 @@ def test_streaming_sessionize(spark, tmp_path, events):
     assert (1, 3, 6.0) in closed
 
 
+def test_streaming_sessionize_event_time_flush(spark, tmp_path):
+    """Event-time timeout (the production semantics): a user's open
+    session must flush when a LATER batch advances the watermark past
+    session_end + gap — deterministically, from the data alone, with
+    no wall-clock involved. User 1's two 10:00-ish events never close
+    by an in-stream gap (no later event for that user); only the
+    watermark can emit them."""
+    import os
+
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    h10 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    path = str(tmp_path / "et_sessions")
+
+    def _parts():
+        return {
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        }
+
+    # Batch 0: user 1 has a 2-event session at 10:00-10:10.
+    mk(
+        [
+            (0, h10, 1, "view", 1.0, "{}"),
+            (1, h10 + dt.timedelta(minutes=10), 1, "view", 2.0, "{}"),
+        ]
+    ).coalesce(1).write.parquet(path)
+    first = _parts()
+    # Batch 1: another user far in the future → watermark (10 min
+    # delay) moves to ~13:50, past user 1's horizon 10:10 + 30 min.
+    mk([(2, h10 + dt.timedelta(hours=4), 2, "view", 1.0, "{}")]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    second = _parts() - first
+    for i, group in enumerate((first, second)):
+        for f in group:
+            os.utime(os.path.join(path, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    result = run_stream_to_memory(
+        sessionize_stream(stream, gap_minutes=30, timeout="event"),
+        "et_session_test",
+        "append",
+    )
+    rows = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in result.collect()
+    ]
+    # user 1's session flushed BY THE WATERMARK (no in-stream closer);
+    # user 2's open session stays in state (nothing advanced past it).
+    assert rows == [(1, h10, h10 + dt.timedelta(minutes=10), 2, 3.0)]
+
+
 def test_streaming_watermark_drops_late_data(spark, tmp_path):
     """The watermark contract itself: an event arriving in a later
     micro-batch, timestamped behind the watermark, must be EXCLUDED
