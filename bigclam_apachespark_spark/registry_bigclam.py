@@ -185,6 +185,9 @@ BIGCLAM_ORACLE = {
         JOIN sumf s ON s.k = w.k
         JOIN factors_long f ON f.node_id = w.node_id AND f.k = w.k
     """,
+    # F2 long-layout twin: SAME oracle SQL as bigclam_gradient — the
+    # gate proves dense and long layouts agree bit-for-bit.
+    "bigclam_gradient_long": None,  # filled below from bigclam_gradient
     # C8: one projected step at fixed eta over the fixture gradient.
     "bigclam_step": f"""
         WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL}, {EDGE_DOT_SQL}, {SUMF_SQL},
@@ -393,6 +396,22 @@ def q_gradient(spark, sf_dir):
     ).select("node_id", "k", F.round("gv", 6).alias("gval"))
 
 
+def q_gradient_long(spark, sf_dir):
+    """F2 in the v3/v47 LONG layout (operators/bigclam_long.py) on the
+    same dense fixture triples — the oracle is bigclam_gradient's SQL
+    verbatim, so the driver's gate proves the dense and long layouts
+    compute identical numbers (previously only unit-tested parity)."""
+    from bigclam_apachespark_spark.operators import bigclam_long as BL
+
+    sym = _sym(spark, sf_dir)
+    fx_long = fixture_factors(sym).select(
+        "node_id", F.posexplode("f").alias("k", "val")
+    )
+    sumf = BL.sum_f_long(fx_long)
+    g = BL.gradient_long(sym, fx_long, sumf)
+    return g.select("node_id", "k", F.round("gval", 6).alias("gval"))
+
+
 def q_step(spark, sf_dir):
     from bigclam_apachespark_spark.functions.arrays import arr_clamp
 
@@ -542,11 +561,15 @@ def q_fit_smoke(spark, sf_dir):
     return com.groupBy("community").agg(F.count("*").alias("n_members"))
 
 
+BIGCLAM_ORACLE["bigclam_gradient_long"] = BIGCLAM_ORACLE["bigclam_gradient"]
+
+
 BIGCLAM_QUERIES = {
     "bigclam_sumf": q_sumf,
     "bigclam_edge_prob": q_edge_prob,
     "bigclam_llh": q_llh,
     "bigclam_gradient": q_gradient,
+    "bigclam_gradient_long": q_gradient_long,
     "bigclam_step": q_step,
     "bigclam_line_search": q_line_search,
     "bigclam_one_iteration": q_one_iteration,
