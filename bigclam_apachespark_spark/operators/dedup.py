@@ -466,3 +466,90 @@ def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components) + survivor election
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected near-dup pair set →
+    ``(doc_id, cluster_id)`` with cluster_id = the component's minimum
+    doc_id. The stage every dedup pipeline needs after pair
+    generation: pairwise matches chain (A≈B, B≈C but A̸≈C), so
+    survivor election must run per CLUSTER, not per pair.
+
+    Algorithm: iterative min-label propagation with pointer jumping.
+    Each round every node takes the min of its own label, its
+    neighbors' labels, AND its label's label (path doubling) — the
+    doubling step turns the worst case from O(diameter) rounds into
+    O(log n), which is what makes this viable at 100 TB where a
+    pathological chain of pairwise-similar boilerplate docs can be
+    millions long. Each round is two joins + one agg; labels are
+    localCheckpoint'd per round to stop lineage growth, and the loop
+    exits on a converged round (changed == 0 — one count action per
+    round, the only driver traffic).
+
+    The reference has no analog (its community structure comes from
+    BigCLAM itself); this is extension surface for the LLM-data
+    pipeline (SURVEY.md §2.G)."""
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        stepped = labels.join(nbr_min, "u", "left").select(
+            "u", F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
+        )
+        # pointer jumping: label(u) <- label(label(u))
+        jumped = stepped.join(
+            stepped.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")),
+            "lbl",
+            "left",
+        ).select("u", F.coalesce("lbl2", F.col("lbl")).alias("lbl"))
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            labels.select("u", F.col("lbl").alias("old"))
+            .join(new_labels, "u")
+            .where(F.col("old") != F.col("lbl"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            break
+    out = labels.select("u", "lbl")
+    sym.unpersist()
+    return out.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def cluster_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Corpus-wide survivor election over near-dup clusters →
+    ``(doc_id, cluster_id, keep)``: every document joins its connected
+    component (docs in no pair form singleton clusters), and exactly
+    one document per cluster — the minimum doc_id — carries keep = 1.
+    Because min-label components label every member with the
+    component's minimum id, the survivor test is simply
+    doc_id == cluster_id (no second aggregation).
+
+    Scale shape: the cluster label table covers only docs appearing in
+    ≥1 pair (a few % of a real corpus), so the docs-side join is a
+    left join against a small (often broadcastable) table; the corpus
+    itself never shuffles."""
+    clusters = near_dup_clusters(pairs)
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        F.when(F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )

@@ -89,6 +89,34 @@ def sessionize(
     )
 
 
+def cohort_retention(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention → ``(cohort_week, week_offset,
+    n_users)``: users are cohorted by their first active epoch-week
+    (floor-seconds // 604800 — pure integer arithmetic, cross-engine
+    exact); each later active week counts them at offset = week −
+    cohort_week. The classic growth-analytics query.
+
+    Scale shape: the event stream collapses to DISTINCT (user, week)
+    first (one hash-agg with map-side combine — the big shuffle), the
+    per-user min is a second agg over those already-small rows, and
+    the self-join back is on user_id (AQE handles skew); the final agg
+    groups ~|users|·|weeks| rows by (cohort, offset)."""
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    wk = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(604800)).cast("long")
+    user_weeks = events.select("user_id", wk.alias("wk")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            F.col("cwk").alias("cohort_week"),
+            (F.col("wk") - F.col("cwk")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     """JSON property extraction from the ``props`` string column →
     ``(event_id, k_val)``. ``get_json_object`` is JVM-side; at scale

@@ -164,6 +164,116 @@ def clean_corpus(
     )
 
 
+def salient_terms(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-k salient terms per document by the exact rational
+    ``tf / df`` (term frequency over corpus document frequency) →
+    ``(doc_id, term, tf, df, rank, salience)``.
+
+    Why tf/df and not tf·idf for the RANKING key: the ordering must be
+    bit-identical cross-engine (the DuckDB oracle hashes the rank
+    column). ``ln`` is not guaranteed correctly rounded across libms —
+    and tf·ln(N/df) has genuine cross-engine ties (2·ln 4 = 4·ln 2),
+    so a last-ulp difference can flip ranks. A single IEEE division of
+    two exact integers IS correctly rounded on every engine, and two
+    distinct rationals p₁/q₁ ≠ p₂/q₂ with q ≤ 2¹⁷ are ≥ 2⁻³⁴ apart —
+    far beyond double representation error — so equal doubles ⇔ equal
+    rationals, and the (salience DESC, term) order is exact. Same
+    rarity-weighted-frequency semantics, none of the float hazard.
+
+    Scale shape: tf is one hash-agg over the exploded token table
+    (map-side combine); df is a second agg over tf's (doc, term) rows
+    — already deduplicated, so no DISTINCT pass; the join back is on
+    the term key (AQE broadcasts when the vocab is small); ranking is
+    a per-doc window over ≤ |distinct terms per doc| rows."""
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    sal = F.col("tf").cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(F.col("salience").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .select("doc_id", "term", "tf", "df", sal.alias("salience"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank", F.round("salience", 6).alias("salience"))
+    )
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-k terms by document
+    frequency → ``(term, df, rank)``. ``orderBy().limit(k)`` compiles
+    to TakeOrderedAndProject (distributed per-partition top-k + driver
+    merge of k rows — no global sort); the row_number window then
+    ranks only the k selected rows."""
+    from pyspark.sql import Window
+
+    dfreq = (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    top = dfreq.orderBy(F.col("df").desc(), "term").limit(k)
+    w = Window.orderBy(F.col("df").desc(), "term")
+    return top.withColumn("rank", F.row_number().over(w)).select("term", "df", "rank")
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash →
+    ``(doc_id, bucket, split)``. The standard training-data split: a
+    document's split is a pure function of its id, so it is stable
+    across runs, machines, and corpus growth (new docs never move old
+    ones between splits). hash64 is non-negative (60-bit), so ``% 100``
+    agrees cross-engine without pmod concerns. Narrow map — no
+    shuffle."""
+    bucket = (hash64(F.col(id_col).cast("string")) % 100).cast("int")
+    split = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.select(id_col, bucket.alias("bucket")).withColumn("split", split)
+
+
+def token_length_quantiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """EXACT token-count quantiles over the corpus → ``(p, n_tokens_q)``
+    with n_tokens_q = the smallest length whose cumulative count
+    reaches ceil(p·N) (the classic inverse-CDF definition; integer
+    outputs, so cross-engine exact — approx_percentile sketches are
+    not reproducible across engines).
+
+    Scale shape: the corpus collapses to a (length → count)
+    distribution table first — |distinct lengths| rows (thousands at
+    most, whatever the corpus size), so the single-partition cumsum
+    window over it is deliberate and cheap; the quantile probe is a
+    broadcast cross join of |ps| literals against that tiny table."""
+    from pyspark.sql import Window
+
+    lengths = docs.select(F.size(tokens(text_col)).alias("v"))
+    counts = lengths.groupBy("v").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    total = lengths.agg(F.count("*").alias("n"))
+    pdf = docs.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(pdf))
+        .where(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(F.min("v").alias("n_tokens_q"))
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprinting: (a) full-content hash of the
     normalized text (exact-dup key), (b) winnowing-style min-hash of

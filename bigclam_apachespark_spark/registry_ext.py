@@ -137,6 +137,65 @@ TEXT_ORACLE = {
     # quality >= 0.5 AND lang = 'en', then exact dedup among survivors
     # (min doc_id per content hash). Threshold compares the ROUNDED
     # score on both engines so the keep/drop decision is bit-exact.
+    # Salient terms: ranking key is the exact rational tf/df — a
+    # single IEEE division of exact integers is correctly rounded on
+    # both engines, and distinct rationals with denominators ≤ 2^17
+    # are ≥ 2^-34 apart (≫ double ulp), so the (salience DESC, term)
+    # order can never flip cross-engine (ln-based tf·idf can: 2·ln 4 =
+    # 4·ln 2 ties at the mercy of libm; see operators/text.py).
+    "text_salient_terms": f"""
+        WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                 CAST(tf.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS salience
+          FROM tf JOIN dfreq d USING (term)
+        )
+        SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank,
+               round(salience, 6) AS salience
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY salience DESC, term) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    "text_vocab_topk": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct({TOKENS})) AS term FROM documents
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY term)
+        SELECT term, df, CAST(rank AS INT) AS rank FROM (
+          SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rank
+          FROM dfreq
+        ) WHERE rank <= 100
+    """,
+    "text_hash_split": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket
+          FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
+    # Exact inverse-CDF quantiles (integer outputs — approx sketches
+    # are not cross-engine reproducible).
+    "text_length_quantiles": f"""
+        WITH lens AS (SELECT len({TOKENS}) AS v FROM documents),
+        counts AS (SELECT v, COUNT(*) AS cnt FROM lens GROUP BY v),
+        cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM counts),
+        tot AS (SELECT COUNT(*) AS n FROM lens),
+        ps AS (SELECT CAST(unnest([0.5, 0.9, 0.95, 0.99]) AS DOUBLE) AS p)
+        SELECT p, CAST(MIN(v) AS INT) AS n_tokens_q
+        FROM cum CROSS JOIN tot CROSS JOIN ps
+        WHERE cum >= ceil(p * n)
+        GROUP BY p
+    """,
     "text_clean_corpus": f"""
         WITH t AS (
           SELECT doc_id,
@@ -185,6 +244,10 @@ TEXT_QUERIES = {
     "text_clean_corpus": lambda spark, sf: X.clean_corpus(
         _docs(spark, sf), quality_threshold=0.5, lang="en"
     ),
+    "text_salient_terms": lambda spark, sf: X.salient_terms(_docs(spark, sf), k=5),
+    "text_vocab_topk": lambda spark, sf: X.vocab_topk(_docs(spark, sf), k=100),
+    "text_hash_split": lambda spark, sf: X.hash_split(_docs(spark, sf)),
+    "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------
@@ -347,6 +410,51 @@ DEDUP_ORACLE = {
         FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
         WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.6
     """,
+    # Connected components over the verified LSH pair set + survivor
+    # election. The oracle states the fixpoint declaratively (DuckDB
+    # recursive CTE: transitive closure of the pair graph, label =
+    # MIN reachable id); the Spark side computes the same fixpoint
+    # iteratively (min-label propagation + pointer jumping,
+    # operators/dedup.py near_dup_clusters). keep = (doc_id ==
+    # cluster_id) because min-labels make the survivor the label.
+    "dedup_cluster_survivors": f"""
+        WITH RECURSIVE {MINHASH_SQL.strip().lstrip()}, {BUCKETS_SQL.strip()}, {CAND_SQL.strip()},
+        est AS (
+          SELECT c.a, c.b, COUNT(*) AS n_match
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+          WHERE sa.minhash = sb.minhash
+          GROUP BY c.a, c.b
+        ),
+        cand2 AS (SELECT a, b FROM est WHERE n_match >= 6),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, COUNT(*) AS n_inter
+          FROM cand2 c JOIN sh sa ON sa.doc_id = c.a
+                       JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+          GROUP BY c.a, c.b
+        ),
+        vpairs AS (
+          SELECT i.a, i.b
+          FROM inter i JOIN sizes za ON za.doc_id = i.a
+                       JOIN sizes zb ON zb.doc_id = i.b
+          WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.35
+        ),
+        sym AS (SELECT a AS u, b AS v FROM vpairs
+                UNION ALL SELECT b, a FROM vpairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+          UNION
+          SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v
+        ),
+        lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+               CAST(CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM documents d LEFT JOIN lbl l USING (doc_id)
+    """,
     "dedup_token_jaccard": f"""
         WITH tok AS (
           SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS t FROM documents
@@ -387,6 +495,10 @@ DEDUP_QUERIES = {
     ),
     "dedup_simhash": lambda spark, sf: D.simhash(_docs(spark, sf)),
     "dedup_simhash_pairs": lambda spark, sf: D.simhash_near_dups(_docs(spark, sf), max_hamming=2),
+    "dedup_cluster_survivors": lambda spark, sf: D.cluster_survivors(
+        _docs(spark, sf),
+        D.minhash_lsh_dups(_docs(spark, sf), threshold=0.35, est_min_matches=6),
+    ),
     "dedup_token_jaccard": lambda spark, sf: D.token_jaccard_pairs(_docs(spark, sf), threshold=0.8),
     "dedup_ngram_jaccard": lambda spark, sf: D.token_jaccard_pairs(
         _docs(spark, sf), threshold=0.6, ngram=2, max_df=50
@@ -616,6 +728,20 @@ EVENT_ORACLE = {
                COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
         FROM sess GROUP BY user_id, session_id
     """,
+    # Weekly cohort retention — pure integer week arithmetic
+    # (floor-seconds // 604800), cross-engine exact.
+    "events_retention": """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+          FROM events
+        ),
+        c AS (SELECT user_id, MIN(wk) AS cwk FROM uw GROUP BY user_id)
+        SELECT c.cwk AS cohort_week, uw.wk - c.cwk AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM uw JOIN c USING (user_id)
+        GROUP BY 1, 2
+    """,
     "events_props": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
@@ -718,6 +844,7 @@ EVENT_QUERIES = {
     "events_tumbling": lambda spark, sf: E.tumbling_window_agg(_events(spark, sf)),
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
     "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
+    "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
     "events_asof_attribution": lambda spark, sf: TJ.click_attribution(_events(spark, sf)),

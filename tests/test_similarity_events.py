@@ -340,3 +340,31 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     assert [(r["window_start"], r["event_type"], r["n_events"], r["sum_value"]) for r in rows] == [
         (h10, "view", 2, 2.0)
     ]
+
+
+def test_cohort_retention(spark):
+    from bigclam_apachespark_spark.operators.events import cohort_retention
+
+    # user 1 active weeks 0 and 2; user 2 active week 0 only;
+    # user 3 first appears week 1 and returns week 2
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-15 00:00:00"),
+        (3, 2, "2024-01-02 00:00:00"),
+        (4, 3, "2024-01-08 00:00:00"),
+        (5, 3, "2024-01-16 00:00:00"),
+    ]
+    import pyspark.sql.functions as F
+
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts string").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in cohort_retention(ev).collect()}
+    # weeks are absolute epoch-weeks; normalize to the min cohort
+    base = min(k[0] for k in out)
+    norm = {(c - base, o): n for (c, o), n in out.items()}
+    assert norm[(0, 0)] == 2      # users 1, 2 in cohort week 0
+    assert norm[(0, 2)] == 1      # user 1 returns at offset 2
+    assert norm[(1, 0)] == 1      # user 3 cohorted at week 1
+    assert norm[(1, 1)] == 1      # user 3 returns at offset 1

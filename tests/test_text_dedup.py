@@ -228,3 +228,101 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_salient_terms(docs):
+    from bigclam_apachespark_spark.operators.text import salient_terms
+
+    out = salient_terms(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets <= 3 ranked terms, ranks contiguous from 1
+    for rows in by_doc.values():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # doc 5's tokens are unique to it: tf=1, df=1 -> salience 1.0
+    top5 = by_doc[5][0]
+    assert top5["salience"] == 1.0 and top5["df"] == 1
+    # 'the' appears in docs 0,1,2 (df=3) with tf=2 in doc 0 -> 2/3
+    the_rows = [r for r in out if r["term"] == "the" and r["doc_id"] == 0]
+    if the_rows:  # only if it ranked in top-3
+        assert abs(the_rows[0]["salience"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_vocab_topk(docs):
+    from bigclam_apachespark_spark.operators.text import vocab_topk
+
+    out = vocab_topk(docs, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["rank"] == 1
+    # df must be non-increasing with rank
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    dfs = [r["df"] for r in by_rank]
+    assert dfs == sorted(dfs, reverse=True)
+    # highest-df terms: 'the' in docs 0,1,2; 'animal'/'un'/'la' in 3,4
+    assert by_rank[0]["df"] == 3
+
+
+def test_hash_split(docs):
+    from bigclam_apachespark_spark.operators.text import hash_split
+
+    out = hash_split(docs).collect()
+    assert len(out) == len(DOCS)
+    for r in out:
+        assert 0 <= r["bucket"] < 100
+        expected = "train" if r["bucket"] < 80 else "val" if r["bucket"] < 90 else "test"
+        assert r["split"] == expected
+    # deterministic: same assignment on re-run
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert {r["doc_id"]: r["split"] for r in out} == again
+
+
+def test_token_length_quantiles(spark):
+    from bigclam_apachespark_spark.operators.text import token_length_quantiles
+
+    # 10 docs with token counts 1..10 -> p50=5, p90=9, p95=10, p99=10
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 11)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["p"]: r["n_tokens_q"] for r in token_length_quantiles(d).collect()}
+    assert out[0.5] == 5
+    assert out[0.9] == 9
+    assert out[0.95] == 10
+    assert out[0.99] == 10
+
+
+def test_near_dup_clusters_and_survivors(spark):
+    from bigclam_apachespark_spark.operators.dedup import (
+        cluster_survivors,
+        near_dup_clusters,
+    )
+
+    # chain 10-11-12 merges transitively; 20-21 separate; 30 isolated doc
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "a long, b long"
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert labels == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (10, 11, 12, 20, 21, 30)], "doc_id long, text string"
+    )
+    surv = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+            cluster_survivors(docs, pairs).collect()}
+    assert surv == {
+        10: (10, 1), 11: (10, 0), 12: (10, 0),
+        20: (20, 1), 21: (20, 0), 30: (30, 1),
+    }
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    from bigclam_apachespark_spark.operators.dedup import near_dup_clusters
+
+    # a 40-node path is the propagation worst case; pointer jumping
+    # must converge it in O(log n) rounds (max_iter=8 << 40)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    labels = near_dup_clusters(pairs, max_iter=8).collect()
+    assert all(r["cluster_id"] == 0 for r in labels)
+    assert len(labels) == 41
