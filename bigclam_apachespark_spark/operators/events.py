@@ -97,18 +97,23 @@ def cohort_retention(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     cohort_week. The classic growth-analytics query.
 
     Scale shape: the event stream collapses to DISTINCT (user, week)
-    first (one hash-agg with map-side combine — the big shuffle), the
-    per-user min is a second agg over those already-small rows, and
-    the self-join back is on user_id (AQE handles skew); the final agg
-    groups ~|users|·|weeks| rows by (cohort, offset)."""
+    first (one hash-agg with map-side combine — the big shuffle); the
+    per-user cohort min is a WINDOW over that already-small table, not
+    a groupBy+join-back (the join formulation makes Catalyst re-scan
+    events for the cohort branch — two FileScans of the raw table,
+    which doubles the dominant cost at 100 TB; plan-asserted single
+    scan in tests/test_plans.py); the final agg groups
+    ~|users|·|weeks| rows by (cohort, offset)."""
+    from pyspark.sql import Window
+
     from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
 
     ts_type = events.schema[ts_col].dataType.typeName()
     wk = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(604800)).cast("long")
     user_weeks = events.select("user_id", wk.alias("wk")).distinct()
-    cohorts = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    w = Window.partitionBy("user_id")
     return (
-        user_weeks.join(cohorts, "user_id")
+        user_weeks.withColumn("cwk", F.min("wk").over(w))
         .groupBy(
             F.col("cwk").alias("cohort_week"),
             (F.col("wk") - F.col("cwk")).alias("week_offset"),

@@ -129,3 +129,38 @@ def test_minhash_no_python_udfs(spark):
     plan = _plan(spark, "dedup_minhash_lsh_pairs")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_hash_split_no_shuffle(spark):
+    """Split assignment is a pure function of the id — a narrow map
+    with zero exchanges, like the other per-document text ops."""
+    plan = _plan(spark, "text_hash_split")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    """The df top-k must compile to TakeOrderedAndProject (distributed
+    per-partition top-k + driver merge of k rows), never a global
+    Sort of the vocabulary."""
+    plan = _plan(spark, "text_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salient_terms_no_python_no_cartesian(spark):
+    """tf/df ranking is built-in expressions end-to-end: no Python
+    eval nodes, no cartesian; the df join is an equi-join on term."""
+    plan = _plan(spark, "text_salient_terms")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_single_events_scan(spark):
+    """Cohort retention reads events ONCE: the per-user min and the
+    offset join both reuse the deduplicated (user, week) exchange
+    output — a second FileScan would double the 100-TB scan cost."""
+    plan = _plan(spark, "events_retention")
+    assert plan.count("FileScan parquet") == 1
+    # the (user, week) distinct agg combines map-side
+    assert "partial_" in plan or "HashAggregate" in plan
