@@ -219,6 +219,18 @@ def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFra
     return top.withColumn("rank", F.row_number().over(w)).select("term", "df", "rank")
 
 
+def _split_cols(id_col: str, train_pct: int, val_pct: int) -> tuple[Column, Column]:
+    """(bucket, split) expression builders — shared by ``hash_split``
+    and ``training_corpus`` so the assignment can never drift."""
+    bucket = (hash64(F.col(id_col).cast("string")) % 100).cast("int")
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return bucket, split
+
+
 def hash_split(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -232,13 +244,53 @@ def hash_split(
     ones between splits). hash64 is non-negative (60-bit), so ``% 100``
     agrees cross-engine without pmod concerns. Narrow map — no
     shuffle."""
-    bucket = (hash64(F.col(id_col).cast("string")) % 100).cast("int")
-    split = (
-        F.when(F.col("bucket") < train_pct, "train")
-        .when(F.col("bucket") < train_pct + val_pct, "val")
-        .otherwise("test")
+    bucket, split = _split_cols(id_col, train_pct, val_pct)
+    return docs.select(id_col, bucket.alias("bucket"), split.alias("split"))
+
+
+def training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    quality_threshold: float = 0.5,
+    lang: str = "en",
+    near_dup_threshold: float = 0.35,
+) -> DataFrame:
+    """The full training-data preparation pipeline as ONE query →
+    ``(doc_id, content_fp, quality, split)``:
+
+    1. quality + language filter and exact dedup (``clean_corpus`` —
+       one narrow map + one shuffle);
+    2. near-dup elimination among the survivors: MinHash-LSH candidate
+       pairs → connected components → keep the minimum doc_id per
+       cluster (``dedup.minhash_lsh_dups`` + ``cluster_survivors``);
+    3. deterministic train/val/test hash split of the final corpus.
+
+    Stage order is the production order: the cheap narrow filters
+    shrink the expensive near-dup stage's input; near-dup clustering
+    runs only over cleaned survivors; the split is a pure per-row
+    function of the id, so it costs nothing. Every stage is
+    individually oracle-checked (text_clean_corpus,
+    dedup_minhash_lsh_pairs, dedup_cluster_survivors,
+    text_hash_split); this composition is oracle-checked end-to-end
+    as text_training_corpus."""
+    from bigclam_apachespark_spark.operators.dedup import (
+        cluster_survivors,
+        minhash_lsh_dups,
     )
-    return docs.select(id_col, bucket.alias("bucket")).withColumn("split", split)
+
+    cleaned = clean_corpus(docs, text_col, quality_threshold, lang)
+    cleaned_docs = docs.join(cleaned.select("doc_id"), "doc_id", "left_semi")
+    pairs = minhash_lsh_dups(
+        cleaned_docs, text_col, threshold=near_dup_threshold, est_min_matches=6
+    )
+    kept = cluster_survivors(cleaned.select("doc_id"), pairs).where(
+        F.col("keep") == 1
+    )
+    bucket, split = _split_cols("doc_id", 80, 10)
+    return (
+        cleaned.join(kept.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "content_fp", "quality", split.alias("split"))
+    )
 
 
 def token_length_quantiles(

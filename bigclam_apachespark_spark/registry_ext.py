@@ -72,6 +72,51 @@ def _sql_list(words: list[str]) -> str:
 
 TOKENS = tokens_sql("text")
 
+
+def _clean_ctes(quality_threshold: float = 0.5, lang: str = "en") -> str:
+    """Corpus-cleaning CTE chain (quality + language filter → exact
+    dedup, survivors in ``keep0``) — shared by text_clean_corpus and
+    the end-to-end text_training_corpus pipeline oracle."""
+    return f"""t AS (
+          SELECT doc_id,
+                 {hash64_sql(normalize_text_sql('text'))} AS content_fp,
+                 {TOKENS} AS toks,
+                 length(text) AS nc,
+                 length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
+                 length({normalize_text_sql('text')}) AS norm_len
+          FROM documents
+        ), m AS (
+          SELECT doc_id, content_fp,
+                 CAST(punct AS DOUBLE) / greatest(nc, 1) AS punct_ratio,
+                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS DOUBLE)
+                   / greatest(len(list_distinct(toks)), 1) AS stop_ratio,
+                 CAST(norm_len AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
+                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_score,
+                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS INT) AS en_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(ES_STOPWORDS)})) AS INT) AS es_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(FR_STOPWORDS)})) AS INT) AS fr_hits
+          FROM t
+        ), cscored AS (
+          SELECT doc_id, content_fp,
+                 round(0.3 * length_score
+                     + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+                     + 0.2 * least(stop_ratio * 4.0, 1.0)
+                     + 0.2 * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                                   THEN 1.0 ELSE 0.5 END), 6) AS quality,
+                 CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'und'
+                      WHEN en_hits = greatest(en_hits, es_hits, fr_hits) THEN 'en'
+                      WHEN es_hits = greatest(en_hits, es_hits, fr_hits) THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM m
+        ), cf AS (
+          SELECT * FROM cscored
+          WHERE quality >= {quality_threshold} AND lang_pred = '{lang}'
+        ), keep0 AS (
+          SELECT doc_id, content_fp, quality, lang_pred FROM cf
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY content_fp ORDER BY doc_id) = 1
+        )"""
+
+
 TEXT_ORACLE = {
     "text_token_stats": f"""
         SELECT doc_id,
@@ -197,42 +242,8 @@ TEXT_ORACLE = {
         GROUP BY p
     """,
     "text_clean_corpus": f"""
-        WITH t AS (
-          SELECT doc_id,
-                 {hash64_sql(normalize_text_sql('text'))} AS content_fp,
-                 {TOKENS} AS toks,
-                 length(text) AS nc,
-                 length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct,
-                 length({normalize_text_sql('text')}) AS norm_len
-          FROM documents
-        ), m AS (
-          SELECT doc_id, content_fp,
-                 CAST(punct AS DOUBLE) / greatest(nc, 1) AS punct_ratio,
-                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS DOUBLE)
-                   / greatest(len(list_distinct(toks)), 1) AS stop_ratio,
-                 CAST(norm_len AS DOUBLE) / greatest(len(toks), 1) AS mean_word_len,
-                 least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_score,
-                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS INT) AS en_hits,
-                 CAST(len(list_intersect(toks, {_sql_list(ES_STOPWORDS)})) AS INT) AS es_hits,
-                 CAST(len(list_intersect(toks, {_sql_list(FR_STOPWORDS)})) AS INT) AS fr_hits
-          FROM t
-        ), scored AS (
-          SELECT doc_id, content_fp,
-                 round(0.3 * length_score
-                     + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
-                     + 0.2 * least(stop_ratio * 4.0, 1.0)
-                     + 0.2 * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                                   THEN 1.0 ELSE 0.5 END), 6) AS quality,
-                 CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'und'
-                      WHEN en_hits = greatest(en_hits, es_hits, fr_hits) THEN 'en'
-                      WHEN es_hits = greatest(en_hits, es_hits, fr_hits) THEN 'es'
-                      ELSE 'fr' END AS lang_pred
-          FROM m
-        ), f AS (
-          SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
-        )
-        SELECT doc_id, content_fp, quality, lang_pred FROM f
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY content_fp ORDER BY doc_id) = 1
+        WITH {_clean_ctes(0.5, 'en')}
+        SELECT doc_id, content_fp, quality, lang_pred FROM keep0
     """,
 }
 
@@ -266,10 +277,14 @@ from bigclam_apachespark_spark.functions.hashing import (  # noqa: E402
 
 _PERM_VALUES = ", ".join(f"({p}, {a}, {b})" for p, a, b in minhash_perm_constants(16))
 
-MINHASH_SQL = f"""
+def _minhash_sql(src: str = "documents") -> str:
+    """MinHash CTE chain over any (doc_id, text) source relation —
+    the training-corpus pipeline oracle shingles only the cleaned
+    survivor subset, everything else the full table."""
+    return f"""
 sh AS (
   SELECT doc_id, unnest(list_distinct({char_shingles_sql('text', 5)})) AS s
-  FROM documents
+  FROM {src}
 ),
 perms(perm, a, b) AS (SELECT * FROM (VALUES {_PERM_VALUES})),
 sh_h AS (
@@ -281,6 +296,51 @@ sig AS (
   FROM sh_h CROSS JOIN perms
   GROUP BY doc_id, perm
 )"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+def _lsh_verify_ctes(threshold: float) -> str:
+    """est → cand2 → sizes → inter → vpairs: the signature-estimate
+    prefilter (≥6 of 16) + exact-Jaccard verify chain shared by the
+    pair, cluster, and pipeline oracles (assumes sig/cand/sh CTEs in
+    scope)."""
+    return f"""est AS (
+          SELECT c.a, c.b, COUNT(*) AS n_match
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+          WHERE sa.minhash = sb.minhash
+          GROUP BY c.a, c.b
+        ),
+        cand2 AS (SELECT a, b FROM est WHERE n_match >= 6),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, COUNT(*) AS n_inter
+          FROM cand2 c JOIN sh sa ON sa.doc_id = c.a
+                       JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+          GROUP BY c.a, c.b
+        ),
+        vpairs AS (
+          SELECT i.a, i.b
+          FROM inter i JOIN sizes za ON za.doc_id = i.a
+                       JOIN sizes zb ON zb.doc_id = i.b
+          WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= {threshold}
+        )"""
+
+
+# Connected components over vpairs as a recursive fixpoint: label =
+# MIN reachable id over the symmetrized pair graph (assumes vpairs in
+# scope; the enclosing WITH must be RECURSIVE).
+_CC_CTES = """csym AS (SELECT a AS u, b AS v FROM vpairs
+                 UNION ALL SELECT b, a FROM vpairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM csym)
+          UNION
+          SELECT s.u, reach.r FROM csym s JOIN reach ON reach.u = s.v
+        ),
+        lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)"""
 
 BUCKETS_SQL = f"""
 buckets AS (
@@ -419,36 +479,8 @@ DEDUP_ORACLE = {
     # cluster_id) because min-labels make the survivor the label.
     "dedup_cluster_survivors": f"""
         WITH RECURSIVE {MINHASH_SQL.strip().lstrip()}, {BUCKETS_SQL.strip()}, {CAND_SQL.strip()},
-        est AS (
-          SELECT c.a, c.b, COUNT(*) AS n_match
-          FROM cand c
-          JOIN sig sa ON sa.doc_id = c.a
-          JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
-          WHERE sa.minhash = sb.minhash
-          GROUP BY c.a, c.b
-        ),
-        cand2 AS (SELECT a, b FROM est WHERE n_match >= 6),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.a, c.b, COUNT(*) AS n_inter
-          FROM cand2 c JOIN sh sa ON sa.doc_id = c.a
-                       JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
-          GROUP BY c.a, c.b
-        ),
-        vpairs AS (
-          SELECT i.a, i.b
-          FROM inter i JOIN sizes za ON za.doc_id = i.a
-                       JOIN sizes zb ON zb.doc_id = i.b
-          WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.35
-        ),
-        sym AS (SELECT a AS u, b AS v FROM vpairs
-                UNION ALL SELECT b, a FROM vpairs),
-        reach(u, r) AS (
-          SELECT u, u FROM (SELECT DISTINCT u FROM sym)
-          UNION
-          SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v
-        ),
-        lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+        {_lsh_verify_ctes(0.35)},
+        {_CC_CTES}
         SELECT d.doc_id,
                COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
                CAST(CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
@@ -471,6 +503,41 @@ DEDUP_ORACLE = {
         WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.8
     """,
 }
+
+# End-to-end training-corpus pipeline: clean (quality/lang filter +
+# exact dedup) → MinHash-LSH near-dup pairs over the survivors →
+# connected-component survivor election → deterministic hash split.
+# Every stage is also oracle-checked standalone; this entry pins the
+# COMPOSITION (stage wiring, survivor semantics, split stability)
+# end-to-end. Registered here (not in the TEXT_ORACLE literal)
+# because it composes the minhash/CC fragments defined above.
+TEXT_ORACLE["text_training_corpus"] = f"""
+    WITH RECURSIVE {_clean_ctes(0.5, 'en')},
+    cdocs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM keep0)
+    ),
+    {_minhash_sql('cdocs').strip().lstrip()}, {BUCKETS_SQL.strip()}, {CAND_SQL.strip()},
+    {_lsh_verify_ctes(0.35)},
+    {_CC_CTES},
+    final AS (
+      SELECT k.doc_id, k.content_fp, k.quality
+      FROM keep0 k LEFT JOIN lbl l USING (doc_id)
+      WHERE COALESCE(l.cluster_id, k.doc_id) = k.doc_id
+    )
+    SELECT doc_id, content_fp, quality,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT *, CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket
+      FROM final
+    )
+"""
+TEXT_QUERIES["text_training_corpus"] = lambda spark, sf: X.training_corpus(
+    _docs(spark, sf), quality_threshold=0.5, lang="en", near_dup_threshold=0.35
+)
+
 
 def _q_dedup_stream(spark, sf):
     from bigclam_apachespark_spark.streaming import (
@@ -665,7 +732,52 @@ SIM_ORACLE = {
         FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
         WHERE round({_PAIR_COS}, 6) >= 0.35
     """,
+    # Embedding-side survivor election: connected components over the
+    # cosine near-dup pair set (same recursive-CTE fixpoint as the
+    # document-side dedup_cluster_survivors; Spark side reuses
+    # operators/dedup.py near_dup_clusters — the CC kernel is
+    # id-domain agnostic).
+    "sim_dedup_survivors": f"""
+        WITH RECURSIVE {EMB_SQL.strip()}, {_planes_sql(4)}, {BUCKETS64_SQL.strip()},
+        joined AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb2
+          FROM vb a JOIN vb b ON a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id
+        ),
+        vpairs AS (
+          SELECT va AS a, vb2 AS b
+          FROM joined j JOIN emb ea ON ea.vec_id = j.va
+                        JOIN emb eb ON eb.vec_id = j.vb2
+          WHERE round({_PAIR_COS}, 6) >= 0.35
+        ),
+        csym AS (SELECT a AS u, b AS v FROM vpairs
+                 UNION ALL SELECT b, a FROM vpairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM csym)
+          UNION
+          SELECT s.u, reach.r FROM csym s JOIN reach ON reach.u = s.v
+        ),
+        lbl AS (SELECT u AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY u)
+        SELECT e.vec_id,
+               COALESCE(l.cluster_id, e.vec_id) AS cluster_id,
+               CAST(CASE WHEN COALESCE(l.cluster_id, e.vec_id) = e.vec_id
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM embeddings e LEFT JOIN lbl l USING (vec_id)
+    """,
 }
+
+
+def _q_sim_dedup_survivors(spark, sf):
+    from bigclam_apachespark_spark.operators import dedup as DD
+
+    emb = _emb(spark, sf)
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.35, n_planes=4)
+    out = DD.cluster_survivors(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "keep"
+    )
 
 SIM_QUERIES = {
     "sim_ivf_topk": lambda spark, sf: S.ivf_topk(
@@ -681,6 +793,7 @@ SIM_QUERIES = {
     "sim_cosine_near_dups": lambda spark, sf: S.cosine_near_dup_pairs(
         _emb(spark, sf), threshold=0.35, n_planes=4
     ),
+    "sim_dedup_survivors": _q_sim_dedup_survivors,
 }
 
 # ---------------------------------------------------------------------------

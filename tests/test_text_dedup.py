@@ -326,3 +326,31 @@ def test_near_dup_clusters_long_chain_converges(spark):
     labels = near_dup_clusters(pairs, max_iter=8).collect()
     assert all(r["cluster_id"] == 0 for r in labels)
     assert len(labels) == 41
+
+
+def test_training_corpus_pipeline(spark):
+    from bigclam_apachespark_spark.operators.text import training_corpus
+
+    # docs 0 and 1 are exact dups after normalize; 2 is a near dup of
+    # 0 (1-word edit); 3-5 padded to clear the quality length floor
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "to the house for a meal of fresh fish and sleeps on the mat"
+    )
+    rows = [
+        (0, base),
+        (1, base + "!"),
+        (2, base.replace("fish", "meat")),
+        (3, "el perro es un animal que vive en la casa"),  # es -> dropped
+        (4, base.replace("fox", "wolf").replace("dog", "cat").replace("fish", "bread")
+            .replace("mat", "bed").replace("house", "barn")),
+        (5, "zzz qqq"),  # low quality -> dropped
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in training_corpus(
+        d, quality_threshold=0.4, near_dup_threshold=0.5
+    ).collect()}
+    # 1 (exact dup of 0) dies in clean_corpus; 2 (near dup) dies in
+    # cluster election; 3 wrong language; 5 low quality; 0 and 4 live
+    assert set(out) == {0, 4}
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
