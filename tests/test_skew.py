@@ -1,0 +1,69 @@
+"""Skew utilities: salted plans must be row-identical to the plain
+plans they replace (they change physical shape, never results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.skew import (
+    salted_count_distinct,
+    salted_join,
+)
+
+
+def _skewed(spark):
+    # key 1 is hot (300 rows), keys 2..20 have a few rows each
+    hot = spark.range(300).select(
+        F.lit(1).alias("k"), (F.col("id") % 50).alias("v")
+    )
+    cold = spark.range(19 * 4).select(
+        (F.col("id") % 19 + 2).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    return hot.union(cold)
+
+
+def test_salted_join_matches_plain_inner(spark):
+    probe = _skewed(spark)
+    build = spark.range(25).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["w"]) for r in probe.join(build, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(probe, build, "k", n_salts=4).collect()
+    )
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_matches_plain_left(spark):
+    probe = _skewed(spark)
+    # build misses keys > 10 so the left join produces real nulls
+    build = spark.range(11).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in probe.join(build, "k", "left").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(probe, build, "k", n_salts=4, how="left").collect()
+    )
+    assert salted == plain
+    assert any(w is None for (_, _, w) in salted)
+
+
+def test_salted_count_distinct_matches_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    salted = {
+        r["k"]: r["n_distinct"]
+        for r in salted_count_distinct(df, "k", "v", n_salts=4).collect()
+    }
+    assert salted == plain
+    assert plain[1] == 50  # the hot key's true distinct count
