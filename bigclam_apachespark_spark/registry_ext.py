@@ -25,6 +25,7 @@ from bigclam_apachespark_spark.functions.hashing import (
 )
 from bigclam_apachespark_spark.operators import dedup as D
 from bigclam_apachespark_spark.operators import events as E
+from bigclam_apachespark_spark.sources import read_documents_jsonl
 from bigclam_apachespark_spark.operators import similarity as S
 from bigclam_apachespark_spark.operators import temporal as TJ
 from bigclam_apachespark_spark.operators import text as X
@@ -247,7 +248,20 @@ TEXT_ORACLE = {
     """,
 }
 
+# Repo-shipped JSONL corpus fixture (sources/docs.py): scanned by
+# both engines from the same file, so the source FORMAT itself is
+# oracle-checked (parse fidelity incl. JSON string escapes), not just
+# downstream operators.
+DOCS_JSONL = "/root/repo/data/sample_docs.jsonl"
+
+TEXT_ORACLE["docs_jsonl_scan"] = f"""
+    SELECT doc_id, text, source
+    FROM read_json('{DOCS_JSONL}', format='newline_delimited',
+      columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'source': 'VARCHAR'}})
+"""
+
 TEXT_QUERIES = {
+    "docs_jsonl_scan": lambda spark, sf: read_documents_jsonl(spark, DOCS_JSONL),
     "text_token_stats": lambda spark, sf: X.token_stats(_docs(spark, sf)),
     "text_quality": lambda spark, sf: X.quality_score(_docs(spark, sf)),
     "text_lang_id": lambda spark, sf: X.lang_id(_docs(spark, sf)),

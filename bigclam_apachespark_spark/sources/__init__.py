@@ -4,10 +4,16 @@ from bigclam_apachespark_spark.sources.edgelist import (
     copurchase_edges,
     customer_supplier_edges,
 )
+from bigclam_apachespark_spark.sources.docs import (
+    read_documents_jsonl,
+    write_corpus_partitioned,
+)
 
 __all__ = [
     "read_edge_list",
     "edges_from_pairs",
     "copurchase_edges",
     "customer_supplier_edges",
+    "read_documents_jsonl",
+    "write_corpus_partitioned",
 ]

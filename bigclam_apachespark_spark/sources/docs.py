@@ -1,0 +1,45 @@
+"""Document corpus sources/sinks (extension surface — the reference
+reads only edge-list text, SURVEY.md §2.A; training-data pipelines
+live on JSONL in and partitioned parquet out).
+
+Scale notes: JSONL is line-oriented and therefore splittable — Spark
+parallelizes the scan like any text source. The schema is DECLARED,
+never inferred: schema inference is a full extra pass over the data
+(at 100 TB that is the whole job again), and a drifting inferred
+schema breaks downstream plans silently. Malformed lines surface as
+NULLs (PERMISSIVE mode) and are dropped explicitly rather than
+aborting the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL corpus scan → ``(doc_id, text, source)`` with a declared
+    schema (no inference pass). Rows whose doc_id fails to parse are
+    dropped (PERMISSIVE nulls), mirroring the edge-list reader's
+    bad-line policy."""
+    df = spark.read.schema(DOCS_JSONL_SCHEMA).json(path)
+    return df.where(df.doc_id.isNotNull())
+
+
+def write_corpus_partitioned(df: DataFrame, path: str, by: str = "split") -> None:
+    """Training-corpus sink: parquet partitioned by the split (or any
+    low-cardinality) column — the standard output layout, because a
+    reader of one split (``WHERE split = 'train'``) then prunes the
+    other partitions at the FILE level (PartitionFilters in the scan,
+    zero bytes read from val/test). Partition columns must stay
+    low-cardinality: partitioning by a high-cardinality key creates
+    one directory per value and kills the file system at scale."""
+    df.write.mode("overwrite").partitionBy(by).parquet(path)

@@ -354,3 +354,37 @@ def test_training_corpus_pipeline(spark):
     # cluster election; 3 wrong language; 5 low quality; 0 and 4 live
     assert set(out) == {0, 4}
     assert all(r["split"] in ("train", "val", "test") for r in out.values())
+
+
+def test_read_documents_jsonl_drops_bad_lines(spark, tmp_path):
+    from bigclam_apachespark_spark.sources import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "he said \\"hi\\"", "source": "a"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "ok", "source": "b"}\n'
+        '{"text": "no id", "source": "c"}\n'
+    )
+    rows = {r["doc_id"]: r for r in read_documents_jsonl(spark, str(p)).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == 'he said "hi"'  # JSON escapes decoded
+
+
+def test_write_corpus_partitioned_prunes(spark, tmp_path):
+    from bigclam_apachespark_spark.sources import write_corpus_partitioned
+
+    df = spark.createDataFrame(
+        [(i, "t", "train" if i % 2 == 0 else "test") for i in range(10)],
+        "doc_id long, text string, split string",
+    )
+    out = str(tmp_path / "corpus")
+    write_corpus_partitioned(df, out)
+    back = spark.read.parquet(out).where("split = 'train'")
+    assert back.count() == 5
+    # the split predicate must prune at the PARTITION level, not scan
+    # all files and filter rows afterwards
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan or "split#" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
