@@ -39,6 +39,11 @@ HEADLINE = [
     "sim_cosine_near_dups",
     "sim_ivf_topk",
     "text_quality",
+    "text_salient_terms",
+    "events_retention",
+    # end-to-end training-corpus prep (clean -> LSH near-dup clusters
+    # -> survivor election -> split) — the flagship composition
+    "text_training_corpus",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -63,6 +68,9 @@ EXPECTED = {
     "sim_cosine_near_dups": 3.4,
     "sim_ivf_topk": 2.1,
     "text_quality": 0.3,
+    "text_salient_terms": 6.3,
+    "events_retention": 0.6,
+    "text_training_corpus": 18.7,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
