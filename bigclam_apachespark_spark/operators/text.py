@@ -326,6 +326,41 @@ def token_length_quantiles(
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model score per document →
+    ``(doc_id, n_tokens, avg_logprob)`` with avg_logprob =
+    mean over tokens of ln(tf_corpus(token) / total_tokens). The
+    CCNet-style quality signal: documents whose tokens are improbable
+    under the corpus's own unigram distribution (gibberish, boiler-
+    plate explosions, wrong-language fragments) score far below the
+    bulk and can be percentile-filtered.
+
+    Float discipline: ln appears only in OUTPUT values (rounded to
+    6dp), never in a ranking or threshold inside the query — the
+    cross-engine last-ulp hazard class that bit the LSH sign bits
+    does not apply to value columns (same policy as the round(sum,6)
+    aggregates).
+
+    Scale shape: one exploded-token pass feeds both the corpus term
+    frequencies and the per-doc join; the tf table is vocabulary-
+    sized (AQE broadcasts when small); total_tokens is a scalar
+    cross-joined in, not collected."""
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("ctf"))
+    total = tf.agg(F.sum("ctf").alias("ctot"))
+    return (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("ctf").cast("double") / F.col("ctot").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprinting: (a) full-content hash of the
     normalized text (exact-dup key), (b) winnowing-style min-hash of

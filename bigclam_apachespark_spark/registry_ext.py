@@ -246,6 +246,17 @@ TEXT_ORACLE = {
         WITH {_clean_ctes(0.5, 'en')}
         SELECT doc_id, content_fp, quality, lang_pred FROM keep0
     """,
+    # ln appears only in rounded OUTPUT values here (never a rank or
+    # threshold), so the last-ulp libm hazard class does not apply.
+    "text_unigram_logprob": f"""
+        WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS term FROM documents),
+        tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok GROUP BY term),
+        tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS ctot FROM tf)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(AVG(ln(CAST(ctf AS DOUBLE) / CAST(ctot AS DOUBLE))), 6) AS avg_logprob
+        FROM tok JOIN tf USING (term) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
 }
 
 # Repo-shipped JSONL corpus fixture (sources/docs.py): scanned by
@@ -273,6 +284,7 @@ TEXT_QUERIES = {
     "text_vocab_topk": lambda spark, sf: X.vocab_topk(_docs(spark, sf), k=100),
     "text_hash_split": lambda spark, sf: X.hash_split(_docs(spark, sf)),
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
+    "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------

@@ -388,3 +388,20 @@ def test_write_corpus_partitioned_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(split" in plan or "split#" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_unigram_logprob(spark):
+    from bigclam_apachespark_spark.operators.text import unigram_logprob
+
+    import math
+
+    # corpus: 4 'a', 2 'b', 1 'z' -> p(a)=4/7, p(b)=2/7, p(z)=1/7
+    d = spark.createDataFrame(
+        [(0, "a a b"), (1, "a a b"), (2, "z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(d).collect()}
+    exp0 = (2 * math.log(4 / 7) + math.log(2 / 7)) / 3
+    assert abs(out[0]["avg_logprob"] - round(exp0, 6)) < 1e-9
+    assert out[0]["n_tokens"] == 3
+    # the rare-token doc scores strictly lower
+    assert out[2]["avg_logprob"] < out[0]["avg_logprob"]
