@@ -218,3 +218,70 @@ def top_k_seeds(seeds: DataFrame, k: int) -> DataFrame:
     """D14: first K of the ranked seed list (v3:62, v47:83).
     Deterministic because local_min_seeds orders by (phi, id)."""
     return seeds.orderBy("phi", "id").limit(k)
+
+
+def _oriented(sym_edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of the undirected edge set: keep
+    (u, v) iff (deg(u), u) < (deg(v), v) — each undirected edge
+    survives exactly once, pointing from the lower-degree endpoint.
+    This is the compact-forward trick that makes triangle enumeration
+    scale: out-degree under this orientation is O(√|E|) even for a
+    celebrity node, so the wedge join fan-out Σ outdeg² is bounded by
+    |E|^1.5 instead of Σ deg² (unbounded under power-law skew)."""
+    deg = degrees(sym_edges)
+    du = deg.select(F.col("id").alias("src"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("dst"), F.col("degree").alias("dv"))
+    return (
+        sym_edges.join(du, "src")
+        .join(dv, "dst")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+
+
+def triangle_counts(sym_edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation → ``(id, n_tri)`` for every
+    vertex (0 for triangle-free nodes). Integer-exact, so the oracle
+    hash cannot drift.
+
+    Shape: orient (one deg join) → wedge join (oriented ⋈ oriented on
+    the middle vertex) → close the wedge (join against oriented on
+    the (u, w) pair) → each triangle appears exactly once as an
+    ordered triple; explode its 3 corners and hash-aggregate. Extends
+    the reference's graph substrate (SURVEY §2.B has no triangle op);
+    standard compact-forward enumeration."""
+    o = _oriented(sym_edges)
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("id")
+    ).groupBy("id").agg(F.count("*").alias("n_tri"))
+    return (
+        vertices(sym_edges)
+        .join(corners, "id", "left")
+        .select("id", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"))
+    )
+
+
+def clustering_coefficients(sym_edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex → ``(id, degree,
+    n_tri, clustering)`` with clustering = 2·T(v) / (deg·(deg−1))
+    (0.0 for degree-1 vertices). The division is ONE IEEE op over
+    exact integers — correctly rounded on every engine, so even the
+    float column is bit-stable cross-engine."""
+    tri = triangle_counts(sym_edges)
+    deg = degrees(sym_edges)
+    cc = F.when(
+        F.col("degree") >= 2,
+        (2.0 * F.col("n_tri")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "id")
+        .select("id", "degree", "n_tri", F.round(cc, 6).alias("clustering"))
+    )

@@ -138,6 +138,18 @@ def q_vertex_count(spark, sf_dir):
     return G.vertices(sym).agg(F.count("*").alias("n_vertices"))
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts (compact-forward enumeration) —
+    extension of the graph substrate beyond reference parity."""
+    return G.triangle_counts(_sym(spark, sf_dir))
+
+
+def q_clustering(spark, sf_dir):
+    """Local clustering coefficients (exact integers + one IEEE
+    division, bit-stable cross-engine)."""
+    return G.clustering_coefficients(_sym(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_copurchase_edges": q_copurchase_edges,
     "graph_edge_list_scan": q_edge_list_scan,
@@ -151,7 +163,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_seeds": q_seeds,
     "graph_seed_top20": q_seed_top20,
     "graph_vertex_count": q_vertex_count,
+    "graph_triangles": q_triangles,
+    "graph_clustering": q_clustering,
 }
+
+# Degree-ordered orientation + compact-forward triangle enumeration
+# (DuckDB twin of operators/graph.py _oriented/triangle_counts).
+_TRI_SQL = """
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+o AS (
+  SELECT s.src AS u, s.dst AS v
+  FROM sym s JOIN deg a ON a.id = s.src JOIN deg b ON b.id = s.dst
+  WHERE (a.degree < b.degree) OR (a.degree = b.degree AND s.src < s.dst)
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM o e1 JOIN o e2 ON e2.u = e1.v
+  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (SELECT unnest([a, b, c]) AS id FROM tri),
+cnt AS (SELECT id, COUNT(*) AS n_tri FROM corners GROUP BY id),
+verts AS (SELECT DISTINCT src AS id FROM sym)"""
 
 ORACLE: dict[str, str] = {
     "graph_copurchase_edges": f"WITH {EDGES_SQL} SELECT src, dst FROM edges_g",
@@ -199,6 +231,21 @@ ORACLE: dict[str, str] = {
     "graph_vertex_count": f"""
         WITH {EDGES_SQL}, {SYM_SQL}
         SELECT COUNT(*) AS n_vertices FROM (SELECT DISTINCT src FROM sym)
+    """,
+    "graph_triangles": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {_TRI_SQL}
+        SELECT v.id, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+        FROM verts v LEFT JOIN cnt c USING (id)
+    """,
+    "graph_clustering": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {_TRI_SQL}
+        SELECT d.id, d.degree,
+               CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+               round(CASE WHEN d.degree >= 2
+                          THEN (2.0 * COALESCE(c.n_tri, 0))
+                               / (d.degree * (d.degree - 1))
+                          ELSE 0.0 END, 6) AS clustering
+        FROM deg d LEFT JOIN cnt c USING (id)
     """,
 }
 

@@ -106,3 +106,35 @@ def test_conductance_pairs_variant_matches(g1_edges, g2_edges, spark):
         a = sorted((r["id"], round(r["phi"], 12)) for r in ego_conductance(sym).collect())
         b = sorted((r["id"], round(r["phi"], 12)) for r in ego_conductance_pairs(sym).collect())
         assert a == b
+
+
+def test_triangle_counts_two_cliques(spark, g1_edges):
+    from bigclam_apachespark_spark.operators.graph import (
+        clustering_coefficients,
+        symmetrize,
+        triangle_counts,
+    )
+
+    sym = symmetrize(g1_edges)
+    tri = {r["id"]: r["n_tri"] for r in triangle_counts(sym).collect()}
+    # every node of a 4-clique sits in C(3,2)=3 triangles; the bridge
+    # edge 3-4 closes none
+    assert tri == {i: 3 for i in range(8)}
+
+    cc = {r["id"]: (r["degree"], r["clustering"])
+          for r in clustering_coefficients(sym).collect()}
+    for i in (0, 1, 2, 5, 6, 7):       # pure clique corners: 2*3/(3*2)
+        assert cc[i] == (3, 1.0)
+    for i in (3, 4):                   # bridge endpoints: 2*3/(4*3)
+        assert cc[i] == (4, 0.5)
+
+
+def test_triangle_counts_triangle_free(spark, g2_edges):
+    from bigclam_apachespark_spark.operators.graph import (
+        symmetrize,
+        triangle_counts,
+    )
+
+    tri = triangle_counts(symmetrize(g2_edges)).collect()
+    assert all(r["n_tri"] == 0 for r in tri)  # P4 path has no triangles
+    assert len(tri) == 4
