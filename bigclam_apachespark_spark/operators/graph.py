@@ -285,3 +285,44 @@ def clustering_coefficients(sym_edges: DataFrame) -> DataFrame:
         deg.join(tri, "id")
         .select("id", "degree", "n_tri", F.round(cc, 6).alias("clustering"))
     )
+
+
+def pagerank(
+    sym_edges: DataFrame, n_iter: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """PageRank with a FIXED iteration count → ``(id, rank)`` in the
+    mean-1 normalization (rank = N × probability): r⁽ᵏ⁺¹⁾(v) =
+    (1−d) + d · Σ_{u→v} r⁽ᵏ⁾(u)/deg(u), r⁽⁰⁾ = 1.
+
+    Why mean-1 and fixed-k: the oracle hashes rounded outputs, and
+    probabilities (mean 1/N) would drown in the 6-decimal round at
+    large N, while run-to-convergence depends on a float threshold —
+    a fixed k is deterministic on both engines (the DuckDB twin
+    unrolls k chained CTEs). On the symmetrized view every vertex has
+    degree ≥ 1, so there is no dangling mass.
+
+    Scale shape: the per-iteration cost is one edges ⋈ ranks join +
+    one hash-agg (map-side combine); the (edges ⋈ degree) table is
+    cached once across iterations; ranks are localCheckpoint'd per
+    round to stop lineage growth and the superseded generation is
+    unpersisted — same cadence as the BigCLAM fit loop."""
+    deg = degrees(sym_edges)
+    verts = vertices(sym_edges)
+    edges_deg = sym_edges.join(
+        deg.select(F.col("id").alias("src"), "degree"), "src"
+    ).cache()
+    ranks = verts.select("id", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("degree")).alias("m"))
+        )
+        new_ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("r"),
+        ).localCheckpoint(eager=True)
+        ranks.unpersist()
+        ranks = new_ranks
+    edges_deg.unpersist()
+    return ranks.select("id", F.round("r", 6).alias("rank"))

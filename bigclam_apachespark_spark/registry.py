@@ -150,6 +150,11 @@ def q_clustering(spark, sf_dir):
     return G.clustering_coefficients(_sym(spark, sf_dir))
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-5-iteration PageRank (mean-1 normalization)."""
+    return G.pagerank(_sym(spark, sf_dir), n_iter=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_copurchase_edges": q_copurchase_edges,
     "graph_edge_list_scan": q_edge_list_scan,
@@ -165,7 +170,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_vertex_count": q_vertex_count,
     "graph_triangles": q_triangles,
     "graph_clustering": q_clustering,
+    "graph_pagerank": q_pagerank,
 }
+
+
+def _pagerank_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled k-iteration PageRank CTE chain (DuckDB twin of
+    operators/graph.py pagerank) — fixed k keeps the fixpoint
+    deterministic on both engines; the final SELECT rounds."""
+    parts = [
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src)",
+        "verts AS (SELECT DISTINCT src AS id FROM sym)",
+        "pr0 AS (SELECT id, 1.0::DOUBLE AS r FROM verts)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""pr{i + 1} AS (
+  SELECT v.id, {1.0 - d} + {d} * COALESCE(s.m, 0) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r / dg.degree) AS m
+    FROM sym e JOIN pr{i} p ON p.id = e.src JOIN deg dg ON dg.id = e.src
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, round(r, 6) AS rank FROM pr{n_iter}"
 
 # Degree-ordered orientation + compact-forward triangle enumeration
 # (DuckDB twin of operators/graph.py _oriented/triangle_counts).
@@ -247,6 +276,7 @@ ORACLE: dict[str, str] = {
                           ELSE 0.0 END, 6) AS clustering
         FROM deg d LEFT JOIN cnt c USING (id)
     """,
+    "graph_pagerank": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_pagerank_sql(5)}",
 }
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,25 @@ def test_triangle_counts_triangle_free(spark, g2_edges):
     tri = triangle_counts(symmetrize(g2_edges)).collect()
     assert all(r["n_tri"] == 0 for r in tri)  # P4 path has no triangles
     assert len(tri) == 4
+
+
+def test_pagerank_fixture(spark, g2_edges):
+    import math
+
+    from bigclam_apachespark_spark.operators.graph import pagerank, symmetrize
+
+    # P4 path 0-1-2-3: symmetric, so rank(0)=rank(3), rank(1)=rank(2),
+    # interior > endpoints, mean exactly 1
+    out = {r["id"]: r["rank"] for r in pagerank(symmetrize(g2_edges), n_iter=5).collect()}
+    assert out[0] == out[3] and out[1] == out[2]
+    assert out[1] > out[0]
+    assert math.isclose(sum(out.values()) / 4, 1.0, rel_tol=1e-4)
+
+
+def test_pagerank_uniform_on_clique(spark, g1_edges):
+    from bigclam_apachespark_spark.operators.graph import pagerank, symmetrize
+
+    # restrict to one 4-clique: regular graph -> exactly uniform ranks
+    clique = g1_edges.where("src < 4 AND dst < 4")
+    out = [r["rank"] for r in pagerank(symmetrize(clique), n_iter=5).collect()]
+    assert out == [1.0, 1.0, 1.0, 1.0]
