@@ -114,6 +114,59 @@ def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(fake_features(dim), FEATURE_SCHEMA)
 
 
+def patch_grid_plan(media: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch tiling *plan*: one row per (patch_row,
+    patch_col) tile of each image/video frame grid — the fan-out that
+    turns pixels into sequence tokens for vision training. Spark-side
+    double explode over typed metadata (the decoder would attach the
+    pixel tile); partial tiles at the right/bottom edges are included
+    (ceil division), matching standard padding behavior."""
+    n_rows = F.ceil(F.col("height") / F.lit(patch)).cast("int")
+    n_cols = F.ceil(F.col("width") / F.lit(patch)).cast("int")
+    return (
+        media.where(F.col("kind").isin("image", "video"))
+        .select(
+            "media_id",
+            "kind",
+            F.explode(F.sequence(F.lit(0), n_rows - 1)).alias("patch_row"),
+            n_cols.alias("_nc"),
+        )
+        .select(
+            "media_id",
+            "kind",
+            "patch_row",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("patch_col"),
+        )
+    )
+
+
+def audio_chunk_plan(media: DataFrame, chunk_samples: int = 32) -> DataFrame:
+    """Audio chunking *plan*: one row per fixed-length sample window
+    of each audio payload (16-bit PCM assumed: n_samples = n_bytes/2)
+    → ``(media_id, chunk_idx, start_sample, n_samples)``. The last
+    chunk may be short — its true length is carried so a decoder can
+    pad or drop it. Same shape as speech-training chunkers."""
+    n_samples = (F.length("payload") / F.lit(2)).cast("long")
+    n_chunks = F.ceil(n_samples / F.lit(chunk_samples)).cast("int")
+    start = F.col("chunk_idx").cast("long") * chunk_samples
+    return (
+        media.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            n_samples.alias("_ns"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            start.alias("start_sample"),
+            F.least(F.lit(chunk_samples).cast("long"), F.col("_ns") - start).alias(
+                "n_samples"
+            ),
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame index
     (real decoders would attach the frame payload). Spark-side

@@ -1059,12 +1059,60 @@ MULTIMODAL_ORACLE = {
         FROM (SELECT i AS media_id FROM generate_series(0, 63) t(i) WHERE i % 3 = 2)
         CROSS JOIN (SELECT unnest([0, 4, 8]) AS frame_idx)
     """,
+    # ViT patch grid: every image/video is 32×24 in the generator, so
+    # with patch=8 the grid is exactly 3 rows × 4 cols per media row.
+    "multimodal_patch_grid": """
+        SELECT media_id, kind, CAST(patch_row AS INT) AS patch_row,
+               CAST(patch_col AS INT) AS patch_col
+        FROM (SELECT i AS media_id,
+                     CASE i % 3 WHEN 0 THEN 'image' ELSE 'video' END AS kind
+              FROM generate_series(0, 63) t(i) WHERE i % 3 IN (0, 2))
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS patch_row)
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS patch_col)
+    """,
+    # Audio chunking: payload = 32·(4 + i%7) bytes of 16-bit PCM →
+    # 16·(4 + i%7) samples, windows of 32 with a short tail chunk.
+    "multimodal_audio_chunks": """
+        WITH a AS (
+          SELECT i AS media_id, 16 * (4 + i % 7) AS ns
+          FROM generate_series(0, 63) t(i) WHERE i % 3 = 1
+        ),
+        c AS (
+          SELECT media_id, ns,
+                 unnest(generate_series(0, CAST(ceil(ns / 32.0) AS INT) - 1)) AS chunk_idx
+          FROM a
+        )
+        SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_idx * 32 AS BIGINT) AS start_sample,
+               CAST(least(32, ns - chunk_idx * 32) AS BIGINT) AS n_samples
+        FROM c
+    """,
 }
+
+def _q_patch_grid(spark, sf):
+    from bigclam_apachespark_spark.operators.multimodal import (
+        patch_grid_plan,
+        synthetic_media,
+    )
+
+    return patch_grid_plan(synthetic_media(spark, n=64), patch=8)
+
+
+def _q_audio_chunks(spark, sf):
+    from bigclam_apachespark_spark.operators.multimodal import (
+        audio_chunk_plan,
+        synthetic_media,
+    )
+
+    return audio_chunk_plan(synthetic_media(spark, n=64), chunk_samples=32)
+
 
 MULTIMODAL_QUERIES = {
     "multimodal_media_features": _q_media_features,
     "multimodal_media_stats": _q_media_stats,
     "multimodal_frame_sample": _q_frame_sample,
+    "multimodal_patch_grid": _q_patch_grid,
+    "multimodal_audio_chunks": _q_audio_chunks,
 }
 
 # Registration order = driver execution order. The cheap oracle-
