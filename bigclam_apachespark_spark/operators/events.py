@@ -122,6 +122,51 @@ def cohort_retention(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def window_anomaly_scores(
+    events: DataFrame, width: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-window traffic anomaly score → ``(window_start, event_type,
+    n_events, z_score)``: each (window, type) bucket's event count
+    standardized against that type's mean/stddev across all windows —
+    the basic monitoring query over event streams (|z| ≫ 0 flags
+    traffic spikes/outages).
+
+    Float discipline: counts are exact integers; mean is Σ/n (sum of
+    integers folded in engine order → rounded output), stddev uses
+    the explicit Σx² formulation (sqrt((Σx² − (Σx)²/n)/(n−1))) with
+    INTEGER Σx and Σx² — both engines compute the same exact integer
+    sums, so mean/std/z go through identical IEEE ops; only the
+    output round matters. Windows with a single sample or zero
+    variance emit z = 0.
+
+    Scale shape: one hash-agg to (window, type) counts (map-side
+    combine over the raw stream — the only big shuffle), then a tiny
+    per-type window over |windows| rows."""
+    from pyspark.sql import Window
+
+    w = F.window(ts_col, width)
+    counts = (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    tw = Window.partitionBy("event_type")
+    sx = F.sum("n_events").over(tw)
+    sxx = F.sum(F.col("n_events") * F.col("n_events")).over(tw)
+    cnt = F.count("*").over(tw)
+    mean = sx.cast("double") / cnt.cast("double")
+    var = (sxx.cast("double") - sx.cast("double") * sx.cast("double") / cnt.cast("double")) / (
+        cnt - 1
+    ).cast("double")
+    z = F.when(
+        (cnt >= 2) & (var > 0),
+        (F.col("n_events").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "window_start", "event_type", "n_events", F.round(z, 6).alias("z_score")
+    )
+
+
 def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     """JSON property extraction from the ``props`` string column →
     ``(event_id, k_val)``. ``get_json_object`` is JVM-side; at scale

@@ -867,6 +867,35 @@ EVENT_ORACLE = {
                COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
         FROM sess GROUP BY user_id, session_id
     """,
+    # Window anomaly z-scores: Σx and Σx² are exact INTEGER window
+    # sums on both engines, and the mean/var/z arithmetic mirrors the
+    # Spark expression tree op-for-op — identical IEEE inputs and
+    # order, so the doubles match bit-for-bit before the round.
+    "events_anomaly": """
+        WITH counts AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT window_start, event_type, n_events,
+                 CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS sx,
+                 CAST(SUM(n_events * n_events) OVER (PARTITION BY event_type) AS BIGINT) AS sxx,
+                 COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM counts
+        )
+        SELECT window_start, event_type, n_events,
+               round(CASE WHEN cnt >= 2
+                          AND (CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+                              / CAST(cnt - 1 AS DOUBLE) > 0
+                     THEN (CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+                          / sqrt((CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+                                 / CAST(cnt - 1 AS DOUBLE))
+                     ELSE 0.0 END, 6) AS z_score
+        FROM stats
+    """,
     # Weekly cohort retention — pure integer week arithmetic
     # (floor-seconds // 604800), cross-engine exact.
     "events_retention": """
@@ -983,6 +1012,7 @@ EVENT_QUERIES = {
     "events_tumbling": lambda spark, sf: E.tumbling_window_agg(_events(spark, sf)),
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
     "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
+    "events_anomaly": lambda spark, sf: E.window_anomaly_scores(_events(spark, sf)),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),

@@ -368,3 +368,29 @@ def test_cohort_retention(spark):
     assert norm[(0, 2)] == 1      # user 1 returns at offset 2
     assert norm[(1, 0)] == 1      # user 3 cohorted at week 1
     assert norm[(1, 1)] == 1      # user 3 returns at offset 1
+
+
+def test_window_anomaly_scores(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.events import window_anomaly_scores
+
+    # type 'a': counts 2,2,8 across three hours -> the 8 is the spike;
+    # type 'b': one window only -> z = 0 by definition
+    rows = []
+    eid = 0
+    for h, n in ((0, 2), (1, 2), (2, 8)):
+        for i in range(n):
+            rows.append((eid, 1, "a", f"2024-01-01 {h:02d}:10:00")); eid += 1
+    rows.append((eid, 2, "b", "2024-01-01 00:30:00"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    out = {(r["event_type"], r["n_events"]): r["z_score"]
+           for r in window_anomaly_scores(ev).collect()}
+    mean, sd = 4.0, math.sqrt(((2-4)**2 + (2-4)**2 + (8-4)**2) / 2)
+    assert abs(out[("a", 8)] - round((8 - mean) / sd, 6)) < 1e-9
+    assert abs(out[("a", 2)] - round((2 - mean) / sd, 6)) < 1e-9
+    assert out[("b", 1)] == 0.0
