@@ -956,6 +956,17 @@ EVENT_ORACLE = {
          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
         GROUP BY 1, 2, 3
     """,
+    # Stream-stream interval join replay: INNER results emit as
+    # matches arrive (no watermark wait), so the bounded AvailableNow
+    # replay equals the batch relational answer exactly.
+    "events_stream_interval_join": """
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               c.ts AS click_ts, c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
+    """,
     # Streaming replay of the same tumbling agg — watermarked
     # Structured Streaming run must equal the batch/DuckDB answer.
     "events_stream_tumbling": """
@@ -1008,6 +1019,22 @@ def _q_stream_sessionize(spark, sf):
     )
 
 
+def _q_stream_interval_join(spark, sf):
+    from bigclam_apachespark_spark.streaming import (
+        click_attribution_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_stream_to_memory(
+        click_attribution_stream(stream, window_minutes=60),
+        "stream_interval_join_oracle",
+        "append",
+        timeout_sec=60.0,
+    )
+
+
 EVENT_QUERIES = {
     "events_tumbling": lambda spark, sf: E.tumbling_window_agg(_events(spark, sf)),
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
@@ -1020,6 +1047,7 @@ EVENT_QUERIES = {
     "events_range_attribution": lambda spark, sf: TJ.click_window_stats(
         _events(spark, sf), window_minutes=60
     ),
+    "events_stream_interval_join": _q_stream_interval_join,
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_sessionize": _q_stream_sessionize,  # rows-only (stateful)
 }

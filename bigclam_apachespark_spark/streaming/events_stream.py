@@ -126,6 +126,68 @@ def windowed_counts_stream(
     )
 
 
+def click_attribution_stream(
+    events: DataFrame, window_minutes: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream INTERVAL JOIN: each purchase joined to the same
+    user's clicks within [purchase_ts − window, purchase_ts] →
+    ``(purchase_id, user_id, purchase_ts, click_ts, click_value)``.
+    The canonical two-stream attribution shape; batch twin:
+    ``operators.temporal.click_window_stats`` (same time bounds).
+
+    State story (the reason watermarks are mandatory here at scale):
+    a stream-stream join buffers BOTH sides in the state store; the
+    watermark + the time-range join condition let Spark evict any
+    click older than max(event time) − watermark − window, bounding
+    state to the attribution horizon regardless of stream length.
+    INNER join results emit as matches arrive (no watermark wait), so
+    a bounded Trigger.AvailableNow replay emits exactly the batch
+    answer — which is what makes this oracle-checkable; an OUTER
+    interval join's null-side rows only emit once the watermark
+    passes, so tail purchases would be missing from a bounded replay
+    (documented, not offered here).
+
+    Both inputs derive from ONE source stream (Spark supports stream
+    self-joins); timestamps are emitted as TIMESTAMP_NTZ UTC wall
+    time, same sink contract as ``windowed_counts_stream``."""
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    j = p.join(c, cond, "inner")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def to_ntz(col):
+        return F.timestamp_add("MICROSECOND", F.unix_micros(col), epoch)
+
+    return j.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        to_ntz(F.col("p_ts")).alias("purchase_ts"),
+        to_ntz(F.col("c_ts")).alias("click_ts"),
+        "click_value",
+    )
+
+
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_start", T.LongType(), True),  # epoch micros

@@ -394,3 +394,40 @@ def test_window_anomaly_scores(spark):
     assert abs(out[("a", 8)] - round((8 - mean) / sd, 6)) < 1e-9
     assert abs(out[("a", 2)] - round((2 - mean) / sd, 6)) < 1e-9
     assert out[("b", 1)] == 0.0
+
+
+def test_stream_interval_join_matches_hand_computed(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.streaming import (
+        click_attribution_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    # user 1: clicks at 09:10 and 09:50, purchase at 10:00 -> both in
+    # the 60-min window; click at 08:30 is outside; user 2's click
+    # must not attach to user 1's purchase
+    rows = [
+        (1, 1, "click", "2024-01-01 08:30:00", 1.0),
+        (2, 1, "click", "2024-01-01 09:10:00", 2.0),
+        (3, 1, "click", "2024-01-01 09:50:00", 3.0),
+        (4, 1, "purchase", "2024-01-01 10:00:00", 9.0),
+        (5, 2, "click", "2024-01-01 09:55:00", 4.0),
+    ]
+    src = str(tmp_path / "events_sij")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    ).write.parquet(src)
+
+    out = run_stream_to_memory(
+        click_attribution_stream(read_events_stream(spark, src)),
+        "sij_unit_sink",
+        "append",
+        timeout_sec=60.0,
+    )
+    got = sorted((r["purchase_id"], r["click_value"]) for r in out.collect())
+    assert got == [(4, 2.0), (4, 3.0)]
