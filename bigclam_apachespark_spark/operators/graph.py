@@ -326,3 +326,21 @@ def pagerank(
         ranks = new_ranks
     edges_deg.unpersist()
     return ranks.select("id", F.round("r", 6).alias("rank"))
+
+
+def connected_components(sym_edges: DataFrame) -> DataFrame:
+    """Weakly connected components → ``(id, component)`` with
+    component = the member minimum id. Thin graph-level alias over the
+    shared min-label-propagation + pointer-jumping kernel
+    (operators/dedup.py near_dup_clusters — O(log n) rounds, see its
+    docstring for the scale argument); the kernel is id-domain
+    agnostic, this adapter just maps the edge/label column names."""
+    from bigclam_apachespark_spark.operators.dedup import near_dup_clusters
+
+    pairs = sym_edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    out = near_dup_clusters(pairs)
+    return out.select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("component")
+    )

@@ -155,6 +155,16 @@ def q_pagerank(spark, sf_dir):
     return G.pagerank(_sym(spark, sf_dir), n_iter=5)
 
 
+def q_components(spark, sf_dir):
+    """Weakly connected components of the support-≥2 co-purchase
+    graph (thresholding sparsifies ~30×, which keeps the oracle's
+    transitive closure tractable and is the market-basket semantics
+    anyway — support-1 pairs are coincidence)."""
+    from bigclam_apachespark_spark.sources import weighted_copurchase_edges
+
+    return G.connected_components(weighted_copurchase_edges(spark, sf_dir, 2))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_copurchase_edges": q_copurchase_edges,
     "graph_edge_list_scan": q_edge_list_scan,
@@ -171,6 +181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_triangles,
     "graph_clustering": q_clustering,
     "graph_pagerank": q_pagerank,
+    "graph_components": q_components,
 }
 
 
@@ -277,6 +288,29 @@ ORACLE: dict[str, str] = {
         FROM deg d LEFT JOIN cnt c USING (id)
     """,
     "graph_pagerank": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_pagerank_sql(5)}",
+    # Components of the support-thresholded graph as a recursive
+    # fixpoint (closure over the sparsified edge set; label = MIN
+    # reachable id — Spark computes the same fixpoint iteratively via
+    # the shared CC kernel).
+    "graph_components": """
+        WITH RECURSIVE wedges AS (
+          -- support = number of ORDERS containing both parts (basket-
+          -- set semantics: a part listed twice in one order still
+          -- counts that order once), matching the collect_set basket
+          -- formulation on the Spark side.
+          SELECT src, dst FROM (
+            SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS src, l2.l_partkey AS dst
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+          ) GROUP BY src, dst HAVING COUNT(*) >= 2
+        ),
+        reach(u, r) AS (
+          SELECT src, src FROM (SELECT DISTINCT src FROM wedges)
+          UNION
+          SELECT w.src, reach.r FROM wedges w JOIN reach ON reach.u = w.dst
+        )
+        SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
+    """,
 }
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,7 @@ from bigclam_apachespark_spark.sources.edgelist import (
     edges_from_pairs,
     copurchase_edges,
     customer_supplier_edges,
+    weighted_copurchase_edges,
 )
 from bigclam_apachespark_spark.sources.docs import (
     read_documents_jsonl,
@@ -14,6 +15,7 @@ __all__ = [
     "edges_from_pairs",
     "copurchase_edges",
     "customer_supplier_edges",
+    "weighted_copurchase_edges",
     "read_documents_jsonl",
     "write_corpus_partitioned",
 ]

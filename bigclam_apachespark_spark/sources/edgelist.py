@@ -85,3 +85,26 @@ def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def weighted_copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Support-thresholded co-purchase graph → ``(src, dst, support)``
+    with support = number of orders containing both parts, keeping
+    pairs with support ≥ min_support. Same one-shuffle basket
+    formulation as ``copurchase_edges``; the distinct is replaced by a
+    counting hash-agg (map-side combine). Thresholding is the
+    market-basket noise filter: support-1 pairs are coincidence, and
+    dropping them sparsifies the graph ~30× at sf0.01 — which is what
+    makes closure-style analyses (components) tractable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    return (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )

@@ -160,3 +160,22 @@ def test_pagerank_uniform_on_clique(spark, g1_edges):
     clique = g1_edges.where("src < 4 AND dst < 4")
     out = [r["rank"] for r in pagerank(symmetrize(clique), n_iter=5).collect()]
     assert out == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_connected_components_fixture(spark, g1_edges, g2_edges):
+    from bigclam_apachespark_spark.operators.graph import (
+        connected_components,
+        symmetrize,
+    )
+
+    # G1 is connected via the 3-4 bridge: one component labeled 0
+    out = {r["id"]: r["component"]
+           for r in connected_components(symmetrize(g1_edges)).collect()}
+    assert out == {i: 0 for i in range(8)}
+
+    # two disjoint edges -> two components labeled by their minima
+    import pyspark.sql.functions as F  # noqa: F401
+    pairs = spark.createDataFrame([(5, 9), (1, 3)], "src long, dst long")
+    out2 = {r["id"]: r["component"]
+            for r in connected_components(symmetrize(pairs)).collect()}
+    assert out2 == {5: 5, 9: 5, 1: 1, 3: 1}
