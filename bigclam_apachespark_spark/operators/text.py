@@ -278,7 +278,12 @@ def training_corpus(
         minhash_lsh_dups,
     )
 
-    cleaned = clean_corpus(docs, text_col, quality_threshold, lang)
+    # cleaned feeds THREE consumers (the near-dup semi-join, the
+    # survivor election, and the final output join) — cache it so the
+    # quality/lang scoring scan runs once, not three times. At 100 TB
+    # this is the survivors metadata table (ids + hashes, ≪ corpus) —
+    # the natural persist point in a production pipeline too.
+    cleaned = clean_corpus(docs, text_col, quality_threshold, lang).cache()
     cleaned_docs = docs.join(cleaned.select("doc_id"), "doc_id", "left_semi")
     pairs = minhash_lsh_dups(
         cleaned_docs, text_col, threshold=near_dup_threshold, est_min_matches=6
