@@ -31,6 +31,8 @@ HEADLINE = [
     "graph_neighbors",
     "graph_conductance",
     "graph_seeds",
+    "graph_triangles",
+    "graph_pagerank",
     "bigclam_gradient",
     "dedup_minhash_lsh_pairs",
     "events_tumbling",
@@ -60,6 +62,8 @@ EXPECTED = {
     "graph_neighbors": 1.4,
     "graph_conductance": 4.7,
     "graph_seeds": 4.7,
+    "graph_triangles": 5.0,
+    "graph_pagerank": 16.9,
     "bigclam_gradient": 8.8,
     "dedup_minhash_lsh_pairs": 10.1,
     "events_tumbling": 0.5,
