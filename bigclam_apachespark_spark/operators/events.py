@@ -178,6 +178,57 @@ def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     )
 
 
+def ordered_funnel(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Strict-order conversion funnel per user → ``(user_id, view_ts,
+    click_ts, purchase_ts, stage)``: the first view, the first click
+    AT OR AFTER that view, the first purchase at or after that click;
+    ``stage`` ∈ {0..3} = how deep the user converted. Unlike the
+    count-pivot funnel (event_type_funnel), this enforces EVENT-TIME
+    ORDER — a purchase before any click does not count as conversion.
+
+    All comparisons are on exact timestamps (micros) — no floats
+    anywhere, so the oracle hash is trivially stable.
+
+    Scale shape: three filtered min-aggregations chained by user-level
+    joins; every aggregate combines map-side and every join key is
+    user_id, so AQE coalesces/broadcasts the shrinking stage tables."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts_col).alias("view_ts"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col(ts_col) >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min(ts_col).alias("click_ts"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col(ts_col) >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min(ts_col).alias("purchase_ts"))
+    )
+    users = events.select("user_id").distinct()
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "view_ts", "click_ts", "purchase_ts",
+            stage.cast("int").alias("stage"),
+        )
+    )
+
+
 def event_type_funnel(events: DataFrame) -> DataFrame:
     """Per-user event-type counts in wide form (pivot) — the
     engagement-funnel shape: one shuffle on user_id, pivot values

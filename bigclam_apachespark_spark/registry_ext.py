@@ -914,6 +914,35 @@ EVENT_ORACLE = {
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
     """,
+    # Strict-order funnel: first view → first click ≥ view → first
+    # purchase ≥ click. Exact timestamps only.
+    "events_ordered_funnel": """
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS view_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS click_ts
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS purchase_ts
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+          GROUP BY e.user_id
+        ),
+        u AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+               CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                         WHEN c.click_ts IS NOT NULL THEN 2
+                         WHEN v.view_ts IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS stage
+        FROM u LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+    """,
     "events_funnel": """
         SELECT user_id,
                COUNT(*) FILTER (event_type = 'view') AS view,
@@ -1043,6 +1072,7 @@ EVENT_QUERIES = {
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
+    "events_ordered_funnel": lambda spark, sf: E.ordered_funnel(_events(spark, sf)),
     "events_asof_attribution": lambda spark, sf: TJ.click_attribution(_events(spark, sf)),
     "events_range_attribution": lambda spark, sf: TJ.click_window_stats(
         _events(spark, sf), window_minutes=60

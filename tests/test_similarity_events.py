@@ -431,3 +431,29 @@ def test_stream_interval_join_matches_hand_computed(spark, tmp_path):
     )
     got = sorted((r["purchase_id"], r["click_value"]) for r in out.collect())
     assert got == [(4, 2.0), (4, 3.0)]
+
+
+def test_ordered_funnel(spark):
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.events import ordered_funnel
+
+    rows = [
+        # user 1 full ordered funnel
+        (1, 1, "view", "2024-01-01 09:00:00"),
+        (2, 1, "click", "2024-01-01 09:05:00"),
+        (3, 1, "purchase", "2024-01-01 09:10:00"),
+        # user 2: purchase BEFORE any click -> stops at stage 2
+        (4, 2, "view", "2024-01-01 09:00:00"),
+        (5, 2, "purchase", "2024-01-01 09:01:00"),
+        (6, 2, "click", "2024-01-01 09:02:00"),
+        # user 3: click with no prior view -> stage 0... has a view? no
+        (7, 3, "click", "2024-01-01 09:00:00"),
+        # user 4: view only
+        (8, 4, "view", "2024-01-01 09:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["user_id"]: r["stage"] for r in ordered_funnel(ev).collect()}
+    assert out == {1: 3, 2: 2, 3: 0, 4: 1}
