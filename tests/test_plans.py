@@ -164,3 +164,27 @@ def test_retention_single_events_scan(spark):
     assert plan.count("FileScan parquet") == 1
     # the (user, week) distinct agg combines map-side
     assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_ordered_funnel_pushes_type_filters(spark):
+    """Each funnel stage reads events filtered to ONE event type —
+    the predicate must reach the scans."""
+    plan = _plan(spark, "events_ordered_funnel")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("event_type" in ln for ln in pushed)
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_single_scan(spark):
+    """The z-score query scans events once: window stats derive from
+    the (window, type) count table via window functions, never a
+    second pass over the raw stream."""
+    plan = _plan(spark, "events_anomaly")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_unigram_logprob_no_python(spark):
+    """The LM score is built-in expressions end-to-end."""
+    plan = _plan(spark, "text_unigram_logprob")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
