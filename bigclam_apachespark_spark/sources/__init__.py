@@ -8,6 +8,7 @@ from bigclam_apachespark_spark.sources.edgelist import (
 from bigclam_apachespark_spark.sources.docs import (
     read_documents_jsonl,
     write_corpus_partitioned,
+    write_compacted,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "weighted_copurchase_edges",
     "read_documents_jsonl",
     "write_corpus_partitioned",
+    "write_compacted",
 ]

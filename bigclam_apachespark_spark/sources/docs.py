@@ -34,6 +34,23 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return df.where(df.doc_id.isNotNull())
 
 
+def write_compacted(df: DataFrame, path: str, by: str | None = None) -> None:
+    """Compacting parquet sink: the REBALANCE hint lets AQE coalesce
+    AND split shuffle output so every written file lands near
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` — the
+    idiomatic fix for the small-files problem (a 100-TB pipeline that
+    writes one file per upstream task produces millions of KB-sized
+    files and kills every downstream scan's task scheduler; a plain
+    ``repartition(n)`` needs the row count in advance and cannot
+    split skewed partitions). Optional ``by`` adds partition-column
+    layout on top."""
+    out = df.hint("rebalance")
+    writer = out.write.mode("overwrite")
+    if by is not None:
+        writer = writer.partitionBy(by)
+    writer.parquet(path)
+
+
 def write_corpus_partitioned(df: DataFrame, path: str, by: str = "split") -> None:
     """Training-corpus sink: parquet partitioned by the split (or any
     low-cardinality) column — the standard output layout, because a

@@ -405,3 +405,22 @@ def test_unigram_logprob(spark):
     assert out[0]["n_tokens"] == 3
     # the rare-token doc scores strictly lower
     assert out[2]["avg_logprob"] < out[0]["avg_logprob"]
+
+
+def test_write_compacted_merges_small_partitions(spark, tmp_path):
+    import glob
+
+    from bigclam_apachespark_spark.sources import write_compacted
+
+    # 64 near-empty upstream partitions of 200 rows total: a naive
+    # write emits ~64 tiny files; the rebalance sink coalesces them
+    df = spark.range(200).repartition(64).selectExpr("id", "repeat('x', 10) AS pad")
+    naive = str(tmp_path / "naive")
+    df.write.parquet(naive)
+    compacted = str(tmp_path / "compacted")
+    write_compacted(df, compacted)
+    n_naive = len(glob.glob(f"{naive}/*.parquet"))
+    n_comp = len(glob.glob(f"{compacted}/*.parquet"))
+    assert n_naive >= 32
+    assert n_comp <= 4
+    assert spark.read.parquet(compacted).count() == 200
