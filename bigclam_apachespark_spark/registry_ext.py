@@ -1132,6 +1132,36 @@ def _q_frame_sample(spark, sf):
 
 
 MULTIMODAL_ORACLE = {
+    # Oracle for the Arrow mapInPandas feature path itself: the fake
+    # extractor's closed form — byte-stride sums of the sha256-derived
+    # payload — restated in SQL. Because 32 ≡ 0 (mod 8), stride-d
+    # positions across the k digest repeats hit the same digest
+    # offsets, so S_d = k · Σ_{r<4} digest[d + 8r]. The 8 per-feature
+    # float32 values sum EXACTLY in double (≤27-bit significand), so
+    # the SUM is fold-order-independent and the hash cannot drift.
+    "multimodal_media_features": """
+        WITH m AS (
+          SELECT i AS media_id,
+                 CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 4 + i % 7 AS k,
+                 sha256('42:' || i) AS hx
+          FROM generate_series(0, 63) t(i)
+        ),
+        b AS (
+          SELECT media_id, kind, k, d,
+                 k * list_sum([CAST(CONCAT('0x', substr(hx, (d + 8 * r) * 2 + 1, 2)) AS INT)
+                               for r in [0, 1, 2, 3]]) AS s
+          FROM m CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d)
+        ),
+        f AS (
+          SELECT media_id, kind, k,
+                 CAST(CAST(s % 10000 AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS REAL) AS fv
+          FROM b
+        )
+        SELECT media_id, kind, CAST(32 * k AS INT) AS n_bytes,
+               round(SUM(CAST(fv AS DOUBLE)), 6) AS feat_sum
+        FROM f GROUP BY media_id, kind, k
+    """,
     # Generator closed form: i in 0..63; kind = [image,audio,video][i%3];
     # payload bytes = 32·(4 + i%7); width×height = 32·24 for image/video.
     "multimodal_media_stats": """
