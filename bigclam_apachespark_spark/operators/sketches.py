@@ -1,0 +1,105 @@
+"""Approximate-aggregate sketches (extension surface; the reference
+has none — SURVEY.md §2 "not present").
+
+Deterministic HyperLogLog: Spark's ``approx_count_distinct`` and
+DuckDB's ``approx_count_distinct`` use different hash functions and
+sketch layouts, so their estimates can never hash-match. This HLL is
+built from the shared md5-derived ``hash64`` instead: bucket and
+leading-zero rank are pure integer functions of the hash, the
+register table is a plain groupBy-max, and the estimator arithmetic
+is mirrored op-for-op in the oracle — the ESTIMATE ITSELF is
+bit-reproducible across engines while remaining a true O(m)-memory
+sketch.
+
+At 100 TB this is the shape that matters: counting distinct users/
+tokens/urls exactly needs a full shuffle of the distinct keys;
+the sketch shuffles m=2^b integer registers per group — constant —
+with map-side partial max-combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigclam_apachespark_spark.functions.hashing import hash64
+
+# Bias-correction constants for m >= 64 (Flajolet et al. 2007).
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, b: int = 6) -> DataFrame:
+    """HLL register table → ``(bucket, register)``, m = 2^b rows.
+
+    bucket = low b bits of the 60-bit hash; the remaining width =
+    60 − b bits form ``w``; register = max over values of
+    ρ(w) = (#leading zeros of w within width) + 1, computed EXACTLY
+    via the base-2 digit count (``conv``/``bin`` string length — no
+    float log2, whose rounding at power-of-two boundaries differs
+    per libm). One hash-agg with map-side max combine."""
+    m = 1 << b
+    width = 60 - b
+    h = hash64(F.col(col).cast("string"))
+    # high bits via shiftright — exact (a double division of a 60-bit
+    # int would round before the truncation)
+    w = F.shiftright(h, b)
+    # exact bit length: conv(w, 10, 2) is the binary digit string
+    blen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(F.lit(width) + 1 - blen)
+    return (
+        df.select((h % m).cast("int").alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_count_distinct(df: DataFrame, col: str, b: int = 6) -> DataFrame:
+    """Deterministic HLL distinct estimate → one row ``(m, n_exact,
+    n_hll, rel_err)`` (n_exact included for accuracy evaluation; a
+    production 100-TB run would drop it — it is the expensive side).
+
+    Estimator: E = α_m·m²/Σ 2^(−M_j) over all m registers (absent
+    buckets count as register 0), with the standard small-range
+    correction E ≤ 2.5m ∧ V>0 → m·ln(m/V). The float arithmetic is
+    mirrored op-for-op in the oracle SQL; sums of 64 exact powers of
+    two differ across fold orders only at ~1e-16 relative, far inside
+    the 6-decimal output round."""
+    import math
+
+    m = 1 << b
+    regs = hll_registers(df, col, b)
+    spark = df.sparkSession
+    all_buckets = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
+    full = all_buckets.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("register", F.lit(0)).alias("register")
+    )
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    exact = df.agg(F.countDistinct(col).alias("n_exact"))
+    return (
+        agg.crossJoin(exact)
+        .select(
+            F.lit(m).alias("m"),
+            "n_exact",
+            F.round(est, 6).alias("n_hll"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -896,6 +896,8 @@ EVENT_ORACLE = {
                      ELSE 0.0 END, 6) AS z_score
         FROM stats
     """,
+    # (events_hll_users — the deterministic-HLL oracle — is appended
+    # below the literal; it needs the Python-computed α·m² constants.)
     # Weekly cohort retention — pure integer week arithmetic
     # (floor-seconds // 604800), cross-engine exact.
     "events_retention": """
@@ -1048,6 +1050,59 @@ def _q_stream_sessionize(spark, sf):
     )
 
 
+def _hll_sql(b: int = 8) -> str:
+    """DuckDB twin of sketches.hll_count_distinct over events.user_id.
+    Constants (α·m², thresholds) are computed by the SAME Python
+    expressions the Spark side uses, injected as repr'd doubles —
+    literal parity by construction."""
+    from bigclam_apachespark_spark.operators.sketches import _alpha
+
+    m = 1 << b
+    width = 60 - b
+    am2 = _alpha(m) * m * m
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH hv AS (
+          SELECT CAST({h} % {m} AS INT) AS bucket, ({h} >> {b}) AS w
+          FROM events
+        ),
+        r AS (
+          SELECT bucket,
+                 MAX({width} + 1 - length(ltrim(bin(w), '0'))) AS register
+          FROM hv GROUP BY bucket
+        ),
+        allb AS (
+          SELECT d.bucket, COALESCE(r.register, 0) AS register
+          FROM (SELECT unnest(generate_series(0, {m - 1})) AS bucket) d
+          LEFT JOIN r USING (bucket)
+        ),
+        agg AS (
+          SELECT SUM(power(2.0, -register)) AS s,
+                 SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v
+          FROM allb
+        ),
+        ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+        est AS (
+          SELECT CASE WHEN ({am2!r} / s) <= {2.5 * m!r} AND v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / v)
+                      ELSE {am2!r} / s END AS e, n_exact
+          FROM agg CROSS JOIN ex
+        )
+        SELECT {m} AS m, n_exact, round(e, 6) AS n_hll,
+               round(abs(e - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+        FROM est
+    """
+
+
+EVENT_ORACLE["events_hll_users"] = _hll_sql(8)
+
+
+def _q_hll_users(spark, sf):
+    from bigclam_apachespark_spark.operators.sketches import hll_count_distinct
+
+    return hll_count_distinct(_events(spark, sf), "user_id", b=8)
+
+
 def _q_stream_interval_join(spark, sf):
     from bigclam_apachespark_spark.streaming import (
         click_attribution_stream,
@@ -1068,6 +1123,7 @@ EVENT_QUERIES = {
     "events_tumbling": lambda spark, sf: E.tumbling_window_agg(_events(spark, sf)),
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
     "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
+    "events_hll_users": _q_hll_users,
     "events_anomaly": lambda spark, sf: E.window_anomaly_scores(_events(spark, sf)),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),

@@ -457,3 +457,16 @@ def test_ordered_funnel(spark):
     ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
     out = {r["user_id"]: r["stage"] for r in ordered_funnel(ev).collect()}
     assert out == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_hll_count_distinct_accuracy(spark):
+    from bigclam_apachespark_spark.operators.sketches import hll_count_distinct
+
+    # 5000 distinct ids at m=256 (expected rel err ~1.04/sqrt(256) = 6.5%)
+    df = spark.range(5000).selectExpr("CAST(id AS STRING) AS uid")
+    row = hll_count_distinct(df, "uid", b=8).collect()[0]
+    assert row["m"] == 256 and row["n_exact"] == 5000
+    assert row["rel_err"] < 0.20
+    # determinism: identical on re-run
+    again = hll_count_distinct(df, "uid", b=8).collect()[0]
+    assert again["n_hll"] == row["n_hll"]
