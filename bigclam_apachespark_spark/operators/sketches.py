@@ -35,17 +35,24 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(df: DataFrame, col: str, b: int = 6) -> DataFrame:
-    """HLL register table → ``(bucket, register)``, m = 2^b rows.
+def hll_registers(
+    df: DataFrame, col: str, b: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
+    """HLL register table → ``(*group_cols, bucket, register)``,
+    m = 2^b register rows per group.
 
     bucket = low b bits of the 60-bit hash; the remaining width =
     60 − b bits form ``w``; register = max over values of
     ρ(w) = (#leading zeros of w within width) + 1, computed EXACTLY
     via the base-2 digit count (``conv``/``bin`` string length — no
     float log2, whose rounding at power-of-two boundaries differs
-    per libm). One hash-agg with map-side max combine."""
+    per libm). One hash-agg with map-side max combine; with
+    ``group_cols`` the shuffle carries ≤ m rows per group — the
+    mergeable per-key sketch shape (registers from different
+    partitions/days combine by max)."""
     m = 1 << b
     width = 60 - b
+    gcols = list(group_cols or [])
     h = hash64(F.col(col).cast("string"))
     # high bits via shiftright — exact (a double division of a 60-bit
     # int would round before the truncation)
@@ -54,8 +61,10 @@ def hll_registers(df: DataFrame, col: str, b: int = 6) -> DataFrame:
     blen = F.length(F.conv(w.cast("string"), 10, 2))
     rho = F.when(w == 0, F.lit(width + 1)).otherwise(F.lit(width) + 1 - blen)
     return (
-        df.select((h % m).cast("int").alias("bucket"), rho.cast("int").alias("rho"))
-        .groupBy("bucket")
+        df.select(
+            *gcols, (h % m).cast("int").alias("bucket"), rho.cast("int").alias("rho")
+        )
+        .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("register"))
     )
 
@@ -102,4 +111,115 @@ def hll_count_distinct(df: DataFrame, col: str, b: int = 6) -> DataFrame:
                 6,
             ).alias("rel_err"),
         )
+    )
+
+
+def hll_count_distinct_by(
+    df: DataFrame, group_col: str, col: str, b: int = 8
+) -> DataFrame:
+    """Per-group deterministic HLL estimate → ``(group_col, n_exact,
+    n_hll)`` — the shape that matters at scale: distinct users per
+    event type / per day / per URL with a constant m-register state
+    per key instead of a distinct shuffle per key. Absent buckets are
+    synthesized from a (groups × m) spine so the estimator sees all m
+    registers."""
+    import math  # noqa: F401
+
+    m = 1 << b
+    regs = hll_registers(df, col, b, group_cols=[group_col])
+    groups = df.select(group_col).distinct()
+    spine = groups.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(m).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    filled = spine.join(regs, [group_col, "bucket"], "left").select(
+        group_col, "bucket", F.coalesce("register", F.lit(0)).alias("register")
+    )
+    agg = filled.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    exact = df.groupBy(group_col).agg(F.countDistinct(col).alias("n_exact"))
+    return (
+        agg.join(exact, group_col)
+        .select(group_col, "n_exact", F.round(est, 6).alias("n_hll"))
+    )
+
+
+def cms_counters(
+    tokens_df: DataFrame, term_col: str = "term", d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Count-min sketch counter table → ``(r, bucket, c)``: d
+    independent md5-derived hash rows × w counters; every token
+    occurrence increments one counter per row. One hash-agg over a
+    d-way explode (map-side combine), state is d·w integers per group
+    — the mergeable (counters add) frequency sketch that replaces a
+    full per-term shuffle at scale. All-integer: the oracle hash is
+    trivially exact."""
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (hash64(F.concat(F.lit(f"cms{r}:"), F.col(term_col))) % w)
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for r in range(d)
+            ]
+        )
+    )
+    return (
+        tokens_df.select(probes.alias("p"))
+        .select(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_topk_estimates(
+    docs: DataFrame, text_col: str = "text", k: int = 20, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """CMS frequency estimates for the exact top-k tokens →
+    ``(term, n_exact, n_cms)``. n_cms = min over the d rows of the
+    probed counter — ≥ n_exact always (CMS never under-counts), equal
+    when no collision. Top-k selection is (count DESC, term) with
+    TakeOrderedAndProject; everything is exact integers end-to-end."""
+    from bigclam_apachespark_spark.functions.hashing import tokens
+
+    tok = docs.select(F.explode(tokens(text_col)).alias("term"))
+    counters = cms_counters(tok, "term", d, w)
+    top = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "term")
+        .limit(k)
+    )
+    probes = top.select(
+        "term",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (hash64(F.concat(F.lit(f"cms{r}:"), F.col("term"))) % w)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", "n_exact", F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(counters, ["r", "bucket"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
     )

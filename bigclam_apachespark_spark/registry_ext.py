@@ -25,6 +25,7 @@ from bigclam_apachespark_spark.functions.hashing import (
 )
 from bigclam_apachespark_spark.operators import dedup as D
 from bigclam_apachespark_spark.operators import events as E
+from bigclam_apachespark_spark.operators import sketches as SK
 from bigclam_apachespark_spark.sources import read_documents_jsonl
 from bigclam_apachespark_spark.operators import similarity as S
 from bigclam_apachespark_spark.operators import temporal as TJ
@@ -265,6 +266,42 @@ TEXT_ORACLE = {
 # downstream operators.
 DOCS_JSONL = "/root/repo/data/sample_docs.jsonl"
 
+def _cms_sql(k: int = 20, d: int = 4, w: int = 1024) -> str:
+    """Count-min sketch twin (operators/sketches.py cms_topk_estimates)
+    — all-integer, so exact by construction."""
+    buckets = [
+        "CAST(" + hash64_sql(f"'cms{r}:' || term") + f" % {w} AS INT)"
+        for r in range(d)
+    ]
+    counter_rows = "\n    UNION ALL ".join(
+        f"SELECT {r} AS r, {buckets[r]} AS bucket FROM tok" for r in range(d)
+    )
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT term, n_exact, {r} AS r, {buckets[r]} AS bucket FROM top"
+        for r in range(d)
+    )
+    return f"""
+        WITH tok AS (SELECT unnest({TOKENS}) AS term FROM documents),
+        counters AS (
+          SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            {counter_rows}
+          ) GROUP BY r, bucket
+        ),
+        top AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tok GROUP BY term
+          ORDER BY n_exact DESC, term LIMIT {k}
+        ),
+        probes AS (
+          {probe_rows}
+        )
+        SELECT term, n_exact, MIN(c) AS n_cms
+        FROM probes JOIN counters USING (r, bucket)
+        GROUP BY term, n_exact
+    """
+
+
+TEXT_ORACLE["text_cms_token_counts"] = _cms_sql(20, 4, 1024)
+
 TEXT_ORACLE["docs_jsonl_scan"] = f"""
     SELECT doc_id, text, source
     FROM read_json('{DOCS_JSONL}', format='newline_delimited',
@@ -285,6 +322,9 @@ TEXT_QUERIES = {
     "text_hash_split": lambda spark, sf: X.hash_split(_docs(spark, sf)),
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
+    "text_cms_token_counts": lambda spark, sf: SK.cms_topk_estimates(
+        _docs(spark, sf), k=20, d=4, w=1024
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1097,6 +1137,60 @@ def _hll_sql(b: int = 8) -> str:
 EVENT_ORACLE["events_hll_users"] = _hll_sql(8)
 
 
+def _hll_by_type_sql(b: int = 8) -> str:
+    """Per-group HLL twin (group = event_type)."""
+    from bigclam_apachespark_spark.operators.sketches import _alpha
+
+    m = 1 << b
+    width = 60 - b
+    am2 = _alpha(m) * m * m
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH hv AS (
+          SELECT event_type, CAST({h} % {m} AS INT) AS bucket, ({h} >> {b}) AS w
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, bucket,
+                 MAX({width} + 1 - length(ltrim(bin(w), '0'))) AS register
+          FROM hv GROUP BY event_type, bucket
+        ),
+        spine AS (
+          SELECT g.event_type, d.bucket
+          FROM (SELECT DISTINCT event_type FROM events) g
+          CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS bucket) d
+        ),
+        allb AS (
+          SELECT s.event_type, s.bucket, COALESCE(r.register, 0) AS register
+          FROM spine s LEFT JOIN r USING (event_type, bucket)
+        ),
+        agg AS (
+          SELECT event_type,
+                 SUM(power(2.0, -register)) AS s,
+                 SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v
+          FROM allb GROUP BY event_type
+        ),
+        ex AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type
+        )
+        SELECT a.event_type, ex.n_exact,
+               round(CASE WHEN ({am2!r} / s) <= {2.5 * m!r} AND v > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / v)
+                          ELSE {am2!r} / s END, 6) AS n_hll
+        FROM agg a JOIN ex USING (event_type)
+    """
+
+
+EVENT_ORACLE["events_hll_users_by_type"] = _hll_by_type_sql(8)
+
+
+def _q_hll_users_by_type(spark, sf):
+    from bigclam_apachespark_spark.operators.sketches import hll_count_distinct_by
+
+    return hll_count_distinct_by(_events(spark, sf), "event_type", "user_id", b=8)
+
+
 def _q_hll_users(spark, sf):
     from bigclam_apachespark_spark.operators.sketches import hll_count_distinct
 
@@ -1124,6 +1218,7 @@ EVENT_QUERIES = {
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
     "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
     "events_hll_users": _q_hll_users,
+    "events_hll_users_by_type": _q_hll_users_by_type,
     "events_anomaly": lambda spark, sf: E.window_anomaly_scores(_events(spark, sf)),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),

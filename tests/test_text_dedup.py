@@ -424,3 +424,15 @@ def test_write_compacted_merges_small_partitions(spark, tmp_path):
     assert n_naive >= 32
     assert n_comp <= 4
     assert spark.read.parquet(compacted).count() == 200
+
+
+def test_cms_never_undercounts(docs):
+    from bigclam_apachespark_spark.operators.sketches import cms_topk_estimates
+
+    out = cms_topk_estimates(docs, k=10, d=4, w=64).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_cms"] >= r["n_exact"]  # CMS one-sided error bound
+    # with a tiny corpus and d=4 rows, the top term estimate is exact
+    top = max(out, key=lambda r: r["n_exact"])
+    assert top["n_cms"] == top["n_exact"]
