@@ -167,6 +167,65 @@ def window_anomaly_scores(
     )
 
 
+def gapfill_locf(
+    events: DataFrame, width_hours: int = 1, ts_col: str = "ts"
+) -> DataFrame:
+    """Gap-filled per-type hourly rollup with last-observation-carried-
+    forward → ``(event_type, window_start, sum_value, is_gap)`` —
+    the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape: every
+    (type, hour) slot between the type's first and last active hour
+    exists in the output; empty slots carry the previous hour's
+    (rounded) value and ``is_gap`` = 1.
+
+    Exactness: slot timestamps come from integer epoch-hour
+    arithmetic (never float); the filled value copies the ALREADY
+    6dp-ROUNDED aggregate, so the fill introduces no new float
+    hazard.
+
+    Scale shape: one hash-agg to the (type, hour) rollup (the only
+    pass over raw events), then the grid explode and the locf window
+    run over rollup-sized data (|types|·|hours| rows); the sequence
+    fan-out is bounded by the time span, not the event count."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    step = width_hours * 3600
+    ts_type = events.schema[ts_col].dataType.typeName()
+    hr = (F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(step)) * step).cast(
+        "long"
+    )
+    agg = (
+        events.select("event_type", hr.alias("slot"), "value")
+        .groupBy("event_type", "slot")
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    spans = agg.groupBy("event_type").agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(step))).alias("slot"),
+    )
+    joined = grid.join(agg, ["event_type", "slot"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        # NTZ construction via the NTZ epoch literal — timezone-free
+        # on any session (cast(timestamp_seconds(..)) would detour
+        # through the session zone)
+        F.timestamp_add(
+            "SECOND", F.col("slot"), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("window_start"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value"),
+        F.when(F.col("sum_value").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
 def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     """JSON property extraction from the ``props`` string column →
     ``(event_id, k_val)``. ``get_json_object`` is JVM-side; at scale

@@ -936,6 +936,36 @@ EVENT_ORACLE = {
                      ELSE 0.0 END, 6) AS z_score
         FROM stats
     """,
+    # Gap-filled rollup + locf: slots from integer epoch-hour math;
+    # the fill copies the already-rounded aggregate.
+    "events_gapfill": """
+        WITH agg AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS slot,
+                 round(SUM(value), 6) AS sum_value
+          FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+          SELECT event_type, MIN(slot) AS lo, MAX(slot) AS hi
+          FROM agg GROUP BY event_type
+        ),
+        grid AS (
+          SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS slot
+          FROM spans
+        ),
+        j AS (
+          SELECT g.event_type, g.slot, a.sum_value
+          FROM grid g LEFT JOIN agg a USING (event_type, slot)
+        )
+        SELECT event_type,
+               make_timestamp(slot * 1000000) AS window_start,
+               last_value(sum_value IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY slot
+                 ROWS UNBOUNDED PRECEDING
+               ) AS sum_value,
+               CAST(CASE WHEN sum_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+        FROM j
+    """,
     # (events_hll_users — the deterministic-HLL oracle — is appended
     # below the literal; it needs the Python-computed α·m² constants.)
     # Weekly cohort retention — pure integer week arithmetic
@@ -1220,6 +1250,7 @@ EVENT_QUERIES = {
     "events_hll_users": _q_hll_users,
     "events_hll_users_by_type": _q_hll_users_by_type,
     "events_anomaly": lambda spark, sf: E.window_anomaly_scores(_events(spark, sf)),
+    "events_gapfill": lambda spark, sf: E.gapfill_locf(_events(spark, sf)),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),

@@ -470,3 +470,27 @@ def test_hll_count_distinct_accuracy(spark):
     # determinism: identical on re-run
     again = hll_count_distinct(df, "uid", b=8).collect()[0]
     assert again["n_hll"] == row["n_hll"]
+
+
+def test_gapfill_locf(spark):
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.events import gapfill_locf
+
+    # type 'a': hours 09 and 12 active -> 10, 11 are gaps carrying 5.0
+    rows = [
+        (1, 1, "a", "2024-01-01 09:15:00", 5.0),
+        (2, 1, "a", "2024-01-01 12:30:00", 7.0),
+        (3, 2, "b", "2024-01-01 09:45:00", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {(r["event_type"], r["window_start"].hour): (r["sum_value"], r["is_gap"])
+           for r in gapfill_locf(ev).collect()}
+    assert out[("a", 9)] == (5.0, 0)
+    assert out[("a", 10)] == (5.0, 1)   # gap, carried forward
+    assert out[("a", 11)] == (5.0, 1)
+    assert out[("a", 12)] == (7.0, 0)
+    assert out[("b", 9)] == (1.0, 0)
+    assert ("b", 10) not in out         # span ends at b's last hour
