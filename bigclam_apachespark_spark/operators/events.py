@@ -226,6 +226,53 @@ def gapfill_locf(
     )
 
 
+def resample_ohlc(
+    events: DataFrame, width_hours: int = 1, ts_col: str = "ts"
+) -> DataFrame:
+    """Open/high/low/close resampling of the value series per
+    (event_type, hour) → ``(event_type, window_start, open, high,
+    low, close, n_events)`` — the financial/metrics downsampling
+    shape. open/close are the first/last value by (ts, event_id)
+    (deterministic tiebreak); every output is a SELECTED input value,
+    never arithmetic, so all columns are bit-exact cross-engine with
+    no rounding at all.
+
+    Scale shape: one window pass per (type, slot) partition for the
+    first/last ranks riding the same shuffle as the aggregation."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    step = width_hours * 3600
+    ts_type = events.schema[ts_col].dataType.typeName()
+    slot = (F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(step)) * step).cast(
+        "long"
+    )
+    base = events.select(
+        "event_type", slot.alias("slot"), F.col(ts_col).alias("_t"), "event_id", "value"
+    )
+    wa = Window.partitionBy("event_type", "slot").orderBy("_t", "event_id")
+    wd = Window.partitionBy("event_type", "slot").orderBy(
+        F.col("_t").desc(), F.col("event_id").desc()
+    )
+    ranked = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return ranked.groupBy("event_type", "slot").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "event_type",
+        F.timestamp_add(
+            "SECOND", F.col("slot"), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("window_start"),
+        "open", "high", "low", "close", "n_events",
+    )
+
+
 def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     """JSON property extraction from the ``props`` string column →
     ``(event_id, k_val)``. ``get_json_object`` is JVM-side; at scale

@@ -936,6 +936,32 @@ EVENT_ORACLE = {
                      ELSE 0.0 END, 6) AS z_score
         FROM stats
     """,
+    # OHLC resample: every output is a SELECTED input value (no
+    # arithmetic) — bit-exact without rounding.
+    "events_ohlc": """
+        WITH base AS (
+          SELECT event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS slot,
+                 ts, event_id, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                   ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM events
+        )
+        SELECT event_type,
+               make_timestamp(slot * 1000000) AS window_start,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM base GROUP BY event_type, slot
+    """,
     # Gap-filled rollup + locf: slots from integer epoch-hour math;
     # the fill copies the already-rounded aggregate.
     "events_gapfill": """
@@ -1251,6 +1277,7 @@ EVENT_QUERIES = {
     "events_hll_users_by_type": _q_hll_users_by_type,
     "events_anomaly": lambda spark, sf: E.window_anomaly_scores(_events(spark, sf)),
     "events_gapfill": lambda spark, sf: E.gapfill_locf(_events(spark, sf)),
+    "events_ohlc": lambda spark, sf: E.resample_ohlc(_events(spark, sf)),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),

@@ -494,3 +494,21 @@ def test_gapfill_locf(spark):
     assert out[("a", 12)] == (7.0, 0)
     assert out[("b", 9)] == (1.0, 0)
     assert ("b", 10) not in out         # span ends at b's last hour
+
+
+def test_resample_ohlc(spark):
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.events import resample_ohlc
+
+    rows = [
+        (1, 1, "a", "2024-01-01 09:05:00", 3.0),   # open
+        (2, 1, "a", "2024-01-01 09:20:00", 9.0),   # high
+        (3, 1, "a", "2024-01-01 09:40:00", 1.0),   # low
+        (4, 1, "a", "2024-01-01 09:55:00", 4.0),   # close
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+    r = resample_ohlc(ev).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (3.0, 9.0, 1.0, 4.0, 4)
