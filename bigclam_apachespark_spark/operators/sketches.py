@@ -19,7 +19,7 @@ with map-side partial max-combine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.functions.hashing import hash64
