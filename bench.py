@@ -62,8 +62,8 @@ EXPECTED = {
     "graph_neighbors": 1.4,
     "graph_conductance": 4.7,
     "graph_seeds": 4.7,
-    "graph_triangles": 5.0,
-    "graph_pagerank": 16.9,
+    "graph_triangles": 1.5,
+    "graph_pagerank": 9.3,
     "bigclam_gradient": 8.8,
     "dedup_minhash_lsh_pairs": 10.1,
     "events_tumbling": 0.5,
@@ -72,9 +72,9 @@ EXPECTED = {
     "sim_cosine_near_dups": 3.4,
     "sim_ivf_topk": 2.1,
     "text_quality": 0.3,
-    "text_salient_terms": 6.3,
+    "text_salient_terms": 1.4,
     "events_retention": 0.6,
-    "text_training_corpus": 18.7,
+    "text_training_corpus": 16.8,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
