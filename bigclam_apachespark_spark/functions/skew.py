@@ -83,8 +83,10 @@ def salted_count_distinct(
     ~1/n_salts of it. Stage 2 sums per-salt distinct counts (disjoint
     by construction: the salt is a function of the value, so no value
     is counted twice). Two shuffles of shrinking size instead of one
-    shuffle with an unboundedly hot partition."""
-    salted = df.select(
+    shuffle with an unboundedly hot partition. NULL values are
+    dropped up front — COUNT(DISTINCT) never counts NULL, and the
+    salted path must match it row-for-row."""
+    salted = df.where(F.col(value).isNotNull()).select(
         key, F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).alias("_salt"), value
     ).distinct()
     per_salt = salted.groupBy(key, "_salt").agg(

@@ -125,6 +125,9 @@ def patch_grid_plan(media: DataFrame, patch: int = 8) -> DataFrame:
     n_cols = F.ceil(F.col("width") / F.lit(patch)).cast("int")
     return (
         media.where(F.col("kind").isin("image", "video"))
+        # guard zero/negative dims: sequence(0, -1) DESCENDS in Spark
+        # ([0, -1]), which would emit bogus negative patch indices
+        .where((F.col("width") > 0) & (F.col("height") > 0))
         .select(
             "media_id",
             "kind",
@@ -151,6 +154,9 @@ def audio_chunk_plan(media: DataFrame, chunk_samples: int = 32) -> DataFrame:
     start = F.col("chunk_idx").cast("long") * chunk_samples
     return (
         media.where(F.col("kind") == "audio")
+        # guard empty payloads: sequence(0, -1) DESCENDS in Spark, so
+        # a zero-sample clip would emit chunk_idx 0 and -1 rows
+        .where(n_samples > 0)
         .select(
             "media_id",
             n_samples.alias("_ns"),

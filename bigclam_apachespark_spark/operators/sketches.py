@@ -80,8 +80,6 @@ def hll_count_distinct(df: DataFrame, col: str, b: int = 6) -> DataFrame:
     mirrored op-for-op in the oracle SQL; sums of 64 exact powers of
     two differ across fold orders only at ~1e-16 relative, far inside
     the 6-decimal output round."""
-    import math
-
     m = 1 << b
     regs = hll_registers(df, col, b)
     spark = df.sparkSession
@@ -123,8 +121,6 @@ def hll_count_distinct_by(
     per key instead of a distinct shuffle per key. Absent buckets are
     synthesized from a (groups × m) spine so the estimator sees all m
     registers."""
-    import math  # noqa: F401
-
     m = 1 << b
     regs = hll_registers(df, col, b, group_cols=[group_col])
     groups = df.select(group_col).distinct()

@@ -254,6 +254,7 @@ def training_corpus(
     quality_threshold: float = 0.5,
     lang: str = "en",
     near_dup_threshold: float = 0.35,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """The full training-data preparation pipeline as ONE query →
     ``(doc_id, content_fp, quality, split)``:
@@ -283,10 +284,16 @@ def training_corpus(
     # quality/lang scoring scan runs once, not three times. At 100 TB
     # this is the survivors metadata table (ids + hashes, ≪ corpus) —
     # the natural persist point in a production pipeline too.
+    # ``cache_handles``: pass a list to receive this cache plus the
+    # three internal minhash caches for deterministic release (same
+    # contract as minhash_lsh_dups); otherwise LRU eviction applies.
     cleaned = clean_corpus(docs, text_col, quality_threshold, lang).cache()
+    if cache_handles is not None:
+        cache_handles.append(cleaned)
     cleaned_docs = docs.join(cleaned.select("doc_id"), "doc_id", "left_semi")
     pairs = minhash_lsh_dups(
-        cleaned_docs, text_col, threshold=near_dup_threshold, est_min_matches=6
+        cleaned_docs, text_col, threshold=near_dup_threshold, est_min_matches=6,
+        cache_handles=cache_handles,
     )
     kept = cluster_survivors(cleaned.select("doc_id"), pairs).where(
         F.col("keep") == 1

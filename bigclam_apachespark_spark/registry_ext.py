@@ -263,8 +263,13 @@ TEXT_ORACLE = {
 # Repo-shipped JSONL corpus fixture (sources/docs.py): scanned by
 # both engines from the same file, so the source FORMAT itself is
 # oracle-checked (parse fidelity incl. JSON string escapes), not just
-# downstream operators.
-DOCS_JSONL = "/root/repo/data/sample_docs.jsonl"
+# downstream operators. Path resolved relative to the repo root so
+# any checkout location works (same convention as bench.py).
+from pathlib import Path as _Path  # noqa: E402
+
+DOCS_JSONL = str(
+    _Path(__file__).resolve().parent.parent / "data" / "sample_docs.jsonl"
+)
 
 def _cms_sql(k: int = 20, d: int = 4, w: int = 1024) -> str:
     """Count-min sketch twin (operators/sketches.py cms_topk_estimates)

@@ -67,3 +67,23 @@ def test_salted_count_distinct_matches_plain(spark):
     }
     assert salted == plain
     assert plain[1] == 50  # the hot key's true distinct count
+
+
+def test_salted_count_distinct_skips_nulls(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (1, 5), (2, None)], "k long, v long"
+    )
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    salted = {
+        r["k"]: r["n_distinct"]
+        for r in salted_count_distinct(df, "k", "v", n_salts=4).collect()
+    }
+    # countDistinct never counts NULL; key 2 has nothing but NULLs and
+    # drops out of the salted result entirely (plain reports 0)
+    assert salted == {1: 1}
+    assert plain == {1: 1, 2: 0}

@@ -436,3 +436,25 @@ def test_cms_never_undercounts(docs):
     # with a tiny corpus and d=4 rows, the top term estimate is exact
     top = max(out, key=lambda r: r["n_exact"])
     assert top["n_cms"] == top["n_exact"]
+
+
+def test_multimodal_plans_skip_zero_size_media(spark):
+    from bigclam_apachespark_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_chunk_plan,
+        patch_grid_plan,
+    )
+
+    rows = [
+        (0, "audio", bytearray(b""), None, None, 16000, None),      # empty clip
+        (1, "audio", bytearray(b"\x00" * 64), None, None, 16000, None),
+        (2, "image", bytearray(b"x"), 0, 0, None, None),            # zero dims
+        (3, "image", bytearray(b"x"), 16, 8, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    chunks = audio_chunk_plan(media, chunk_samples=32).collect()
+    assert {r["media_id"] for r in chunks} == {1}
+    assert all(r["chunk_idx"] >= 0 and r["start_sample"] >= 0 for r in chunks)
+    patches = patch_grid_plan(media, patch=8).collect()
+    assert {r["media_id"] for r in patches} == {3}
+    assert all(r["patch_row"] >= 0 and r["patch_col"] >= 0 for r in patches)
