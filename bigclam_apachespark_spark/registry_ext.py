@@ -351,9 +351,15 @@ _PERM_VALUES = ", ".join(f"({p}, {a}, {b})" for p, a, b in minhash_perm_constant
 def _minhash_sql(src: str = "documents") -> str:
     """MinHash CTE chain over any (doc_id, text) source relation —
     the training-corpus pipeline oracle shingles only the cleaned
-    survivor subset, everything else the full table."""
+    survivor subset, everything else the full table.
+
+    ``sh`` and ``sig`` are MATERIALIZED: DuckDB inlines CTEs by
+    default, so the verify chain's three references to ``sh`` (sizes
+    + both intersection sides) re-ran the md5 shingle scan three
+    times — materializing cut the cluster/pipeline oracles 25 s →
+    3 s at sf0.01 (the driver's gate pays these oracle costs too)."""
     return f"""
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct({char_shingles_sql('text', 5)})) AS s
   FROM {src}
 ),
@@ -361,7 +367,7 @@ perms(perm, a, b) AS (SELECT * FROM (VALUES {_PERM_VALUES})),
 sh_h AS (
   SELECT doc_id, {hash64_sql('s')} % {MINHASH_P} AS h0 FROM sh
 ),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id, perm,
          min((a * h0 + b) % {MINHASH_P}) AS minhash
   FROM sh_h CROSS JOIN perms
