@@ -338,6 +338,39 @@ def token_length_quantiles(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    text_col: str = "text",
+    near_dup_threshold: float = 0.35,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/eval contamination check → ``(a, b, jaccard, split_a,
+    split_b)``: near-duplicate pairs whose two documents land in
+    DIFFERENT hash splits. Any such pair leaks training content into
+    evaluation — the decontamination report every pipeline needs
+    before a split ships. Empty result = clean.
+
+    Composition of two oracle-checked stages (MinHash-LSH pairs +
+    hash_split); the join is pair-table-sized, not corpus-sized."""
+    from bigclam_apachespark_spark.operators.dedup import minhash_lsh_dups
+
+    pairs = minhash_lsh_dups(
+        docs, text_col, threshold=near_dup_threshold, est_min_matches=6
+    )
+    splits = hash_split(docs, train_pct=train_pct, val_pct=val_pct).select(
+        "doc_id", "split"
+    )
+    sa = splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "jaccard", "split_a", "split_b")
+    )
+
+
 def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-unigram language-model score per document →
     ``(doc_id, n_tokens, avg_logprob)`` with avg_logprob =

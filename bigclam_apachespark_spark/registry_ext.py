@@ -307,6 +307,7 @@ def _cms_sql(k: int = 20, d: int = 4, w: int = 1024) -> str:
 
 TEXT_ORACLE["text_cms_token_counts"] = _cms_sql(20, 4, 1024)
 
+
 TEXT_ORACLE["docs_jsonl_scan"] = f"""
     SELECT doc_id, text, source
     FROM read_json('{DOCS_JSONL}', format='newline_delimited',
@@ -329,6 +330,9 @@ TEXT_QUERIES = {
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
     "text_cms_token_counts": lambda spark, sf: SK.cms_topk_estimates(
         _docs(spark, sf), k=20, d=4, w=1024
+    ),
+    "text_split_leakage": lambda spark, sf: X.split_leakage(
+        _docs(spark, sf), near_dup_threshold=0.35
     ),
 }
 
@@ -614,6 +618,47 @@ TEXT_ORACLE["text_training_corpus"] = f"""
 TEXT_QUERIES["text_training_corpus"] = lambda spark, sf: X.training_corpus(
     _docs(spark, sf), quality_threshold=0.5, lang="en", near_dup_threshold=0.35
 )
+
+# Contamination report: near-dup pairs straddling split boundaries
+# (composes the minhash verify chain with the hash-split assignment).
+TEXT_ORACLE["text_split_leakage"] = f"""
+    WITH {_minhash_sql().strip().lstrip()}, {{BUCKETS}}, {{CAND}},
+    est AS (
+      SELECT c.a, c.b, COUNT(*) AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a
+      JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+      WHERE sa.minhash = sb.minhash
+      GROUP BY c.a, c.b
+    ),
+    cand2 AS (SELECT a, b FROM est WHERE n_match >= 6),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS n_inter
+      FROM cand2 c JOIN sh sa ON sa.doc_id = c.a
+                   JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+      GROUP BY c.a, c.b
+    ),
+    jp AS (
+      SELECT i.a, i.b,
+             round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+      FROM inter i JOIN sizes za ON za.doc_id = i.a
+                   JOIN sizes zb ON zb.doc_id = i.b
+      WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.35
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket
+            FROM documents)
+    )
+    SELECT jp.a, jp.b, jp.jaccard, pa.split AS split_a, pb.split AS split_b
+    FROM jp JOIN sp pa ON pa.doc_id = jp.a JOIN sp pb ON pb.doc_id = jp.b
+    WHERE pa.split <> pb.split
+""".replace("{BUCKETS}", BUCKETS_SQL.strip()).replace("{CAND}", CAND_SQL.strip())
 
 
 def _q_dedup_stream(spark, sf):

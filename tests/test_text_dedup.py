@@ -458,3 +458,25 @@ def test_multimodal_plans_skip_zero_size_media(spark):
     patches = patch_grid_plan(media, patch=8).collect()
     assert {r["media_id"] for r in patches} == {3}
     assert all(r["patch_row"] >= 0 and r["patch_col"] >= 0 for r in patches)
+
+
+def test_split_leakage_detects_cross_split_dups(spark):
+    from bigclam_apachespark_spark.operators.text import hash_split, split_leakage
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "to the house for a meal of fresh fish and sleeps on the mat"
+    )
+    # many near-identical docs -> pairs exist; with ids spread over the
+    # hash space some pair is overwhelmingly likely to straddle splits
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{'x' * (i % 3)}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = split_leakage(docs, near_dup_threshold=0.5).collect()
+    splits = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    for r in out:
+        assert splits[r["a"]] != splits[r["b"]]
+        assert r["jaccard"] >= 0.5
+    # sanity: the fixture really does produce cross-split near-dups
+    assert len(out) > 0
