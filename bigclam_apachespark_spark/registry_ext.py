@@ -1139,6 +1139,38 @@ EVENT_ORACLE = {
          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
         GROUP BY 1, 2, 3
     """,
+    # Stateful streaming sessionize replay (timeout="none", bounded
+    # AvailableNow): emits exactly the gap-closed sessions — the
+    # batch sessionization minus each user's final session (which
+    # stays open in the state store).
+    "events_stream_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged
+        ),
+        agg AS (
+          SELECT user_id, session_id,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
+          FROM sess GROUP BY user_id, session_id
+        ),
+        last_s AS (
+          SELECT user_id, MAX(session_id) AS last_id FROM agg GROUP BY user_id
+        )
+        SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.sum_value
+        FROM agg a JOIN last_s l USING (user_id)
+        WHERE a.session_id < l.last_id
+    """,
     # Stream-stream interval join replay: INNER results emit as
     # matches arrive (no watermark wait), so the bounded AvailableNow
     # replay equals the batch relational answer exactly.
@@ -1174,14 +1206,17 @@ def _q_stream_tumbling(spark, sf):
 
 
 def _q_stream_sessionize(spark, sf):
-    """Custom stateful streaming operator (rows-only: per-user session
-    state via applyInPandasWithState has no SQL twin — the driver's
-    weaker ≥0-rows check applies; batch sessionize IS oracle-checked
-    as events_sessionize). Replays the events table through the
-    file-source; sessions closed by an in-stream gap are emitted in
-    the replay batch, each user's final open session stays in the
-    state store (production runs use timeout="event" — watermark-
-    driven flush — or "processing" wall-clock timers)."""
+    """Custom stateful streaming sessionization, ORACLE-CHECKED: with
+    ``timeout="none"`` on a bounded AvailableNow replay the emitted
+    set is a pure function of the data — every session closed by an
+    in-stream gap, i.e. the batch sessionization MINUS each user's
+    final (still-open-in-state) session; the SQL twin states exactly
+    that. Output normalized to the NTZ sink contract; sum_value is
+    rounded here (the pandas kernel's sequential float sum vs the
+    oracle's unordered SUM differ in fold order — same 6dp policy as
+    the batch query). Production runs use timeout="event" (watermark
+    flush) — covered by tests, not replayable deterministically into
+    a finite gate query."""
     from bigclam_apachespark_spark.streaming import (
         read_events_stream,
         run_stream_to_memory,
@@ -1189,7 +1224,7 @@ def _q_stream_sessionize(spark, sf):
     )
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
-    return run_stream_to_memory(
+    out = run_stream_to_memory(
         # timeout="none" + AvailableNow: the query stops itself right
         # after the replay batch (~5 s at sf0.01) instead of idling on
         # 30-min processing-time timers until a watchdog kills it (the
@@ -1199,6 +1234,18 @@ def _q_stream_sessionize(spark, sf):
         "stream_sessionize_oracle",
         "append",
         timeout_sec=45.0,
+    )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def to_ntz(c):
+        return F.timestamp_add("MICROSECOND", F.unix_micros(F.col(c)), epoch)
+
+    return out.select(
+        "user_id",
+        to_ntz("session_start").alias("session_start"),
+        to_ntz("session_end").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
     )
 
 
@@ -1344,7 +1391,7 @@ EVENT_QUERIES = {
     ),
     "events_stream_interval_join": _q_stream_interval_join,
     "events_stream_tumbling": _q_stream_tumbling,
-    "events_stream_sessionize": _q_stream_sessionize,  # rows-only (stateful)
+    "events_stream_sessionize": _q_stream_sessionize,
 }
 
 # ---------------------------------------------------------------------------
