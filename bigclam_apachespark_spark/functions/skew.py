@@ -84,12 +84,18 @@ def salted_count_distinct(
     by construction: the salt is a function of the value, so no value
     is counted twice). Two shuffles of shrinking size instead of one
     shuffle with an unboundedly hot partition. NULL values are
-    dropped up front — COUNT(DISTINCT) never counts NULL, and the
-    salted path must match it row-for-row."""
+    dropped up front — COUNT(DISTINCT) never counts NULL — and keys
+    whose values are ALL NULL are restored with n_distinct = 0 via
+    the key-spine left join, so the result stays row-identical to the
+    plain aggregation (pinned by tests incl. the all-NULL case)."""
     salted = df.where(F.col(value).isNotNull()).select(
         key, F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).alias("_salt"), value
     ).distinct()
     per_salt = salted.groupBy(key, "_salt").agg(
         F.count("*").alias("_n")
     )
-    return per_salt.groupBy(key).agg(F.sum("_n").alias("n_distinct"))
+    counts = per_salt.groupBy(key).agg(F.sum("_n").alias("_nd"))
+    keys = df.select(key).distinct()
+    return keys.join(counts, key, "left").select(
+        key, F.coalesce("_nd", F.lit(0)).alias("n_distinct")
+    )

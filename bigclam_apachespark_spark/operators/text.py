@@ -344,6 +344,7 @@ def split_leakage(
     near_dup_threshold: float = 0.35,
     train_pct: int = 80,
     val_pct: int = 10,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Train/eval contamination check → ``(a, b, jaccard, split_a,
     split_b)``: near-duplicate pairs whose two documents land in
@@ -352,11 +353,14 @@ def split_leakage(
     before a split ships. Empty result = clean.
 
     Composition of two oracle-checked stages (MinHash-LSH pairs +
-    hash_split); the join is pair-table-sized, not corpus-sized."""
+    hash_split); the join is pair-table-sized, not corpus-sized.
+    ``cache_handles`` propagates to the minhash pipeline for
+    deterministic cache release (same contract as training_corpus)."""
     from bigclam_apachespark_spark.operators.dedup import minhash_lsh_dups
 
     pairs = minhash_lsh_dups(
-        docs, text_col, threshold=near_dup_threshold, est_min_matches=6
+        docs, text_col, threshold=near_dup_threshold, est_min_matches=6,
+        cache_handles=cache_handles,
     )
     splits = hash_split(docs, train_pct=train_pct, val_pct=val_pct).select(
         "doc_id", "split"

@@ -621,24 +621,14 @@ TEXT_QUERIES["text_training_corpus"] = lambda spark, sf: X.training_corpus(
 
 # Contamination report: near-dup pairs straddling split boundaries
 # (composes the minhash verify chain with the hash-split assignment).
+# Reuses the SHARED minhash + verify fragments (the est/cand2/sizes/
+# inter chain lives in _lsh_verify_ctes, same as the pair/cluster/
+# pipeline oracles) — only the jaccard-select tail and the split
+# assignment are specific to this query, so a change to the shared
+# chain (prefilter constant, MATERIALIZED hints) cannot drift here.
 TEXT_ORACLE["text_split_leakage"] = f"""
-    WITH {_minhash_sql().strip().lstrip()}, {{BUCKETS}}, {{CAND}},
-    est AS (
-      SELECT c.a, c.b, COUNT(*) AS n_match
-      FROM cand c
-      JOIN sig sa ON sa.doc_id = c.a
-      JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
-      WHERE sa.minhash = sb.minhash
-      GROUP BY c.a, c.b
-    ),
-    cand2 AS (SELECT a, b FROM est WHERE n_match >= 6),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.a, c.b, COUNT(*) AS n_inter
-      FROM cand2 c JOIN sh sa ON sa.doc_id = c.a
-                   JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
-      GROUP BY c.a, c.b
-    ),
+    WITH {MINHASH_SQL.strip().lstrip()}, {BUCKETS_SQL.strip()}, {CAND_SQL.strip()},
+    {_lsh_verify_ctes(0.35)},
     jp AS (
       SELECT i.a, i.b,
              round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
@@ -658,7 +648,7 @@ TEXT_ORACLE["text_split_leakage"] = f"""
     SELECT jp.a, jp.b, jp.jaccard, pa.split AS split_a, pb.split AS split_b
     FROM jp JOIN sp pa ON pa.doc_id = jp.a JOIN sp pb ON pb.doc_id = jp.b
     WHERE pa.split <> pb.split
-""".replace("{BUCKETS}", BUCKETS_SQL.strip()).replace("{CAND}", CAND_SQL.strip())
+"""
 
 
 def _q_dedup_stream(spark, sf):
@@ -670,7 +660,7 @@ def _q_dedup_stream(spark, sf):
 
     stream = read_documents_stream(spark, f"{sf}/documents.parquet")
     return run_stream_to_memory(
-        dedup_stream(stream), "dedup_stream_exact_sink", "append"
+        dedup_stream(stream), "dedup_stream_exact_sink", "append", strict=True
     )
 
 
@@ -1202,7 +1192,9 @@ def _q_stream_tumbling(spark, sf):
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
     name = "stream_tumbling_oracle"
-    return run_stream_to_memory(windowed_counts_stream(stream, "1 hour"), name, "complete")
+    return run_stream_to_memory(
+        windowed_counts_stream(stream, "1 hour"), name, "complete", strict=True
+    )
 
 
 def _q_stream_sessionize(spark, sf):
@@ -1224,28 +1216,17 @@ def _q_stream_sessionize(spark, sf):
     )
 
     stream = read_events_stream(spark, f"{sf}/events.parquet")
-    out = run_stream_to_memory(
+    return run_stream_to_memory(
         # timeout="none" + AvailableNow: the query stops itself right
         # after the replay batch (~5 s at sf0.01) instead of idling on
         # 30-min processing-time timers until a watchdog kills it (the
-        # r2 gate-truncation suspect). The watchdog below is a hang
-        # backstop only, not the expected exit path.
+        # r2 gate-truncation suspect). strict: a watchdog-truncated
+        # sink must RAISE here, not hash-compare partial data.
         sessionize_stream(stream, gap_minutes=30, timeout="none"),
         "stream_sessionize_oracle",
         "append",
         timeout_sec=45.0,
-    )
-    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-
-    def to_ntz(c):
-        return F.timestamp_add("MICROSECOND", F.unix_micros(F.col(c)), epoch)
-
-    return out.select(
-        "user_id",
-        to_ntz("session_start").alias("session_start"),
-        to_ntz("session_end").alias("session_end"),
-        "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        strict=True,
     )
 
 
@@ -1369,6 +1350,7 @@ def _q_stream_interval_join(spark, sf):
         "stream_interval_join_oracle",
         "append",
         timeout_sec=60.0,
+        strict=True,
     )
 
 

@@ -224,8 +224,6 @@ def _session_fn(gap_seconds: int, timeout: str = "processing"):
       state)."""
     import pandas as pd
 
-    GAP_US = gap_seconds * 1_000_000
-
     def fn(key, pdf_iter, state):
         (user_id,) = key
         if state.hasTimedOut:
@@ -254,7 +252,12 @@ def _session_fn(gap_seconds: int, timeout: str = "processing"):
             ts_us = int(r["ts"].value // 1000)  # ns → us
             if s0 is None:
                 s0, last, n, sv = ts_us, ts_us, 1, float(r["value"])
-            elif ts_us - last > GAP_US:
+            # FLOOR-SECONDS gap, matching the batch operator
+            # (operators/events.py epoch_seconds) and the oracle's
+            # floor(epoch(ts)) difference — an exact-microsecond
+            # compare splits sessions the batch twin merges whenever
+            # a gap in (gap, gap+1) s straddles second boundaries.
+            elif ts_us // 1_000_000 - last // 1_000_000 > gap_seconds:
                 out.append((user_id, s0, last, n, sv))
                 s0, last, n, sv = ts_us, ts_us, 1, float(r["value"])
             else:
@@ -316,15 +319,27 @@ def sessionize_stream(
     }[timeout]
     if timeout == "event":
         events = events.withWatermark("ts", watermark)
-    return (
-        events.groupBy("user_id")
-        .applyInPandasWithState(
-            _session_fn(gap_minutes * 60, timeout),
-            outputStructType=SESSION_OUT_SCHEMA,
-            stateStructType=SESSION_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=conf,
-        )
+    out = events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60, timeout),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )
+    # Sink contract, same as the sibling stream ops: timestamps are
+    # TIMESTAMP_NTZ UTC wall time (a stateless projection after the
+    # stateful op), and sum_value carries the batch twin's 6dp round.
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def to_ntz(c):
+        return F.timestamp_add("MICROSECOND", F.unix_micros(F.col(c)), epoch)
+
+    return out.select(
+        "user_id",
+        to_ntz("session_start").alias("session_start"),
+        to_ntz("session_end").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
     )
 
 
@@ -334,6 +349,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     timeout_sec: float = 180.0,
     available_now: bool = True,
+    strict: bool = False,
 ) -> "DataFrame":
     """Run a streaming query over a replayed file source into an
     in-memory sink; returns the sink table. Test harness helper.
@@ -350,8 +366,10 @@ def run_stream_to_memory(
 
     ``timeout_sec`` is retained as a hard watchdog for either mode: a
     hung streaming call must never wedge the test suite or the
-    driver's gate. On timeout, whatever reached the sink is
-    returned."""
+    driver's gate. On timeout, whatever reached the sink is returned
+    — UNLESS ``strict=True``, which raises instead: an oracle-checked
+    replay must never hash-compare a truncated sink (a slow-host
+    window would then read as a semantics bug)."""
     import threading
 
     writer = (
@@ -388,4 +406,9 @@ def run_stream_to_memory(
             q.stop()
         except Exception:
             pass
+    if strict and timed_out.is_set():
+        raise RuntimeError(
+            f"streaming replay '{query_name}' hit the {timeout_sec}s "
+            "watchdog; refusing to return a truncated sink in strict mode"
+        )
     return stream_df.sparkSession.table(query_name)

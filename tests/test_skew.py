@@ -83,7 +83,6 @@ def test_salted_count_distinct_skips_nulls(spark):
         r["k"]: r["n_distinct"]
         for r in salted_count_distinct(df, "k", "v", n_salts=4).collect()
     }
-    # countDistinct never counts NULL; key 2 has nothing but NULLs and
-    # drops out of the salted result entirely (plain reports 0)
-    assert salted == {1: 1}
-    assert plain == {1: 1, 2: 0}
+    # countDistinct never counts NULL; key 2 has nothing but NULLs
+    # and must still appear with 0, exactly like the plain aggregate
+    assert salted == plain == {1: 1, 2: 0}
