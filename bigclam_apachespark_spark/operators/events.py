@@ -273,6 +273,41 @@ def resample_ohlc(
     )
 
 
+def rollup_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hierarchical subtotal report via ROLLUP → ``(event_type, day,
+    n_events, lvl)``: per-(type, day) counts, per-type subtotals
+    (day NULL), and the grand total (both NULL); ``lvl`` is the
+    grouping level (0 = detail, 1 = type subtotal, 2 = grand total) —
+    disambiguating genuine NULL keys from subtotal markers, the
+    standard GROUPING() idiom. One pass: Spark expands rollup groups
+    in a single aggregation (no self-union of three scans).
+
+    SURVEY.md §2 lists grouping sets/rollup/cube as absent from the
+    reference; this exercises the surface as a first-class
+    oracle-checked query."""
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast("long")
+    return (
+        events.select("event_type", day.alias("day"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n_events"), F.grouping_id().alias("lvl"))
+        .select("event_type", "day", "n_events", F.col("lvl").cast("int").alias("lvl"))
+    )
+
+
+def clicked_never_purchased(events: DataFrame) -> DataFrame:
+    """Users who clicked but never purchased → ``(user_id)`` via set
+    EXCEPT (another SURVEY-listed absent-from-reference surface):
+    distinct click users minus distinct purchase users (``subtract``
+    = EXCEPT DISTINCT). Compiles to a left-anti aggregate join — no
+    full-table materialization."""
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(purchases)
+
+
 def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     """JSON property extraction from the ``props`` string column →
     ``(event_id, k_val)``. ``get_json_object`` is JVM-side; at scale

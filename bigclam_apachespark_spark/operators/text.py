@@ -410,6 +410,78 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_plan(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Token-window chunking → ``(doc_id, chunk_idx, start_token,
+    n_chunk_tokens, chunk_text)``: overlapping windows of ``window``
+    tokens advancing by ``stride`` (overlap = window − stride, the
+    standard context-window chunker for long documents). The final
+    window is short rather than padded; a document shorter than one
+    window yields exactly one chunk. Deterministic integer geometry +
+    exact substring reassembly (chunk_text re-joins the token slice),
+    so the oracle hash is exact.
+
+    Scale shape: pure narrow map + bounded explode (chunks per doc =
+    ⌈(n_tokens − window)/stride⌉ + 1) — embarrassingly parallel, the
+    fan-out that feeds tokenizer/packing stages."""
+    tk = tokens(text_col)
+    n_tok = F.size(tk)
+    n_chunks = F.greatest(
+        F.ceil((n_tok - F.lit(window)).cast("double") / F.lit(stride)).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    base = docs.select("doc_id", tk.alias("_tk"), n_tok.alias("_n"), n_chunks.alias("_c"))
+    start = F.col("chunk_idx") * stride
+    return (
+        base.select(
+            "doc_id", "_tk", "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_c") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("start_token"),
+            F.least(F.lit(window), F.col("_n") - start).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("_tk", start + 1, F.lit(window))).alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, text_col: str = "text", budget: int = 256
+) -> DataFrame:
+    """Context-window packing plan → ``(doc_id, n_tokens, bin,
+    bin_offset)``: documents are laid end-to-end in doc_id order and
+    cut into ``budget``-token bins — the concat-then-split packing
+    every pretraining pipeline uses (deterministic, zero padding
+    waste; a doc may straddle two bins, carried by bin/bin_offset of
+    its FIRST token). Pure integer cumulative arithmetic.
+
+    Scale shape: one global running-sum window ordered by doc_id over
+    (doc_id, n_tokens) rows — metadata-sized, not corpus-sized. A
+    sharded deployment would partition by corpus shard first; the
+    single-partition window over doc COUNTS is the honest cost of a
+    globally deterministic layout."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized = docs.select("doc_id", n_tok.alias("n_tokens"))
+    cum = sized.withColumn("cum_end", F.sum("n_tokens").over(w))
+    cum_start = F.col("cum_end") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(cum_start / F.lit(budget)).cast("long").alias("bin"),
+        (cum_start % budget).cast("long").alias("bin_offset"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprinting: (a) full-content hash of the
     normalized text (exact-dup key), (b) winnowing-style min-hash of

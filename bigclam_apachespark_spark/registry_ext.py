@@ -230,6 +230,41 @@ TEXT_ORACLE = {
                     ELSE 'test' END AS split
         FROM b
     """,
+    # Token-window chunking: integer window geometry + exact token-
+    # slice reassembly.
+    "text_chunks": f"""
+        WITH base AS (
+          SELECT doc_id, {TOKENS} AS tk, len({TOKENS}) AS n,
+                 greatest(CAST(ceil(CAST(len({TOKENS}) - 32 AS DOUBLE) / 24) AS INT) + 1, 1) AS c
+          FROM documents
+        ),
+        ex AS (
+          SELECT doc_id, tk, n, unnest(generate_series(0, c - 1)) AS chunk_idx
+          FROM base
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(chunk_idx * 24 AS INT) AS start_token,
+               CAST(least(32, n - chunk_idx * 24) AS INT) AS n_chunk_tokens,
+               array_to_string(tk[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+        FROM ex
+    """,
+    # Concat-then-split packing: pure integer cumulative arithmetic
+    # over doc_id order.
+    "text_pack_sequences": f"""
+        WITH sized AS (
+          SELECT doc_id, CAST(len({TOKENS}) AS INT) AS n_tokens FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+          FROM sized
+        )
+        SELECT doc_id, n_tokens,
+               (cum_end - n_tokens) // 256 AS bin,
+               (cum_end - n_tokens) % 256 AS bin_offset
+        FROM cum
+    """,
     # Exact inverse-CDF quantiles (integer outputs — approx sketches
     # are not cross-engine reproducible).
     "text_length_quantiles": f"""
@@ -326,6 +361,8 @@ TEXT_QUERIES = {
     "text_salient_terms": lambda spark, sf: X.salient_terms(_docs(spark, sf), k=5),
     "text_vocab_topk": lambda spark, sf: X.vocab_topk(_docs(spark, sf), k=100),
     "text_hash_split": lambda spark, sf: X.hash_split(_docs(spark, sf)),
+    "text_chunks": lambda spark, sf: X.chunk_plan(_docs(spark, sf), window=32, stride=24),
+    "text_pack_sequences": lambda spark, sf: X.pack_sequences(_docs(spark, sf), budget=256),
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
     "text_cms_token_counts": lambda spark, sf: SK.cms_topk_estimates(
@@ -982,6 +1019,24 @@ EVENT_ORACLE = {
                      ELSE 0.0 END, 6) AS z_score
         FROM stats
     """,
+    # ROLLUP subtotal report (grouping level disambiguates subtotal
+    # NULLs). GROUPING() bit order matches Spark's grouping_id for
+    # (event_type, day): bit 1 = event_type, bit 0 = day.
+    "events_rollup": """
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(GROUPING(event_type) * 2 + GROUPING(
+                    CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS INT) AS lvl
+        FROM events
+        GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+    """,
+    # Set EXCEPT: click users who never purchased.
+    "events_click_no_purchase": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
     # OHLC resample: every output is a SELECTED input value (no
     # arithmetic) — bit-exact without rounding.
     "events_ohlc": """
@@ -1363,6 +1418,10 @@ EVENT_QUERIES = {
     "events_anomaly": lambda spark, sf: E.window_anomaly_scores(_events(spark, sf)),
     "events_gapfill": lambda spark, sf: E.gapfill_locf(_events(spark, sf)),
     "events_ohlc": lambda spark, sf: E.resample_ohlc(_events(spark, sf)),
+    "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
+    "events_click_no_purchase": lambda spark, sf: E.clicked_never_purchased(
+        _events(spark, sf)
+    ),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),

@@ -480,3 +480,38 @@ def test_split_leakage_detects_cross_split_dups(spark):
         assert r["jaccard"] >= 0.5
     # sanity: the fixture really does produce cross-split near-dups
     assert len(out) > 0
+
+
+def test_chunk_plan_geometry(spark):
+    from bigclam_apachespark_spark.operators.text import chunk_plan
+
+    # 10 tokens, window 4, stride 3 -> chunks at 0,3,6 (len 4,4,4)
+    # and 9 (len 1): ceil((10-4)/3)+1 = 3 chunks? ceil(6/3)=2 +1 = 3
+    # -> starts 0,3,6 with lens 4,4,4; token 10 reached at 6+4=10. OK
+    d = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_plan(d, window=4, stride=3).collect()
+    )
+    assert out == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+    ]
+    # short doc -> exactly one (short) chunk
+    s = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    short = chunk_plan(s, window=4, stride=3).collect()
+    assert len(short) == 1 and short[0]["n_chunk_tokens"] == 2
+
+
+def test_pack_sequences(spark):
+    from bigclam_apachespark_spark.operators.text import pack_sequences
+
+    # doc token counts 3, 4, 5 with budget 6: starts at 0, 3, 7
+    rows = [(0, "a b c"), (1, "a b c d"), (2, "a b c d e")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["bin"], r["bin_offset"])
+           for r in pack_sequences(d, budget=6).collect()}
+    assert out == {0: (0, 0), 1: (0, 3), 2: (1, 1)}
