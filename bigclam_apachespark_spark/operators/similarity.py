@@ -358,3 +358,50 @@ def cosine_near_dup_pairs(
         .select("a", "b", "cos_sim")
         .distinct()
     )
+
+
+def knn_label_eval(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN classification evaluation over the labeled embedding table
+    → ``(q, label, label_pred, n_votes, correct)``: each query
+    vector's label predicted by majority vote among its k nearest
+    neighbors (ties → smallest label), compared to its own ground
+    truth. The retrieval-quality eval loop for the ANN operators —
+    embedding spaces whose neighbors share labels are the ones worth
+    indexing.
+
+    Uses the exact brute-force top-k on a bounded query subset; swap
+    in ``lsh_topk``/``ivf_topk`` for the same eval at scale (the vote
+    and compare stages are retrieval-agnostic)."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col(id_col) < n_queries)
+    nn = brute_force_topk(embeddings, q, k=k, id_col=id_col, vec_col=vec_col)
+    labels = embeddings.select(id_col, label_col)
+    votes = (
+        nn.join(labels, id_col)
+        .groupBy("q", label_col)
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("n_votes").desc(), label_col)
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("q", F.col(label_col).alias("label_pred"), "n_votes")
+    )
+    own = labels.select(F.col(id_col).alias("q"), label_col)
+    return pred.join(own, "q").select(
+        "q",
+        label_col,
+        "label_pred",
+        "n_votes",
+        F.when(F.col(label_col) == F.col("label_pred"), 1).otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )

@@ -482,6 +482,46 @@ def pack_sequences(
     )
 
 
+def langid_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID evaluation against the corpus's ground-truth
+    ``lang`` column → ``(lang, lang_pred, n_docs)`` confusion counts —
+    the quality-eval loop for the heuristic classifier (precision/
+    recall per language derive directly). Integer counts over one
+    narrow map + one hash-agg."""
+    _, _, _, pred = _lang_pred(text_col)
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def balanced_sample(
+    docs: DataFrame, per_group: int = 50, group_col: str = "source"
+) -> DataFrame:
+    """Balanced downsample: the ``per_group`` lowest-hash documents
+    per group → ``(doc_id, source, rank)`` — deterministic data
+    mixing (equalize source contributions before training) that stays
+    stable under corpus growth ONLY for the kept set's ordering
+    (adding docs can displace rank-boundary members — inherent to
+    balanced sampling; use ``hash_split`` when per-doc stability
+    matters more than balance).
+
+    Scale shape: one window rank per group over (id, hash) metadata
+    rows — never the text payload."""
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id", group_col, hash64(F.col("doc_id").cast("string")).alias("_h")
+    )
+    w = Window.partitionBy(group_col).orderBy("_h", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_group)
+        .select("doc_id", group_col, "rank")
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprinting: (a) full-content hash of the
     normalized text (exact-dup key), (b) winnowing-style min-hash of

@@ -230,6 +230,35 @@ TEXT_ORACLE = {
                     ELSE 'test' END AS split
         FROM b
     """,
+    # Lang-ID confusion matrix vs the ground-truth lang column.
+    "text_langid_eval": f"""
+        WITH t AS (
+          SELECT lang, list_distinct({TOKENS}) AS toks FROM documents
+        ), h AS (
+          SELECT lang,
+                 CAST(len(list_intersect(toks, {_sql_list(EN_STOPWORDS)})) AS INT) AS en_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(ES_STOPWORDS)})) AS INT) AS es_hits,
+                 CAST(len(list_intersect(toks, {_sql_list(FR_STOPWORDS)})) AS INT) AS fr_hits
+          FROM t
+        )
+        SELECT lang,
+               CASE WHEN greatest(en_hits, es_hits, fr_hits) = 0 THEN 'und'
+                    WHEN en_hits = greatest(en_hits, es_hits, fr_hits) THEN 'en'
+                    WHEN es_hits = greatest(en_hits, es_hits, fr_hits) THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM h GROUP BY 1, 2
+    """,
+    # Balanced per-source downsample: lowest-hash docs per group.
+    "text_balanced_sample": f"""
+        SELECT doc_id, source, CAST(rank AS INT) AS rank FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rank
+          FROM documents
+        ) WHERE rank <= 50
+    """,
     # Token-window chunking: integer window geometry + exact token-
     # slice reassembly.
     "text_chunks": f"""
@@ -361,6 +390,10 @@ TEXT_QUERIES = {
     "text_salient_terms": lambda spark, sf: X.salient_terms(_docs(spark, sf), k=5),
     "text_vocab_topk": lambda spark, sf: X.vocab_topk(_docs(spark, sf), k=100),
     "text_hash_split": lambda spark, sf: X.hash_split(_docs(spark, sf)),
+    "text_langid_eval": lambda spark, sf: X.langid_confusion(_docs(spark, sf)),
+    "text_balanced_sample": lambda spark, sf: X.balanced_sample(
+        _docs(spark, sf), per_group=50
+    ),
     "text_chunks": lambda spark, sf: X.chunk_plan(_docs(spark, sf), window=32, stride=24),
     "text_pack_sequences": lambda spark, sf: X.pack_sequences(_docs(spark, sf), budget=256),
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
@@ -881,6 +914,40 @@ SIM_ORACLE = {
         FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
         WHERE round({_PAIR_COS}, 6) >= 0.35
     """,
+    # kNN label-prediction eval: majority vote among the exact top-5
+    # neighbors (tie → smallest label) vs ground truth.
+    "sim_knn_label_eval": f"""
+        WITH {EMB_SQL},
+        scored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 50 AND ea.vec_id <> eb.vec_id
+        ),
+        nn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored
+          ) WHERE rank <= 5
+        ),
+        votes AS (
+          SELECT nn.q, e.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+          FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+          GROUP BY 1, 2
+        ),
+        pred AS (
+          SELECT q, label AS label_pred, n_votes FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                                         ORDER BY n_votes DESC, label) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )
+        SELECT p.q, e.label, p.label_pred, p.n_votes,
+               CAST(CASE WHEN e.label = p.label_pred THEN 1 ELSE 0 END AS INT) AS correct
+        FROM pred p JOIN embeddings e ON e.vec_id = p.q
+    """,
     # Embedding-side survivor election: connected components over the
     # cosine near-dup pair set (same recursive-CTE fixpoint as the
     # document-side dedup_cluster_survivors; Spark side reuses
@@ -943,6 +1010,9 @@ SIM_QUERIES = {
         _emb(spark, sf), threshold=0.35, n_planes=4
     ),
     "sim_dedup_survivors": _q_sim_dedup_survivors,
+    "sim_knn_label_eval": lambda spark, sf: S.knn_label_eval(
+        _emb(spark, sf), k=5, n_queries=50
+    ),
 }
 
 # ---------------------------------------------------------------------------

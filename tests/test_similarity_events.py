@@ -512,3 +512,26 @@ def test_resample_ohlc(spark):
     ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
     r = resample_ohlc(ev).collect()[0]
     assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (3.0, 9.0, 1.0, 4.0, 4)
+
+
+def test_knn_label_eval_separable_clusters(spark):
+    from bigclam_apachespark_spark.operators.similarity import knn_label_eval
+
+    # two well-separated label clusters along orthogonal axes: every
+    # query's neighbors share its label -> 100% correct, 5 votes each
+    rows = []
+    for i in range(12):
+        base = [0.0] * 8
+        if i % 2 == 0:
+            base[0] = 1.0 + 0.01 * i
+            lbl = 0
+        else:
+            base[4] = 1.0 + 0.01 * i
+            lbl = 1
+        rows.append((i, base, lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_label_eval(emb, k=5, n_queries=12).collect()
+    assert len(out) == 12
+    assert all(r["correct"] == 1 and r["n_votes"] == 5 for r in out)
