@@ -308,6 +308,16 @@ def clicked_never_purchased(events: DataFrame) -> DataFrame:
     return clicks.subtract(purchases)
 
 
+def clicked_and_purchased(events: DataFrame) -> DataFrame:
+    """Users who both clicked AND purchased → ``(user_id)`` via set
+    INTERSECT (completing the set-operation surface with
+    ``clicked_never_purchased``'s EXCEPT). Compiles to a left-semi
+    aggregate join."""
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(purchases)
+
+
 def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     """JSON property extraction from the ``props`` string column →
     ``(event_id, k_val)``. ``get_json_object`` is JVM-side; at scale

@@ -405,3 +405,43 @@ def knn_label_eval(
         .cast("int")
         .alias("correct"),
     )
+
+
+def lsh_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality metric: recall@k of the hyperplane-LSH top-k
+    against the exact brute-force ground truth → ``(q, n_retrieved,
+    n_hits, recall)``. n_hits = |LSH top-k ∩ exact top-k|; recall =
+    n_hits / k (exact rational — correctly-rounded single division).
+    THE number an ANN deployment is judged by: it quantifies exactly
+    what the bucketing trades for its speedup, per query."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    approx = lsh_topk(embeddings, queries, k, n_planes, seed, dim, id_col, vec_col)
+    got = approx.select("q", F.col(id_col).alias("nn"))
+    hits = truth.join(got, ["q", "nn"], "left_semi").groupBy("q").agg(
+        F.count("*").alias("n_hits")
+    )
+    retrieved = got.groupBy("q").agg(F.count("*").alias("n_retrieved"))
+    qs = truth.select("q").distinct()
+    return (
+        qs.join(retrieved, "q", "left")
+        .join(hits, "q", "left")
+        .select(
+            "q",
+            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -914,6 +914,52 @@ SIM_ORACLE = {
         FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
         WHERE round({_PAIR_COS}, 6) >= 0.35
     """,
+    # ANN recall@5: LSH top-k vs exact brute-force ground truth.
+    "sim_lsh_recall": f"""
+        WITH {EMB_SQL}, {_planes_sql(8)}, {BUCKETS64_SQL},
+        bscored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        ),
+        bnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM bscored
+          ) WHERE rank <= 5
+        ),
+        lscored AS (
+          SELECT qb.vec_id AS q, cb.vec_id,
+                 round({_PAIR_COS.replace('ea.', 'ec.').replace('eb.', 'eq.')}, 6)
+                   AS cos_sim
+          FROM vb qb
+          JOIN vb cb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+          JOIN emb ec ON ec.vec_id = cb.vec_id
+          JOIN emb eq ON eq.vec_id = qb.vec_id
+          WHERE qb.vec_id < 10
+        ),
+        lnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM lscored
+          ) WHERE rank <= 5
+        ),
+        hits AS (
+          SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM bnn b JOIN lnn l ON l.q = b.q AND l.vec_id = b.vec_id
+          GROUP BY b.q
+        ),
+        ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM lnn GROUP BY q),
+        qspine AS (SELECT DISTINCT q FROM bnn)
+        SELECT s.q,
+               CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+        FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
+    """,
     # kNN label-prediction eval: majority vote among the exact top-5
     # neighbors (tie → smallest label) vs ground truth.
     "sim_knn_label_eval": f"""
@@ -1013,6 +1059,9 @@ SIM_QUERIES = {
     "sim_knn_label_eval": lambda spark, sf: S.knn_label_eval(
         _emb(spark, sf), k=5, n_queries=50
     ),
+    "sim_lsh_recall": lambda spark, sf: S.lsh_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=8
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1105,6 +1154,12 @@ EVENT_ORACLE = {
     "events_click_no_purchase": """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    # Set INTERSECT: users who both clicked and purchased.
+    "events_click_and_purchase": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
     """,
     # OHLC resample: every output is a SELECTED input value (no
@@ -1490,6 +1545,9 @@ EVENT_QUERIES = {
     "events_ohlc": lambda spark, sf: E.resample_ohlc(_events(spark, sf)),
     "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
     "events_click_no_purchase": lambda spark, sf: E.clicked_never_purchased(
+        _events(spark, sf)
+    ),
+    "events_click_and_purchase": lambda spark, sf: E.clicked_and_purchased(
         _events(spark, sf)
     ),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
