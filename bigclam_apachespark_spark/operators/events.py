@@ -276,8 +276,9 @@ def resample_ohlc(
 def rollup_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Hierarchical subtotal report via ROLLUP → ``(event_type, day,
     n_events, lvl)``: per-(type, day) counts, per-type subtotals
-    (day NULL), and the grand total (both NULL); ``lvl`` is the
-    grouping level (0 = detail, 1 = type subtotal, 2 = grand total) —
+    (day NULL), and the grand total (both NULL); ``lvl`` is
+    ``grouping_id()``'s bitmask (0 = detail, 1 = type subtotal with
+    the day bit set, 3 = grand total with both bits set) —
     disambiguating genuine NULL keys from subtotal markers, the
     standard GROUPING() idiom. One pass: Spark expands rollup groups
     in a single aggregation (no self-union of three scans).

@@ -428,6 +428,10 @@ def chunk_plan(
     Scale shape: pure narrow map + bounded explode (chunks per doc =
     ⌈(n_tokens − window)/stride⌉ + 1) — embarrassingly parallel, the
     fan-out that feeds tokenizer/packing stages."""
+    if stride > window:
+        # stride > window silently skips tokens between chunks and
+        # can emit negative-length tail rows — a caller error.
+        raise ValueError(f"stride ({stride}) must be <= window ({window})")
     tk = tokens(text_col)
     n_tok = F.size(tk)
     n_chunks = F.greatest(
