@@ -445,3 +445,77 @@ def lsh_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+def _multi_bucket_expr(qv, n_planes: int, n_tables: int, seed: int, dim: int):
+    """Array of n_tables independent hyperplane-LSH buckets (one
+    plane set per table, seeds disjoint)."""
+    return F.array(
+        *[
+            _bucket_expr(qv, n_planes, seed + 1000 * t, dim)
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk_multi(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH top-k → ``(q, vec_id, rank,
+    cos_sim)``: candidates are the UNION over ``n_tables`` independent
+    hash tables of same-bucket vectors (OR-amplification) — the
+    standard recall knob single-table LSH lacks: a true neighbor at
+    angle θ collides in at least one table with prob 1 − (1 −
+    (1−θ/π)^b)^L, so recall rises with L at fixed bucket selectivity
+    b. Measured at sf0.01 on the (near-structureless) synthetic
+    embeddings: recall@5 = 0.02 with one 8-plane table, 0.16 with
+    eight; coarser 4-plane tables trade candidate volume for recall —
+    0.44 at L=4, 0.78 at L=8 (see PERFORMANCE.md).
+
+    Scale shape: all L buckets per vector come from ONE narrow
+    projection (an explode of the bucket array — L small rows per
+    vector, never the payload ×L); the per-table hash joins are
+    bucket-key equi-joins; candidates are deduped on (q, id) BEFORE
+    the (expensive) exact scoring, which runs once per unique
+    candidate."""
+    from pyspark.sql import Window
+
+    def tabled(df, prefix):
+        q0 = quantized(df, id_col, vec_col)
+        withb = q0.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col("qv").alias(f"{prefix}qv"),
+            F.col("nrm").alias(f"{prefix}nrm"),
+            F.posexplode(
+                _multi_bucket_expr(F.col("qv"), n_planes, n_tables, seed, dim)
+            ).alias("tbl", "bucket"),
+        )
+        return withb
+
+    corpus = tabled(embeddings, "c")
+    qs = tabled(queries, "q")
+    cand = (
+        corpus.join(F.broadcast(qs), ["tbl", "bucket"])
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", "qqv", "qnrm", "cqv", "cnrm")
+        .dropDuplicates(["qid", "cid"])
+    )
+    scored = cand.select(
+        F.col("qid").alias("q"),
+        F.col("cid").alias(id_col),
+        F.round(_cos_q("cqv", "cnrm", "qqv", "qnrm"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", id_col, "rank", "cos_sim")
+    )

@@ -774,6 +774,18 @@ def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
     return "planes(plane, qvec) AS (VALUES " + ", ".join(rows) + ")"
 
 
+def _planes_multi_sql(n_planes: int, n_tables: int, dim: int = 64, seed: int = 42) -> str:
+    """(tbl, plane, qvec) hyperplane literals for the multi-table LSH
+    oracle — same seed-disjoint plane sets as
+    similarity._multi_bucket_expr (seed + 1000·t)."""
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            vec = S._hyperplane_q(dim, p, seed + 1000 * t)
+            rows.append(f"({t}, {p}, [{', '.join(str(v) for v in vec)}]::BIGINT[])")
+    return "planes_m(tbl, plane, qvec) AS (VALUES " + ", ".join(rows) + ")"
+
+
 def _dotq_sql(a: str, b: str) -> str:
     """Exact integer dot of two quantized BIGINT lists (DuckDB twin of
     similarity._dot_long)."""
@@ -913,6 +925,36 @@ SIM_ORACLE = {
         SELECT va AS a, vb2 AS b, round({_PAIR_COS}, 6) AS cos_sim
         FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
         WHERE round({_PAIR_COS}, 6) >= 0.35
+    """,
+    # Multi-table LSH top-k (OR-amplification, b=4 planes × L=4
+    # tables): per-table bucket join, candidates deduped, scored once.
+    "sim_lsh_topk_multi": f"""
+        WITH {EMB_SQL}, {_planes_multi_sql(4, 4)},
+        vbm AS (
+          SELECT e.vec_id, p.tbl,
+                 CAST(SUM(CASE WHEN {_dotq_sql('e.qv', 'p.qvec')} > 0
+                          THEN (1::BIGINT << p.plane) ELSE 0 END) AS BIGINT) AS bucket
+          FROM emb e CROSS JOIN planes_m p
+          GROUP BY e.vec_id, p.tbl
+        ),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS q, cb.vec_id
+          FROM vbm qb
+          JOIN vbm cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                     AND cb.vec_id <> qb.vec_id
+          WHERE qb.vec_id < 10
+        ),
+        scored AS (
+          SELECT c.q, c.vec_id,
+                 round({_cosq_sql('ec.qv', 'ec.nrm', 'eq.qv', 'eq.nrm')}, 6) AS cos_sim
+          FROM cand c JOIN emb ec ON ec.vec_id = c.vec_id
+                      JOIN emb eq ON eq.vec_id = c.q
+        )
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+          SELECT q, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """,
     # ANN recall@5: LSH top-k vs exact brute-force ground truth.
     "sim_lsh_recall": f"""
@@ -1061,6 +1103,9 @@ SIM_QUERIES = {
     ),
     "sim_lsh_recall": lambda spark, sf: S.lsh_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=8
+    ),
+    "sim_lsh_topk_multi": lambda spark, sf: S.lsh_topk_multi(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=4, n_tables=4
     ),
 }
 

@@ -535,3 +535,28 @@ def test_knn_label_eval_separable_clusters(spark):
     out = knn_label_eval(emb, k=5, n_queries=12).collect()
     assert len(out) == 12
     assert all(r["correct"] == 1 and r["n_votes"] == 5 for r in out)
+
+
+def test_multi_table_lsh_improves_recall(spark):
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multi,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.where("vec_id < 5")
+    truth = brute_force_topk(emb, q, 5).select("q", F.col("vec_id").alias("nn"))
+
+    def recall(got):
+        g = got.select("q", F.col("vec_id").alias("nn"))
+        return truth.join(g, ["q", "nn"], "left_semi").count() / truth.count()
+
+    single = recall(lsh_topk(emb, q, 5, n_planes=4))
+    multi = recall(lsh_topk_multi(emb, q, 5, n_planes=4, n_tables=4))
+    # OR-amplification can only widen the candidate set
+    assert multi >= single
