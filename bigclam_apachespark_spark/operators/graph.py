@@ -344,3 +344,42 @@ def connected_components(sym_edges: DataFrame) -> DataFrame:
     return out.select(
         F.col("doc_id").alias("id"), F.col("cluster_id").alias("component")
     )
+
+
+def pagerank_weighted(
+    edges_w: DataFrame, n_iter: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Edge-weighted PageRank over a symmetric weighted edge list
+    ``(src, dst, support)`` → ``(id, rank)``: contributions split
+    proportionally to edge weight, r⁽ᵏ⁺¹⁾(v) = (1−d) + d ·
+    Σ_{u→v} r⁽ᵏ⁾(u)·w(u,v)/W(u) with W(u) = Σ_v w(u,v). Same mean-1
+    normalization, fixed-k determinism, checkpoint cadence, and
+    broadcast-join round shape as ``pagerank`` — the weighted variant
+    ranks by co-purchase STRENGTH rather than mere adjacency.
+
+    Float note: w/W is one division per edge of two exact integers
+    (correctly rounded) and each round's sums are rounded only at
+    output — the same accepted fold-order class as the unweighted
+    twin."""
+    wsum = edges_w.groupBy("src").agg(F.sum("support").alias("wtot"))
+    verts = edges_w.select(F.col("src").alias("id")).distinct()
+    ew = edges_w.join(wsum, "src").cache()
+    ranks = verts.select("id", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contribs = (
+            ew.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(
+                    F.col("r") * F.col("support").cast("double") / F.col("wtot").cast("double")
+                ).alias("m")
+            )
+        )
+        new_ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("r"),
+        ).localCheckpoint(eager=True)
+        ranks.unpersist()
+        ranks = new_ranks
+    ew.unpersist()
+    return ranks.select("id", F.round("r", 6).alias("rank"))

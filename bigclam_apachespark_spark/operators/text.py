@@ -526,6 +526,27 @@ def balanced_sample(
     )
 
 
+def source_token_ledger(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus accounting per source → ``(source, n_docs, n_tokens,
+    pct_tokens)`` — the data-mixing ledger: how many tokens each
+    source contributes and its share of the training budget (the
+    number mixture weights are tuned against). pct is one exact-
+    integer division (correctly rounded IEEE), rounded for output."""
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "pct_tokens"
+        ),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprinting: (a) full-content hash of the
     normalized text (exact-dup key), (b) winnowing-style min-hash of

@@ -155,6 +155,14 @@ def q_pagerank(spark, sf_dir):
     return G.pagerank(_sym(spark, sf_dir), n_iter=5)
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank over the support-thresholded
+    co-purchase graph (ranks by co-purchase strength)."""
+    from bigclam_apachespark_spark.sources import weighted_copurchase_edges
+
+    return G.pagerank_weighted(weighted_copurchase_edges(spark, sf_dir, 2), n_iter=5)
+
+
 def q_components(spark, sf_dir):
     """Weakly connected components of the support-≥2 co-purchase
     graph (thresholding sparsifies ~30×, which keeps the oracle's
@@ -182,7 +190,43 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_clustering": q_clustering,
     "graph_pagerank": q_pagerank,
     "graph_components": q_components,
+    "graph_pagerank_weighted": q_pagerank_weighted,
 }
+
+
+# Support-thresholded weighted co-purchase edges (basket-set
+# semantics: support counts ORDERS, so a part listed twice in one
+# order counts that order once — matching the Spark collect_set).
+_WEDGES_SQL = """
+wedges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT DISTINCT l1.l_orderkey AS ok, l1.l_partkey AS src, l2.l_partkey AS dst
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+  ) GROUP BY src, dst HAVING COUNT(*) >= 2
+)"""
+
+
+def _pagerank_weighted_sql(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unrolled weighted-PageRank twin over wedges."""
+    parts = [
+        "wsum AS (SELECT src AS id, SUM(support) AS wtot FROM wedges GROUP BY src)",
+        "verts AS (SELECT DISTINCT src AS id FROM wedges)",
+        "pr0 AS (SELECT id, 1.0::DOUBLE AS r FROM verts)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""pr{i + 1} AS (
+  SELECT v.id, {1.0 - d} + {d} * COALESCE(s.m, 0) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id,
+           SUM(p.r * CAST(e.support AS DOUBLE) / CAST(w.wtot AS DOUBLE)) AS m
+    FROM wedges e JOIN pr{i} p ON p.id = e.src JOIN wsum w ON w.id = e.src
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, round(r, 6) AS rank FROM pr{n_iter}"
 
 
 def _pagerank_sql(n_iter: int = 5, d: float = 0.85) -> str:
@@ -311,6 +355,7 @@ ORACLE: dict[str, str] = {
         )
         SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
     """,
+    "graph_pagerank_weighted": f"WITH {_WEDGES_SQL},\n{_pagerank_weighted_sql(5)}",
 }
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,18 @@ TEXT_ORACLE = {
                     ELSE 'test' END AS split
         FROM b
     """,
+    # Data-mixing ledger: token budget share per source.
+    "text_source_ledger": f"""
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len({TOKENS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per)
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS pct_tokens
+        FROM per CROSS JOIN tot
+    """,
     # Lang-ID confusion matrix vs the ground-truth lang column.
     "text_langid_eval": f"""
         WITH t AS (
@@ -390,6 +402,7 @@ TEXT_QUERIES = {
     "text_salient_terms": lambda spark, sf: X.salient_terms(_docs(spark, sf), k=5),
     "text_vocab_topk": lambda spark, sf: X.vocab_topk(_docs(spark, sf), k=100),
     "text_hash_split": lambda spark, sf: X.hash_split(_docs(spark, sf)),
+    "text_source_ledger": lambda spark, sf: X.source_token_ledger(_docs(spark, sf)),
     "text_langid_eval": lambda spark, sf: X.langid_confusion(_docs(spark, sf)),
     "text_balanced_sample": lambda spark, sf: X.balanced_sample(
         _docs(spark, sf), per_group=50

@@ -179,3 +179,16 @@ def test_connected_components_fixture(spark, g1_edges, g2_edges):
     out2 = {r["id"]: r["component"]
             for r in connected_components(symmetrize(pairs)).collect()}
     assert out2 == {5: 5, 9: 5, 1: 1, 3: 1}
+
+
+def test_pagerank_weighted_prefers_heavy_edges(spark):
+    from bigclam_apachespark_spark.operators.graph import pagerank_weighted
+
+    # star around 0 with one heavy spoke (0-1, w=10) and two light
+    # ones (w=1): under weighted PR node 1 receives most of 0's mass
+    rows = [(0, 1, 10), (1, 0, 10), (0, 2, 1), (2, 0, 1), (0, 3, 1), (3, 0, 1)]
+    ew = spark.createDataFrame(rows, "src long, dst long, support long")
+    out = {r["id"]: r["rank"] for r in pagerank_weighted(ew, n_iter=5).collect()}
+    assert out[1] > out[2] == out[3]
+    import math
+    assert math.isclose(sum(out.values()) / 4, 1.0, rel_tol=1e-4)
