@@ -560,3 +560,28 @@ def test_multi_table_lsh_improves_recall(spark):
     multi = recall(lsh_topk_multi(emb, q, 5, n_planes=4, n_tables=4))
     # OR-amplification can only widen the candidate set
     assert multi >= single
+
+
+def test_timestamp_ops_are_timezone_independent(spark):
+    """The driver may run the registry under any session timezone;
+    every NTZ construction must be timezone-free (epoch-literal
+    arithmetic, never a cast through the session zone)."""
+    from bigclam_apachespark_spark.operators.events import (
+        gapfill_locf,
+        resample_ohlc,
+    )
+
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        baseline_ohlc = sorted(map(repr, resample_ohlc(ev).collect()))
+        baseline_gap = sorted(map(repr, gapfill_locf(ev).collect()))
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert sorted(map(repr, resample_ohlc(ev).collect())) == baseline_ohlc
+        assert sorted(map(repr, gapfill_locf(ev).collect())) == baseline_gap
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
