@@ -553,3 +553,85 @@ def cluster_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+def cross_corpus_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus decontamination → ``(doc_id, bench_id, jaccard)``:
+    training documents whose shingle-set Jaccard against some
+    BENCHMARK document reaches ``threshold`` — the canonical
+    "remove the eval set from the training corpus" check. Same
+    MinHash-LSH machinery as intra-corpus dedup, but candidates are
+    only CROSS pairs (train × benchmark sharing a band bucket) — the
+    train×train and bench×bench quadrants are never formed.
+
+    Scale shape: the benchmark corpus is tiny next to the training
+    corpus, so its signature/band table broadcasts; the training
+    corpus streams through one signature pass and one band-key probe.
+    Verification re-shingles only candidate documents (both sides
+    restricted by semi-joins)."""
+    sig_a = signatures_from_shingles(
+        shingle_table(docs, text_col, shingle_n), num_perms
+    )
+    sig_b = signatures_from_shingles(
+        shingle_table(benchmark, text_col, shingle_n), num_perms
+    )
+    ba = lsh_buckets(sig_a, rows_per_band)
+    bb = lsh_buckets(sig_b, rows_per_band)
+    cand = (
+        ba.select(F.col("doc_id").alias("doc_id"), "band", "bucket")
+        .join(
+            F.broadcast(
+                bb.select(F.col("doc_id").alias("bench_id"), "band", "bucket")
+            ),
+            ["band", "bucket"],
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sh_a = shingle_table(
+        docs.join(cand.select("doc_id").distinct(), "doc_id", "left_semi"),
+        text_col,
+        shingle_n,
+    )
+    sh_b = shingle_table(
+        benchmark.join(
+            cand.select(F.col("bench_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        ),
+        text_col,
+        shingle_n,
+    )
+    sizes_a = sh_a.groupBy("doc_id").agg(F.count("*").alias("sz_a"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("sz_b"))
+    inter = (
+        cand.join(sh_a, "doc_id")
+        .join(
+            sh_b.select(F.col("doc_id").alias("bench_id"), "s"),
+            ["bench_id", "s"],
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes_a, "doc_id")
+        .join(sizes_b.select(F.col("doc_id").alias("bench_id"), "sz_b"), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

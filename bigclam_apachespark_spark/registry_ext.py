@@ -541,7 +541,57 @@ sim AS (
   FROM votes GROUP BY doc_id
 )"""
 
+def _minhash_named(where: str, sfx: str) -> str:
+    """Suffixed minhash+band CTE chain over a filtered documents
+    subset (cross-corpus oracle needs TWO independent signature
+    pipelines; ``perms`` is shared and must be defined once)."""
+    return f"""
+sh{sfx} AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct({char_shingles_sql('text', 5)})) AS s
+  FROM documents WHERE {where}
+),
+shh{sfx} AS (
+  SELECT doc_id, {hash64_sql('s')} % {MINHASH_P} AS h0 FROM sh{sfx}
+),
+sig{sfx} AS MATERIALIZED (
+  SELECT doc_id, perm, min((a * h0 + b) % {MINHASH_P}) AS minhash
+  FROM shh{sfx} CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+bk{sfx} AS (
+  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+         {hash64_sql("array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY perm), ',')")} AS bucket
+  FROM sig{sfx}
+  GROUP BY doc_id, CAST(perm // 4 AS INT)
+)"""
+
+
 DEDUP_ORACLE = {
+    # Cross-corpus decontamination: train (doc_id % 100 != 0) near-
+    # dups against the held-out "benchmark" slice (doc_id % 100 = 0);
+    # only cross pairs are formed.
+    "dedup_cross_corpus": f"""
+        WITH perms(perm, a, b) AS (SELECT * FROM (VALUES {_PERM_VALUES})),
+        {_minhash_named('doc_id % 100 != 0', 'a').strip()},
+        {_minhash_named('doc_id % 100 = 0', 'b').strip()},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+          FROM bka x JOIN bkb y ON x.band = y.band AND x.bucket = y.bucket
+        ),
+        sizesa AS (SELECT doc_id, COUNT(*) AS sz_a FROM sha GROUP BY doc_id),
+        sizesb AS (SELECT doc_id, COUNT(*) AS sz_b FROM shb GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_id, c.bench_id, COUNT(*) AS n_inter
+          FROM cand c JOIN sha ON sha.doc_id = c.doc_id
+                      JOIN shb ON shb.doc_id = c.bench_id AND shb.s = sha.s
+          GROUP BY c.doc_id, c.bench_id
+        )
+        SELECT i.doc_id, i.bench_id,
+               round(CAST(n_inter AS DOUBLE) / (za.sz_a + zb.sz_b - n_inter), 6) AS jaccard
+        FROM inter i JOIN sizesa za ON za.doc_id = i.doc_id
+                     JOIN sizesb zb ON zb.doc_id = i.bench_id
+        WHERE round(CAST(n_inter AS DOUBLE) / (za.sz_a + zb.sz_b - n_inter), 6) >= 0.5
+    """,
     "dedup_exact": f"""
         SELECT min(doc_id) AS doc_id, content_fp FROM (
           SELECT doc_id, {hash64_sql(normalize_text_sql('text'))} AS content_fp
@@ -748,6 +798,11 @@ def _q_dedup_stream(spark, sf):
 
 
 DEDUP_QUERIES = {
+    "dedup_cross_corpus": lambda spark, sf: D.cross_corpus_contamination(
+        _docs(spark, sf).where("doc_id % 100 != 0"),
+        _docs(spark, sf).where("doc_id % 100 = 0"),
+        threshold=0.5,
+    ),
     "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
     "dedup_stream_exact": _q_dedup_stream,
     "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)),

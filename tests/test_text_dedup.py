@@ -515,3 +515,31 @@ def test_pack_sequences(spark):
     out = {r["doc_id"]: (r["bin"], r["bin_offset"])
            for r in pack_sequences(d, budget=6).collect()}
     assert out == {0: (0, 0), 1: (0, 3), 2: (1, 1)}
+
+
+def test_cross_corpus_contamination(spark):
+    from bigclam_apachespark_spark.operators.dedup import (
+        cross_corpus_contamination,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "to the house for a meal of fresh fish and sleeps on the mat"
+    )
+    train = spark.createDataFrame(
+        [(0, base), (1, "completely unrelated content about spark engines"),
+         (2, base.replace("fish", "meat"))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, base + "!"), (101, "zzz qqq www unrelated benchmark prompt")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["bench_id"]): r["jaccard"]
+           for r in cross_corpus_contamination(train, bench, threshold=0.5).collect()}
+    # docs 0 and 2 contaminate against bench 100; doc 1 is clean and
+    # bench 101 matches nothing
+    assert (0, 100) in out and out[(0, 100)] > 0.9
+    assert (2, 100) in out
+    assert all(b == 100 for (_, b) in out)
+    assert not any(d == 1 for (d, _) in out)
