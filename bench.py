@@ -43,6 +43,11 @@ HEADLINE = [
     "text_quality",
     "text_salient_terms",
     "events_retention",
+    "graph_kcore",
+    "graph_assortativity",
+    "text_repetition",
+    "dedup_ngram_decontam",
+    "events_pivot",
     # end-to-end training-corpus prep (clean -> LSH near-dup clusters
     # -> survivor election -> split) — the flagship composition
     "text_training_corpus",
@@ -74,6 +79,11 @@ EXPECTED = {
     "text_quality": 0.3,
     "text_salient_terms": 1.4,
     "events_retention": 0.6,
+    "graph_kcore": 10.6,
+    "graph_assortativity": 2.7,
+    "text_repetition": 0.7,
+    "dedup_ngram_decontam": 5.9,
+    "events_pivot": 0.8,
     "text_training_corpus": 16.8,
 }
 RERUN_FACTOR = 2.0

@@ -100,12 +100,17 @@ def char_shingles_sql(expr: str, n: int = 5) -> str:
     )
 
 
-def word_ngrams(c: Column | str, n: int = 2) -> Column:
-    """Word n-grams of normalized text, space-joined (array<string>,
-    may repeat; empty for documents with < n tokens). DuckDB twin:
-    ``word_ngrams_sql`` — both sides index the same token array, so
-    the grams match byte-for-byte."""
-    tk = tokens(c)
+def word_ngrams_of(tk: Column, n: int = 2) -> Column:
+    """Word n-grams from an ALREADY-MATERIALIZED token-array column.
+
+    Callers should project ``tokens(text).alias("tk")`` first and pass
+    ``F.col("tk")`` here: Catalyst does not common-subexpression-
+    eliminate across lambda boundaries, so inlining ``tokens(text)``
+    re-runs the full regexp_replace+split tokenization once per gram
+    (O(tokens²) per document — measured 3× wall on the decontamination
+    join at sf0.1). A bound column reference slices a built array.
+    CollapseProject keeps the staging projection: the alias is
+    referenced multiple times by a non-cheap expression."""
     # sequence(a, b) with a > b DESCENDS in Spark (it would emit
     # [1, 0] for a 1-token doc) — gate on size explicitly.
     idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
@@ -113,6 +118,15 @@ def word_ngrams(c: Column | str, n: int = 2) -> Column:
     return F.when(F.size(tk) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(c: Column | str, n: int = 2) -> Column:
+    """Word n-grams of normalized text, space-joined (array<string>,
+    may repeat; empty for documents with < n tokens). DuckDB twin:
+    ``word_ngrams_sql`` — both sides index the same token array, so
+    the grams match byte-for-byte. Prefer ``word_ngrams_of`` over a
+    pre-projected token column in hot paths (see its docstring)."""
+    return word_ngrams_of(tokens(c), n)
 
 
 def word_ngrams_sql(tokens_expr: str, n: int = 2) -> str:

@@ -413,10 +413,23 @@ def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     tokenized once, not once per consumer (measured 8 scans → 1 at the
     bigram setting). ``cache_handles``: pass a list to receive the
     handle for deterministic release; otherwise LRU eviction applies."""
-    from bigclam_apachespark_spark.functions.hashing import word_ngrams
+    from bigclam_apachespark_spark.functions.hashing import word_ngrams_of
 
-    units = tokens(text_col) if ngram == 1 else word_ngrams(text_col, ngram)
-    tok = docs.select("doc_id", F.explode(F.array_distinct(units)).alias("t")).cache()
+    if ngram == 1:
+        tok = docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("t")
+        ).cache()
+    else:
+        # tokens staged first (see word_ngrams_of: no CSE across
+        # lambda boundaries — inlining re-tokenizes per gram).
+        tok = (
+            docs.select("doc_id", tokens(text_col).alias("tk"))
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(word_ngrams_of(F.col("tk"), ngram))).alias("t"),
+            )
+            .cache()
+        )
     if cache_handles is not None:
         cache_handles.append(tok)
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -634,4 +647,76 @@ def cross_corpus_contamination(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_decontamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram decontamination (the GPT-3/PaLM "13-gram
+    overlap" family, n configurable) → ``(doc_id, bench_id, n_shared,
+    bench_frac)``: training documents sharing ≥ ``min_shared`` exact
+    n-grams with a benchmark document, with bench_frac = shared /
+    benchmark's distinct n-grams (the fraction of the eval doc that
+    is contaminated). Complements ``cross_corpus_contamination``
+    (MinHash near-dup): exact n-gram hits catch verbatim quotation of
+    eval items inside otherwise-unrelated training docs, which
+    set-level Jaccard dilutes below any threshold.
+
+    Exactness: n-grams are md5-hashed (hash64) before the join — the
+    hashed value is the join key AND the count unit on both engines,
+    so the metric is integer-exact; bench_frac is one IEEE division,
+    rounded at 6.
+
+    Scale shape: benchmark corpora are tiny next to training corpora
+    — the benchmark gram table broadcasts and the training corpus
+    streams through one explode + one broadcast-join + one hash-agg;
+    the train×train quadrant is never formed. ``max_df`` optionally
+    drops training grams whose corpus df exceeds the cap (boilerplate
+    n-grams at 100 TB inflate the join fan-out; capped grams can only
+    lower n_shared for boilerplate-only pairs — mirrored by the
+    oracle, so the gate semantics stay exact)."""
+    from bigclam_apachespark_spark.functions.hashing import (
+        hash64,
+        tokens,
+        word_ngrams_of,
+    )
+
+    def _grams(df):
+        # tokens staged in their own projection: building n-grams from
+        # an inlined tokens(text) re-tokenizes per gram inside the
+        # transform lambda (no CSE across lambda boundaries).
+        return df.select("doc_id", tokens(text_col).alias("tk")).select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams_of(F.col("tk"), n))).alias("gram"),
+        )
+
+    g_t = _grams(train).select("doc_id", hash64("gram").alias("g"))
+    if max_df is not None:
+        ok = (
+            g_t.groupBy("g").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("g")
+        )
+        g_t = g_t.join(ok, "g")
+    g_b = _grams(benchmark).select(
+        F.col("doc_id").alias("bench_id"), hash64("gram").alias("g")
+    )
+    sizes_b = g_b.groupBy("bench_id").agg(F.count("*").alias("sz_b"))
+    shared = (
+        g_t.join(F.broadcast(g_b), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(F.broadcast(sizes_b), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.col("sz_b"), 6).alias("bench_frac"),
     )

@@ -383,3 +383,85 @@ def pagerank_weighted(
         ranks = new_ranks
     ew.unpersist()
     return ranks.select("id", F.round("r", 6).alias("rank"))
+
+
+def kcore(sym_edges: DataFrame, k: int = 80, rounds: int = 8) -> DataFrame:
+    """k-core via ``rounds`` peeling iterations → ``(id, core_deg)``:
+    repeatedly delete vertices of degree < k (each deletion lowers
+    neighbors' degrees, cascading), then report surviving vertices
+    with their within-core degree. Extension of the graph substrate —
+    the reference has no subgraph-refinement operator.
+
+    Bounded-round contract (same as ``pagerank``): peeling is a
+    monotone fixpoint — once no vertex falls below k an extra round
+    is the identity — so a fixed ``rounds`` is deterministic on both
+    engines (the DuckDB twin unrolls the same chain) and equals the
+    true k-core whenever the cascade has converged (measured: 6
+    rounds at sf0.01, k=80). The final filter re-applies deg ≥ k so
+    an unconverged run under-reports degrees but never emits a
+    vertex already known to be outside the core.
+
+    Scale shape: each round is one hash-agg (degrees, map-side
+    combine) + two semi-joins of the edge list against the shrinking
+    alive set (AQE broadcasts it once it fits); the edge list is
+    localCheckpoint'd per round so the plan does not grow, and the
+    superseded generation is unpersisted. Peeling touches only the
+    ever-shrinking subgraph — at 100 TB the first round's degree agg
+    is the dominant (and unavoidable) cost."""
+    e = sym_edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select(F.col("src").alias("id"))
+        )
+        e_new = (
+            e.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        e.unpersist()
+        e = e_new
+    out = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("core_deg"))
+        .where(F.col("core_deg") >= k)
+    )
+    return out
+
+
+def degree_assortativity(sym_edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Pearson correlation of endpoint degrees
+    over the directed edge rows of the symmetric view) → one row
+    ``(n_edges, r)``. Positive r = hubs link to hubs; the standard
+    one-number mixing summary of a graph.
+
+    Exactness: counts and degree sums (n, Σx, Σy) stay integer; the
+    product sums (Σxy, Σx², Σy²) are double — n·Σxy overflows BIGINT
+    beyond ~10⁶ edges × 10⁴ degrees, so exact integer arithmetic
+    does not survive scale — and the final r is rounded to 6
+    decimals, the repo-wide convention for fold-order-dependent
+    sums. One degrees agg + two joins + one global agg; nothing
+    leaves the executors but 6 numbers."""
+    deg = degrees(sym_edges)
+    e = (
+        sym_edges.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("dy")), "dst")
+    )
+    s = e.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx").cast("double") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx").cast("double") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy").cast("double") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx").cast("double")) * F.sqrt(
+        n * F.col("syy") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_edges"), F.round(num / den, 6).alias("assortativity")
+    )

@@ -565,3 +565,67 @@ def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFra
         hash64("norm").alias("content_fp"),
         F.array_min(F.transform(shingles, lambda s: hash64(s))).alias("min_shingle_fp"),
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText
+    quality-filter family) → one row per (doc, n): ``(doc_id, gram_n,
+    n_grams, n_distinct_grams, top_count, dup_gram_frac,
+    top_gram_frac)`` where dup_gram_frac = 1 − distinct/total (mass in
+    repeated n-grams) and top_gram_frac = occurrences of the most
+    frequent n-gram / total. High values flag boilerplate / SEO spam /
+    template text that per-doc quality scores miss.
+
+    Exactness: every ratio is one IEEE division of two exact
+    integers, rounded at 6 — bit-stable cross-engine (same argument
+    as salient_terms). Docs with < n tokens emit a zero row (left
+    join back to the corpus), so row count = |docs| × |ns| always.
+
+    Scale shape: one explode + one (doc, gram) hash-agg + one per-doc
+    agg per n — map-side combine on both aggs; the per-doc state is
+    three integers. Deliberately NOT the higher-order-function
+    formulation (max over array_distinct is O(len²) per row — fine
+    for short docs, quadratic death on 100k-token documents)."""
+    from functools import reduce
+
+    from bigclam_apachespark_spark.functions.hashing import word_ngrams_of
+
+    ids = docs.select("doc_id")
+    # tokens staged once per branch (see word_ngrams_of: no CSE across
+    # lambda boundaries — inlining would re-tokenize per gram).
+    tk = docs.select("doc_id", tokens(text_col).alias("tk"))
+    parts = []
+    for n in ns:
+        grams = tk.select(
+            "doc_id", F.explode(word_ngrams_of(F.col("tk"), n)).alias("g")
+        )
+        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        per_doc = counts.groupBy("doc_id").agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct_grams"),
+            F.max("c").alias("top_count"),
+        )
+        parts.append(
+            ids.join(per_doc, "doc_id", "left").select(
+                "doc_id",
+                F.lit(n).cast("int").alias("gram_n"),
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+                F.coalesce("top_count", F.lit(0)).alias("top_count"),
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    tot = F.col("n_grams").cast("double")
+    dup = (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+    return u.select(
+        "doc_id", "gram_n", "n_grams", "n_distinct_grams", "top_count",
+        F.round(
+            F.when(F.col("n_grams") > 0, dup / tot).otherwise(F.lit(0.0)), 6
+        ).alias("dup_gram_frac"),
+        F.round(
+            F.when(F.col("n_grams") > 0, F.col("top_count").cast("double") / tot)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_gram_frac"),
+    )

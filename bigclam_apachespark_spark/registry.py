@@ -163,6 +163,18 @@ def q_pagerank_weighted(spark, sf_dir):
     return G.pagerank_weighted(weighted_copurchase_edges(spark, sf_dir, 2), n_iter=5)
 
 
+def q_kcore(spark, sf_dir):
+    """k-core (k=80) of the co-purchase graph via 8 bounded peeling
+    rounds (converged at round 6 on sf0.01 — the oracle unrolls the
+    identical chain)."""
+    return G.kcore(_sym(spark, sf_dir), k=80, rounds=8)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (one-row Pearson r of endpoint degrees)."""
+    return G.degree_assortativity(_sym(spark, sf_dir))
+
+
 def q_components(spark, sf_dir):
     """Weakly connected components of the support-≥2 co-purchase
     graph (thresholding sparsifies ~30×, which keeps the oracle's
@@ -191,7 +203,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_pagerank,
     "graph_components": q_components,
     "graph_pagerank_weighted": q_pagerank_weighted,
+    "graph_kcore": q_kcore,
+    "graph_assortativity": q_assortativity,
 }
+
+
+def _kcore_sql(k: int = 80, rounds: int = 8) -> str:
+    """Unrolled bounded-round peeling chain (DuckDB twin of
+    operators/graph.py kcore). Every round CTE is MATERIALIZED:
+    DuckDB inlines CTEs by default and each round references the
+    previous one 3× (edge list + both alive probes), so the inlined
+    tree re-reads the base scan 3^rounds times — materialization
+    makes the chain linear, exactly like the Spark side's
+    localCheckpoint cadence."""
+    parts = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for i in range(rounds):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT src AS id FROM e{i} GROUP BY src HAVING COUNT(*) >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN a{i} x ON x.id = e.src JOIN a{i} y ON y.id = e.dst
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e{rounds} GROUP BY src HAVING COUNT(*) >= {k}"""
+    )
 
 
 # Support-thresholded weighted co-purchase edges (basket-set
@@ -356,6 +396,33 @@ ORACLE: dict[str, str] = {
         SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
     """,
     "graph_pagerank_weighted": f"WITH {_WEDGES_SQL},\n{_pagerank_weighted_sql(5)}",
+    "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
+    # Assortativity: integer count/degree sums stay BIGINT; the
+    # product sums are DOUBLE on both engines (n·Σxy overflows BIGINT
+    # at scale) and the final r is rounded at 6 — the repo convention
+    # for fold-order-dependent sums.
+    "graph_assortativity": f"""
+        WITH {EDGES_SQL}, {SYM_SQL},
+        deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+        ej AS (
+          SELECT a.degree AS dx, b.degree AS dy
+          FROM sym s JOIN deg a ON a.id = s.src JOIN deg b ON b.id = s.dst
+        ),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+                 SUM(CAST(dx AS DOUBLE) * dy) AS sxy,
+                 SUM(CAST(dx AS DOUBLE) * dx) AS sxx,
+                 SUM(CAST(dy AS DOUBLE) * dy) AS syy
+          FROM ej
+        )
+        SELECT n AS n_edges,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS assortativity
+        FROM s
+    """,
 }
 
 # ---------------------------------------------------------------------------

@@ -334,6 +334,40 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    # Repetition signals (Gopher/MassiveText family): every ratio is
+    # one IEEE division of two exact integers, rounded at 6 — the
+    # same bit-stability class as salient_terms.
+    "text_repetition": f"""
+        WITH tk AS (SELECT doc_id, {TOKENS} AS tk FROM documents),
+        g AS (
+          SELECT doc_id, 2 AS gram_n, unnest({word_ngrams_sql('tk', 2)}) AS g FROM tk
+          UNION ALL
+          SELECT doc_id, 3 AS gram_n, unnest({word_ngrams_sql('tk', 3)}) AS g FROM tk
+        ),
+        c AS (
+          SELECT doc_id, gram_n, g, CAST(COUNT(*) AS BIGINT) AS c
+          FROM g GROUP BY doc_id, gram_n, g
+        ),
+        pd AS (
+          SELECT doc_id, gram_n,
+                 CAST(SUM(c) AS BIGINT) AS n_grams,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+                 CAST(MAX(c) AS BIGINT) AS top_count
+          FROM c GROUP BY doc_id, gram_n
+        ),
+        base AS (SELECT doc_id, unnest([2, 3]) AS gram_n FROM documents)
+        SELECT b.doc_id, CAST(b.gram_n AS INT) AS gram_n,
+               COALESCE(n_grams, 0) AS n_grams,
+               COALESCE(n_distinct_grams, 0) AS n_distinct_grams,
+               COALESCE(top_count, 0) AS top_count,
+               round(CASE WHEN COALESCE(n_grams, 0) > 0
+                          THEN CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams
+                          ELSE 0.0 END, 6) AS dup_gram_frac,
+               round(CASE WHEN COALESCE(n_grams, 0) > 0
+                          THEN CAST(top_count AS DOUBLE) / n_grams
+                          ELSE 0.0 END, 6) AS top_gram_frac
+        FROM base b LEFT JOIN pd USING (doc_id, gram_n)
+    """,
 }
 
 # Repo-shipped JSONL corpus fixture (sources/docs.py): scanned by
@@ -417,6 +451,7 @@ TEXT_QUERIES = {
     "text_split_leakage": lambda spark, sf: X.split_leakage(
         _docs(spark, sf), near_dup_threshold=0.35
     ),
+    "text_repetition": lambda spark, sf: X.repetition_signals(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------
@@ -567,6 +602,31 @@ bk{sfx} AS (
 
 
 DEDUP_ORACLE = {
+    # Exact word-4-gram decontamination: train (doc_id % 10 != 0) vs
+    # the benchmark slice (doc_id % 10 = 0); integer-exact shared-gram
+    # counts over md5-hashed grams, min_shared = 2 cuts single-gram
+    # chance collisions.
+    "dedup_ngram_decontam": f"""
+        WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+        gr AS (
+          SELECT doc_id, {hash64_sql('g')} AS g FROM (
+            SELECT doc_id, unnest(list_distinct({word_ngrams_sql('tk', 4)})) AS g
+            FROM tk
+          )
+        ),
+        tr AS (SELECT doc_id, g FROM gr WHERE doc_id % 10 != 0),
+        be AS (SELECT doc_id AS bench_id, g FROM gr WHERE doc_id % 10 = 0),
+        sz AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS sz_b FROM be GROUP BY bench_id),
+        sh AS (
+          SELECT t.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM tr t JOIN be b USING (g)
+          GROUP BY t.doc_id, b.bench_id
+          HAVING COUNT(*) >= 2
+        )
+        SELECT s.doc_id, s.bench_id, s.n_shared,
+               round(CAST(s.n_shared AS DOUBLE) / z.sz_b, 6) AS bench_frac
+        FROM sh s JOIN sz z USING (bench_id)
+    """,
     # Cross-corpus decontamination: train (doc_id % 100 != 0) near-
     # dups against the held-out "benchmark" slice (doc_id % 100 = 0);
     # only cross pairs are formed.
@@ -798,6 +858,12 @@ def _q_dedup_stream(spark, sf):
 
 
 DEDUP_QUERIES = {
+    "dedup_ngram_decontam": lambda spark, sf: D.ngram_decontamination(
+        _docs(spark, sf).where("doc_id % 10 != 0"),
+        _docs(spark, sf).where("doc_id % 10 = 0"),
+        n=4,
+        min_shared=2,
+    ),
     "dedup_cross_corpus": lambda spark, sf: D.cross_corpus_contamination(
         _docs(spark, sf).where("doc_id % 100 != 0"),
         _docs(spark, sf).where("doc_id % 100 = 0"),
@@ -1263,6 +1329,17 @@ EVENT_ORACLE = {
         FROM events
         GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400)
     """,
+    # PIVOT surface: conditional-aggregation twin of the Spark
+    # groupBy().pivot() with the explicit value list.
+    "events_pivot": """
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY 1
+    """,
     # Set EXCEPT: click users who never purchased.
     "events_click_no_purchase": """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
@@ -1657,6 +1734,7 @@ EVENT_QUERIES = {
     "events_gapfill": lambda spark, sf: E.gapfill_locf(_events(spark, sf)),
     "events_ohlc": lambda spark, sf: E.resample_ohlc(_events(spark, sf)),
     "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
+    "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
     "events_click_no_purchase": lambda spark, sf: E.clicked_never_purchased(
         _events(spark, sf)
     ),

@@ -192,3 +192,39 @@ def test_pagerank_weighted_prefers_heavy_edges(spark):
     assert out[1] > out[2] == out[3]
     import math
     assert math.isclose(sum(out.values()) / 4, 1.0, rel_tol=1e-4)
+
+
+def test_kcore_g1(spark, g1_edges):
+    """Two 4-cliques + bridge: every vertex has degree >= 3, so the
+    3-core is the whole graph with original degrees; the 4-core
+    cascades to empty (only the bridge endpoints have degree 4, and
+    the subgraph they induce is a single edge)."""
+    from bigclam_apachespark_spark.operators.graph import kcore, symmetrize
+
+    sym = symmetrize(g1_edges)
+    core3 = {(r.id, r.core_deg) for r in kcore(sym, k=3, rounds=4).collect()}
+    assert core3 == {(0, 3), (1, 3), (2, 3), (3, 4), (4, 4), (5, 3), (6, 3), (7, 3)}
+    assert kcore(sym, k=4, rounds=4).count() == 0
+
+
+def test_kcore_path_cascades_to_empty(spark, g2_edges):
+    """P4 at k=2: endpoints peel first, then the cascade unravels the
+    whole path — the classic k-core cascade."""
+    from bigclam_apachespark_spark.operators.graph import kcore, symmetrize
+
+    assert kcore(symmetrize(g2_edges), k=2, rounds=4).count() == 0
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """Star S3: degree pairs over directed rows are (3,1) and (1,3)
+    only — perfectly disassortative, r = -1 exactly."""
+    from bigclam_apachespark_spark.operators.graph import (
+        degree_assortativity,
+        symmetrize,
+    )
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    star = edges_from_pairs(spark, [(0, 1), (0, 2), (0, 3)])
+    row = degree_assortativity(symmetrize(star)).collect()[0]
+    assert row.n_edges == 6
+    assert row.assortativity == -1.0

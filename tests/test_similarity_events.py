@@ -585,3 +585,22 @@ def test_timestamp_ops_are_timezone_independent(spark):
         assert sorted(map(repr, gapfill_locf(ev).collect())) == baseline_gap
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_type_pivot_hand_computed(spark):
+    """Three events over two days pivot into a fixed 5-column count
+    matrix with zeros (not NULLs) for absent combinations."""
+    from bigclam_apachespark_spark.operators.events import type_pivot
+
+    events = spark.createDataFrame(
+        [
+            (1, "1970-01-01 05:00:00", 10, "click"),
+            (2, "1970-01-01 06:00:00", 11, "click"),
+            (3, "1970-01-02 07:00:00", 10, "purchase"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id", "event_type")
+    rows = {r.day: r for r in type_pivot(events).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0].click, rows[0].purchase, rows[0].view) == (2, 0, 0)
+    assert (rows[1].click, rows[1].purchase) == (0, 1)

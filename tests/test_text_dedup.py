@@ -543,3 +543,45 @@ def test_cross_corpus_contamination(spark):
     assert (2, 100) in out
     assert all(b == 100 for (_, b) in out)
     assert not any(d == 1 for (d, _) in out)
+
+
+def test_repetition_signals_hand_computed(spark):
+    """'a b a b a b': 2-grams [ab, ba, ab, ba, ab] → 5 total / 2
+    distinct / top 3; 3-grams [aba, bab, aba, bab] → 4/2/2. A doc
+    with one token has no grams → zero row, not a missing row."""
+    from bigclam_apachespark_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "solo")], "doc_id long, text string"
+    )
+    rows = {(r.doc_id, r.gram_n): r for r in repetition_signals(docs).collect()}
+    assert len(rows) == 4
+    r2 = rows[(1, 2)]
+    assert (r2.n_grams, r2.n_distinct_grams, r2.top_count) == (5, 2, 3)
+    assert r2.dup_gram_frac == 0.6 and r2.top_gram_frac == 0.6
+    r3 = rows[(1, 3)]
+    assert (r3.n_grams, r3.n_distinct_grams, r3.top_count) == (4, 2, 2)
+    assert r3.dup_gram_frac == 0.5 and r3.top_gram_frac == 0.5
+    z = rows[(2, 2)]
+    assert (z.n_grams, z.n_distinct_grams, z.top_count) == (0, 0, 0)
+    assert z.dup_gram_frac == 0.0 and z.top_gram_frac == 0.0
+
+
+def test_ngram_decontamination_hand_computed(spark):
+    """Train doc sharing the 4-gram 'w x y z' with a benchmark doc of
+    two distinct 4-grams → n_shared 1, bench_frac 0.5; an unrelated
+    train doc produces no pair."""
+    from bigclam_apachespark_spark.operators.dedup import ngram_decontamination
+
+    train = spark.createDataFrame(
+        [(1, "w x y z q"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "p w x y z")], "doc_id long, text string"
+    )
+    out = ngram_decontamination(train, bench, n=4, min_shared=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.bench_id, r.n_shared, r.bench_frac) == (1, 100, 1, 0.5)
+    assert ngram_decontamination(train, bench, n=4, min_shared=2).count() == 0
