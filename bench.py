@@ -48,6 +48,8 @@ HEADLINE = [
     "text_repetition",
     "dedup_ngram_decontam",
     "events_pivot",
+    "text_gopher_filter",
+    "sim_pair_hist",
     # end-to-end training-corpus prep (clean -> LSH near-dup clusters
     # -> survivor election -> split) — the flagship composition
     "text_training_corpus",
@@ -84,6 +86,8 @@ EXPECTED = {
     "text_repetition": 0.7,
     "dedup_ngram_decontam": 5.9,
     "events_pivot": 0.8,
+    "text_gopher_filter": 2.4,
+    "sim_pair_hist": 4.5,
     "text_training_corpus": 16.8,
 }
 RERUN_FACTOR = 2.0

@@ -519,3 +519,51 @@ def lsh_topk_multi(
         .where(F.col("rank") <= k)
         .select("q", id_col, "rank", "cos_sim")
     )
+
+
+def cosine_histogram(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 5,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Pairwise-cosine distribution over a deterministic id-sample →
+    ``(bin, n_pairs)`` with bin = ⌊(cos+1)·n_bins/2⌋ over [−1, 1] —
+    the embedding-geometry health check (collapsed embeddings pile
+    into the top bins; healthy ones spread): run it before tuning any
+    ANN/near-dup threshold, because the threshold only means
+    something relative to this bulk.
+
+    Sampling IDS first (md5-hash % sample_mod), then forming pairs
+    within the sample, keeps the quadratic blowup in the SAMPLED
+    size: |S|²/2 pairs for |S| = N/sample_mod rows — the knob scales
+    the cost independently of corpus size, and the id-hash sample is
+    reproducible (no rand()). Pair-sampling after a full cross join
+    would form N²/2 rows before dropping 96% of them.
+
+    Exactness: cos comes from exact integer micro-unit dots and
+    correctly-rounded sqrt/multiply/divide — bit-identical
+    cross-engine — so the discrete bin assignment cannot flip (same
+    argument as the fixed-point LSH sign test)."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    s = quantized(
+        embeddings.where(hash64(F.col(id_col).cast("string")) % sample_mod == 0),
+        id_col,
+        vec_col,
+    )
+    a = s.select(F.col(id_col).alias("a"), F.col("qv").alias("qa"), F.col("nrm").alias("na"))
+    b = s.select(F.col(id_col).alias("b"), F.col("qv").alias("qb"), F.col("nrm").alias("nb"))
+    cos = _dot_long("qa", "qb").cast("double") / (F.col("na") * F.col("nb"))
+    binc = F.least(
+        F.floor((cos + F.lit(1.0)) * F.lit(n_bins / 2.0)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -629,3 +629,65 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
             6,
         ).alias("top_gram_frac"),
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 10_000,
+    word_len_range: tuple[float, float] = (2.0, 12.0),
+    min_stop_hits: int = 1,
+    max_dup_2gram: float = 0.05,
+    max_top_2gram: float = 0.06,
+) -> DataFrame:
+    """Rule-based corpus filter (the Gopher/MassiveText rule family,
+    thresholds parameterized) → ``(doc_id, n_tokens, flags, keep)``
+    with ``flags`` a bitmask of failed rules:
+
+      bit 0: token count outside [min_tokens, max_tokens]
+      bit 1: mean word length outside word_len_range
+      bit 2: fewer than min_stop_hits distinct EN stopwords
+      bit 3: duplicate-2-gram mass > max_dup_2gram
+      bit 4: top-2-gram mass > max_top_2gram
+
+    ``keep`` = no rule failed. Reporting the bitmask (not just the
+    boolean) is the production shape: filter-rule ablations need
+    per-rule hit rates, and a pipeline that only stores the verdict
+    re-runs the whole scan per ablation.
+
+    Exactness: every threshold compares an integer or a ROUNDED
+    ratio (round 6 on both engines before comparing), so the
+    keep/drop decision cannot flip cross-engine — the clean_corpus
+    discipline. One narrow map + the 2-gram agg pair from
+    repetition_signals + one join back on doc_id."""
+    toks = tokens(text_col)
+    _, _, mean_word_len, _ = _quality_parts(text_col)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mwl"),
+        _stopword_hits(F.array_distinct(toks), EN_STOPWORDS).alias("stop_hits"),
+    )
+    rep = repetition_signals(docs, text_col, ns=(2,)).select(
+        "doc_id", "dup_gram_frac", "top_gram_frac"
+    )
+    j = base.join(rep, "doc_id")
+    r_len = (F.col("n_tokens") < min_tokens) | (F.col("n_tokens") > max_tokens)
+    r_mwl = (F.col("mwl") < word_len_range[0]) | (F.col("mwl") > word_len_range[1])
+    r_stop = F.col("stop_hits") < min_stop_hits
+    r_dup = F.col("dup_gram_frac") > max_dup_2gram
+    r_top = F.col("top_gram_frac") > max_top_2gram
+    flags = (
+        r_len.cast("int")
+        + r_mwl.cast("int") * 2
+        + r_stop.cast("int") * 4
+        + r_dup.cast("int") * 8
+        + r_top.cast("int") * 16
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        flags.alias("flags"),
+        (flags == 0).alias("keep"),
+    )

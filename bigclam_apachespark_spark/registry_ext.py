@@ -334,6 +334,48 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    # Gopher-style rule filter: every threshold compares an integer
+    # or a ROUNDED ratio, so the bitmask (and keep/drop) is bit-exact
+    # cross-engine — the clean_corpus discipline.
+    "text_gopher_filter": f"""
+        WITH tk AS (SELECT doc_id, {TOKENS} AS tk, text FROM documents),
+        base AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS INT) AS n_tokens,
+                 round(CAST(length({normalize_text_sql('text')}) AS DOUBLE)
+                       / greatest(len(tk), 1), 6) AS mwl,
+                 CAST(len(list_intersect(list_distinct(tk), {_sql_list(EN_STOPWORDS)})) AS INT)
+                   AS stop_hits
+          FROM tk
+        ),
+        g AS (SELECT doc_id, unnest({word_ngrams_sql('tk', 2)}) AS g FROM tk),
+        c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, g),
+        pd AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                 CAST(COUNT(*) AS BIGINT) AS dn, CAST(MAX(c) AS BIGINT) AS tc
+          FROM c GROUP BY doc_id
+        ),
+        rep AS (
+          SELECT b.doc_id,
+                 round(CASE WHEN COALESCE(n_grams, 0) > 0
+                            THEN CAST(n_grams - dn AS DOUBLE) / n_grams
+                            ELSE 0.0 END, 6) AS dup2,
+                 round(CASE WHEN COALESCE(n_grams, 0) > 0
+                            THEN CAST(tc AS DOUBLE) / n_grams
+                            ELSE 0.0 END, 6) AS top2
+          FROM base b LEFT JOIN pd USING (doc_id)
+        ),
+        flagged AS (
+          SELECT b.doc_id, b.n_tokens,
+                 CAST((CASE WHEN b.n_tokens < 30 OR b.n_tokens > 10000 THEN 1 ELSE 0 END)
+                    + (CASE WHEN b.mwl < 2.0 OR b.mwl > 12.0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN b.stop_hits < 1 THEN 4 ELSE 0 END)
+                    + (CASE WHEN r.dup2 > 0.05 THEN 8 ELSE 0 END)
+                    + (CASE WHEN r.top2 > 0.06 THEN 16 ELSE 0 END) AS INT) AS flags
+          FROM base b JOIN rep r USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, flags, flags = 0 AS keep FROM flagged
+    """,
     # Repetition signals (Gopher/MassiveText family): every ratio is
     # one IEEE division of two exact integers, rounded at 6 — the
     # same bit-stability class as salient_terms.
@@ -452,6 +494,7 @@ TEXT_QUERIES = {
         _docs(spark, sf), near_dup_threshold=0.35
     ),
     "text_repetition": lambda spark, sf: X.repetition_signals(_docs(spark, sf)),
+    "text_gopher_filter": lambda spark, sf: X.gopher_filter(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------
@@ -1217,7 +1260,23 @@ def _q_sim_dedup_survivors(spark, sf):
         F.col("doc_id").alias("vec_id"), "cluster_id", "keep"
     )
 
+SIM_ORACLE["sim_pair_hist"] = f"""
+    WITH {EMB_SQL},
+    samp AS (
+      SELECT vec_id, qv, nrm FROM emb
+      WHERE {hash64_sql("CAST(vec_id AS VARCHAR)")} % 5 = 0
+    ),
+    pairs AS (
+      SELECT {_cosq_sql('a.qv', 'a.nrm', 'b.qv', 'b.nrm')} AS cos
+      FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(least(floor((cos + 1.0) * 10.0), 19) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+"""
+
 SIM_QUERIES = {
+    "sim_pair_hist": lambda spark, sf: S.cosine_histogram(_emb(spark, sf)),
     "sim_ivf_topk": lambda spark, sf: S.ivf_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),

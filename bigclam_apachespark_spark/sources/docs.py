@@ -60,3 +60,28 @@ def write_corpus_partitioned(df: DataFrame, path: str, by: str = "split") -> Non
     low-cardinality: partitioning by a high-cardinality key creates
     one directory per value and kills the file system at scale."""
     df.write.mode("overwrite").partitionBy(by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str = "doc_id", n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Bucketed + per-bucket-sorted parquet table sink (``bucketBy``
+    requires ``saveAsTable`` — the bucket spec lives in the catalog,
+    not the files). Two tables bucketed identically on the join key
+    are CO-LOCATED: a join between them compiles to a zero-Exchange
+    SortMergeJoin (asserted in tests/test_plans.py), because each
+    bucket pair joins independently. At 100 TB this is the tool for
+    keys joined repeatedly across jobs — the shuffle is paid once at
+    write time instead of once per join; group-bys on the bucket key
+    skip their Exchange the same way. Keep n_buckets a multiple of
+    the usual parallelism; too few buckets caps join parallelism."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -188,3 +188,28 @@ def test_unigram_logprob_no_python(spark):
     plan = _plan(spark, "text_unigram_logprob")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed identically on the join key co-locate:
+    the join plans as SortMergeJoin with ZERO Exchange (the shuffle
+    was paid at write time). Broadcast is disabled for the assertion
+    so the small fixture cannot sidestep the shuffle question."""
+    from bigclam_apachespark_spark.sources.docs import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    stats = docs.selectExpr("doc_id", "length(text) AS n")
+    write_bucketed(docs, "b_docs", "doc_id", 4, str(tmp_path / "b_docs"))
+    write_bucketed(stats, "b_stats", "doc_id", 4, str(tmp_path / "b_stats"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_docs").join(spark.table("b_stats"), "doc_id")
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_stats")

@@ -585,3 +585,40 @@ def test_ngram_decontamination_hand_computed(spark):
     r = out[0]
     assert (r.doc_id, r.bench_id, r.n_shared, r.bench_frac) == (1, 100, 1, 0.5)
     assert ngram_decontamination(train, bench, n=4, min_shared=2).count() == 0
+
+
+def test_gopher_filter_rule_bits(spark):
+    """Each rule bit fires on a purpose-built document: too-short
+    text (bit 0), no stopwords (bit 2), heavy 2-gram repetition
+    (bits 3+4); a long clean doc keeps."""
+    from bigclam_apachespark_spark.operators.text import gopher_filter
+
+    # 36 tokens, all 2-grams distinct, contains a stopword
+    clean = "the " + " ".join(f"word{i}" for i in range(35))
+    reps = "spam ham " * 40
+    docs = spark.createDataFrame(
+        [(1, clean), (2, "tiny doc the"), (3, reps.strip())],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert rows[1].keep and rows[1].flags == 0
+    assert rows[2].flags & 1  # under min_tokens
+    assert not rows[2].keep
+    # 'spam ham' x40: huge duplicate + top 2-gram mass, no stopwords
+    assert rows[3].flags & 4 and rows[3].flags & 8 and rows[3].flags & 16
+
+
+def test_cosine_histogram_identical_vectors(spark):
+    """Sampled identical unit vectors: every pair lands in the top
+    bin (cos=1 -> floor(2*10)=20 clamps to 19); total pair count =
+    C(|sample|, 2)."""
+    from bigclam_apachespark_spark.operators.similarity import cosine_histogram
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_histogram(emb, sample_mod=2).collect()
+    assert len(out) == 1 and out[0].bin == 19
+    import math
+    n_sampled = out[0].n_pairs
+    k = (1 + math.isqrt(1 + 8 * n_sampled)) // 2
+    assert k * (k - 1) // 2 == n_sampled
