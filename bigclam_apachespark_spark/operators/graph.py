@@ -409,6 +409,7 @@ def kcore(sym_edges: DataFrame, k: int = 80, rounds: int = 8) -> DataFrame:
     ever-shrinking subgraph — at 100 TB the first round's degree agg
     is the dominant (and unavoidable) cost."""
     e = sym_edges.localCheckpoint(eager=True)
+    n_prev = e.count()
     for _ in range(rounds):
         alive = (
             e.groupBy("src")
@@ -423,6 +424,14 @@ def kcore(sym_edges: DataFrame, k: int = 80, rounds: int = 8) -> DataFrame:
         )
         e.unpersist()
         e = e_new
+        # Early exit at the fixpoint: peeling removed nothing, so every
+        # further round is the identity — the result is bit-identical
+        # to running all `rounds` rounds (the bounded-round oracle twin
+        # stays exact). The count is free: e is already materialized.
+        n = e.count()
+        if n == n_prev:
+            break
+        n_prev = n
     out = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("core_deg"))

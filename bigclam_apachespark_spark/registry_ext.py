@@ -1609,6 +1609,18 @@ EVENT_ORACLE = {
                round(SUM(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    # Stream-static dimension join replay: enrich each event with the
+    # customer market segment (broadcast per micro-batch, zero join
+    # state), then the watermarked tumbling agg — must equal the plain
+    # batch join+agg.
+    "events_stream_enrich": """
+        SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+               c.c_mktsegment AS segment,
+               COUNT(*) AS n_events,
+               round(SUM(e.value), 6) AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+    """,
 }
 
 
@@ -1623,6 +1635,25 @@ def _q_stream_tumbling(spark, sf):
     name = "stream_tumbling_oracle"
     return run_stream_to_memory(
         windowed_counts_stream(stream, "1 hour"), name, "complete", strict=True
+    )
+
+
+def _q_stream_enrich(spark, sf):
+    from bigclam_apachespark_spark.streaming import (
+        enriched_counts_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    dims = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return run_stream_to_memory(
+        enriched_counts_stream(stream, dims),
+        "stream_enrich_oracle",
+        "complete",
+        strict=True,
     )
 
 
@@ -1810,6 +1841,7 @@ EVENT_QUERIES = {
     ),
     "events_stream_interval_join": _q_stream_interval_join,
     "events_stream_tumbling": _q_stream_tumbling,
+    "events_stream_enrich": _q_stream_enrich,
     "events_stream_sessionize": _q_stream_sessionize,
 }
 

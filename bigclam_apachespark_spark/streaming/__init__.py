@@ -1,6 +1,7 @@
 from bigclam_apachespark_spark.streaming.events_stream import (
     read_events_stream,
     windowed_counts_stream,
+    enriched_counts_stream,
     click_attribution_stream,
     sessionize_stream,
     run_stream_to_memory,
@@ -13,6 +14,7 @@ from bigclam_apachespark_spark.streaming.docs_stream import (
 __all__ = [
     "read_events_stream",
     "windowed_counts_stream",
+    "enriched_counts_stream",
     "click_attribution_stream",
     "sessionize_stream",
     "run_stream_to_memory",

@@ -412,3 +412,43 @@ def run_stream_to_memory(
             "watchdog; refusing to return a truncated sink in strict mode"
         )
     return stream_df.sparkSession.table(query_name)
+
+
+def enriched_counts_stream(
+    events: DataFrame,
+    dims: DataFrame,
+    dim_key: str = "c_custkey",
+    dim_col: str = "c_mktsegment",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC dimension join + windowed counts per segment →
+    ``(window_start, segment, n_events, sum_value)`` — the most
+    common production streaming shape (enrich each event with a
+    slowly-changing dimension, then aggregate by the enriched
+    attribute).
+
+    State story: unlike a stream-stream join, the static side joins
+    each micro-batch as an ordinary BROADCAST hash join — no state
+    store entries at all; only the windowed agg keeps state, bounded
+    by the watermark. The static table is re-resolvable per batch
+    (file sources pick up overwrites), which is the cheap
+    slowly-changing-dimension story at scale. Same NTZ sink contract
+    as ``windowed_counts_stream``."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    start_ntz = F.timestamp_add(
+        "MICROSECOND", F.unix_micros(F.col("w.start")), epoch
+    )
+    d = dims.select(
+        F.col(dim_key).alias("user_id"), F.col(dim_col).alias("segment")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(d), "user_id", "inner")
+        .groupBy(F.window("ts", width).alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(start_ntz.alias("window_start"), "segment", "n_events", "sum_value")
+    )
