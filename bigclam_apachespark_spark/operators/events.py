@@ -423,3 +423,26 @@ def type_pivot(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     return p.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES]
     )
+
+
+def type_transitions(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """First-order event-type transition counts (the clickstream
+    Markov matrix) → ``(prev_type, event_type, n)``: for each user's
+    event sequence in event-time order, count consecutive type pairs.
+    Exercises lag/ordered windows (absent from the reference) as a
+    first-class query.
+
+    Determinism: ordering is (ts, event_id) — the id tiebreak pins
+    simultaneous events to one sequence on both engines. Scale shape:
+    one per-user window pass (shuffle on user_id) + one hash-agg over
+    at most |types|² groups."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(ts_col, "event_id")
+    return (
+        events.select("user_id", "event_id", ts_col, "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -163,6 +163,40 @@ def q_pagerank_weighted(spark, sf_dir):
     return G.pagerank_weighted(weighted_copurchase_edges(spark, sf_dir, 2), n_iter=5)
 
 
+# One ANSI-portable SQL string executed VERBATIM by BOTH engines:
+# Spark runs it with spark.sql() over temp views of the parquet
+# tables, and the IDENTICAL string is registered as the DuckDB
+# oracle — the SQL surface exercised first-class, with dialect
+# portability itself under test (derived tables aliased, no
+# engine-specific functions, COUNT(*) → BIGINT on both).
+PORTABLE_DEGREE_HIST_SQL = """
+WITH edges_g AS (
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+),
+sym AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM edges_g
+    UNION
+    SELECT dst AS src, src AS dst FROM edges_g
+  ) u WHERE src <> dst
+),
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_sql_degree_hist(spark, sf_dir):
+    """Degree histogram of the co-purchase graph, declared in pure
+    SQL (spark.sql over a temp view; Catalyst plans it exactly like
+    the DataFrame twin — same pushdown, same agg pipeline)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(PORTABLE_DEGREE_HIST_SQL)
+
+
 def q_kcore(spark, sf_dir):
     """k-core (k=80) of the co-purchase graph via 8 bounded peeling
     rounds (converged at round 6 on sf0.01 — the oracle unrolls the
@@ -205,6 +239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_weighted": q_pagerank_weighted,
     "graph_kcore": q_kcore,
     "graph_assortativity": q_assortativity,
+    "sql_degree_hist": q_sql_degree_hist,
 }
 
 
@@ -397,6 +432,9 @@ ORACLE: dict[str, str] = {
     """,
     "graph_pagerank_weighted": f"WITH {_WEDGES_SQL},\n{_pagerank_weighted_sql(5)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
+    # Verbatim the same string spark.sql() executes — portability is
+    # the point (see PORTABLE_DEGREE_HIST_SQL).
+    "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,
     # Assortativity: integer count/degree sums stay BIGINT; the
     # product sums are DOUBLE on both engines (n·Σxy overflows BIGINT
     # at scale) and the final r is rounded at 6 — the repo convention

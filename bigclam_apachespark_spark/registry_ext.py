@@ -1388,6 +1388,19 @@ EVENT_ORACLE = {
         FROM events
         GROUP BY ROLLUP (event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400)
     """,
+    # First-order type-transition counts: LAG over the (ts, event_id)
+    # deterministic per-user order — all integer outputs.
+    "events_transitions": """
+        WITH seq AS (
+          SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
     # PIVOT surface: conditional-aggregation twin of the Spark
     # groupBy().pivot() with the explicit value list.
     "events_pivot": """
@@ -1825,6 +1838,7 @@ EVENT_QUERIES = {
     "events_ohlc": lambda spark, sf: E.resample_ohlc(_events(spark, sf)),
     "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
+    "events_transitions": lambda spark, sf: E.type_transitions(_events(spark, sf)),
     "events_click_no_purchase": lambda spark, sf: E.clicked_never_purchased(
         _events(spark, sf)
     ),
