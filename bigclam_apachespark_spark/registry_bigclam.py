@@ -499,8 +499,11 @@ def q_facebook_pipeline(spark, sf_dir):
     iterative): facebook_combined (4,039 nodes / 88,234 edges) at
     K=10 — load → fit → extract → invert → parquet sink → re-read
     (codes/Bigclamv2.scala:14-230 incl. the v2:230 sink). tol=1e-3
-    bounds the driver-run budget (~10 iterations ≈ 70 s on local[32]);
-    returns per-community member counts from the re-read sink."""
+    bounds the driver-run budget (~70 s on local[32]; measured: the
+    wall is dominated by init/seeding/extract/sink fixed costs, not
+    iteration count — capping iterations saves nothing, so the cap
+    stays at the convergence-headroom 12). Returns per-community
+    member counts from the re-read sink."""
     import tempfile
 
     inv, _res = B.bigclam_pipeline(
@@ -520,11 +523,15 @@ def q_fit_long_smoke(spark, sf_dir):
     (node, k, val) path for the v3/v47 K≈10³-10⁴ regime
     (codes/bigclamv3-7.scala:17; SURVEY §7 long-layout fallback).
     K=64 requested; effective columns cap at the distinct-seed count.
-    Returns per-community member counts at the extraction threshold."""
+    ONE optimizer iteration exercises the full loop body (gradient →
+    Armijo → update → LLH → convergence check) at half the gate cost
+    of two; multi-iteration behavior is pinned by
+    tests/test_bigclam_long.py. Returns per-community member counts
+    at the extraction threshold."""
     from bigclam_apachespark_spark.operators import bigclam_long as BL
 
     sym = _sym(spark, sf_dir).cache()
-    res = BL.bigclam_fit_long(sym, k=64, tol=1e-3, max_iter=2)
+    res = BL.bigclam_fit_long(sym, k=64, tol=1e-3, max_iter=1)
     n_v = G.vertices(sym).count()
     n_e = sym.count() // 2
     delta = B.extraction_threshold(n_v, n_e)
