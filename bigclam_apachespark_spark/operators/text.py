@@ -691,3 +691,46 @@ def gopher_filter(
         flags.alias("flags"),
         (flags == 0).alias("keep"),
     )
+
+
+def mix_sample(
+    docs: DataFrame, text_col: str = "text", c: float = 20.0
+) -> DataFrame:
+    """Temperature-flattened source sampling (the data-mixing step of
+    corpus assembly) → ``(doc_id, source, n_tokens, keep)``: each
+    source s is downsampled with per-doc keep probability
+    p_s = min(1, c / √T_s) where T_s is the source's total token
+    count — large sources are flattened ∝ T_s^(−1/2) (the α = 0.5
+    temperature), small sources pass intact; ``c`` scales the
+    retained volume.
+
+    Why the UNNORMALIZED form (no Σ_r √T_r denominator): the usual
+    normalized weights need a cross-source float SUM, whose engine-
+    dependent fold order would make p differ in the last ulp and flip
+    keep decisions at the hash threshold — the exact cross-engine
+    failure class this repo eliminates by design. c/√T_s touches only
+    one exact integer per source and correctly-rounded sqrt/divide,
+    so p is bit-identical on both engines; the keep test compares
+    md5-hash integers against floor(p·2²⁰) — all-integer.
+
+    Scale shape: one tokenize pass + a tiny per-source agg (map-side
+    combine) broadcast back onto the narrow keep projection; the
+    decision is a pure per-row function — no sort, no sample() (whose
+    output is partitioning-dependent), fully reproducible."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    nt = docs.select("doc_id", "source", F.size(tokens(text_col)).alias("n_tokens"))
+    per_s = nt.groupBy("source").agg(F.sum("n_tokens").alias("ts"))
+    p = F.least(F.lit(1.0), F.lit(c) / F.sqrt(F.col("ts").cast("double")))
+    thresh = F.floor(p * F.lit(1 << 20)).cast("long")
+    return (
+        nt.join(F.broadcast(per_s.select("source", thresh.alias("thr"))), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            ((hash64(F.col("doc_id").cast("string")) % (1 << 20)) < F.col("thr")).alias(
+                "keep"
+            ),
+        )
+    )

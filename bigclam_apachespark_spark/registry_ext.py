@@ -334,6 +334,24 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    # Temperature-flattened source sampling: p = min(1, c/sqrt(T_s))
+    # touches one exact integer per source (no cross-source float
+    # sum), so the keep threshold is bit-exact cross-engine.
+    "text_mix_sample": f"""
+        WITH nt AS (
+          SELECT doc_id, source, CAST(len({TOKENS}) AS INT) AS n_tokens
+          FROM documents
+        ),
+        per_s AS (
+          SELECT source,
+                 CAST(floor(least(1.0, 20.0 / sqrt(CAST(SUM(n_tokens) AS DOUBLE)))
+                            * 1048576.0) AS BIGINT) AS thr
+          FROM nt GROUP BY source
+        )
+        SELECT t.doc_id, t.source, t.n_tokens,
+               ({hash64_sql("CAST(t.doc_id AS VARCHAR)")} % 1048576) < p.thr AS keep
+        FROM nt t JOIN per_s p USING (source)
+    """,
     # Gopher-style rule filter: every threshold compares an integer
     # or a ROUNDED ratio, so the bitmask (and keep/drop) is bit-exact
     # cross-engine — the clean_corpus discipline.
@@ -495,6 +513,7 @@ TEXT_QUERIES = {
     ),
     "text_repetition": lambda spark, sf: X.repetition_signals(_docs(spark, sf)),
     "text_gopher_filter": lambda spark, sf: X.gopher_filter(_docs(spark, sf)),
+    "text_mix_sample": lambda spark, sf: X.mix_sample(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------

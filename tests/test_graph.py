@@ -228,3 +228,40 @@ def test_assortativity_star_is_minus_one(spark):
     row = degree_assortativity(symmetrize(star)).collect()[0]
     assert row.n_edges == 6
     assert row.assortativity == -1.0
+
+
+def test_common_neighbor_candidates_g1(spark, g1_edges):
+    """Two 4-cliques + bridge 3-4: every same-side pair is adjacent,
+    so the only candidates are cross pairs through a bridge endpoint
+    — (x, 4) for x in {0,1,2} via 3, and (3, y) for y in {5,6,7} via
+    4 — each with exactly one common neighbor."""
+    from bigclam_apachespark_spark.operators.graph import (
+        common_neighbor_candidates,
+        symmetrize,
+    )
+
+    out = {
+        (r.u, r.w): r.n_common
+        for r in common_neighbor_candidates(
+            symmetrize(g1_edges), min_common=1
+        ).collect()
+    }
+    assert out == {(0, 4): 1, (1, 4): 1, (2, 4): 1, (3, 5): 1, (3, 6): 1, (3, 7): 1}
+
+
+def test_common_neighbor_focus_cohort(spark, g1_edges):
+    """Focus mode: restricting to cohort {4} returns exactly node 4's
+    candidate rows — (4, x) for x in {0,1,2} — as ordered per-focus
+    rows, matching the unfocused pairs restricted to that node."""
+    from bigclam_apachespark_spark.operators.graph import (
+        common_neighbor_candidates,
+        symmetrize,
+    )
+
+    sym = symmetrize(g1_edges)
+    focus = spark.createDataFrame([(4,)], "id long")
+    out = {
+        (r.u, r.w): r.n_common
+        for r in common_neighbor_candidates(sym, min_common=1, focus=focus).collect()
+    }
+    assert out == {(4, 0): 1, (4, 1): 1, (4, 2): 1}

@@ -622,3 +622,23 @@ def test_cosine_histogram_identical_vectors(spark):
     n_sampled = out[0].n_pairs
     k = (1 + math.isqrt(1 + 8 * n_sampled)) // 2
     assert k * (k - 1) // 2 == n_sampled
+
+
+def test_mix_sample_temperature_flattening(spark):
+    """A tiny source (T <= c^2) keeps every doc (p caps at 1); a huge
+    source gets a strict hash subset; n_tokens is the exact per-doc
+    token count."""
+    from bigclam_apachespark_spark.operators.text import mix_sample
+
+    rows = [(i, "a b c d e", "tiny") for i in range(5)]
+    rows += [(100 + i, "w " * 500, "huge") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mix_sample(docs, c=20.0).collect()
+    tiny = [r for r in out if r.source == "tiny"]
+    huge = [r for r in out if r.source == "huge"]
+    assert all(r.keep for r in tiny) and all(r.n_tokens == 5 for r in tiny)
+    kept = sum(r.keep for r in huge)
+    # p = 20/sqrt(80*500) = 0.1 -> a strict, nonempty-ish subset;
+    # exact membership is a pure function of md5(doc_id)
+    assert 0 < kept < len(huge)
+    assert all(r.n_tokens == 500 for r in huge)
