@@ -213,3 +213,41 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_mix_sample_broadcast_and_pruned_scan(spark):
+    """mix_sample's per-source threshold joins back as a BROADCAST
+    (20 sources — shipping the corpus to a shuffle join would be the
+    bug), and the documents scan reads only (doc_id, text, source)."""
+    plan = _plan(spark, "text_mix_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    scan = "\n".join(
+        ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln
+    )
+    assert "lang" not in scan and "n_chars" not in scan
+
+
+def test_link_candidates_focus_broadcast(spark):
+    """The focus cohort reaches the wedge u-side as a broadcast
+    semi-join; no cartesian anywhere in the wedge plan."""
+    plan = _plan(spark, "graph_link_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_single_scan_per_n(spark):
+    """repetition_signals scans documents once per requested n (plus
+    the id spine) — the gram tables must come from the staged token
+    projection, not re-tokenize per consumer."""
+    plan = _plan(spark, "text_repetition")
+    # 2 gram branches + 2 id-spine branches = 4 scans max; the
+    # regression this pins is accidental plan duplication (8+).
+    assert plan.count("FileScan parquet") <= 4
+
+
+def test_kcore_output_is_aggregated_not_collected(spark):
+    """kcore's final projection is a hash aggregate over the
+    checkpointed edge list (no driver-side loop artifacts in plan)."""
+    plan = _plan(spark, "graph_kcore")
+    assert "HashAggregate" in plan
