@@ -187,3 +187,27 @@ def frame_sample_plan(media: DataFrame, every_n: int = 4) -> DataFrame:
             ),
         )
     )
+
+
+def caption_join(media: DataFrame, docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-modal pairing: media rows joined to their caption
+    documents (media_id = doc_id) → ``(media_id, kind, n_bytes,
+    caption_tokens)`` — the image–text pair assembly step of a
+    multimodal training pipeline.
+
+    The one rule that matters at 100 TB: the BINARY PAYLOAD never
+    crosses the join — it is projected down to its byte length
+    before the shuffle (carrying blobs through an exchange multiplies
+    shuffle volume by the payload size; pair on metadata, then
+    re-join payloads only for the rows that survive downstream
+    filters)."""
+    from bigclam_apachespark_spark.functions.hashing import tokens
+
+    m = media.select(
+        "media_id", "kind", F.length("payload").cast("int").alias("n_bytes")
+    )
+    d = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.size(tokens(text_col)).alias("caption_tokens"),
+    )
+    return m.join(d, "media_id")

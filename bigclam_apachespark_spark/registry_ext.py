@@ -1928,6 +1928,17 @@ def _q_frame_sample(spark, sf):
 
 
 MULTIMODAL_ORACLE = {
+    # Cross-modal pairing: media generator closed form (n_bytes =
+    # 32·(4 + i%7)) joined to the caption docs' token counts.
+    "multimodal_caption_join": f"""
+        SELECT m.media_id, m.kind, CAST(32 * m.k AS INT) AS n_bytes,
+               CAST(len({TOKENS}) AS INT) AS caption_tokens
+        FROM (SELECT i AS media_id,
+                     CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     4 + i % 7 AS k
+              FROM generate_series(0, 63) t(i)) m
+        JOIN documents d ON d.doc_id = m.media_id
+    """,
     # Oracle for the Arrow mapInPandas feature path itself: the fake
     # extractor's closed form — byte-stride sums of the sha256-derived
     # payload — restated in SQL. Because 32 ≡ 0 (mod 8), stride-d
@@ -2021,7 +2032,14 @@ def _q_audio_chunks(spark, sf):
     return audio_chunk_plan(synthetic_media(spark, n=64), chunk_samples=32)
 
 
+def _q_caption_join(spark, sf):
+    from bigclam_apachespark_spark.operators import multimodal as MM
+
+    return MM.caption_join(MM.synthetic_media(spark, 64), _docs(spark, sf))
+
+
 MULTIMODAL_QUERIES = {
+    "multimodal_caption_join": _q_caption_join,
     "multimodal_media_features": _q_media_features,
     "multimodal_media_stats": _q_media_stats,
     "multimodal_frame_sample": _q_frame_sample,
