@@ -446,3 +446,22 @@ def type_transitions(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+def cube_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """CUBE twin of ``rollup_counts`` → the same ``(event_type, day,
+    n_events, lvl)`` schema plus the per-day-across-types slice that
+    ROLLUP omits (lvl = 2: event_type NULL, day set) — completing the
+    grouping-sets surface (SURVEY §2 lists it absent from the
+    reference). Same single-aggregation expansion, same
+    ``grouping_id()`` disambiguation of subtotal NULLs."""
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast("long")
+    return (
+        events.select("event_type", day.alias("day"))
+        .cube("event_type", "day")
+        .agg(F.count("*").alias("n_events"), F.grouping_id().alias("lvl"))
+        .select("event_type", "day", "n_events", F.col("lvl").cast("int").alias("lvl"))
+    )

@@ -1431,6 +1431,16 @@ EVENT_ORACLE = {
                CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
         FROM events GROUP BY 1
     """,
+    # CUBE: rollup's lattice plus the per-day cross-type slice.
+    "events_cube": """
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(GROUPING(event_type) * 2 + GROUPING(
+                    CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS INT) AS lvl
+        FROM events
+        GROUP BY CUBE (event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+    """,
     # Set EXCEPT: click users who never purchased.
     "events_click_no_purchase": """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
@@ -1856,6 +1866,7 @@ EVENT_QUERIES = {
     "events_gapfill": lambda spark, sf: E.gapfill_locf(_events(spark, sf)),
     "events_ohlc": lambda spark, sf: E.resample_ohlc(_events(spark, sf)),
     "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
+    "events_cube": lambda spark, sf: E.cube_counts(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
     "events_transitions": lambda spark, sf: E.type_transitions(_events(spark, sf)),
     "events_click_no_purchase": lambda spark, sf: E.clicked_never_purchased(
