@@ -52,6 +52,7 @@ HEADLINE = [
     "sim_pair_hist",
     "text_mix_sample",
     "graph_link_candidates",
+    "graph_bfs_hops",
     # end-to-end training-corpus prep (clean -> LSH near-dup clusters
     # -> survivor election -> split) — the flagship composition
     "text_training_corpus",
@@ -92,6 +93,7 @@ EXPECTED = {
     "sim_pair_hist": 4.5,
     "text_mix_sample": 2.0,
     "graph_link_candidates": 6.3,
+    "graph_bfs_hops": 9.6,
     "text_training_corpus": 16.8,
 }
 RERUN_FACTOR = 2.0

@@ -533,3 +533,44 @@ def common_neighbor_candidates(
     # one directed probe decides adjacency in either output shape
     adj = sym_edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     return wedges.join(adj, ["u", "w"], "left_anti")
+
+
+def bfs_hops(
+    sym_edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Bounded breadth-first search → ``(id, hops)``: minimal hop
+    distance (≤ ``max_hops``) from ANY source node — the traversal
+    primitive (reachability, blast-radius, "friends within N hops")
+    the rest of the graph surface lacks. ``sources`` is an ``(id)``
+    DataFrame.
+
+    Frontier-expansion shape (the scalable BFS): each round joins
+    ONLY the current frontier against the edge list (never the full
+    visited set), dedups, and anti-joins the visited table — so a
+    round's cost is Σ deg(frontier), and the visited table grows
+    monotonically. Frontiers are localCheckpoint'd per round (lineage
+    cut, same cadence as pagerank/kcore); an empty frontier exits
+    early — bit-identical to running all rounds, since an empty
+    frontier expands to nothing (the fixed-round DuckDB twin unrolls
+    the same chain). At 100 TB the visited anti-join is the big
+    state; it shuffles once per round on id."""
+    dist = sources.select("id", F.lit(0).cast("int").alias("hops")).localCheckpoint(
+        eager=True
+    )
+    frontier = dist.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym_edges, frontier["id"] == sym_edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt.select("id")
+    return dist

@@ -199,6 +199,14 @@ def q_link_candidates(spark, sf_dir):
     return G.common_neighbor_candidates(sym, min_common=20, focus=focus)
 
 
+def q_bfs_hops(spark, sf_dir):
+    """Bounded BFS hop distances from the id % 100 = 0 source cohort
+    (the traversal primitive; frontier-expansion shape)."""
+    sym = _sym(spark, sf_dir)
+    sources = G.vertices(sym).where(F.col("id") % 100 == 0)
+    return G.bfs_hops(sym, sources, max_hops=3)
+
+
 def q_sql_degree_hist(spark, sf_dir):
     """Degree histogram of the co-purchase graph, declared in pure
     SQL (spark.sql over a temp view; Catalyst plans it exactly like
@@ -253,7 +261,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
     "graph_link_candidates": q_link_candidates,
+    "graph_bfs_hops": q_bfs_hops,
 }
+
+
+def _bfs_sql(rounds: int = 3, mod: int = 100) -> str:
+    """Unrolled frontier-expansion BFS twin (MATERIALIZED rounds —
+    same rationale as _kcore_sql: DuckDB inlines CTEs and the chain
+    references each round multiple times)."""
+    parts = [
+        f"""d0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, CAST(0 AS INT) AS hops FROM sym WHERE src % {mod} = 0),
+f0 AS MATERIALIZED (SELECT id FROM d0)"""
+    ]
+    for h in range(1, rounds + 1):
+        parts.append(
+            f"""n{h} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM sym e JOIN f{h - 1} f ON f.id = e.src),
+x{h} AS MATERIALIZED (
+  SELECT n.id, CAST({h} AS INT) AS hops
+  FROM n{h} n LEFT JOIN d{h - 1} d ON d.id = n.id WHERE d.id IS NULL),
+d{h} AS MATERIALIZED (
+  SELECT id, hops FROM d{h - 1} UNION ALL SELECT id, hops FROM x{h}),
+f{h} AS MATERIALIZED (SELECT id FROM x{h})"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, hops FROM d{rounds}"
 
 
 def _kcore_sql(k: int = 80, rounds: int = 8) -> str:
@@ -448,6 +480,7 @@ ORACLE: dict[str, str] = {
     # Verbatim the same string spark.sql() executes — portability is
     # the point (see PORTABLE_DEGREE_HIST_SQL).
     "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,
+    "graph_bfs_hops": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_bfs_sql(3, 100)}",
     "graph_link_candidates": f"""
         WITH {EDGES_SQL}, {SYM_SQL},
         wedge AS (

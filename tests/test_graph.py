@@ -265,3 +265,31 @@ def test_common_neighbor_focus_cohort(spark, g1_edges):
         for r in common_neighbor_candidates(sym, min_common=1, focus=focus).collect()
     }
     assert out == {(4, 0): 1, (4, 1): 1, (4, 2): 1}
+
+
+def test_bfs_hops_path_graph(spark, g2_edges):
+    """P4 (0-1-2-3) from source 0: hops are exactly the path
+    distances; max_hops=2 truncates node 3; early exit on an
+    exhausted frontier leaves the result unchanged."""
+    from bigclam_apachespark_spark.operators.graph import bfs_hops, symmetrize
+
+    sym = symmetrize(g2_edges)
+    src = spark.createDataFrame([(0,)], "id long")
+    full = {(r.id): r.hops for r in bfs_hops(sym, src, max_hops=5).collect()}
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3}
+    trunc = {(r.id): r.hops for r in bfs_hops(sym, src, max_hops=2).collect()}
+    assert trunc == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_hops_two_sources(spark, g1_edges):
+    """Two 4-cliques + bridge, sources {0, 7}: every node is within
+    2 hops of the nearer source (cliques are diameter 1; the bridge
+    adds one)."""
+    from bigclam_apachespark_spark.operators.graph import bfs_hops, symmetrize
+
+    sym = symmetrize(g1_edges)
+    src = spark.createDataFrame([(0,), (7,)], "id long")
+    out = {r.id: r.hops for r in bfs_hops(sym, src, max_hops=3).collect()}
+    assert out[0] == 0 and out[7] == 0
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[4] == 1 and out[5] == 1 and out[6] == 1
