@@ -465,3 +465,35 @@ def cube_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.grouping_id().alias("lvl"))
         .select("event_type", "day", "n_events", F.col("lvl").cast("int").alias("lvl"))
     )
+
+
+def value_quantiles(
+    events: DataFrame, ps: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """EXACT per-type value quantiles → ``(event_type, p, q)``: the
+    ceil(p·n)-th order statistic of ``value`` within each event type
+    (inverse-CDF convention, same as text_length_quantiles). q is a
+    SELECTED input value — no arithmetic, no rounding needed — and
+    the rank threshold ceil(p·n) is one identical double product on
+    both engines, so the selection cannot drift.
+
+    Scale note: exact quantiles require the order statistic — one
+    per-type sort (window). This is the cross-checkable ground-truth
+    path; production monitoring at 100 TB uses approx_percentile
+    (t-digest, no sort), which an oracle can never hash-match — run
+    this on samples to calibrate the sketch's error instead."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select("event_type", "event_id", "value").withColumn(
+        "r", F.row_number().over(w)
+    )
+    n = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    p_df = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    probes = n.select("event_type", "n", p_df)
+    return (
+        ranked.join(probes, "event_type")
+        .where(F.col("r") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("event_type", "p")
+        .agg(F.min("value").alias("q"))
+    )

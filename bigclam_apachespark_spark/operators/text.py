@@ -734,3 +734,30 @@ def mix_sample(
             ),
         )
     )
+
+
+def feature_hashing(
+    docs: DataFrame, text_col: str = "text", dims: int = 64
+) -> DataFrame:
+    """Hashing-trick bag-of-words features → long layout ``(doc_id,
+    dim, cnt)`` with dim = md5-hash(term) mod dims — the classic
+    fixed-width featurizer (no vocabulary pass, no OOV problem; the
+    tradeoff is hash collisions merging counts, which is the
+    documented semantics, not an error).
+
+    Long layout on purpose: the driver's hasher compares scalar
+    columns (a 64-wide array column would need stringification), and
+    downstream consumers — linear probes, cosine similarity, the IVF
+    stack — want sparse (row, col, val) triples anyway; zero entries
+    simply don't exist as rows. One explode + one hash-agg with
+    map-side combine; dims is a constant, so the shuffle key space is
+    |docs|·dims."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    return (
+        tok.groupBy(
+            "doc_id", (hash64("term") % dims).cast("int").alias("dim")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )

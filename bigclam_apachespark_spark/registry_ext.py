@@ -334,6 +334,14 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    # Hashing-trick features: md5-derived bucket, integer counts.
+    "text_feature_hashing": f"""
+        SELECT doc_id,
+               CAST({hash64_sql('term')} % 64 AS INT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest({TOKENS}) AS term FROM documents)
+        GROUP BY 1, 2
+    """,
     # Temperature-flattened source sampling: p = min(1, c/sqrt(T_s))
     # touches one exact integer per source (no cross-source float
     # sum), so the keep threshold is bit-exact cross-engine.
@@ -514,6 +522,7 @@ TEXT_QUERIES = {
     "text_repetition": lambda spark, sf: X.repetition_signals(_docs(spark, sf)),
     "text_gopher_filter": lambda spark, sf: X.gopher_filter(_docs(spark, sf)),
     "text_mix_sample": lambda spark, sf: X.mix_sample(_docs(spark, sf)),
+    "text_feature_hashing": lambda spark, sf: X.feature_hashing(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------
@@ -1431,6 +1440,25 @@ EVENT_ORACLE = {
                CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
         FROM events GROUP BY 1
     """,
+    # Exact per-type value quantiles: q is a selected input value;
+    # the rank threshold ceil(p*n) is one identical double product.
+    "events_value_quantiles": """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS r
+          FROM events
+        ),
+        n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type),
+        probes AS (
+          SELECT event_type, n, unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p FROM n
+        )
+        SELECT rk.event_type, pr.p, MIN(rk.value) AS q
+        FROM ranked rk JOIN probes pr USING (event_type)
+        WHERE rk.r >= ceil(pr.p * pr.n)
+        GROUP BY rk.event_type, pr.p
+    """,
     # CUBE: rollup's lattice plus the per-day cross-type slice.
     "events_cube": """
         SELECT event_type,
@@ -1867,6 +1895,7 @@ EVENT_QUERIES = {
     "events_ohlc": lambda spark, sf: E.resample_ohlc(_events(spark, sf)),
     "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
     "events_cube": lambda spark, sf: E.cube_counts(_events(spark, sf)),
+    "events_value_quantiles": lambda spark, sf: E.value_quantiles(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
     "events_transitions": lambda spark, sf: E.type_transitions(_events(spark, sf)),
     "events_click_no_purchase": lambda spark, sf: E.clicked_never_purchased(
