@@ -497,3 +497,37 @@ def value_quantiles(
         .groupBy("event_type", "p")
         .agg(F.min("value").alias("q"))
     )
+
+
+def dau_wau(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Daily/weekly active users + stickiness → ``(day, dau, wau,
+    stickiness)``: dau = distinct users active on the day, wau =
+    distinct users active in the trailing 7-day window ending that
+    day, stickiness = round(dau/wau, 6) — the standard engagement
+    report.
+
+    Shape: the event stream collapses to DISTINCT (user, day) first
+    (the only big shuffle); the trailing window is a BOUNDED 7× row
+    fan-out of that small table (each active day contributes to 7
+    target days) + one distinct-agg — no range join, no per-day
+    rescan. Days are integer epoch-days (timezone-free); only target
+    days with actual activity are reported."""
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -761,3 +761,27 @@ def feature_hashing(
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def dup_rate_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplication rate per source → ``(source, n_docs, n_unique,
+    dup_rate)`` with n_unique = distinct content fingerprints and
+    dup_rate = 1 − unique/docs — the data-quality report that decides
+    which sources are worth crawling harder vs deduping harder.
+    One narrow fingerprint map + one agg (countDistinct is exact —
+    the report is small enough per source to afford it; swap in the
+    HLL sketch from operators/sketches.py when sources number in the
+    millions). The ratio is one IEEE division of exact integers,
+    rounded at 6."""
+    m = docs.select("source", hash64(normalize_text(text_col)).alias("fp"))
+    per = m.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.countDistinct("fp").alias("n_unique")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.round(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )

@@ -334,6 +334,15 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    # Per-source duplication report: exact distinct fingerprints.
+    "text_dup_rate": f"""
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT {hash64_sql(normalize_text_sql('text'))}) AS BIGINT)
+                 AS n_unique,
+               round(1.0 - CAST(COUNT(DISTINCT {hash64_sql(normalize_text_sql('text'))})
+                               AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        FROM documents GROUP BY source
+    """,
     # Hashing-trick features: md5-derived bucket, integer counts.
     "text_feature_hashing": f"""
         SELECT doc_id,
@@ -523,6 +532,7 @@ TEXT_QUERIES = {
     "text_gopher_filter": lambda spark, sf: X.gopher_filter(_docs(spark, sf)),
     "text_mix_sample": lambda spark, sf: X.mix_sample(_docs(spark, sf)),
     "text_feature_hashing": lambda spark, sf: X.feature_hashing(_docs(spark, sf)),
+    "text_dup_rate": lambda spark, sf: X.dup_rate_by_source(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------
@@ -1440,6 +1450,26 @@ EVENT_ORACLE = {
                CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
         FROM events GROUP BY 1
     """,
+    # DAU/WAU stickiness: trailing 7-day distinct via bounded 7x
+    # fan-out of the (user, day) table.
+    "events_dau_wau": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+          FROM events
+        ),
+        dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+                FROM ud GROUP BY day),
+        contrib AS (
+          SELECT user_id, day + d AS day
+          FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS d)
+        ),
+        wau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+                FROM contrib GROUP BY day)
+        SELECT d.day, d.dau, w.wau,
+               round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau d JOIN wau w USING (day)
+    """,
     # Exact per-type value quantiles: q is a selected input value;
     # the rank threshold ceil(p*n) is one identical double product.
     "events_value_quantiles": """
@@ -1896,6 +1926,7 @@ EVENT_QUERIES = {
     "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
     "events_cube": lambda spark, sf: E.cube_counts(_events(spark, sf)),
     "events_value_quantiles": lambda spark, sf: E.value_quantiles(_events(spark, sf)),
+    "events_dau_wau": lambda spark, sf: E.dau_wau(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
     "events_transitions": lambda spark, sf: E.type_transitions(_events(spark, sf)),
     "events_click_no_purchase": lambda spark, sf: E.clicked_never_purchased(
