@@ -604,3 +604,24 @@ def test_type_pivot_hand_computed(spark):
     assert set(rows) == {0, 1}
     assert (rows[0].click, rows[0].purchase, rows[0].view) == (2, 0, 0)
     assert (rows[1].click, rows[1].purchase) == (0, 1)
+
+
+def test_dau_wau_trailing_window(spark):
+    """User A active day 0 only; user B active days 0 and 3. Day 3:
+    dau = {B} = 1, wau (days -3..3 activity, i.e. anyone active in
+    the trailing week) = {A, B} = 2 -> stickiness 0.5. Only days
+    with actual activity are reported."""
+    from bigclam_apachespark_spark.operators.events import dau_wau
+
+    events = spark.createDataFrame(
+        [
+            (1, "1970-01-01 01:00:00", 1, "view"),
+            (2, "1970-01-01 02:00:00", 2, "view"),
+            (3, "1970-01-04 01:00:00", 2, "view"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id", "event_type")
+    rows = {r.day: r for r in dau_wau(events).collect()}
+    assert set(rows) == {0, 3}
+    assert (rows[0].dau, rows[0].wau, rows[0].stickiness) == (2, 2, 1.0)
+    assert (rows[3].dau, rows[3].wau, rows[3].stickiness) == (1, 2, 0.5)
