@@ -535,13 +535,62 @@ from bigclam_apachespark_spark.registry_bigclam import (  # noqa: E402
 )
 from bigclam_apachespark_spark.registry_ext import EXT_ORACLE, EXT_QUERIES  # noqa: E402
 
-# Registration order = the driver's execution order. Oracle-checked
-# queries first (graph → bigclam kernels → text/dedup/sim/multimodal/
-# events, ~3 min of gate budget at sf0.01); the four expensive
-# iterative rows-only smokes LAST (~5 min), so a driver-side budget
-# truncation can only ever drop rows-only entries.
 QUERIES.update(BIGCLAM_QUERIES)
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(BIGCLAM_SMOKES)
 ORACLE.update(BIGCLAM_ORACLE)
 ORACLE.update(EXT_ORACLE)
+
+# ---------------------------------------------------------------------------
+# Rotation: registration order = the driver's execution order, and the
+# driver's correctness gate samples only the FIRST ~50 entries. To make
+# the sampling window sweep the whole registry over successive rounds,
+# order least-recently-driver-verified first:
+#   (rows_only_smoke, last_hash_green_round, front_rank, stable_index)
+# Never-driver-green queries (LAST_GREEN absent → 0) lead, with former
+# driver hash-FAILs and the streaming/multimodal replays explicitly
+# first inside that cohort; rows-only smokes (which can never
+# hash-match) always run LAST so a driver budget truncation only ever
+# drops them. LAST_GREEN is regenerated each round by
+# scripts/update_verification_log.py from CORRECTNESS_r*.json.
+# ---------------------------------------------------------------------------
+
+from bigclam_apachespark_spark.verification_log import LAST_GREEN  # noqa: E402
+
+_FRONT = {
+    name: i
+    for i, name in enumerate(
+        [
+            # the three former r2 driver hash-FAILs (fixed in r3, never
+            # re-sampled by the driver — verify these first)
+            "dedup_simhash",
+            "sim_hyperplane_buckets",
+            "events_sessionize",
+            # streaming replays (never driver-recorded)
+            "events_stream_tumbling",
+            "events_stream_sessionize",
+            "events_stream_interval_join",
+            "events_stream_enrich",
+            # multimodal (never driver-recorded)
+            "multimodal_media_stats",
+            "multimodal_media_features",
+            "multimodal_frame_sample",
+            "multimodal_patch_grid",
+            "multimodal_audio_chunks",
+            "multimodal_caption_join",
+        ]
+    )
+}
+_ORIG = {name: i for i, name in enumerate(QUERIES)}
+
+
+def _rotation_key(name: str) -> tuple:
+    return (
+        name not in ORACLE,  # rows-only smokes last
+        LAST_GREEN.get(name, 0),  # least-recently-verified first
+        _FRONT.get(name, len(_FRONT)),
+        _ORIG[name],
+    )
+
+
+QUERIES = {name: QUERIES[name] for name in sorted(QUERIES, key=_rotation_key)}

@@ -1,0 +1,66 @@
+"""Regenerate bigclam_apachespark_spark/verification_log.py from the
+driver's CORRECTNESS_r*.json files.
+
+Rotation policy (VERDICT r3 "Next round" #1-#2): the driver's gate
+samples only the FIRST ~50 entries of ``queries()``, so registration
+order decides which queries get a driver-recorded correctness row
+each round. To guarantee no oracle query goes more than two rounds
+unverified, ``registry.py`` orders the dict least-recently-verified
+first:
+
+    sort key = (is_rows_only_smoke, last_hash_green_round, front_rank)
+
+where ``last_hash_green_round`` is 0 for never-driver-green queries
+(they lead), and ``front_rank`` breaks ties inside a cohort (former
+driver FAILs first, then streaming/multimodal, then stable original
+order). Rows-only smokes always run LAST so a driver budget
+truncation can only ever drop entries that cannot hash-match anyway.
+
+Run this once per round after the driver writes CORRECTNESS_r{N}.json:
+
+    python scripts/update_verification_log.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+OUT = ROOT / "bigclam_apachespark_spark" / "verification_log.py"
+
+
+def main() -> None:
+    last_green: dict[str, int] = {}
+    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        data = json.loads(path.read_text())
+        for name, row in data.items():
+            if row.get("hash_match"):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    lines = [
+        '"""Driver-verification history (GENERATED — do not edit by hand).',
+        "",
+        "Regenerate with ``python scripts/update_verification_log.py`` after",
+        "each round's CORRECTNESS_r{N}.json lands. ``registry.py`` uses",
+        "LAST_GREEN to order queries least-recently-verified first so the",
+        "driver's first-50 sampling window rotates over the whole registry",
+        '(no query goes >2 rounds without a driver-recorded row)."""',
+        "",
+        "LAST_GREEN: dict[str, int] = {",
+    ]
+    for name in sorted(last_green):
+        lines.append(f'    "{name}": {last_green[name]},')
+    lines.append("}")
+    lines.append("")
+    OUT.write_text("\n".join(lines))
+    print(f"wrote {OUT} ({len(last_green)} hash-green queries)")
+
+
+if __name__ == "__main__":
+    main()
