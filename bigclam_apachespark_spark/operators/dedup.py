@@ -179,6 +179,42 @@ def lsh_candidate_pairs(
     )
 
 
+def prefilter_min_matches(
+    threshold: float,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    max_miss: float = 0.01,
+) -> int:
+    """Largest ``min_matches`` for ``signature_estimate_filter`` whose
+    lossy-recall miss probability at the caller's verify ``threshold``
+    stays ≤ ``max_miss``.
+
+    Conditional on sharing one band (which every LSH candidate does),
+    the remaining ``num_perms − rows_per_band`` permutations match
+    i.i.d. with probability j = threshold, so a true pair exactly at
+    the threshold is dropped with probability
+    P[Binom(num_perms − rows_per_band, j) < min_matches −
+    rows_per_band]. This picks the strongest filter that keeps that
+    ≤ max_miss — at the defaults: 5 for j = 0.35 (miss 0.57%, vs ~4%
+    at the old fixed 6), 6 for j = 0.5, 9 for j = 0.7. Always at
+    least rows_per_band + 1 (anything lower is a guaranteed no-op —
+    the shared band already matches). Exact binomial arithmetic, no
+    floats in the returned value — the oracle SQL generators call the
+    same function so both engines filter identically."""
+    from math import comb
+
+    n = num_perms - rows_per_band
+    j = float(threshold)
+
+    def miss(extra: int) -> float:  # P[Binom(n, j) < extra]
+        return sum(comb(n, i) * j**i * (1 - j) ** (n - i) for i in range(extra))
+
+    extra = 1
+    while extra + 1 <= n and miss(extra + 1) <= max_miss:
+        extra += 1
+    return rows_per_band + extra
+
+
 def signature_estimate_filter(
     cand: DataFrame, sig: DataFrame, min_matches: int = 6
 ) -> DataFrame:
@@ -204,9 +240,10 @@ def signature_estimate_filter(
     empirical sf0.1 observation at j ≥ 0.35, not a guarantee — and
     the DuckDB oracle mirrors the same deterministic filter, so the
     correctness gate cannot see this recall loss. Callers verifying
-    at low thresholds should lower min_matches toward
-    rows_per_band + 1 (trading exact-verify volume for recall) or
-    raise num_perms."""
+    at low thresholds should use ``prefilter_min_matches(threshold)``
+    (the ``minhash_lsh_dups`` default), which caps the miss
+    probability at 1% at the caller's own threshold instead of
+    paying the fixed-6 ~4% silent loss at j = 0.35."""
     sa = sig.select(F.col("doc_id").alias("a"), "perm", F.col("minhash").alias("ma"))
     sb = sig.select(F.col("doc_id").alias("b"), "perm", F.col("minhash").alias("mb"))
     matches = (
@@ -260,12 +297,18 @@ def minhash_lsh_dups(
     shingle_n: int = 5,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
-    est_min_matches: int = 6,
+    est_min_matches: int | None = None,
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
     candidate pairs (optional hot-bucket cap) → signature-estimate
     prefilter → exact-Jaccard verify ≥ threshold.
+
+    ``est_min_matches``: None (default) = threshold-scaled via
+    ``prefilter_min_matches(threshold, num_perms, rows_per_band)``,
+    so low-threshold callers keep the prefilter's miss probability
+    ≤ 1% instead of the fixed-6 ~4% loss at j = 0.35; pass an int to
+    override, or 0 to disable the prefilter.
 
     ``cache_handles``: pass a list to receive the three internally
     cached DataFrames (signatures, surviving candidates, candidate
@@ -289,6 +332,8 @@ def minhash_lsh_dups(
         shingle_table(docs, text_col, shingle_n), num_perms
     ).cache()
     cand = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band), max_bucket_size)
+    if est_min_matches is None:
+        est_min_matches = prefilter_min_matches(threshold, num_perms, rows_per_band)
     if est_min_matches:
         cand = signature_estimate_filter(cand, sig, est_min_matches)
     cand = cand.cache()

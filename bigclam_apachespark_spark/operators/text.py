@@ -292,7 +292,7 @@ def training_corpus(
         cache_handles.append(cleaned)
     cleaned_docs = docs.join(cleaned.select("doc_id"), "doc_id", "left_semi")
     pairs = minhash_lsh_dups(
-        cleaned_docs, text_col, threshold=near_dup_threshold, est_min_matches=6,
+        cleaned_docs, text_col, threshold=near_dup_threshold,
         cache_handles=cache_handles,
     )
     kept = cluster_survivors(cleaned.select("doc_id"), pairs).where(
@@ -359,7 +359,7 @@ def split_leakage(
     from bigclam_apachespark_spark.operators.dedup import minhash_lsh_dups
 
     pairs = minhash_lsh_dups(
-        docs, text_col, threshold=near_dup_threshold, est_min_matches=6,
+        docs, text_col, threshold=near_dup_threshold,
         cache_handles=cache_handles,
     )
     splits = hash_split(docs, train_pct=train_pct, val_pct=val_pct).select(

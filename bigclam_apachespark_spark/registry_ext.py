@@ -583,9 +583,13 @@ MINHASH_SQL = _minhash_sql()
 
 def _lsh_verify_ctes(threshold: float) -> str:
     """est → cand2 → sizes → inter → vpairs: the signature-estimate
-    prefilter (≥6 of 16) + exact-Jaccard verify chain shared by the
-    pair, cluster, and pipeline oracles (assumes sig/cand/sh CTEs in
-    scope)."""
+    prefilter + exact-Jaccard verify chain shared by the pair,
+    cluster, and pipeline oracles (assumes sig/cand/sh CTEs in
+    scope). The prefilter cut is threshold-scaled through the SAME
+    ``prefilter_min_matches`` the Spark side uses (5 at j = 0.35,
+    6 at j = 0.5 — miss probability ≤ 1% at the caller's verify
+    threshold), so both engines filter identically by construction."""
+    min_matches = D.prefilter_min_matches(threshold)
     return f"""est AS (
           SELECT c.a, c.b, COUNT(*) AS n_match
           FROM cand c
@@ -594,7 +598,7 @@ def _lsh_verify_ctes(threshold: float) -> str:
           WHERE sa.minhash = sb.minhash
           GROUP BY c.a, c.b
         ),
-        cand2 AS (SELECT a, b FROM est WHERE n_match >= 6),
+        cand2 AS (SELECT a, b FROM est WHERE n_match >= {min_matches}),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT c.a, c.b, COUNT(*) AS n_inter
@@ -743,10 +747,10 @@ DEDUP_ORACLE = {
     "dedup_lsh_buckets": f"WITH {MINHASH_SQL}, {BUCKETS_SQL} SELECT doc_id, band, bucket FROM buckets",
     "dedup_minhash_lsh_pairs": f"""
         WITH {MINHASH_SQL}, {BUCKETS_SQL}, {CAND_SQL},
-        -- signature-estimate prefilter (>=6 of 16 matching minhashes;
-        -- candidates share a band so 4 are guaranteed — 6 requires 2
-        -- corroborating perms; measured zero true-pair loss at sf0.1,
-        -- ~4% theoretical at the exact j=0.35 boundary),
+        -- signature-estimate prefilter, threshold-scaled via the
+        -- SAME prefilter_min_matches(0.35) = 5 the Spark side uses
+        -- (candidates share a band so 4 matches are guaranteed; one
+        -- corroborating perm keeps the boundary miss prob <= 1%),
         -- mirroring operators/dedup.py signature_estimate_filter
         est AS (
           SELECT c.a, c.b, COUNT(*) AS n_match
@@ -756,7 +760,7 @@ DEDUP_ORACLE = {
           WHERE sa.minhash = sb.minhash
           GROUP BY c.a, c.b
         ),
-        cand2 AS (SELECT a, b FROM est WHERE n_match >= 6),
+        cand2 AS (SELECT a, b FROM est WHERE n_match >= {D.prefilter_min_matches(0.35)}),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
           SELECT c.a, c.b, COUNT(*) AS n_inter
@@ -955,13 +959,13 @@ DEDUP_QUERIES = {
     "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)),
     "dedup_lsh_buckets": lambda spark, sf: D.lsh_buckets(D.minhash_signatures(_docs(spark, sf))),
     "dedup_minhash_lsh_pairs": lambda spark, sf: D.minhash_lsh_dups(
-        _docs(spark, sf), threshold=0.35, est_min_matches=6
+        _docs(spark, sf), threshold=0.35
     ),
     "dedup_simhash": lambda spark, sf: D.simhash(_docs(spark, sf)),
     "dedup_simhash_pairs": lambda spark, sf: D.simhash_near_dups(_docs(spark, sf), max_hamming=2),
     "dedup_cluster_survivors": lambda spark, sf: D.cluster_survivors(
         _docs(spark, sf),
-        D.minhash_lsh_dups(_docs(spark, sf), threshold=0.35, est_min_matches=6),
+        D.minhash_lsh_dups(_docs(spark, sf), threshold=0.35),
     ),
     "dedup_token_jaccard": lambda spark, sf: D.token_jaccard_pairs(_docs(spark, sf), threshold=0.8),
     "dedup_ngram_jaccard": lambda spark, sf: D.token_jaccard_pairs(

@@ -642,3 +642,68 @@ def test_mix_sample_temperature_flattening(spark):
     # exact membership is a pure function of md5(doc_id)
     assert 0 < kept < len(huge)
     assert all(r.n_tokens == 500 for r in huge)
+
+
+def test_prefilter_min_matches_values():
+    from bigclam_apachespark_spark.operators.dedup import prefilter_min_matches
+
+    # pinned values at the defaults (16 perms, 4-row bands, miss <= 1%)
+    assert prefilter_min_matches(0.35) == 5
+    assert prefilter_min_matches(0.5) == 6
+    assert prefilter_min_matches(0.7) == 9
+    assert prefilter_min_matches(0.35, num_perms=16, rows_per_band=2) == 3
+    # always filters something (> rows_per_band) and scales monotonically
+    prev = 0
+    for j in (0.2, 0.35, 0.5, 0.6, 0.7, 0.8, 0.9):
+        mm = prefilter_min_matches(j)
+        assert mm > 4
+        assert mm >= prev
+        prev = mm
+
+
+def test_prefilter_recall_at_low_threshold(spark):
+    """Pin the round-3 advice: threshold-scaled min_matches must not
+    lose true pairs the banding caught, while the old fixed 6
+    demonstrably did at j near 0.35. Deterministic fixture: 100
+    near-dup pairs built by replacing 9-15 of 30 tokens (char-5
+    shingle Jaccard mostly 0.3-0.55); 2-row bands so candidate
+    recall is high enough to expose the prefilter's own loss."""
+    import random
+
+    from bigclam_apachespark_spark.operators.dedup import shingle_jaccard
+
+    rng = random.Random(7)
+    vocab = [f"tok{i:03d}" for i in range(400)]
+    rows = []
+    for base in range(100):
+        toks = rng.sample(vocab, 30)
+        rows.append((2 * base, " ".join(toks)))
+        k = 9 + (base % 7)
+        toks2 = list(toks)
+        for i in rng.sample(range(30), k):
+            toks2[i] = rng.choice(vocab)
+        rows.append((2 * base + 1, " ".join(toks2)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    planted = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(100)], "a long, b long"
+    )
+    gt = {
+        (r["a"], r["b"])
+        for r in shingle_jaccard(df, planted).collect()
+        if r["jaccard"] >= 0.35
+    }
+
+    def run(**kw):
+        got = minhash_lsh_dups(df, threshold=0.35, rows_per_band=2, **kw)
+        return {(r["a"], r["b"]) for r in got.collect()}
+
+    auto = run()  # threshold-scaled: min_matches = 3 at 2-row bands
+    fixed6 = run(est_min_matches=6)
+    unfiltered = run(est_min_matches=0)
+    # the scaled prefilter loses NOTHING the banding caught...
+    assert auto & gt == unfiltered & gt
+    assert len(auto & gt) >= 80
+    # ...while the old fixed cut silently dropped true pairs
+    assert fixed6 <= auto
+    assert len(auto & gt) - len(fixed6 & gt) >= 5
+    df.unpersist()
