@@ -247,23 +247,47 @@ def _session_fn(gap_seconds: int, timeout: str = "processing"):
         else:
             s0 = last = None
             n, sv, closed = 0, 0.0, 0
+
+        # Vectorized segmentation: cumsum-of-breaks instead of a
+        # Python per-row loop — only the open session crosses batch
+        # boundaries through state. FLOOR-SECONDS gap, matching the
+        # batch operator (operators/events.py epoch_seconds) and the
+        # oracle's floor(epoch(ts)) difference — an exact-microsecond
+        # compare splits sessions the batch twin merges whenever a
+        # gap in (gap, gap+1) s straddles second boundaries.
+        import numpy as np
+
+        ts_us = rows["ts"].to_numpy().view("int64") // 1000  # ns → us
+        sec = ts_us // 1_000_000
+        vals = rows["value"].to_numpy(dtype="float64")
+        brk = np.empty(len(ts_us), dtype=bool)
+        brk[0] = True  # row 0 always opens the batch's first segment
+        brk[1:] = (sec[1:] - sec[:-1]) > gap_seconds
+        bounds = np.flatnonzero(brk)  # start index of each segment
+        seg_start = ts_us[bounds]
+        seg_end = ts_us[np.r_[bounds[1:] - 1, len(ts_us) - 1]]
+        seg_n = (np.r_[bounds[1:], len(ts_us)] - bounds).astype("int64")
+        seg_sv = np.add.reduceat(vals, bounds)
+
         out = []
-        for _, r in rows.iterrows():
-            ts_us = int(r["ts"].value // 1000)  # ns → us
-            if s0 is None:
-                s0, last, n, sv = ts_us, ts_us, 1, float(r["value"])
-            # FLOOR-SECONDS gap, matching the batch operator
-            # (operators/events.py epoch_seconds) and the oracle's
-            # floor(epoch(ts)) difference — an exact-microsecond
-            # compare splits sessions the batch twin merges whenever
-            # a gap in (gap, gap+1) s straddles second boundaries.
-            elif ts_us // 1_000_000 - last // 1_000_000 > gap_seconds:
+        if state.exists:
+            if sec[0] - last // 1_000_000 > gap_seconds:
+                # carried session closed by the batch's first event
                 out.append((user_id, s0, last, n, sv))
-                s0, last, n, sv = ts_us, ts_us, 1, float(r["value"])
             else:
-                last = ts_us
-                n += 1
-                sv += float(r["value"])
+                # batch's first segment continues the carried session
+                seg_start[0] = s0
+                seg_n[0] += n
+                seg_sv[0] += sv
+        # all segments but the last close within this batch
+        out.extend(
+            (user_id, int(seg_start[i]), int(seg_end[i]), int(seg_n[i]), float(seg_sv[i]))
+            for i in range(len(bounds) - 1)
+        )
+        s0 = int(seg_start[-1])
+        last = int(seg_end[-1])
+        n = int(seg_n[-1])
+        sv = float(seg_sv[-1])
         state.update((s0, last, n, sv, closed + len(out)))
         if timeout == "processing":
             state.setTimeoutDuration(gap_seconds * 1000)
