@@ -120,6 +120,13 @@ def q_conductance(spark, sf_dir):
     return G.ego_conductance(_sym(spark, sf_dir))
 
 
+def q_conductance_pairs(spark, sf_dir):
+    """B6 skew variant (fixed-width pair rows, AQE-splittable): must
+    produce EXACTLY graph_conductance's numbers — registered against
+    the SAME oracle SQL so the variant cannot silently drift."""
+    return G.ego_conductance_pairs(_sym(spark, sf_dir))
+
+
 def q_seeds(spark, sf_dir):
     """B7 locally-minimal seed ranking (intent semantics)."""
     sym = _sym(spark, sf_dir)
@@ -249,6 +256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_neighbors": q_neighbors,
     "graph_ego_nets": q_ego_nets,
     "graph_conductance": q_conductance,
+    "graph_conductance_pairs": q_conductance_pairs,
     "graph_seeds": q_seeds,
     "graph_seed_top20": q_seed_top20,
     "graph_vertex_count": q_vertex_count,
@@ -430,6 +438,7 @@ ORACLE: dict[str, str] = {
         FROM ego_pairs GROUP BY u
     """,
     "graph_conductance": CONDUCTANCE_SQL,
+    "graph_conductance_pairs": CONDUCTANCE_SQL,
     "graph_seeds": SEEDS_SQL,
     "graph_seed_top20": f"WITH ranked AS ({SEEDS_SQL}) SELECT id, phi FROM ranked ORDER BY phi, id LIMIT 20",
     "graph_vertex_count": f"""

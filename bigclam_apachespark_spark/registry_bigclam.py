@@ -144,6 +144,38 @@ LINE_SEARCH_CORE_SQL = """
         )"""
 
 
+def _iteration_ctes(sfx: str, fin: str) -> str:
+    """One full optimizer iteration (EDGE_DOT + SUMF + line-search
+    core + factor rewrite) as a CTE chain reading factors from CTE
+    ``fin`` and writing ``fnext{sfx}`` with every CTE name suffixed
+    ``sfx`` — lets bigclam_two_iterations instantiate the SAME
+    verified iteration body twice in one WITH clause. The produced
+    factors are round(·, 6)-quantized: the re-quantization barrier
+    between iterations pins iteration 2's input bit-identically on
+    both engines (same discipline as the quantized Armijo accept —
+    unrounded iteration-1 sums differ in fold order across engines
+    and would amplify through exp/ln into discrete accept flips)."""
+    import re as _re
+
+    body = f"""{EDGE_DOT_SQL}, {SUMF_SQL},
+        {LINE_SEARCH_CORE_SQL},
+        upd AS (
+          SELECT b.node_id, c.k, c.newval
+          FROM best b JOIN cand c ON c.node_id = b.node_id AND c.eta = b.eta
+        ),
+        fnext AS MATERIALIZED (
+          SELECT f.node_id, f.k, round(COALESCE(u.newval, f.val), 6) AS val
+          FROM factors_long f
+          LEFT JOIN upd u ON u.node_id = f.node_id AND u.k = f.k
+        )"""
+    for name in (
+        "edot", "ep", "sumf", "wsum", "grad", "nbr", "llh_u", "etas",
+        "cand", "cdot", "cnbr", "cself", "scored", "best", "upd", "fnext",
+    ):
+        body = _re.sub(rf"\b{name}\b", f"{name}{sfx}", body)
+    return _re.sub(r"\bfactors_long\b", fin, body)
+
+
 BIGCLAM_ORACLE = {
     # C5: column sums of F.
     "bigclam_sumf": f"""
@@ -233,6 +265,21 @@ BIGCLAM_ORACLE = {
                round(COALESCE(u.newval, f.val), 6) AS fval
         FROM factors_long f
         LEFT JOIN upd u ON u.node_id = f.node_id AND u.k = f.k
+    """,
+    # F5 (two chained iterations), oracle-checked: the SAME iteration
+    # body as bigclam_one_iteration instantiated twice, with a
+    # round(·, 6) re-quantization barrier between iterations (see
+    # _iteration_ctes). Closes the inferential gap between "one
+    # iteration exact" and "the loop is exact": any drift in the
+    # recomputed sumF / gradient / accept chain when iteration 2
+    # starts from iteration 1's REWRITTEN factors (reference
+    # codes/Bigclamv2.scala:203-219) would surface here as a hash
+    # mismatch.
+    "bigclam_two_iterations": f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {FACTORS_LONG_SQL},
+        {_iteration_ctes('_i1', 'factors_long')},
+        {_iteration_ctes('_i2', 'fnext_i1')}
+        SELECT node_id, CAST(k AS INT) AS k, val AS fval FROM fnext_i2
     """,
     # F7: community membership at a fixed threshold δ=0.75 on fixture
     # factors (argmax-fallback branch included: keeps ALL argmax ties,
@@ -462,6 +509,34 @@ def q_one_iteration(spark, sf_dir):
     ).select("node_id", "k", F.round("v", 6).alias("fval"))
 
 
+def q_two_iterations(spark, sf_dir):
+    """F5 oracle twin: TWO chained optimizer iterations over the
+    fixture factors, with a round(·, 6) re-quantization barrier
+    between them mirroring _iteration_ctes (reference
+    codes/Bigclamv2.scala:203-219 — the loop body re-entered with
+    the rewritten factor matrix). sumF is recomputed from the new
+    factors each iteration, exactly as the production fit loop does,
+    so recompute-vs-incremental drift would hash-mismatch here."""
+    sym = _sym(spark, sf_dir).localCheckpoint()
+    fx = fixture_factors(sym)
+    for _ in range(2):
+        sumf = B.sum_f(fx)
+        state = B.gradient_state(sym, fx, sumf)
+        upd = B.line_search_updates(sym, fx, state, sumf, quantize=6)
+        # localCheckpoint = the production fit loop's per-iteration
+        # lineage barrier: iteration 2 consumes iteration 1's factors
+        # from 5 places — without it the whole iteration-1 DAG
+        # (16-step line-search fan-out included) re-executes per use.
+        fx = (
+            B.apply_updates(fx, upd)
+            .select("node_id", F.transform("f", lambda v: F.round(v, 6)).alias("f"))
+            .localCheckpoint()
+        )
+    return fx.select("node_id", F.posexplode("f").alias("k", "v")).select(
+        "node_id", "k", F.col("v").alias("fval")
+    )
+
+
 def q_extract(spark, sf_dir):
     sym = _sym(spark, sf_dir)
     fx = fixture_factors(sym)
@@ -580,6 +655,7 @@ BIGCLAM_QUERIES = {
     "bigclam_step": q_step,
     "bigclam_line_search": q_line_search,
     "bigclam_one_iteration": q_one_iteration,
+    "bigclam_two_iterations": q_two_iterations,
     "bigclam_extract": q_extract,
     "bigclam_invert": q_invert,
     "bigclam_init_membership": q_init_membership,
