@@ -26,6 +26,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigclam_apachespark_spark.functions.checkpointing import (
+    unpersist_local_checkpoint,
+)
 from bigclam_apachespark_spark.functions.arrays import (
     MAX_F,
     MIN_F,
@@ -172,7 +175,7 @@ def checkpoint_fresh(df: DataFrame) -> DataFrame:
 def _unpersist_ckpt(df: DataFrame) -> None:
     handle = getattr(df, "_ckpt_handle", None)
     if handle is not None:
-        handle.unpersist()
+        unpersist_local_checkpoint(handle)
 
 
 def sum_f(factors: DataFrame) -> list[float]:

@@ -484,11 +484,15 @@ def value_quantiles(
     this on samples to calibrate the sketch's error instead."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = events.select("event_type", "event_id", "value").withColumn(
-        "r", F.row_number().over(w)
+    # NULL values are excluded on BOTH engines before ranking: Spark
+    # sorts NULLs first in ASC while DuckDB defaults to NULLS LAST, so
+    # a nullable value column would silently shift every rank.
+    ev = events.select("event_type", "event_id", "value").where(
+        F.col("value").isNotNull()
     )
-    n = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(w))
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
     p_df = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
     probes = n.select("event_type", "n", p_df)
     return (
@@ -517,7 +521,10 @@ def dau_wau(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     ts_type = events.schema[ts_col].dataType.typeName()
     day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast("long")
     ud = events.select("user_id", day.alias("day")).distinct()
-    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    # ud is already DISTINCT (user_id, day) — a plain count avoids the
+    # redundant distinct-aggregate expand/exchange; wau keeps
+    # countDistinct because the 7x fan-out does create duplicates.
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     contrib = ud.select(
         "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day")
     )

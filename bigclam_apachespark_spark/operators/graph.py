@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigclam_apachespark_spark.functions.checkpointing import (
+    unpersist_local_checkpoint,
+)
+
 
 def symmetrize(edges: DataFrame) -> DataFrame:
     """B1: undirected view — edges ∪ reversed edges, dedup, drop
@@ -322,7 +326,7 @@ def pagerank(
             "id",
             (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("r"),
         ).localCheckpoint(eager=True)
-        ranks.unpersist()
+        unpersist_local_checkpoint(ranks)
         ranks = new_ranks
     edges_deg.unpersist()
     return ranks.select("id", F.round("r", 6).alias("rank"))
@@ -379,7 +383,7 @@ def pagerank_weighted(
             "id",
             (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("r"),
         ).localCheckpoint(eager=True)
-        ranks.unpersist()
+        unpersist_local_checkpoint(ranks)
         ranks = new_ranks
     ew.unpersist()
     return ranks.select("id", F.round("r", 6).alias("rank"))
@@ -422,7 +426,7 @@ def kcore(sym_edges: DataFrame, k: int = 80, rounds: int = 8) -> DataFrame:
             .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        e.unpersist()
+        unpersist_local_checkpoint(e)
         e = e_new
         # Early exit at the fixpoint: peeling removed nothing, so every
         # further round is the identity — the result is bit-identical
@@ -570,7 +574,7 @@ def bfs_hops(
         if nxt.count() == 0:
             break
         new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-        dist.unpersist()
+        unpersist_local_checkpoint(dist)
         dist = new_dist
         frontier = nxt.select("id")
     return dist

@@ -556,9 +556,15 @@ def cosine_histogram(
     a = s.select(F.col(id_col).alias("a"), F.col("qv").alias("qa"), F.col("nrm").alias("na"))
     b = s.select(F.col(id_col).alias("b"), F.col("qv").alias("qb"), F.col("nrm").alias("nb"))
     cos = _dot_long("qa", "qb").cast("double") / (F.col("na") * F.col("nb"))
-    binc = F.least(
-        F.floor((cos + F.lit(1.0)) * F.lit(n_bins / 2.0)).cast("int"),
-        F.lit(n_bins - 1),
+    # clamp BOTH ends into [0, n_bins): double rounding of na*nb can
+    # push cos marginally outside [-1, 1] for (anti)parallel quantized
+    # vectors — the top clamp alone left floor(...) = -1 reachable.
+    binc = F.greatest(
+        F.least(
+            F.floor((cos + F.lit(1.0)) * F.lit(n_bins / 2.0)).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
     )
     return (
         a.crossJoin(b)

@@ -1312,7 +1312,7 @@ SIM_ORACLE["sim_pair_hist"] = f"""
       SELECT {_cosq_sql('a.qv', 'a.nrm', 'b.qv', 'b.nrm')} AS cos
       FROM samp a JOIN samp b ON a.vec_id < b.vec_id
     )
-    SELECT CAST(least(floor((cos + 1.0) * 10.0), 19) AS INT) AS bin,
+    SELECT CAST(greatest(least(floor((cos + 1.0) * 10.0), 19), 0) AS INT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM pairs GROUP BY 1
 """
@@ -1477,14 +1477,18 @@ EVENT_ORACLE = {
     # Exact per-type value quantiles: q is a selected input value;
     # the rank threshold ceil(p*n) is one identical double product.
     "events_value_quantiles": """
-        WITH ranked AS (
+        WITH ev AS (
+          SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL
+        ),
+        ranked AS (
           SELECT event_type, value,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY value, event_id) AS r
-          FROM events
+          FROM ev
         ),
         n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-              FROM events GROUP BY event_type),
+              FROM ev GROUP BY event_type),
         probes AS (
           SELECT event_type, n, unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p FROM n
         )

@@ -293,3 +293,31 @@ def test_bfs_hops_two_sources(spark, g1_edges):
     assert out[0] == 0 and out[7] == 0
     assert out[1] == 1 and out[2] == 1 and out[3] == 1
     assert out[4] == 1 and out[5] == 1 and out[6] == 1
+
+
+def test_unpersist_local_checkpoint_frees_blocks(spark):
+    """DataFrame.unpersist does NOT drop localCheckpoint RDD blocks
+    (only cacheManager entries); the helper reaches the LogicalRDD's
+    rdd and actually frees them — pin both facts."""
+    from bigclam_apachespark_spark.functions.checkpointing import (
+        unpersist_local_checkpoint,
+    )
+
+    sc = spark.sparkContext
+
+    def live():
+        m = sc._jsc.sc().getPersistentRDDs()
+        it = m.iterator()
+        n = 0
+        while it.hasNext():
+            it.next()
+            n += 1
+        return n
+
+    base = live()
+    plain = spark.range(1000).localCheckpoint(eager=True)
+    assert live() == base + 1
+    plain.unpersist(blocking=True)
+    assert live() == base + 1  # the documented leak
+    unpersist_local_checkpoint(plain, blocking=True)
+    assert live() == base
