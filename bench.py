@@ -118,7 +118,17 @@ def main() -> None:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()
-        return time.perf_counter() - t0, n
+        dt = time.perf_counter() - t0
+        # deterministic cache release (registry _with_handles) so
+        # back-to-back heavy pipelines don't lean on LRU eviction;
+        # outside the timed span by design: a production pipeline
+        # releases after consumption too.
+        for h in getattr(df, "_cache_handles", []) or []:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+        return dt, n
 
     timings: dict[str, float] = {}
     total = 0.0

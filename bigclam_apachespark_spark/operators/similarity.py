@@ -485,30 +485,39 @@ def lsh_topk_multi(
     vector, never the payload ×L); the per-table hash joins are
     bucket-key equi-joins; candidates are deduped on (q, id) BEFORE
     the (expensive) exact scoring, which runs once per unique
-    candidate."""
+    candidate. The broadcast side is the query BUCKET KEYS only
+    ((qid, tbl, bucket) — no vectors), so its size is |Q|·L·24 bytes
+    regardless of dim; the query vectors are broadcast-joined back
+    ONCE after dedup. ``queries`` must still be broadcast-small —
+    the same contract as ``brute_force_topk``."""
     from pyspark.sql import Window
 
-    def tabled(df, prefix):
-        q0 = quantized(df, id_col, vec_col)
-        withb = q0.select(
-            F.col(id_col).alias(f"{prefix}id"),
-            F.col("qv").alias(f"{prefix}qv"),
-            F.col("nrm").alias(f"{prefix}nrm"),
-            F.posexplode(
-                _multi_bucket_expr(F.col("qv"), n_planes, n_tables, seed, dim)
-            ).alias("tbl", "bucket"),
-        )
-        return withb
-
-    corpus = tabled(embeddings, "c")
-    qs = tabled(queries, "q")
+    corpus = quantized(embeddings, id_col, vec_col).select(
+        F.col(id_col).alias("cid"),
+        F.col("qv").alias("cqv"),
+        F.col("nrm").alias("cnrm"),
+        F.posexplode(
+            _multi_bucket_expr(F.col("qv"), n_planes, n_tables, seed, dim)
+        ).alias("tbl", "bucket"),
+    )
+    qv = quantized(queries, id_col, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    q_buckets = qv.select(
+        "qid",
+        F.posexplode(
+            _multi_bucket_expr(F.col("qqv"), n_planes, n_tables, seed, dim)
+        ).alias("tbl", "bucket"),
+    )
     cand = (
-        corpus.join(F.broadcast(qs), ["tbl", "bucket"])
+        corpus.join(F.broadcast(q_buckets), ["tbl", "bucket"])
         .where(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", "qqv", "qnrm", "cqv", "cnrm")
+        .select("qid", "cid", "cqv", "cnrm")
         .dropDuplicates(["qid", "cid"])
     )
-    scored = cand.select(
+    scored = cand.join(F.broadcast(qv), "qid").select(
         F.col("qid").alias("q"),
         F.col("cid").alias(id_col),
         F.round(_cos_q("cqv", "cnrm", "qqv", "qnrm"), 6).alias("cos_sim"),

@@ -525,8 +525,10 @@ TEXT_QUERIES = {
     "text_cms_token_counts": lambda spark, sf: SK.cms_topk_estimates(
         _docs(spark, sf), k=20, d=4, w=1024
     ),
-    "text_split_leakage": lambda spark, sf: X.split_leakage(
-        _docs(spark, sf), near_dup_threshold=0.35
+    "text_split_leakage": lambda spark, sf: _with_handles(
+        lambda h: X.split_leakage(
+            _docs(spark, sf), near_dup_threshold=0.35, cache_handles=h
+        )
     ),
     "text_repetition": lambda spark, sf: X.repetition_signals(_docs(spark, sf)),
     "text_gopher_filter": lambda spark, sf: X.gopher_filter(_docs(spark, sf)),
@@ -893,8 +895,11 @@ TEXT_ORACLE["text_training_corpus"] = f"""
       FROM final
     )
 """
-TEXT_QUERIES["text_training_corpus"] = lambda spark, sf: X.training_corpus(
-    _docs(spark, sf), quality_threshold=0.5, lang="en", near_dup_threshold=0.35
+TEXT_QUERIES["text_training_corpus"] = lambda spark, sf: _with_handles(
+    lambda h: X.training_corpus(
+        _docs(spark, sf), quality_threshold=0.5, lang="en",
+        near_dup_threshold=0.35, cache_handles=h,
+    )
 )
 
 # Contamination report: near-dup pairs straddling split boundaries
@@ -942,6 +947,18 @@ def _q_dedup_stream(spark, sf):
     )
 
 
+def _with_handles(make):
+    """Run ``make(handles)`` and attach the operator's internal cache
+    handles to the returned DataFrame as ``_cache_handles`` — gate
+    runners (scripts/check_correctness.py, bench.py) unpersist them
+    after collecting, so back-to-back registry sweeps release caches
+    deterministically instead of leaning on LRU eviction."""
+    handles: list = []
+    df = make(handles)
+    df._cache_handles = handles
+    return df
+
+
 DEDUP_QUERIES = {
     "dedup_ngram_decontam": lambda spark, sf: D.ngram_decontamination(
         _docs(spark, sf).where("doc_id % 10 != 0"),
@@ -958,14 +975,16 @@ DEDUP_QUERIES = {
     "dedup_stream_exact": _q_dedup_stream,
     "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)),
     "dedup_lsh_buckets": lambda spark, sf: D.lsh_buckets(D.minhash_signatures(_docs(spark, sf))),
-    "dedup_minhash_lsh_pairs": lambda spark, sf: D.minhash_lsh_dups(
-        _docs(spark, sf), threshold=0.35
+    "dedup_minhash_lsh_pairs": lambda spark, sf: _with_handles(
+        lambda h: D.minhash_lsh_dups(_docs(spark, sf), threshold=0.35, cache_handles=h)
     ),
     "dedup_simhash": lambda spark, sf: D.simhash(_docs(spark, sf)),
     "dedup_simhash_pairs": lambda spark, sf: D.simhash_near_dups(_docs(spark, sf), max_hamming=2),
-    "dedup_cluster_survivors": lambda spark, sf: D.cluster_survivors(
-        _docs(spark, sf),
-        D.minhash_lsh_dups(_docs(spark, sf), threshold=0.35),
+    "dedup_cluster_survivors": lambda spark, sf: _with_handles(
+        lambda h: D.cluster_survivors(
+            _docs(spark, sf),
+            D.minhash_lsh_dups(_docs(spark, sf), threshold=0.35, cache_handles=h),
+        )
     ),
     "dedup_token_jaccard": lambda spark, sf: D.token_jaccard_pairs(_docs(spark, sf), threshold=0.8),
     "dedup_ngram_jaccard": lambda spark, sf: D.token_jaccard_pairs(

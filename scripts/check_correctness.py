@@ -93,6 +93,16 @@ def main() -> None:
                 entry["err"] = "no_oracle"
         except Exception:
             entry["err"] = traceback.format_exc()[-800:]
+        finally:
+            # deterministic cache release for queries that surface
+            # their internal cache handles (see registry_ext
+            # _with_handles) — a full-registry sweep must not lean on
+            # LRU eviction between heavy minhash pipelines.
+            for h in getattr(locals().get("sdf"), "_cache_handles", []) or []:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
         entry["sec"] = round(time.time() - t0, 2)
         report[name] = entry
         ok = entry.get("hash_match", entry.get("err") == "no_oracle" and entry.get("spark_rows") is not None)
