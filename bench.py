@@ -56,6 +56,12 @@ HEADLINE = [
     # end-to-end training-corpus prep (clean -> LSH near-dup clusters
     # -> survivor election -> split) — the flagship composition
     "text_training_corpus",
+    # round-4 additions: chained optimizer iterations (the fit loop's
+    # real per-round cost), the skew-variant conductance plan, and
+    # multi-table LSH with the keys-only broadcast
+    "bigclam_two_iterations",
+    "graph_conductance_pairs",
+    "sim_lsh_topk_multi",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
