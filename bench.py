@@ -101,6 +101,10 @@ EXPECTED = {
     "graph_link_candidates": 6.3,
     "graph_bfs_hops": 9.6,
     "text_training_corpus": 16.8,
+    # round-4 additions (measured 2026-08-14, healthy window)
+    "bigclam_two_iterations": 66.0,
+    "graph_conductance_pairs": 2.6,
+    "sim_lsh_topk_multi": 6.7,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
