@@ -785,3 +785,76 @@ def dup_rate_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
         ).alias("dup_rate"),
     )
+
+
+# PII patterns — deliberately restricted to syntax Java regex (Spark)
+# and RE2 (DuckDB) interpret identically: character classes, bounded
+# repetition, \b word boundaries; no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction → ``(doc_id, clean_text, n_emails, n_ips,
+    n_phones)``: emails, IPv4 addresses, and phone-shaped numbers
+    replaced by ``<EMAIL>``/``<IP>``/``<PHONE>`` tokens — the
+    scrubbing pass every published training corpus runs before
+    tokenization. Patterns apply SEQUENTIALLY (emails → IPs → phones)
+    and each count is taken on the residual text of the previous
+    stage, so counts equal replacements exactly (a phone-shaped
+    substring inside an already-redacted email is not double-counted).
+
+    Scale shape: a pure narrow map — three JVM-side regexp passes
+    inside one whole-stage-codegen projection, zero shuffles, zero
+    Python. At 100 TB this runs at scan speed; the same pass is where
+    a production pipeline would chain further rules (SSNs, IBANs,
+    secrets), each one more regexp_replace in the same projection."""
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), F.lit(0)))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IP), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IP, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
+def cap_per_source(
+    docs: DataFrame, cap: int = 100, id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document cap → ``(doc_id, source, rk, kept)``: at
+    most ``cap`` documents survive per source, selected by a
+    DETERMINISTIC content-independent shuffle (rank by
+    (hash64(doc_id), doc_id) within the source) — the CommonCrawl-
+    style anti-domination rule that stops one boilerplate-heavy
+    domain from owning the token budget. Hash-ordered selection keeps
+    the choice stable across runs and corpus growth-at-the-tail
+    (appending new docs never evicts a previously kept one until the
+    cap forces it), unlike ORDER BY random().
+
+    Scale shape: one hash-partitioned window per source. A source
+    with millions of docs is one partition — for web-scale corpora
+    where single domains can exceed a partition, swap the window for
+    the groupBy-top-k pattern; at up-to-millions per source the
+    window is the simpler exact plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        hash64(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return docs.select(id_col, source_col).withColumn(
+        "rk", F.row_number().over(w)
+    ).select(
+        id_col,
+        source_col,
+        F.col("rk").cast("int").alias("rk"),
+        (F.col("rk") <= cap).cast("int").alias("kept"),
+    )

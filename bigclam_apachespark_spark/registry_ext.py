@@ -334,6 +334,55 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    # PII redaction: same three RE2/Java-portable patterns applied
+    # sequentially (emails -> IPs -> phones), counts on each stage's
+    # residual text - mirroring operators/text.py pii_scrub exactly.
+    # The synthetic corpus contains no PII, so BOTH engines append a
+    # deterministic PII tail to every 7th document first - the gate
+    # then genuinely exercises the match/replace behavior
+    # cross-engine instead of hashing identity text.
+    "text_pii_scrub": f"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' contact user' || doc_id ||
+                   '@example.com at 10.0.' || (doc_id % 256) ||
+                   '.1 or call 555-123-' || (1000 + doc_id % 9000)
+                 ELSE text END AS text
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{X.PII_EMAIL}')) AS INT) AS n_emails,
+                 regexp_replace(text, '{X.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+          FROM seeded
+        ),
+        s2 AS (
+          SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t1, '{X.PII_IP}')) AS INT) AS n_ips,
+                 regexp_replace(t1, '{X.PII_IP}', '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '{X.PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+               n_emails, n_ips,
+               CAST(len(regexp_extract_all(t2, '{X.PII_PHONE}')) AS INT) AS n_phones
+        FROM s2
+    """,
+    # Deterministic per-source cap: rank by (hash64(doc_id), doc_id)
+    # inside each source - the anti-domination sampling rule.
+    "text_cap_per_source": f"""
+        SELECT doc_id, source, CAST(rk AS INT) AS rk,
+               CAST(CASE WHEN rk <= 200 THEN 1 ELSE 0 END AS INT) AS kept
+        FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+                 ) AS rk
+          FROM documents
+        )
+    """,
     # Per-source duplication report: exact distinct fingerprints.
     "text_dup_rate": f"""
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -535,6 +584,23 @@ TEXT_QUERIES = {
     "text_mix_sample": lambda spark, sf: X.mix_sample(_docs(spark, sf)),
     "text_feature_hashing": lambda spark, sf: X.feature_hashing(_docs(spark, sf)),
     "text_dup_rate": lambda spark, sf: X.dup_rate_by_source(_docs(spark, sf)),
+    "text_pii_scrub": lambda spark, sf: X.pii_scrub(
+        _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com at 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 or call 555-123-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    ),
+    "text_cap_per_source": lambda spark, sf: X.cap_per_source(_docs(spark, sf), cap=200),
 }
 
 # ---------------------------------------------------------------------------

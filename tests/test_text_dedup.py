@@ -707,3 +707,43 @@ def test_prefilter_recall_at_low_threshold(spark):
     assert fixed6 <= auto
     assert len(auto & gt) - len(fixed6 & gt) >= 5
     df.unpersist()
+
+
+def test_pii_scrub(spark):
+    from bigclam_apachespark_spark.operators.text import pii_scrub
+
+    rows = [
+        (0, "contact bob@example.com or alice.smith+tag@sub.domain.org today"),
+        (1, "server at 192.168.1.1 and 10.0.0.255 port 8080"),
+        (2, "call 555-123-4567 or +1 555.123.4567 x99"),
+        (3, "mixed: eve@corp.io from 172.16.0.9 said call 800 555 1234"),
+        (4, "clean text with no personal data at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[0]["n_emails"] == 2 and "<EMAIL>" in got[0]["clean_text"]
+    assert "bob@example.com" not in got[0]["clean_text"]
+    assert got[1]["n_ips"] == 2 and got[1]["clean_text"].count("<IP>") == 2
+    assert got[2]["n_phones"] == 2
+    assert got[3]["n_emails"] == 1 and got[3]["n_ips"] == 1 and got[3]["n_phones"] == 1
+    assert got[3]["clean_text"] == "mixed: <EMAIL> from <IP> said call <PHONE>"
+    assert got[4]["clean_text"] == rows[4][1]
+    assert got[4]["n_emails"] == got[4]["n_ips"] == got[4]["n_phones"] == 0
+
+
+def test_cap_per_source(spark):
+    from bigclam_apachespark_spark.operators.text import cap_per_source
+
+    rows = [(i, f"s{i % 3}" if i < 9 else "big") for i in range(29)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_source(df, cap=2).collect()
+    kept = {}
+    for r in got:
+        kept.setdefault(r["source"], 0)
+        kept[r["source"]] += r["kept"]
+        assert r["kept"] == (1 if r["rk"] <= 2 else 0)
+    # 3 sources with 3 docs each -> capped at 2; 'big' with 20 -> 2
+    assert kept == {"s0": 2, "s1": 2, "s2": 2, "big": 2}
+    # deterministic: same selection on rerun
+    again = {(r["doc_id"], r["kept"]) for r in cap_per_source(df, cap=2).collect()}
+    assert again == {(r["doc_id"], r["kept"]) for r in got}
