@@ -1850,6 +1850,27 @@ def _q_stream_enrich(spark, sf):
     )
 
 
+def _q_stream_dedup_watermark(spark, sf):
+    """Watermark-bounded streaming retry-dedup, ORACLE-CHECKED: on a
+    bounded AvailableNow replay every row lands in one batch (nothing
+    evicted yet), so dropDuplicatesWithinWatermark emits exactly the
+    batch DISTINCT (user, type, floor-second) set; the state bound is
+    the production property (see operator docstring)."""
+    from bigclam_apachespark_spark.streaming import (
+        dedup_within_watermark_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_stream_to_memory(
+        dedup_within_watermark_stream(stream),
+        "events_stream_dedup_wm_sink",
+        "append",
+        strict=True,
+    )
+
+
 def _q_stream_sessionize(spark, sf):
     """Custom stateful streaming sessionization, ORACLE-CHECKED: with
     ``timeout="none"`` on a bounded AvailableNow replay the emitted
@@ -1927,6 +1948,11 @@ def _hll_sql(b: int = 8) -> str:
     """
 
 
+EVENT_ORACLE["events_stream_dedup_watermark"] = """
+    SELECT DISTINCT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events
+"""
 EVENT_ORACLE["events_hll_users"] = _hll_sql(8)
 
 
@@ -2040,6 +2066,7 @@ EVENT_QUERIES = {
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_enrich": _q_stream_enrich,
     "events_stream_sessionize": _q_stream_sessionize,
+    "events_stream_dedup_watermark": _q_stream_dedup_watermark,
 }
 
 # ---------------------------------------------------------------------------

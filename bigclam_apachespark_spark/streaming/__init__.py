@@ -3,6 +3,7 @@ from bigclam_apachespark_spark.streaming.events_stream import (
     windowed_counts_stream,
     enriched_counts_stream,
     click_attribution_stream,
+    dedup_within_watermark_stream,
     sessionize_stream,
     run_stream_to_memory,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "windowed_counts_stream",
     "enriched_counts_stream",
     "click_attribution_stream",
+    "dedup_within_watermark_stream",
     "sessionize_stream",
     "run_stream_to_memory",
     "read_documents_stream",

@@ -476,3 +476,29 @@ def enriched_counts_stream(
         )
         .select(start_ntz.alias("window_start"), "segment", "n_events", "sum_value")
     )
+
+
+def dedup_within_watermark_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming at-least-once dedup with WATERMARK-BOUNDED state →
+    one ``(user_id, event_type, sec)`` row per distinct key, via
+    ``dropDuplicatesWithinWatermark``. The retry-burst identity key
+    is (user, type, floor-second): at-least-once ingestion re-emits
+    the same logical event within seconds, and this collapses those
+    while EVICTING state older than the watermark horizon — the
+    100-TB-safe variant of plain ``dropDuplicates``, whose one-row-
+    per-key-forever state grows without bound (the batch/streaming
+    exact-dedup twins keep the unbounded variant for content
+    fingerprints, where "forever" is the semantics; for event retry
+    dedup it is not). On a bounded AvailableNow replay all data lands
+    in one batch, where nothing has been evicted yet — so the emitted
+    set equals the batch DISTINCT, which is what the oracle checks;
+    the state bound is the production property."""
+    sec = F.expr("unix_micros(ts) div 1000000")
+    keyed = events.withWatermark("ts", watermark).select(
+        "ts", "user_id", "event_type", sec.alias("sec")
+    )
+    return keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "sec"]
+    ).select("user_id", "event_type", "sec")

@@ -625,3 +625,43 @@ def test_dau_wau_trailing_window(spark):
     assert set(rows) == {0, 3}
     assert (rows[0].dau, rows[0].wau, rows[0].stickiness) == (2, 2, 1.0)
     assert (rows[3].dau, rows[3].wau, rows[3].stickiness) == (1, 2, 0.5)
+
+
+def test_stream_dedup_within_watermark_collapses_retries(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.streaming import (
+        dedup_within_watermark_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    # at-least-once retries: events 1/2/3 are the same logical event
+    # (same user, type, second — different event_id); 4 differs by
+    # second, 5 by user, 6 by type → 4 distinct keys survive
+    rows = [
+        (1, 1, "click", "2024-01-01 09:10:00", 1.0),
+        (2, 1, "click", "2024-01-01 09:10:00", 1.0),
+        (3, 1, "click", "2024-01-01 09:10:00", 1.0),
+        (4, 1, "click", "2024-01-01 09:10:01", 1.0),
+        (5, 2, "click", "2024-01-01 09:10:00", 1.0),
+        (6, 1, "view", "2024-01-01 09:10:00", 1.0),
+    ]
+    src = str(tmp_path / "events_ddwm")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    ).write.parquet(src)
+
+    out = run_stream_to_memory(
+        dedup_within_watermark_stream(read_events_stream(spark, src)),
+        "ddwm_unit_sink",
+        "append",
+        timeout_sec=60.0,
+    )
+    got = {(r["user_id"], r["event_type"], r["sec"]) for r in out.collect()}
+    assert len(got) == 4
+    secs = {s for _, _, s in got}
+    assert len(secs) == 2 and max(secs) - min(secs) == 1
