@@ -251,3 +251,20 @@ def test_kcore_output_is_aggregated_not_collected(spark):
     checkpointed edge list (no driver-side loop artifacts in plan)."""
     plan = _plan(spark, "graph_kcore")
     assert "HashAggregate" in plan
+
+
+def test_pii_scrub_zero_exchange_no_python(spark):
+    """PII redaction is three JVM regexp passes in one narrow
+    projection: zero shuffles, zero Python — it must run at scan
+    speed at 100 TB."""
+    plan = _plan(spark, "text_pii_scrub")
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_cap_per_source_single_exchange(spark):
+    """The per-source cap is ONE hash partitioning by source feeding
+    the rank window — no second shuffle, no Python."""
+    plan = _plan(spark, "text_cap_per_source")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PythonUDF" not in plan
