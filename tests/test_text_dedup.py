@@ -747,3 +747,27 @@ def test_cap_per_source(spark):
     # deterministic: same selection on rerun
     again = {(r["doc_id"], r["kept"]) for r in cap_per_source(df, cap=2).collect()}
     assert again == {(r["doc_id"], r["kept"]) for r in got}
+
+
+def test_prefilter_min_matches_miss_bound_property():
+    """For any (threshold, num_perms, rows_per_band) the returned cut
+    must (a) filter something (> rows_per_band), (b) keep the exact
+    binomial miss probability at the caller's threshold <= 1%, and
+    (c) be maximal — one more required match would break the bound
+    (unless already at the num_perms ceiling)."""
+    from math import comb
+
+    from bigclam_apachespark_spark.operators.dedup import prefilter_min_matches
+
+    def miss(n, j, extra):
+        return sum(comb(n, i) * j**i * (1 - j) ** (n - i) for i in range(extra))
+
+    for num_perms, rpb in ((16, 4), (16, 2), (32, 4), (64, 8)):
+        n = num_perms - rpb
+        for j in (0.2, 0.3, 0.35, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+            mm = prefilter_min_matches(j, num_perms, rpb)
+            extra = mm - rpb
+            assert extra >= 1
+            assert miss(n, j, extra) <= 0.01 or extra == 1
+            if extra < n:
+                assert miss(n, j, extra + 1) > 0.01
