@@ -257,6 +257,17 @@ def _session_fn(gap_seconds: int, timeout: str = "processing"):
         # gap in (gap, gap+1) s straddles second boundaries.
         import numpy as np
 
+        if len(rows) == 0:
+            # a group can surface with no rows (e.g. timer-only
+            # invocations); keep whatever state exists untouched
+            if state.exists:
+                state.update((s0, last, n, sv, closed))
+                if timeout == "processing":
+                    state.setTimeoutDuration(gap_seconds * 1000)
+                elif timeout == "event":
+                    state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+            return
+
         ts_us = rows["ts"].to_numpy().view("int64") // 1000  # ns → us
         sec = ts_us // 1_000_000
         vals = rows["value"].to_numpy(dtype="float64")

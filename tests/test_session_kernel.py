@@ -118,3 +118,12 @@ def test_vectorized_kernel_matches_reference(deltas, values, split):
     assert (s0, last, n) == ref_open[:3]
     assert abs(sv - ref_open[3]) < 1e-6
     assert n_closed == len(ref_closed)
+
+
+def test_empty_batch_keeps_state():
+    fn = _session_fn(GAP_S, timeout="none")
+    state = FakeState()
+    state.update((1_000_000, 2_000_000, 3, 4.5, 2))
+    out = list(fn((1,), iter([pd.DataFrame({"ts": pd.to_datetime([]), "value": []})]), state))
+    assert out == []
+    assert state.get == (1_000_000, 2_000_000, 3, 4.5, 2)
