@@ -765,3 +765,69 @@ def ngram_decontamination(
         "n_shared",
         F.round(F.col("n_shared").cast("double") / F.col("sz_b"), 6).alias("bench_frac"),
     )
+
+
+def ngram_span_decontam(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """Exact SHARED-SPAN decontamination (the "deduplicating training
+    data" span family) → ``(doc_id, bench_id, max_span_tokens,
+    n_spans)``: for each (train, benchmark) document pair, the
+    maximal CONTIGUOUS token spans they share, found from positional
+    k-gram anchors merged by the gaps-and-islands trick. Complements
+    ``ngram_decontamination`` (set-count overlap): a count of shared
+    grams cannot distinguish 20 scattered boilerplate grams from one
+    verbatim 23-token quotation of an eval item — span length can.
+
+    Mechanics (all integer-exact, both engines): a shared span of m
+    contiguous tokens produces m − k + 1 positional gram matches on
+    one DIAGONAL (pos_train − pos_bench constant); within a diagonal,
+    consecutive positions satisfy pos − row_number() = constant, so
+    one window + one group-by recovers each maximal run r and
+    span_tokens = r + k − 1. Only spans ≥ ``min_span_tokens`` are
+    reported.
+
+    Scale shape: the benchmark's positional gram table broadcasts
+    (eval corpora are tiny); the training corpus streams through one
+    explode + broadcast-join; the islands window partitions by
+    (doc, bench, diag) — match-table-sized, never corpus-sized; the
+    train×train quadrant is never formed."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.hashing import (
+        hash64,
+        tokens,
+        word_ngrams_of,
+    )
+
+    def _pos_grams(df, idc):
+        # positional (not distinct'd) grams: word_ngrams_of preserves
+        # token order, so posexplode's index IS the span position
+        return (
+            df.select(F.col("doc_id").alias(idc), tokens(text_col).alias("tk"))
+            .select(idc, F.posexplode(word_ngrams_of(F.col("tk"), k)).alias("pos", "gram"))
+            .select(idc, "pos", hash64("gram").alias("g"))
+        )
+
+    t = _pos_grams(train, "doc_id")
+    b = _pos_grams(benchmark, "bench_id").select(
+        "bench_id", F.col("pos").alias("pos_b"), "g"
+    )
+    m = t.join(F.broadcast(b), "g").select(
+        "doc_id", "bench_id", (F.col("pos") - F.col("pos_b")).alias("diag"), "pos"
+    )
+    w = Window.partitionBy("doc_id", "bench_id", "diag").orderBy("pos")
+    runs = (
+        m.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "bench_id", "diag", "isl")
+        .agg((F.count("*") + k - 1).alias("span_tokens"))
+        .where(F.col("span_tokens") >= min_span_tokens)
+    )
+    return runs.groupBy("doc_id", "bench_id").agg(
+        F.max("span_tokens").cast("int").alias("max_span_tokens"),
+        F.count("*").cast("int").alias("n_spans"),
+    )

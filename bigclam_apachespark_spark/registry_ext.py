@@ -780,6 +780,33 @@ DEDUP_ORACLE = {
                round(CAST(s.n_shared AS DOUBLE) / z.sz_b, 6) AS bench_frac
         FROM sh s JOIN sz z USING (bench_id)
     """,
+    # Exact shared-SPAN decontamination: positional 4-gram anchors on
+    # matching diagonals (pos_t - pos_b constant) merged by the
+    # gaps-and-islands trick; span_tokens = run + k - 1. Integer-exact
+    # both engines; mirrors operators/dedup.py ngram_span_decontam.
+    "dedup_span_decontam": f"""
+        WITH tk_all AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+        tt AS (SELECT doc_id, {word_ngrams_sql('tk', 4)} AS grams FROM tk_all WHERE doc_id % 10 != 0),
+        bt AS (SELECT doc_id, {word_ngrams_sql('tk', 4)} AS grams FROM tk_all WHERE doc_id % 10 = 0),
+        tp0 AS (SELECT doc_id, unnest(range(len(grams))) AS pos, unnest(grams) AS gram FROM tt),
+        bp0 AS (SELECT doc_id AS bench_id, unnest(range(len(grams))) AS pos_b, unnest(grams) AS gram FROM bt),
+        tp AS (SELECT doc_id, pos, {hash64_sql('gram')} AS g FROM tp0),
+        bp AS (SELECT bench_id, pos_b, {hash64_sql('gram')} AS g FROM bp0),
+        m AS (SELECT t.doc_id, b.bench_id, t.pos - b.pos_b AS diag, t.pos
+              FROM tp t JOIN bp b USING (g)),
+        runs AS (
+          SELECT doc_id, bench_id, COUNT(*) + 3 AS span_tokens
+          FROM (SELECT doc_id, bench_id, diag, pos,
+                       pos - ROW_NUMBER() OVER (
+                         PARTITION BY doc_id, bench_id, diag ORDER BY pos) AS isl
+                FROM m)
+          GROUP BY doc_id, bench_id, diag, isl
+          HAVING COUNT(*) + 3 >= 8
+        )
+        SELECT doc_id, bench_id, CAST(MAX(span_tokens) AS INT) AS max_span_tokens,
+               CAST(COUNT(*) AS INT) AS n_spans
+        FROM runs GROUP BY doc_id, bench_id
+    """,
     # Cross-corpus decontamination: train (doc_id % 100 != 0) near-
     # dups against the held-out "benchmark" slice (doc_id % 100 = 0);
     # only cross pairs are formed.
@@ -1036,6 +1063,12 @@ DEDUP_QUERIES = {
         _docs(spark, sf).where("doc_id % 100 != 0"),
         _docs(spark, sf).where("doc_id % 100 = 0"),
         threshold=0.5,
+    ),
+    "dedup_span_decontam": lambda spark, sf: D.ngram_span_decontam(
+        _docs(spark, sf).where("doc_id % 10 != 0"),
+        _docs(spark, sf).where("doc_id % 10 = 0"),
+        k=4,
+        min_span_tokens=8,
     ),
     "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
     "dedup_stream_exact": _q_dedup_stream,

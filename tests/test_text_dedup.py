@@ -771,3 +771,27 @@ def test_prefilter_min_matches_miss_bound_property():
             assert miss(n, j, extra) <= 0.01 or extra == 1
             if extra < n:
                 assert miss(n, j, extra + 1) > 0.01
+
+
+def test_ngram_span_decontam(spark):
+    """Hand-computed spans: a verbatim 10-token quotation must report
+    span 10; k-1 = 3 shared consecutive tokens produce no gram match;
+    two disjoint quotations of the same bench doc count as 2 spans;
+    scattered shared grams below min_span_tokens are dropped."""
+    from bigclam_apachespark_spark.operators.dedup import ngram_span_decontam
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    bench = [(100, f"start {quote} end")]
+    train = [
+        (1, f"noise words here {quote} trailing junk"),          # one 10-span
+        (2, "unrelated alpha beta gamma text entirely"),          # 3 tokens < k
+        (3, f"one {quote} two xx1 xx2 xx3 xx4 {quote} three"),   # two 10-spans
+        (4, "alpha beta gamma delta padding epsilon zeta eta theta"),  # 4-span < 8
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["max_span_tokens"], r["n_spans"])
+        for r in ngram_span_decontam(tdf, bdf, k=4, min_span_tokens=8).collect()
+    }
+    assert got == {1: (10, 1), 3: (10, 2)}
