@@ -211,3 +211,83 @@ def caption_join(media: DataFrame, docs: DataFrame, text_col: str = "text") -> D
         F.size(tokens(text_col)).alias("caption_tokens"),
     )
     return m.join(d, "media_id")
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _wav_stats(media_id: int, payload: bytes) -> dict:
+    """REAL RIFF/WAV decode via the stdlib ``wave`` module + numpy —
+    no external codec libraries needed. Returns per-clip header
+    fields and PCM amplitude stats (rms/peak normalized to [0, 1]);
+    malformed payloads report ``decode_error`` instead of failing the
+    batch (at 100 TB some payloads are always corrupt — a decoder
+    that throws poisons the whole task)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out = {
+        "media_id": media_id, "n_channels": None, "sample_rate": None,
+        "n_frames": None, "duration_s": None, "rms": None, "peak": None,
+        "decode_error": None,
+    }
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            nch, sw, rate, nfr = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+            )
+            raw = w.readframes(nfr)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+        if dtype is None:
+            raise ValueError(f"unsupported sample width {sw}")
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sw == 1:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(2 ** (8 * sw - 1))
+        out.update(
+            n_channels=int(nch), sample_rate=int(rate), n_frames=int(nfr),
+            duration_s=round(nfr / rate, 6) if rate else None,
+            rms=round(float(np.sqrt(np.mean(x * x))), 6) if x.size else 0.0,
+            peak=round(float(np.max(np.abs(x))), 6) if x.size else 0.0,
+        )
+    except Exception as ex:  # corrupt payload → row-level error, not task death
+        out["decode_error"] = f"{type(ex).__name__}: {ex}"[:200]
+    return out
+
+
+def wav_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode over binary payloads (RIFF/WAV, stdlib-only)
+    → per-clip header + amplitude stats via Arrow-batched
+    ``mapInPandas``. This replaces the decode stub for the one format
+    the container can genuinely parse; other codecs stay behind
+    ``_decode_payload``'s NotImplementedError. Same scale shape as
+    ``media_features``: the payload column streams through Python in
+    Arrow batches, is reduced to a fixed-width stats row immediately,
+    and never crosses a join or shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _wav_stats(mid, pl)
+                    for mid, pl in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, WAV_STATS_SCHEMA)

@@ -665,3 +665,55 @@ def test_stream_dedup_within_watermark_collapses_retries(spark, tmp_path):
     assert len(got) == 4
     secs = {s for _, _, s in got}
     assert len(secs) == 2 and max(secs) - min(secs) == 1
+
+
+def test_wav_stats_real_decode(spark):
+    """REAL WAV decode: synthesize PCM16 mono clips with the stdlib
+    wave module (a 440 Hz sine at full scale and a silent clip), run
+    them through the Arrow-batched decoder, and check the recovered
+    header fields and amplitude stats against the analytic values
+    (sine rms = 1/sqrt(2)); a corrupt payload must yield a row-level
+    decode_error, not a task failure."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from bigclam_apachespark_spark.operators.multimodal import wav_stats
+
+    def make_wav(freq_hz, amp, seconds=0.25, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            n = int(seconds * rate)
+            frames = b"".join(
+                struct.pack(
+                    "<h",
+                    int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / rate)),
+                )
+                for i in range(n)
+            )
+            w.writeframes(frames)
+        return bytearray(buf.getvalue())
+
+    rows = [
+        (1, "audio", make_wav(440.0, 1.0)),
+        (2, "audio", make_wav(440.0, 0.0)),          # silence
+        (3, "audio", bytearray(b"not a riff file")),  # corrupt
+        (4, "image", bytearray(b"\x89PNG....")),      # filtered out by kind
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {r["media_id"]: r for r in wav_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    s = got[1]
+    assert s["decode_error"] is None
+    assert (s["n_channels"], s["sample_rate"], s["n_frames"]) == (1, 8000, 2000)
+    assert abs(s["duration_s"] - 0.25) < 1e-9
+    assert abs(s["rms"] - 1 / math.sqrt(2)) < 0.01
+    assert 0.99 <= s["peak"] <= 1.0
+    assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
+    assert got[3]["decode_error"] is not None and got[3]["rms"] is None
