@@ -291,3 +291,102 @@ def wav_stats(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "audio").select(
         "media_id", "payload"
     ).mapInPandas(extract, WAV_STATS_SCHEMA)
+
+
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _ppm_decode(payload: bytes):
+    """Minimal binary-PPM (P6, maxval 255) parser → (h, w, 3) uint8
+    numpy array. Pure numpy — no codec libraries."""
+    import numpy as np
+
+    b = bytes(payload)
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated
+    # ASCII tokens (comments unsupported — synthetic corpus format),
+    # then ONE whitespace byte, then raw RGB.
+    fields, i, tok = [], 2, b""
+    while len(fields) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c.isspace():
+            if tok:
+                fields.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    if len(fields) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    if px.size != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return px.reshape(h, w, 3)
+
+
+def _ppm_stats(media_id: int, payload: bytes, pool: int) -> dict:
+    import numpy as np
+
+    out = {
+        "media_id": media_id, "width": None, "height": None,
+        "mean_r": None, "mean_g": None, "mean_b": None,
+        "feature": None, "decode_error": None,
+    }
+    try:
+        img = _ppm_decode(payload).astype(np.float64) / 255.0
+        h, w, _ = img.shape
+        gray = img.mean(axis=2)
+        # pool x pool average-pooled thumbnail (edges truncated to the
+        # multiple — a real vision pipeline resizes; the pooled grid is
+        # the deterministic stand-in with the same output shape)
+        gh, gw = max(h // pool, 1), max(w // pool, 1)
+        g = gray[: gh * pool, : gw * pool].reshape(gh, pool, gw, pool).mean(axis=(1, 3)) \
+            if h >= pool and w >= pool else np.array([[gray.mean()]])
+        out.update(
+            width=int(w), height=int(h),
+            mean_r=round(float(img[:, :, 0].mean()), 6),
+            mean_g=round(float(img[:, :, 1].mean()), 6),
+            mean_b=round(float(img[:, :, 2].mean()), 6),
+            feature=[round(float(v), 6) for v in g.ravel()],
+        )
+    except Exception as ex:
+        out["decode_error"] = f"{type(ex).__name__}: {ex}"[:200]
+    return out
+
+
+def ppm_features(media: DataFrame, pool: int = 4) -> DataFrame:
+    """REAL image decode over binary payloads (binary PPM/P6,
+    numpy-only) → per-image dimensions, channel means, and a pooled
+    grayscale thumbnail feature, Arrow-batched via ``mapInPandas``.
+    With ``wav_stats`` this replaces the decode stub for both formats
+    the container can parse natively; compressed codecs (JPEG/PNG/
+    H.264) stay behind ``_decode_payload``. Corrupt payloads report
+    ``decode_error`` row-level."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _ppm_stats(mid, pl, pool)
+                    for mid, pl in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, PPM_STATS_SCHEMA)

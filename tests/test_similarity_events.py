@@ -717,3 +717,41 @@ def test_wav_stats_real_decode(spark):
     assert 0.99 <= s["peak"] <= 1.0
     assert got[2]["rms"] == 0.0 and got[2]["peak"] == 0.0
     assert got[3]["decode_error"] is not None and got[3]["rms"] is None
+
+
+def test_ppm_features_real_decode(spark):
+    """REAL PPM decode: a synthesized 8x8 P6 image with known channel
+    values (R=255 everywhere, G=0, B=128) must recover exact means
+    and dimensions; a horizontal black/white split must produce a
+    pooled grayscale feature with the analytic per-cell values;
+    corrupt bytes -> row-level decode_error."""
+    from bigclam_apachespark_spark.operators.multimodal import ppm_features
+
+    def make_ppm(w, h, rgb_fn):
+        header = f"P6\n{w} {h}\n255\n".encode()
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px.extend(rgb_fn(x, y))
+        return bytearray(header + bytes(px))
+
+    flat = make_ppm(8, 8, lambda x, y: (255, 0, 128))
+    # left half black, right half white (all channels)
+    split = make_ppm(8, 8, lambda x, y: (255, 255, 255) if x >= 4 else (0, 0, 0))
+    rows = [
+        (1, "image", flat),
+        (2, "image", split),
+        (3, "image", bytearray(b"JFIF not a ppm")),
+        (4, "audio", bytearray(b"RIFF....")),  # filtered by kind
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in ppm_features(df, pool=4).collect()}
+    assert set(got) == {1, 2, 3}
+    f = got[1]
+    assert (f["width"], f["height"]) == (8, 8)
+    assert f["mean_r"] == 1.0 and f["mean_g"] == 0.0
+    assert abs(f["mean_b"] - 128 / 255) < 1e-6
+    s = got[2]
+    # 2x2 pooled grid of an 8-wide half split: left cells 0, right 1
+    assert s["feature"] == [0.0, 1.0, 0.0, 1.0]
+    assert got[3]["decode_error"] is not None
