@@ -71,12 +71,17 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
 
 
 def _decode_payload(kind: str, payload: bytes) -> bytes:
-    """STUB — real deployments decode image/audio/video here (PIL /
-    librosa / pyav). Not available in this container; the pipeline is
-    validated with the deterministic fake below."""
+    """STUB for COMPRESSED codecs only (JPEG/PNG/MP3/H.264 — need
+    PIL / librosa / pyav, absent from this container). The formats
+    the environment can parse natively ARE genuinely decoded:
+    ``wav_stats`` (RIFF/WAV via stdlib wave) and ``ppm_features``
+    (binary PPM via numpy), both below with analytic-ground-truth
+    tests; ``fake_features`` remains the deterministic stand-in for
+    plumbing tests of the compressed-codec path."""
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; use fake_features (deterministic) for plumbing tests"
+        "compressed-codec decode requires image/audio libraries not present "
+        "in this environment; wav_stats/ppm_features decode WAV and PPM for "
+        "real, fake_features covers plumbing tests for the rest"
     )
 
 
