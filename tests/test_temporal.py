@@ -108,3 +108,56 @@ def test_range_join_bin_boundary(spark):
     # the @0 pair (160s gap) must NOT leak in via the bin-1 probe.
     assert got[21] == 1
     assert purchases.count() == 1
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark):
+    """Randomized equivalence against pandas merge_asof (backward,
+    by-key, with and without tolerance) over five seeded datasets —
+    right timestamps kept unique per key so both engines' tie rules
+    coincide and the comparison is exact."""
+    import random
+
+    import pandas as pd
+
+    for seed in (1, 2, 3, 4, 5):
+        rng = random.Random(seed)
+        n_keys = 4
+        right_rows, used = [], set()
+        for rid in range(60):
+            while True:
+                k = rng.randrange(n_keys)
+                t = rng.randrange(0, 5000)
+                if (k, t) not in used:
+                    used.add((k, t))
+                    break
+            right_rows.append((k, t, rid))
+        left_rows = [
+            (lid, rng.randrange(n_keys), rng.randrange(-100, 5100))
+            for lid in range(80)
+        ]
+        tol = rng.choice([None, 250.0, 1000.0])
+
+        ldf = spark.createDataFrame(left_rows, "lid long, k long, lts long").select(
+            "lid", "k", F.timestamp_seconds("lts").alias("lts")
+        )
+        rdf = spark.createDataFrame(right_rows, "k long, rts long, rid long").select(
+            "k", F.timestamp_seconds("rts").alias("rts"), "rid"
+        )
+        j = as_of_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            payload=["rid"], right_tie="rid", tolerance_sec=tol,
+        )
+        got = {r["lid"]: r["asof_rid"] for r in j.collect()}
+
+        lp = pd.DataFrame(left_rows, columns=["lid", "k", "lts"]).sort_values("lts")
+        rp = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values("rts")
+        m = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k",
+            direction="backward",
+            tolerance=None if tol is None else int(tol),
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in m.itertuples()
+        }
+        assert got == want, f"seed {seed} tol {tol}"
