@@ -395,3 +395,57 @@ def ppm_features(media: DataFrame, pool: int = 4) -> DataFrame:
     return media.where(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(extract, PPM_STATS_SCHEMA)
+
+def synthetic_wav_media(spark: SparkSession, n: int = 48, rate: int = 8000) -> DataFrame:
+    """Deterministic RIFF/WAV fixture with a CLOSED-FORM oracle for
+    the REAL decoder (``wav_stats``): clip ``i`` is PCM16 mono at
+    ``rate`` Hz, ``n_frames = 64 + 16*i`` frames, every sample the
+    constant ``512 * (i % 9)``. All expected stats terminate within
+    6 decimals, so ``round(x, 6)`` is exact on both engines:
+
+    - ``duration_s = n_frames / 8000``  (1/8000 = 0.000125)
+    - ``rms = peak = (i % 9) / 64``     (512/2^15 = 1/64)
+
+    The payloads are genuine RIFF containers written by the stdlib
+    ``wave`` module — the oracle cross-checks header parsing AND PCM
+    normalization, not just plumbing."""
+    import io
+    import struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        n_frames = 64 + 16 * i
+        sample = struct.pack("<h", 512 * (i % 9))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(sample * n_frames)
+        rows.append((i, "audio", bytearray(buf.getvalue())))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def synthetic_ppm_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Deterministic binary-PPM (P6) fixture with a CLOSED-FORM
+    oracle for the REAL decoder (``ppm_features``): image ``i`` is
+    8x8 RGB with columns ``x < i % 9`` black and the rest white, so
+    with ``s = i % 9``:
+
+    - ``mean_r = mean_g = mean_b = (8 - s) / 8``  (exact eighths)
+    - pool=4 → 2x2 pooled grayscale grid
+      ``[(4 - min(s,4))/4, (4 - max(s-4,0))/4]`` per row (exact
+      quarters) — the pooling arithmetic itself is oracle-checked.
+    """
+    rows = []
+    for i in range(n):
+        s = i % 9
+        header = b"P6\n8 8\n255\n"
+        row = bytes([0, 0, 0] * s + [255, 255, 255] * (8 - s))
+        rows.append((i, "image", bytearray(header + row * 8)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )

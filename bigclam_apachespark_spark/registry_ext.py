@@ -2236,6 +2236,32 @@ MULTIMODAL_ORACLE = {
                CAST(least(32, ns - chunk_idx * 32) AS BIGINT) AS n_samples
         FROM c
     """,
+    # Closed form of synthetic_wav_media: clip i = PCM16 mono @8kHz,
+    # n_frames = 64 + 16*i, constant sample 512*(i%9). rms = peak =
+    # (i%9)/64 and duration = n_frames/8000 — all terminate within 6
+    # decimals, so round(x, 6) is exact on both engines.
+    "multimodal_wav_stats": """
+        SELECT i AS media_id, 1 AS n_channels, 8000 AS sample_rate,
+               CAST(64 + 16 * i AS BIGINT) AS n_frames,
+               round((64 + 16 * i) / 8000.0, 6) AS duration_s,
+               round((i % 9) / 64.0, 6) AS rms,
+               round((i % 9) / 64.0, 6) AS peak
+        FROM generate_series(0, 47) t(i)
+    """,
+    # Closed form of synthetic_ppm_media: 8x8 P6 image i with the
+    # left s = i%9 columns black, rest white → channel means are
+    # exact eighths and the pool=4 2x2 grayscale grid cells are exact
+    # quarters: per row [(4-min(s,4))/4, (4-max(s-4,0))/4].
+    "multimodal_ppm_features": """
+        WITH m AS (SELECT i, i % 9 AS s FROM generate_series(0, 47) t(i))
+        SELECT i AS media_id, 8 AS width, 8 AS height,
+               round((8 - s) / 8.0, 6) AS mean_r,
+               round((8 - s) / 8.0, 6) AS mean_g,
+               round((8 - s) / 8.0, 6) AS mean_b,
+               round(2 * ((4 - least(s, 4)) / 4.0
+                          + (4 - greatest(s - 4, 0)) / 4.0), 6) AS feat_sum
+        FROM m
+    """,
 }
 
 def _q_patch_grid(spark, sf):
@@ -2262,6 +2288,43 @@ def _q_caption_join(spark, sf):
     return MM.caption_join(MM.synthetic_media(spark, 64), _docs(spark, sf))
 
 
+def _q_wav_stats(spark, sf):
+    """REAL RIFF/WAV decode, ORACLE-CHECKED: the fixture's closed
+    form (constant-sample PCM16 clips — see synthetic_wav_media) is
+    restated in DuckDB, so header parsing, PCM normalization, and the
+    rms/peak arithmetic are all cross-engine-verified. A decode
+    failure surfaces as NULL stats → hash mismatch."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        synthetic_wav_media,
+        wav_stats,
+    )
+
+    return wav_stats(synthetic_wav_media(spark, n=48)).select(
+        "media_id", "n_channels", "sample_rate", "n_frames",
+        "duration_s", "rms", "peak",
+    )
+
+
+def _q_ppm_features(spark, sf):
+    """REAL binary-PPM decode, ORACLE-CHECKED: half-split images with
+    exact channel means (eighths) and exact pooled-thumbnail cells
+    (quarters) — see synthetic_ppm_media. The pooled 2x2 grid is
+    collapsed to an exact sum so the array never crosses the
+    engine-comparison boundary."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        ppm_features,
+        synthetic_ppm_media,
+    )
+
+    feats = ppm_features(synthetic_ppm_media(spark, n=48), pool=4)
+    return feats.select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+    )
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_caption_join": _q_caption_join,
     "multimodal_media_features": _q_media_features,
@@ -2269,6 +2332,8 @@ MULTIMODAL_QUERIES = {
     "multimodal_frame_sample": _q_frame_sample,
     "multimodal_patch_grid": _q_patch_grid,
     "multimodal_audio_chunks": _q_audio_chunks,
+    "multimodal_wav_stats": _q_wav_stats,
+    "multimodal_ppm_features": _q_ppm_features,
 }
 
 # Registration order = driver execution order. The cheap oracle-
