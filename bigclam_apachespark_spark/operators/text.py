@@ -828,7 +828,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def cap_per_source(
     docs: DataFrame, cap: int = 100, id_col: str = "doc_id",
-    source_col: str = "source",
+    source_col: str = "source", buckets: int = 32,
 ) -> DataFrame:
     """Per-source document cap → ``(doc_id, source, rk, kept)``: at
     most ``cap`` documents survive per source, selected by a
@@ -840,21 +840,54 @@ def cap_per_source(
     (appending new docs never evicts a previously kept one until the
     cap forces it), unlike ORDER BY random().
 
-    Scale shape: one hash-partitioned window per source. A source
-    with millions of docs is one partition — for web-scale corpora
-    where single domains can exceed a partition, swap the window for
-    the groupBy-top-k pattern; at up-to-millions per source the
-    window is the simpler exact plan."""
+    Scale shape (mega-source-safe): the naive plan — one window
+    partitioned by source — funnels a hot domain's tens of millions
+    of docs through ONE task's sort. Instead the rank is computed in
+    two exact stages: (1) each doc is range-bucketed by the top bits
+    of its 60-bit order hash (bucket id is MONOTONE in the sort key,
+    so bucket boundaries respect the ordering); a per-(source,
+    bucket) count aggregate — sources × ``buckets`` rows, metadata-
+    sized — yields each bucket's exclusive prefix offset via a tiny
+    window; (2) rank = offset + row_number within (source, bucket).
+    The hot source now spreads across ``buckets`` window partitions
+    (hash64 is uniform, so they are balanced), and the big side is
+    shuffled ONCE on (source, bucket), reused by both the offset
+    join and the rank window. Identical output to the naive plan:
+    ties in the hash share a bucket, so (hash, id) ordering is
+    preserved exactly."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(source_col).orderBy(
-        hash64(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    return docs.select(id_col, source_col).withColumn(
-        "rk", F.row_number().over(w)
-    ).select(
+    # hash64 is 60-bit nonnegative; top-k-bit bucket is monotone in it
+    k = max((buckets - 1).bit_length(), 0)
+    base = docs.select(
         id_col,
         source_col,
-        F.col("rk").cast("int").alias("rk"),
-        (F.col("rk") <= cap).cast("int").alias("kept"),
+        hash64(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn("_cb", F.shiftrightunsigned("_h", 60 - k).cast("int"))
+
+    off_w = (
+        Window.partitionBy(source_col)
+        .orderBy("_cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(source_col, "_cb")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            source_col,
+            "_cb",
+            F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+
+    rank_w = Window.partitionBy(source_col, "_cb").orderBy("_h", id_col)
+    rk = F.col("_off") + F.row_number().over(rank_w)
+    return (
+        base.join(offsets, [source_col, "_cb"])
+        .select(
+            id_col,
+            source_col,
+            rk.cast("int").alias("rk"),
+            (rk <= cap).cast("int").alias("kept"),
+        )
     )

@@ -262,9 +262,16 @@ def test_pii_scrub_zero_exchange_no_python(spark):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
 
 
-def test_cap_per_source_single_exchange(spark):
-    """The per-source cap is ONE hash partitioning by source feeding
-    the rank window — no second shuffle, no Python."""
+def test_cap_per_source_bucketed_rank(spark):
+    """The per-source cap must NOT funnel a hot source through one
+    window partition: the big-side rank window partitions by
+    (source, _cb) — the order-hash range bucket — so a mega-source
+    spreads across `buckets` tasks. The only source-ONLY window runs
+    on the metadata-sized (source, bucket) count aggregate."""
     plan = _plan(spark, "text_cap_per_source")
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "PythonUDF" not in plan
+    # the rank window's partition spec includes the bucket column
+    import re
+
+    specs = re.findall(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("_cb" in s for s in specs), specs

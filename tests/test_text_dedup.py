@@ -749,6 +749,37 @@ def test_cap_per_source(spark):
     assert again == {(r["doc_id"], r["kept"]) for r in got}
 
 
+def test_cap_per_source_bucketed_matches_bruteforce(spark):
+    """The two-stage bucketed rank (offset + within-bucket
+    row_number) must equal the brute-force per-source sort by
+    (hash64(doc_id), doc_id) — including with a heavily skewed 'hot'
+    source that spans many buckets, and with few buckets so multiple
+    docs share one bucket."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.operators.text import cap_per_source
+
+    rows = [(i, "hot" if i < 400 else f"s{i % 5}") for i in range(450)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for buckets in (1, 4, 32):
+        got = {
+            r["doc_id"]: (r["rk"], r["kept"])
+            for r in cap_per_source(df, cap=7, buckets=buckets).collect()
+        }
+        hashes = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", hash64(F.col("doc_id").cast("string")).alias("h")
+            ).collect()
+        }
+        by_source = {}
+        for i, src in rows:
+            by_source.setdefault(src, []).append(i)
+        for src, ids in by_source.items():
+            ids.sort(key=lambda i: (hashes[i], i))
+            for rk0, i in enumerate(ids):
+                assert got[i] == (rk0 + 1, 1 if rk0 + 1 <= 7 else 0), (src, i)
+
+
 def test_prefilter_min_matches_miss_bound_property():
     """For any (threshold, num_perms, rows_per_band) the returned cut
     must (a) filter something (> rows_per_band), (b) keep the exact
