@@ -630,6 +630,40 @@ def q_model_selection_smoke(spark, sf_dir):
     return spark.createDataFrame(rows, "k int, llh double, chosen boolean")
 
 
+def q_k_grid(spark, sf_dir):
+    """F6's geometric K grid as an ORACLE-CHECKED query (v47:116-133):
+    (min_com, max_com, div_com, idx, k) rows for two parameter sets.
+    (50, 200, 15) is the reference's own REPL run — the oracle states
+    the v47:268 pasted ``Array(50, 54, …, 200)`` verbatim, an
+    external ground truth. (3, 10, 4) exercises the Int/Int division
+    quirk: ``max_com // min_com`` floors 10/3 → 3 before the log, so
+    the grid is [3,4,5,6,7,9,10] (hand-derived: gap = 3^(1/4) ≈
+    1.31607; 3→⌊3.948⌋=3 collision→4, →5, →6, →7, →⌊9.21⌋=9, ⌊11.8⌋
+    ≥ 10 stop, append 10) where TRUE division would give
+    [3,4,5,6,8,10]. Shrinks F6's rows-only surface to the fit loop
+    itself."""
+    rows = []
+    for mn, mx, dv in ((50, 200, 15), (3, 10, 4)):
+        for idx, k in enumerate(B.geometric_k_grid(mn, mx, dv)):
+            rows.append((mn, mx, dv, idx, k))
+    return spark.createDataFrame(
+        rows, "min_com int, max_com int, div_com int, idx int, k int"
+    )
+
+
+BIGCLAM_ORACLE["bigclam_k_grid"] = """
+    SELECT 50 AS min_com, 200 AS max_com, 15 AS div_com,
+           CAST(i AS INT) AS idx, CAST(ks[i + 1] AS INT) AS k
+    FROM (SELECT [50, 54, 59, 64, 70, 76, 83, 91, 99, 108, 118, 129,
+                  141, 154, 168, 184, 200] AS ks),
+         generate_series(0, 16) t(i)
+    UNION ALL
+    SELECT 3, 10, 4, CAST(i AS INT), CAST(ks[i + 1] AS INT)
+    FROM (SELECT [3, 4, 5, 6, 7, 9, 10] AS ks),
+         generate_series(0, 6) t(i)
+"""
+
+
 def q_fit_smoke(spark, sf_dir):
     """F5 end-to-end (rows-only: iterative, not SQL-expressible):
     2 optimizer iterations at K=4 on the co-purchase graph, returning
@@ -659,6 +693,7 @@ BIGCLAM_QUERIES = {
     "bigclam_extract": q_extract,
     "bigclam_invert": q_invert,
     "bigclam_init_membership": q_init_membership,
+    "bigclam_k_grid": q_k_grid,
 }
 
 # The iterative end-to-end demonstrations (rows-only, no oracle) are
