@@ -109,6 +109,16 @@ EXPECTED = {
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
 
+# Whole-suite drift detector: the per-query RERUN_FACTOR misses the
+# case where EVERY query reads uniformly ~1.2-2x slow (the r4 freeze
+# ran in exactly such a window: 28/28 queries 1.2-2.7x with almost
+# none individually crossing 2x). If the MEDIAN ratio vs EXPECTED
+# exceeds this, the whole suite is re-run once and per-query mins are
+# taken; if the median is STILL above it, the artifact self-identifies
+# with "degraded": true instead of silently overstating the code's
+# cost.
+DRIFT_MEDIAN_FACTOR = 1.3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,27 +150,62 @@ def main() -> None:
                 pass
         return dt, n
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        dt, n = run_once(name)
-        limit = EXPECTED.get(name)
-        threshold = RERUN_FACTOR * limit if limit else RERUN_UNKNOWN_ABOVE
-        if dt > threshold:
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            dt, n = run_once(name)
+            limit = EXPECTED.get(name)
+            threshold = RERUN_FACTOR * limit if limit else RERUN_UNKNOWN_ABOVE
+            if dt > threshold:
+                print(
+                    f"# {name}: {dt:.3f}s > {threshold:.1f}s threshold — "
+                    "re-measuring (slow host window?)",
+                    file=sys.stderr,
+                )
+                # Evict plan-matched cache entries from the first pass
+                # so the re-run measures the full pipeline, not a
+                # readback.
+                spark.catalog.clearCache()
+                dt2, _ = run_once(name)
+                dt = min(dt, dt2)
+            timings[name] = round(dt, 3)
+            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        return timings
+
+    def median_ratio(timings: dict[str, float]) -> float:
+        import statistics
+
+        ratios = [timings[n] / EXPECTED[n] for n in timings if n in EXPECTED]
+        return statistics.median(ratios) if ratios else 1.0
+
+    timings = run_pass()
+    degraded = False
+    med = median_ratio(timings)
+    # EXPECTED is calibrated at sf0.1 — drift detection only makes
+    # sense there (a larger sf would false-trigger, a smaller one
+    # can't trigger but would still skew the median).
+    if abs(sf - 0.1) < 1e-9 and med > DRIFT_MEDIAN_FACTOR:
+        print(
+            f"# suite median ratio vs EXPECTED = {med:.2f} > "
+            f"{DRIFT_MEDIAN_FACTOR} — uniform host degradation suspected; "
+            "re-running the suite once and taking per-query mins",
+            file=sys.stderr,
+        )
+        spark.catalog.clearCache()
+        second = run_pass()
+        timings = {
+            n: min(timings[n], second.get(n, timings[n])) for n in timings
+        }
+        med = median_ratio(timings)
+        degraded = med > DRIFT_MEDIAN_FACTOR
+        if degraded:
             print(
-                f"# {name}: {dt:.3f}s > {threshold:.1f}s threshold — "
-                "re-measuring (slow host window?)",
+                f"# suite median ratio still {med:.2f} after re-run — "
+                'stamping "degraded": true (host window, not code cost)',
                 file=sys.stderr,
             )
-            # Evict plan-matched cache entries from the first pass so
-            # the re-run measures the full pipeline, not a readback.
-            spark.catalog.clearCache()
-            dt2, _ = run_once(name)
-            dt = min(dt, dt2)
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    total = sum(timings.values())
     print(
         json.dumps(
             {
@@ -169,6 +214,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "degraded": degraded,
             }
         )
     )
