@@ -1827,6 +1827,36 @@ EVENT_ORACLE = {
           ON c.user_id = p.user_id
          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
     """,
+    # LEFT OUTER stream-stream interval join replay: matched rows
+    # emit eagerly (same as the inner twin); a purchase with NO
+    # qualifying click emits one null row iff the final global
+    # watermark W = least(max purchase ts, max click ts) - 2h passes
+    # it (p_ts < W) — tail purchases are still buffered in the join
+    # state when the bounded replay stops, so the oracle states the
+    # bounded-replay answer exactly, not the infinite-stream one.
+    # Rule pinned by tests/test_similarity_events.py
+    # (test_stream_interval_join_left_outer_watermark_rule).
+    "events_stream_interval_left": """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT * FROM events WHERE event_type = 'click'),
+             wm AS (
+               SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                      - INTERVAL '2 hours' AS w
+             ),
+             j AS (
+               SELECT p.event_id AS purchase_id, p.user_id,
+                      p.ts AS purchase_ts, c.ts AS click_ts,
+                      c.value AS click_value
+               FROM p LEFT JOIN c
+                 ON c.user_id = p.user_id
+                AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
+             )
+        SELECT purchase_id, user_id, purchase_ts, click_ts, click_value
+        FROM j WHERE click_ts IS NOT NULL
+        UNION ALL
+        SELECT purchase_id, user_id, purchase_ts, click_ts, click_value
+        FROM j, wm WHERE click_ts IS NULL AND purchase_ts < wm.w
+    """,
     # Streaming replay of the same tumbling agg — watermarked
     # Structured Streaming run must equal the batch/DuckDB answer.
     "events_stream_tumbling": """
@@ -2049,6 +2079,23 @@ def _q_hll_users(spark, sf):
     return hll_count_distinct(_events(spark, sf), "user_id", b=8)
 
 
+def _q_stream_interval_left(spark, sf):
+    from bigclam_apachespark_spark.streaming import (
+        click_attribution_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_stream_to_memory(
+        click_attribution_stream(stream, window_minutes=60, how="left_outer"),
+        "stream_interval_left_oracle",
+        "append",
+        timeout_sec=90.0,
+        strict=True,
+    )
+
+
 def _q_stream_interval_join(spark, sf):
     from bigclam_apachespark_spark.streaming import (
         click_attribution_stream,
@@ -2096,6 +2143,7 @@ EVENT_QUERIES = {
         _events(spark, sf), window_minutes=60
     ),
     "events_stream_interval_join": _q_stream_interval_join,
+    "events_stream_interval_left": _q_stream_interval_left,
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_enrich": _q_stream_enrich,
     "events_stream_sessionize": _q_stream_sessionize,

@@ -127,7 +127,10 @@ def windowed_counts_stream(
 
 
 def click_attribution_stream(
-    events: DataFrame, window_minutes: int = 60, watermark: str = "2 hours"
+    events: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INTERVAL JOIN: each purchase joined to the same
     user's clicks within [purchase_ts − window, purchase_ts] →
@@ -140,16 +143,26 @@ def click_attribution_stream(
     watermark + the time-range join condition let Spark evict any
     click older than max(event time) − watermark − window, bounding
     state to the attribution horizon regardless of stream length.
-    INNER join results emit as matches arrive (no watermark wait), so
-    a bounded Trigger.AvailableNow replay emits exactly the batch
-    answer — which is what makes this oracle-checkable; an OUTER
-    interval join's null-side rows only emit once the watermark
-    passes, so tail purchases would be missing from a bounded replay
-    (documented, not offered here).
+    ``how="inner"`` (default): results emit as matches arrive (no
+    watermark wait), so a bounded Trigger.AvailableNow replay emits
+    exactly the batch answer. ``how="left_outer"`` is the production
+    attribution shape — purchases with NO qualifying click surface
+    once with null click columns, but only AFTER the global watermark
+    passes the purchase (until then a matching click could still
+    arrive, so the row sits in state). Bounded-replay consequence,
+    stated exactly (and encoded by the oracle twin): with final
+    watermark W = min(max purchase ts, max click ts) − ``watermark``
+    (the global watermark is the min over both sides' trackers),
+    an unmatched purchase emits its null row iff ``p_ts < W``; tail
+    purchases with ``p_ts >= W`` are still buffered when the replay
+    stops and are absent from the sink. Matched rows emit eagerly in
+    both modes.
 
     Both inputs derive from ONE source stream (Spark supports stream
     self-joins); timestamps are emitted as TIMESTAMP_NTZ UTC wall
     time, same sink contract as ``windowed_counts_stream``."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     p = (
         events.where(F.col("event_type") == "purchase")
         .select(
@@ -173,7 +186,7 @@ def click_attribution_stream(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
     )
-    j = p.join(c, cond, "inner")
+    j = p.join(c, cond, how)
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
 
     def to_ntz(col):

@@ -433,6 +433,54 @@ def test_stream_interval_join_matches_hand_computed(spark, tmp_path):
     assert got == [(4, 2.0), (4, 3.0)]
 
 
+def test_stream_interval_join_left_outer_watermark_rule(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched purchases
+    surface with null click columns iff the final global watermark
+    W = min(max purchase ts, max click ts) - 2h passes them.
+    Fixture: W = 10:00. The 02:00 and 09:50 unmatched purchases emit
+    null rows; the 10:30 and 12:00 ones are still in state when the
+    bounded replay stops; the matched purchase emits eagerly."""
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.streaming import (
+        click_attribution_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    rows = [
+        (1, 1, "click", "2024-01-01 01:00:00", 1.0),
+        (2, 1, "purchase", "2024-01-01 01:30:00", 9.0),   # matched
+        (3, 2, "purchase", "2024-01-01 02:00:00", 9.0),   # null row
+        (4, 3, "purchase", "2024-01-01 09:50:00", 9.0),   # null row
+        (5, 4, "purchase", "2024-01-01 10:30:00", 9.0),   # >= W: absent
+        (6, 98, "purchase", "2024-01-01 12:00:00", 9.0),  # max p_ts: absent
+        (7, 99, "click", "2024-01-01 12:00:00", 0.5),     # max c_ts
+    ]
+    src = str(tmp_path / "events_sij_left")
+    # ONE part-file: maxFilesPerTrigger=1 replays files in arbitrary
+    # order, and a purchase replayed after the max-ts file would be
+    # dropped as late data — the left-outer replay is only
+    # deterministic when the fixture is a single batch.
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(src)
+
+    out = run_stream_to_memory(
+        click_attribution_stream(read_events_stream(spark, src), how="left_outer"),
+        "sij_left_unit_sink",
+        "append",
+        timeout_sec=90.0,
+    )
+    got = sorted(
+        (r["purchase_id"], r["click_value"] is None) for r in out.collect()
+    )
+    assert got == [(2, False), (3, True), (4, True)]
+
+
 def test_ordered_funnel(spark):
     import pyspark.sql.functions as F
 
