@@ -789,27 +789,42 @@ def dup_rate_by_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # PII patterns — deliberately restricted to syntax Java regex (Spark)
 # and RE2 (DuckDB) interpret identically: character classes, bounded
-# repetition, \b word boundaries; no lookaround, no backrefs.
+# repetition, \b word boundaries, non-capturing groups; no
+# lookaround, no backrefs.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE = r"\+?\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
+# Both separators MANDATORY and a leading anchor required: the old
+# all-optional form redacted any bare 10-digit run (order ids, epoch
+# seconds) and matched the trailing 10 digits inside longer runs —
+# over-redaction that corrupts non-PII training text. `(?:\+|\b)`
+# instead of a plain \b because \b fails between a space and '+'
+# (both non-word characters).
+PII_PHONE = r"(?:\+|\b)\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+# Canonical dashed SSN form only — digits-only nine-runs are far more
+# often not SSNs. Disjoint from PII_PHONE (3-2-4 vs 3-3-4 grouping).
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+# Secret/API-key-shaped tokens: a known prefix, one separator, and a
+# long high-entropy tail. Greedy tail, no trailing \b needed.
+PII_SECRET = r"\b(?:sk|pk|api|key|token|secret)[-_][A-Za-z0-9_-]{16,}"
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction → ``(doc_id, clean_text, n_emails, n_ips,
-    n_phones)``: emails, IPv4 addresses, and phone-shaped numbers
-    replaced by ``<EMAIL>``/``<IP>``/``<PHONE>`` tokens — the
-    scrubbing pass every published training corpus runs before
-    tokenization. Patterns apply SEQUENTIALLY (emails → IPs → phones)
-    and each count is taken on the residual text of the previous
-    stage, so counts equal replacements exactly (a phone-shaped
-    substring inside an already-redacted email is not double-counted).
+    n_phones, n_ssns, n_secrets)``: emails, IPv4 addresses,
+    phone-shaped numbers, dashed SSNs, and secret/API-key-shaped
+    tokens replaced by ``<EMAIL>``/``<IP>``/``<PHONE>``/``<SSN>``/
+    ``<SECRET>`` — the scrubbing pass every published training corpus
+    runs before tokenization. Patterns apply SEQUENTIALLY (emails →
+    IPs → phones → SSNs → secrets) and each count is taken on the
+    residual text of the previous stage, so counts equal replacements
+    exactly (a phone-shaped substring inside an already-redacted
+    email is not double-counted).
 
-    Scale shape: a pure narrow map — three JVM-side regexp passes
+    Scale shape: a pure narrow map — five JVM-side regexp passes
     inside one whole-stage-codegen projection, zero shuffles, zero
-    Python. At 100 TB this runs at scan speed; the same pass is where
-    a production pipeline would chain further rules (SSNs, IBANs,
-    secrets), each one more regexp_replace in the same projection."""
+    Python. At 100 TB this runs at scan speed; further rules (IBANs,
+    credit cards) are each one more regexp_replace in the same
+    projection."""
     t0 = F.col(text_col)
     n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), F.lit(0)))
     t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
@@ -817,12 +832,18 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t2 = F.regexp_replace(t1, PII_IP, "<IP>")
     n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), F.lit(0)))
     t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    n_ssns = F.size(F.regexp_extract_all(t3, F.lit(PII_SSN), F.lit(0)))
+    t4 = F.regexp_replace(t3, PII_SSN, "<SSN>")
+    n_secrets = F.size(F.regexp_extract_all(t4, F.lit(PII_SECRET), F.lit(0)))
+    t5 = F.regexp_replace(t4, PII_SECRET, "<SECRET>")
     return docs.select(
         "doc_id",
-        t3.alias("clean_text"),
+        t5.alias("clean_text"),
         n_emails.cast("int").alias("n_emails"),
         n_ips.cast("int").alias("n_ips"),
         n_phones.cast("int").alias("n_phones"),
+        n_ssns.cast("int").alias("n_ssns"),
+        n_secrets.cast("int").alias("n_secrets"),
     )
 
 

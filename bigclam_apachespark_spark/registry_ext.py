@@ -334,21 +334,29 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
-    # PII redaction: same three RE2/Java-portable patterns applied
-    # sequentially (emails -> IPs -> phones), counts on each stage's
-    # residual text - mirroring operators/text.py pii_scrub exactly.
-    # The synthetic corpus contains no PII, so BOTH engines append a
-    # deterministic PII tail to every 7th document first - the gate
-    # then genuinely exercises the match/replace behavior
-    # cross-engine instead of hashing identity text.
+    # PII redaction: same five RE2/Java-portable patterns applied
+    # sequentially (emails -> IPs -> phones -> SSNs -> secrets),
+    # counts on each stage's residual text - mirroring
+    # operators/text.py pii_scrub exactly. The synthetic corpus
+    # contains no PII, so BOTH engines append deterministic PII tails
+    # first - every 7th doc gets email/IP/phone, every 11th gets a
+    # dashed SSN and an md5-tailed sk_ secret - so the gate genuinely
+    # exercises the match/replace behavior cross-engine instead of
+    # hashing identity text.
     "text_pii_scrub": f"""
         WITH seeded AS (
           SELECT doc_id,
+                 text ||
                  CASE WHEN doc_id % 7 = 0 THEN
-                   text || ' contact user' || doc_id ||
+                   ' contact user' || doc_id ||
                    '@example.com at 10.0.' || (doc_id % 256) ||
                    '.1 or call 555-123-' || (1000 + doc_id % 9000)
-                 ELSE text END AS text
+                 ELSE '' END ||
+                 CASE WHEN doc_id % 11 = 0 THEN
+                   ' ssn ' || (100 + doc_id % 900) || '-' ||
+                   (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000) ||
+                   ' auth sk_' || md5(CAST(doc_id AS VARCHAR))
+                 ELSE '' END AS text
           FROM documents
         ),
         s1 AS (
@@ -362,12 +370,24 @@ TEXT_ORACLE = {
                  CAST(len(regexp_extract_all(t1, '{X.PII_IP}')) AS INT) AS n_ips,
                  regexp_replace(t1, '{X.PII_IP}', '<IP>', 'g') AS t2
           FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, n_emails, n_ips,
+                 CAST(len(regexp_extract_all(t2, '{X.PII_PHONE}')) AS INT) AS n_phones,
+                 regexp_replace(t2, '{X.PII_PHONE}', '<PHONE>', 'g') AS t3
+          FROM s2
+        ),
+        s4 AS (
+          SELECT doc_id, n_emails, n_ips, n_phones,
+                 CAST(len(regexp_extract_all(t3, '{X.PII_SSN}')) AS INT) AS n_ssns,
+                 regexp_replace(t3, '{X.PII_SSN}', '<SSN>', 'g') AS t4
+          FROM s3
         )
         SELECT doc_id,
-               regexp_replace(t2, '{X.PII_PHONE}', '<PHONE>', 'g') AS clean_text,
-               n_emails, n_ips,
-               CAST(len(regexp_extract_all(t2, '{X.PII_PHONE}')) AS INT) AS n_phones
-        FROM s2
+               regexp_replace(t4, '{X.PII_SECRET}', '<SECRET>', 'g') AS clean_text,
+               n_emails, n_ips, n_phones, n_ssns,
+               CAST(len(regexp_extract_all(t4, '{X.PII_SECRET}')) AS INT) AS n_secrets
+        FROM s4
     """,
     # Deterministic per-source cap: rank by (hash64(doc_id), doc_id)
     # inside each source - the anti-domination sampling rule.
@@ -587,17 +607,32 @@ TEXT_QUERIES = {
     "text_pii_scrub": lambda spark, sf: X.pii_scrub(
         _docs(spark, sf).select(
             "doc_id",
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(
-                    F.col("text"),
-                    F.lit(" contact user"), F.col("doc_id").cast("string"),
-                    F.lit("@example.com at 10.0."),
-                    (F.col("doc_id") % 256).cast("string"),
-                    F.lit(".1 or call 555-123-"),
-                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
-                ),
-            ).otherwise(F.col("text")).alias("text"),
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(
+                        F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com at 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".1 or call 555-123-"),
+                        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0,
+                    F.concat(
+                        F.lit(" ssn "),
+                        (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+                        F.lit("-"),
+                        (F.lit(10) + F.col("doc_id") % 90).cast("string"),
+                        F.lit("-"),
+                        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                        F.lit(" auth sk_"),
+                        F.md5(F.col("doc_id").cast("string")),
+                    ),
+                ).otherwise(F.lit("")).alias("text"),
+            ).alias("text"),
         )
     ),
     "text_cap_per_source": lambda spark, sf: X.cap_per_source(_docs(spark, sf), cap=200),

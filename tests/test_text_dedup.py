@@ -718,6 +718,10 @@ def test_pii_scrub(spark):
         (2, "call 555-123-4567 or +1 555.123.4567 x99"),
         (3, "mixed: eve@corp.io from 172.16.0.9 said call 800 555 1234"),
         (4, "clean text with no personal data at all"),
+        # over-redaction guards: bare digit runs are NOT phones
+        (5, "order 5551234567 at epoch 1704067200123 qty 12345678901"),
+        (6, "ssn 123-45-6789 and token sk_abcDEF0123456789xyz_9 leaked"),
+        (7, "short key_abc123 is not a secret; 12-34-5678 not an ssn"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
@@ -729,6 +733,16 @@ def test_pii_scrub(spark):
     assert got[3]["clean_text"] == "mixed: <EMAIL> from <IP> said call <PHONE>"
     assert got[4]["clean_text"] == rows[4][1]
     assert got[4]["n_emails"] == got[4]["n_ips"] == got[4]["n_phones"] == 0
+    assert got[4]["n_ssns"] == got[4]["n_secrets"] == 0
+    # separators are mandatory: no digit run in row 5 is redacted
+    assert got[5]["clean_text"] == rows[5][1]
+    assert got[5]["n_phones"] == 0
+    assert got[6]["n_ssns"] == 1 and got[6]["n_secrets"] == 1
+    assert got[6]["clean_text"] == "ssn <SSN> and token <SECRET> leaked"
+    # a 3-2-4 dashed SSN is not phone-shaped and vice versa
+    assert got[6]["n_phones"] == 0
+    assert got[7]["n_secrets"] == 0 and got[7]["n_ssns"] == 0
+    assert got[7]["clean_text"] == rows[7][1]
 
 
 def test_cap_per_source(spark):
