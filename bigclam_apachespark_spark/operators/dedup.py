@@ -196,11 +196,19 @@ def prefilter_min_matches(
     P[Binom(num_perms − rows_per_band, j) < min_matches −
     rows_per_band]. This picks the strongest filter that keeps that
     ≤ max_miss — at the defaults: 5 for j = 0.35 (miss 0.57%, vs ~4%
-    at the old fixed 6), 6 for j = 0.5, 9 for j = 0.7. Always at
-    least rows_per_band + 1 (anything lower is a guaranteed no-op —
-    the shared band already matches). Exact binomial arithmetic, no
-    floats in the returned value — the oracle SQL generators call the
-    same function so both engines filter identically."""
+    at the old fixed 6), 6 for j = 0.5, 9 for j = 0.7.
+
+    Returns **0 when the bound is unattainable** (below threshold
+    ≈ 0.32 at the defaults, even requiring ONE corroborating match
+    misses > max_miss — 28% at j = 0.1): 0 means "disable the
+    prefilter"; ``minhash_lsh_dups`` then skips the filter joins
+    entirely and every candidate goes to exact verify, so the miss
+    bound holds unconditionally instead of silently degrading at low
+    thresholds. Otherwise the result is ≥ rows_per_band + 1
+    (anything lower filters nothing — the shared band already
+    matches). Exact binomial arithmetic, no floats in the returned
+    value — the oracle SQL generators call the same function so both
+    engines filter identically."""
     from math import comb
 
     n = num_perms - rows_per_band
@@ -209,6 +217,8 @@ def prefilter_min_matches(
     def miss(extra: int) -> float:  # P[Binom(n, j) < extra]
         return sum(comb(n, i) * j**i * (1 - j) ** (n - i) for i in range(extra))
 
+    if miss(1) > max_miss:
+        return 0  # even the weakest cut over-misses: disable
     extra = 1
     while extra + 1 <= n and miss(extra + 1) <= max_miss:
         extra += 1

@@ -281,7 +281,10 @@ def _session_fn(gap_seconds: int, timeout: str = "processing"):
                     state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
             return
 
-        ts_us = rows["ts"].to_numpy().view("int64") // 1000  # ns → us
+        # normalize to ns first: pandas 2.x can surface datetime64[us]
+        # from Arrow, and viewing THAT as int64 // 1000 would be
+        # silently 1000x off
+        ts_us = rows["ts"].to_numpy(dtype="datetime64[ns]").view("int64") // 1000
         sec = ts_us // 1_000_000
         vals = rows["value"].to_numpy(dtype="float64")
         brk = np.empty(len(ts_us), dtype=bool)

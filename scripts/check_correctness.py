@@ -55,6 +55,7 @@ def main() -> None:
     for name in names:
         t0 = time.time()
         entry: dict = {}
+        sdf = None  # so the finally-block never sees the previous query's DF
         try:
             sdf = QUERIES[name](spark, sf_dir)
             spark_cols = sdf.columns
@@ -98,7 +99,7 @@ def main() -> None:
             # their internal cache handles (see registry_ext
             # _with_handles) — a full-registry sweep must not lean on
             # LRU eviction between heavy minhash pipelines.
-            for h in getattr(locals().get("sdf"), "_cache_handles", []) or []:
+            for h in getattr(sdf, "_cache_handles", []) or []:
                 try:
                     h.unpersist()
                 except Exception:

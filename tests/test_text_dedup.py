@@ -652,9 +652,13 @@ def test_prefilter_min_matches_values():
     assert prefilter_min_matches(0.5) == 6
     assert prefilter_min_matches(0.7) == 9
     assert prefilter_min_matches(0.35, num_perms=16, rows_per_band=2) == 3
-    # always filters something (> rows_per_band) and scales monotonically
+    # below ~0.32 the 1% bound is unattainable -> 0 (disabled)
+    assert prefilter_min_matches(0.2) == 0
+    assert prefilter_min_matches(0.1) == 0
+    # when enabled, filters something (> rows_per_band) and scales
+    # monotonically with the threshold
     prev = 0
-    for j in (0.2, 0.35, 0.5, 0.6, 0.7, 0.8, 0.9):
+    for j in (0.35, 0.5, 0.6, 0.7, 0.8, 0.9):
         mm = prefilter_min_matches(j)
         assert mm > 4
         assert mm >= prev
@@ -809,11 +813,15 @@ def test_prefilter_min_matches_miss_bound_property():
 
     for num_perms, rpb in ((16, 4), (16, 2), (32, 4), (64, 8)):
         n = num_perms - rpb
-        for j in (0.2, 0.3, 0.35, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+        for j in (0.1, 0.2, 0.3, 0.35, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
             mm = prefilter_min_matches(j, num_perms, rpb)
+            if mm == 0:
+                # bound unattainable -> prefilter disabled entirely
+                assert miss(n, j, 1) > 0.01
+                continue
             extra = mm - rpb
             assert extra >= 1
-            assert miss(n, j, extra) <= 0.01 or extra == 1
+            assert miss(n, j, extra) <= 0.01
             if extra < n:
                 assert miss(n, j, extra + 1) > 0.01
 
