@@ -1790,6 +1790,63 @@ EVENT_ORACLE = {
     # semantics relationally — max prior click ts per purchase, then
     # max click_id at that ts (the deterministic tie-break the Spark
     # union-sort applies via its (ts, tie) ordering).
+    # FORWARD as-of: next purchase at-or-after each click; ties at
+    # the matched timestamp -> smallest purchase id (forward rule).
+    "events_asof_forward": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             best AS (
+               SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+                      min(p.ts) AS purchase_ts
+               FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+               GROUP BY 1, 2, 3
+             )
+        SELECT b.click_id, b.user_id, b.click_ts, b.purchase_ts,
+               min(p2.event_id) AS purchase_id,
+               CASE WHEN b.purchase_ts IS NULL THEN NULL
+                    ELSE epoch_us(b.purchase_ts) - epoch_us(b.click_ts) END AS lag_us
+        FROM best b LEFT JOIN p p2
+          ON p2.user_id = b.user_id AND p2.ts = b.purchase_ts
+        GROUP BY 1, 2, 3, 4
+    """,
+    # NEAREST as-of: closest click either side of each purchase;
+    # exact-distance ties resolve backward; click-id tie rule follows
+    # the winning side (backward -> max id, forward -> min id).
+    "events_asof_nearest": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             bk AS (
+               SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                      max(c.ts) AS bts
+               FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+               GROUP BY 1, 2, 3
+             ),
+             fw AS (
+               SELECT p.event_id AS purchase_id, min(c.ts) AS fts
+               FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+               GROUP BY 1
+             ),
+             pick AS (
+               SELECT b.purchase_id, b.user_id, b.purchase_ts,
+                      CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                                 OR epoch_us(b.purchase_ts) - epoch_us(b.bts)
+                                    <= epoch_us(f.fts) - epoch_us(b.purchase_ts))
+                           THEN b.bts ELSE f.fts END AS click_ts,
+                      CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                                 OR epoch_us(b.purchase_ts) - epoch_us(b.bts)
+                                    <= epoch_us(f.fts) - epoch_us(b.purchase_ts))
+                           THEN 1 ELSE 0 END AS took_backward
+               FROM bk b JOIN fw f USING (purchase_id)
+             )
+        SELECT k.purchase_id, k.user_id, k.purchase_ts, k.click_ts,
+               CASE WHEN k.took_backward = 1 THEN max(c2.event_id)
+                    ELSE min(c2.event_id) END AS click_id,
+               CASE WHEN k.click_ts IS NULL THEN NULL
+                    ELSE epoch_us(k.click_ts) - epoch_us(k.purchase_ts) END AS gap_us
+        FROM pick k LEFT JOIN c c2
+          ON c2.user_id = k.user_id AND c2.ts = k.click_ts
+        GROUP BY 1, 2, 3, 4, k.took_backward
+    """,
     "events_asof_attribution": """
         WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
              c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -2174,6 +2231,8 @@ EVENT_QUERIES = {
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
     "events_ordered_funnel": lambda spark, sf: E.ordered_funnel(_events(spark, sf)),
     "events_asof_attribution": lambda spark, sf: TJ.click_attribution(_events(spark, sf)),
+    "events_asof_forward": lambda spark, sf: TJ.click_to_next_purchase(_events(spark, sf)),
+    "events_asof_nearest": lambda spark, sf: TJ.nearest_click_attribution(_events(spark, sf)),
     "events_range_attribution": lambda spark, sf: TJ.click_window_stats(
         _events(spark, sf), window_minutes=60
     ),

@@ -111,10 +111,14 @@ def test_range_join_bin_boundary(spark):
 
 
 def test_as_of_join_matches_pandas_merge_asof(spark):
-    """Randomized equivalence against pandas merge_asof (backward,
-    by-key, with and without tolerance) over five seeded datasets —
-    right timestamps kept unique per key so both engines' tie rules
-    coincide and the comparison is exact."""
+    """Randomized equivalence against pandas merge_asof (all three
+    directions, by-key, with and without tolerance) over seeded
+    datasets. Right timestamps are unique per key so the timestamp
+    tie rules coincide, and right/left timestamps live in disjoint
+    residue classes mod 3 (rts ≡ 0, lts ≡ 1) so an exact
+    nearest-distance tie (rts1 + rts2 = 2·lts → 0 ≡ 2 mod 3) is
+    impossible and the nearest comparison is rule-independent; the
+    distance-tie rule itself is pinned separately below."""
     import random
 
     import pandas as pd
@@ -126,13 +130,13 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
         for rid in range(60):
             while True:
                 k = rng.randrange(n_keys)
-                t = rng.randrange(0, 5000)
+                t = rng.randrange(0, 1666) * 3
                 if (k, t) not in used:
                     used.add((k, t))
                     break
             right_rows.append((k, t, rid))
         left_rows = [
-            (lid, rng.randrange(n_keys), rng.randrange(-100, 5100))
+            (lid, rng.randrange(n_keys), rng.randrange(-34, 1700) * 3 + 1)
             for lid in range(80)
         ]
         tol = rng.choice([None, 250.0, 1000.0])
@@ -143,21 +147,61 @@ def test_as_of_join_matches_pandas_merge_asof(spark):
         rdf = spark.createDataFrame(right_rows, "k long, rts long, rid long").select(
             "k", F.timestamp_seconds("rts").alias("rts"), "rid"
         )
-        j = as_of_join(
-            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
-            payload=["rid"], right_tie="rid", tolerance_sec=tol,
-        )
-        got = {r["lid"]: r["asof_rid"] for r in j.collect()}
-
         lp = pd.DataFrame(left_rows, columns=["lid", "k", "lts"]).sort_values("lts")
         rp = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values("rts")
+        for direction in ("backward", "forward", "nearest"):
+            j = as_of_join(
+                ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+                payload=["rid"], right_tie="rid", tolerance_sec=tol,
+                direction=direction,
+            )
+            got = {r["lid"]: r["asof_rid"] for r in j.collect()}
+            m = pd.merge_asof(
+                lp, rp, left_on="lts", right_on="rts", by="k",
+                direction=direction,
+                tolerance=None if tol is None else int(tol),
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in m.itertuples()
+            }
+            assert got == want, f"seed {seed} dir {direction} tol {tol}"
+
+
+def test_as_of_join_nearest_tie_and_equal_ts(spark):
+    """Distance-tie and equal-timestamp rules for direction='nearest',
+    pinned against pandas in the same assertions: an exact tie
+    (right at t=100 and t=300, left at t=200) resolves BACKWARD, and
+    a right row exactly at the left timestamp matches at distance 0;
+    forward at equal ts matches too (inclusive >=)."""
+    import pandas as pd
+
+    right_rows = [(1, 100, 10), (1, 300, 30), (2, 500, 50)]
+    left_rows = [(0, 1, 200), (1, 2, 500), (2, 1, 299)]
+    ldf = spark.createDataFrame(left_rows, "lid long, k long, lts long").select(
+        "lid", "k", F.timestamp_seconds("lts").alias("lts")
+    )
+    rdf = spark.createDataFrame(right_rows, "k long, rts long, rid long").select(
+        "k", F.timestamp_seconds("rts").alias("rts"), "rid"
+    )
+    lp = pd.DataFrame(left_rows, columns=["lid", "k", "lts"]).sort_values("lts")
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "rid"]).sort_values("rts")
+    for direction, expect in (
+        ("nearest", {0: 10, 1: 50, 2: 30}),   # tie @200 -> backward 10
+        ("forward", {0: 30, 1: 50, 2: 30}),   # equal ts inclusive
+        ("backward", {0: 10, 1: 50, 2: 10}),
+    ):
+        j = as_of_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            payload=["rid"], right_tie="rid", direction=direction,
+        )
+        got = {r["lid"]: r["asof_rid"] for r in j.collect()}
+        assert got == expect, direction
         m = pd.merge_asof(
-            lp, rp, left_on="lts", right_on="rts", by="k",
-            direction="backward",
-            tolerance=None if tol is None else int(tol),
+            lp, rp, left_on="lts", right_on="rts", by="k", direction=direction
         )
         want = {
             int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
             for r in m.itertuples()
         }
-        assert got == want, f"seed {seed} tol {tol}"
+        assert got == want, direction
