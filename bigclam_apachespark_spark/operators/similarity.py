@@ -427,7 +427,13 @@ def lsh_recall_eval(
         "q", F.col(id_col).alias("nn")
     )
     approx = lsh_topk(embeddings, queries, k, n_planes, seed, dim, id_col, vec_col)
-    got = approx.select("q", F.col(id_col).alias("nn"))
+    return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
+
+
+def _recall_combine(truth: DataFrame, got: DataFrame, k: int) -> DataFrame:
+    """Shared recall@k arithmetic: n_hits = |approx ∩ exact| per
+    query, recall = n_hits / k, zero-filled over the exact-truth
+    query spine so queries the ANN missed entirely still report."""
     hits = truth.join(got, ["q", "nn"], "left_semi").groupBy("q").agg(
         F.count("*").alias("n_hits")
     )
@@ -445,6 +451,27 @@ def lsh_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+def ivf_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF top-k against exact brute force →
+    ``(q, n_retrieved, n_hits, recall)`` — the honesty loop for the
+    IVF approximation, twin of ``lsh_recall_eval``: nprobe/n_cells
+    is a speed-recall dial, and this measures where it actually
+    lands instead of assuming."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    approx = ivf_topk(embeddings, queries, k, n_cells, nprobe, id_col, vec_col)
+    return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
 
 
 def _multi_bucket_expr(qv, n_planes: int, n_tables: int, seed: int, dim: int):

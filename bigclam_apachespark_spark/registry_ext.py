@@ -1374,6 +1374,52 @@ SIM_ORACLE = {
                round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
         FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
     """,
+    # ANN recall@5 for the IVF index: same brute-force ground truth,
+    # approximate side = the sim_ivf_topk candidate pipeline.
+    "sim_ivf_recall": f"""
+        WITH {EMB_SQL}, {IVF_SQL},
+        bscored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        ),
+        bnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM bscored
+          ) WHERE rank <= 5
+        ),
+        iscored AS (
+          SELECT p.q, ea.vec_id,
+                 round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) AS cos_sim
+          FROM probes p
+          JOIN assign s ON s.cell = p.cell
+          JOIN emb ea ON ea.vec_id = s.vec_id
+          JOIN emb eb ON eb.vec_id = p.q
+          WHERE ea.vec_id <> p.q
+        ),
+        inn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM iscored
+          ) WHERE rank <= 5
+        ),
+        hits AS (
+          SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM bnn b JOIN inn i ON i.q = b.q AND i.vec_id = b.vec_id
+          GROUP BY b.q
+        ),
+        ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM inn GROUP BY q),
+        qspine AS (SELECT DISTINCT q FROM bnn)
+        SELECT s.q,
+               CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+        FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
+    """,
     # kNN label-prediction eval: majority vote among the exact top-5
     # neighbors (tie → smallest label) vs ground truth.
     "sim_knn_label_eval": f"""
@@ -1491,6 +1537,9 @@ SIM_QUERIES = {
     ),
     "sim_lsh_recall": lambda spark, sf: S.lsh_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=8
+    ),
+    "sim_ivf_recall": lambda spark, sf: S.ivf_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),
     "sim_lsh_topk_multi": lambda spark, sf: S.lsh_topk_multi(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=4, n_tables=4
