@@ -278,6 +278,53 @@ def ivf_assign(
     return out.select(*cols)
 
 
+def kmeans_iteration(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd (k-means) refinement step over the IVF assignment →
+    ``(cell, d, n_members, mean_q)``: every vector assigned to its
+    nearest deterministic seed centroid (``ivf_centroids`` +
+    ``ivf_assign`` — exact fixed-point cosine argmax), then each
+    cell's new centroid recomputed as the per-dimension mean of its
+    members, emitted in the long (cell, dim) layout in micro-units.
+    A full k-means build is this operator iterated with the output
+    fed back as centroids; one step is the SQL-expressible kernel, so
+    the centroid-update arithmetic itself is oracle-checked (same
+    strategy as BigCLAM's one-iteration query).
+
+    Exactness: the per-dimension sums are over INTEGER micro-unit
+    components — exact in any aggregation order — so the mean is one
+    correctly-rounded IEEE division both engines perform identically;
+    no float-sum-order drift at any scale.
+
+    Scale shape: centroids broadcast (no corpus shuffle for the
+    argmax), then ONE shuffle of |N|·dim long rows into a hash agg
+    with map-side partial aggregation. The dim-fold blowup is the
+    price of exact integer sums; 16 cells × 64 dims out."""
+    assign = ivf_assign(
+        embeddings,
+        ivf_centroids(embeddings, n_cells, id_col, vec_col),
+        id_col,
+        vec_col,
+        keep_vec=True,
+    )
+    longf = assign.select("cell", F.posexplode("qv").alias("d", "qval"))
+    return longf.groupBy("cell", "d").agg(
+        F.count("*").alias("n_members"),
+        F.round(
+            F.sum("qval").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_q"),
+    ).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("d").cast("int").alias("d"),
+        "n_members",
+        "mean_q",
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1374,6 +1374,21 @@ SIM_ORACLE = {
                round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
         FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
     """,
+    # One Lloyd refinement step: integer micro-unit sums per
+    # (cell, dim) are aggregation-order-exact, so the mean is a
+    # single identical IEEE division on both engines.
+    "sim_kmeans_iteration": f"""
+        WITH {EMB_SQL}, {IVF_SQL},
+        member AS (
+          SELECT a.cell, dim_i AS d, e.qv[dim_i + 1] AS qval
+          FROM assign a JOIN emb e USING (vec_id)
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim_i)
+        )
+        SELECT CAST(cell AS INT) AS cell, CAST(d AS INT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               round(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_q
+        FROM member GROUP BY cell, d
+    """,
     # ANN recall@5 for the IVF index: same brute-force ground truth,
     # approximate side = the sim_ivf_topk candidate pipeline.
     "sim_ivf_recall": f"""
@@ -1540,6 +1555,9 @@ SIM_QUERIES = {
     ),
     "sim_ivf_recall": lambda spark, sf: S.ivf_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
+    ),
+    "sim_kmeans_iteration": lambda spark, sf: S.kmeans_iteration(
+        _emb(spark, sf), n_cells=16
     ),
     "sim_lsh_topk_multi": lambda spark, sf: S.lsh_topk_multi(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=4, n_tables=4
