@@ -74,6 +74,40 @@ def neighbor_lists(sym_edges: DataFrame) -> DataFrame:
     )
 
 
+def label_propagation(sym_edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation (the LPA community-detection
+    kernel) → ``(id, lbl)`` after ``rounds`` rounds from identity
+    labels: each round, every vertex adopts the most frequent label
+    among its NEIGHBORS (self-label excluded), ties to the smallest
+    label — fully deterministic, so a bounded run has an exact
+    unrolled oracle twin. Round 1 from identity labels degenerates to
+    min-neighbor (all neighbor labels distinct); from round 2 the
+    frequency argmax does real work, which is why the default is 2.
+
+    Scale shape per round: one equi-join edges⋈labels (labels is
+    |V|-sized — shuffles on the vertex key, AQE-splittable), one
+    hash agg with map-side combine, one argmax window over the
+    per-vertex label histogram (bounded by degree). Linear in
+    rounds·|E|; nothing driver-side. Production LPA iterates to a
+    fixpoint with a convergence count per round, same as
+    ``connected_components``' loop."""
+    from pyspark.sql import Window
+
+    labels = vertices(sym_edges).select("id", F.col("id").alias("lbl"))
+    for _ in range(rounds):
+        nbr = sym_edges.join(
+            labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("id"), "lbl")
+        cnt = nbr.groupBy("id", "lbl").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("lbl"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+    return labels
+
+
 def ego_nets(neighbors: DataFrame) -> DataFrame:
     """B4: node ∪ its neighbors → ``(id, members ARRAY<BIGINT>)``."""
     return neighbors.select(

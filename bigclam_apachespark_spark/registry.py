@@ -214,6 +214,13 @@ def q_bfs_hops(spark, sf_dir):
     return G.bfs_hops(sym, sources, max_hops=3)
 
 
+def q_label_prop(spark, sf_dir):
+    """Two synchronous LPA rounds on the co-purchase graph (identity
+    init; deterministic mode-with-smallest-tie rule — exact unrolled
+    oracle twin)."""
+    return G.label_propagation(_sym(spark, sf_dir), rounds=2)
+
+
 def q_sql_degree_hist(spark, sf_dir):
     """Degree histogram of the co-purchase graph, declared in pure
     SQL (spark.sql over a temp view; Catalyst plans it exactly like
@@ -270,7 +277,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_degree_hist": q_sql_degree_hist,
     "graph_link_candidates": q_link_candidates,
     "graph_bfs_hops": q_bfs_hops,
+    "graph_label_prop": q_label_prop,
 }
+
+
+def _lpa_sql(rounds: int = 2) -> str:
+    """Unrolled synchronous-LPA twin (MATERIALIZED rounds — DuckDB
+    inlines CTEs, and each round references the previous twice)."""
+    parts = ["l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM sym)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT e.src AS id, l.lbl FROM sym e JOIN l{r - 1} l ON l.id = e.dst),
+c{r} AS MATERIALIZED (
+  SELECT id, lbl, COUNT(*) AS n FROM n{r} GROUP BY id, lbl),
+l{r} AS MATERIALIZED (
+  SELECT id, lbl FROM (
+    SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
+    FROM c{r}) WHERE rn = 1)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, lbl FROM l{rounds}"
 
 
 def _bfs_sql(rounds: int = 3, mod: int = 100) -> str:
@@ -490,6 +516,7 @@ ORACLE: dict[str, str] = {
     # the point (see PORTABLE_DEGREE_HIST_SQL).
     "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,
     "graph_bfs_hops": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_bfs_sql(3, 100)}",
+    "graph_label_prop": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_lpa_sql(2)}",
     "graph_link_candidates": f"""
         WITH {EDGES_SQL}, {SYM_SQL},
         wedge AS (
