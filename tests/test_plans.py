@@ -262,6 +262,18 @@ def test_pii_scrub_zero_exchange_no_python(spark):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
 
 
+def test_asof_nearest_single_sort(spark):
+    """direction='nearest' must compute BOTH scans (backward last +
+    forward first) in one Window over one Exchange + one Sort — no
+    second shuffle, no join, filters pushed to the scans."""
+    plan = _plan(spark, "events_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Sort ") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
 def test_cap_per_source_bucketed_rank(spark):
     """The per-source cap must NOT funnel a hot source through one
     window partition: the big-side rank window partitions by
