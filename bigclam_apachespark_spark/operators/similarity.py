@@ -304,20 +304,65 @@ def kmeans_iteration(
     argmax), then ONE shuffle of |N|·dim long rows into a hash agg
     with map-side partial aggregation. The dim-fold blowup is the
     price of exact integer sums; 16 cells × 64 dims out."""
-    assign = ivf_assign(
-        embeddings,
-        ivf_centroids(embeddings, n_cells, id_col, vec_col),
-        id_col,
-        vec_col,
-        keep_vec=True,
+    return kmeans_refined(embeddings, n_cells, 1, id_col, vec_col)
+
+
+def _centroids_from_means(means: DataFrame) -> DataFrame:
+    """(cell, d, mean_q) long layout → (cell, cqv, cnrm) centroid
+    rows: each mean re-quantized to INTEGER micro-units (one
+    half-away round, identical on both engines), so the next
+    assignment round's cosine argmax stays exact-integer — the trick
+    that makes a multi-round Lloyd refinement oracle-checkable."""
+    cent = means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("mean_q")))
+            ),
+            lambda s: F.round(s["mean_q"], 0).cast("long"),
+        ).alias("cqv")
     )
-    longf = assign.select("cell", F.posexplode("qv").alias("d", "qval"))
-    return longf.groupBy("cell", "d").agg(
-        F.count("*").alias("n_members"),
-        F.round(
-            F.sum("qval").cast("double") / F.count("*").cast("double"), 6
-        ).alias("mean_q"),
-    ).select(
+    return cent.select(
+        "cell",
+        "cqv",
+        F.sqrt(_dot_long("cqv", "cqv").cast("double")).alias("cnrm"),
+    )
+
+
+def kmeans_refined(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``rounds`` full Lloyd steps (assign → mean), centroids fed
+    back between rounds → the final ``(cell, d, n_members, mean_q)``
+    long layout (``rounds=1`` ≡ ``kmeans_iteration``). Every round
+    stays exact: assignments argmax over integer dot products, means
+    over integer micro-unit sums, and the fed-back centroid is the
+    mean re-quantized to integers (``_centroids_from_means``) — so a
+    bounded run is cross-engine bit-stable end-to-end and the oracle
+    twin unrolls the rounds exactly (same strategy as the unrolled
+    BFS/k-core/LPA twins and ``bigclam_two_iterations``).
+
+    Scale shape per round: centroid broadcast + narrow argmax, one
+    |N|·dim long-layout shuffle into a map-side-combined hash agg,
+    and an n_cells·dim-row grouped rebuild (metadata-sized). Empty
+    cells drop out (standard Lloyd behavior)."""
+    cents = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    means = None
+    for _ in range(rounds):
+        if means is not None:
+            cents = _centroids_from_means(means)
+        assign = ivf_assign(embeddings, cents, id_col, vec_col, keep_vec=True)
+        longf = assign.select("cell", F.posexplode("qv").alias("d", "qval"))
+        means = longf.groupBy("cell", "d").agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum("qval").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_q"),
+        )
+    return means.select(
         F.col("cell").cast("int").alias("cell"),
         F.col("d").cast("int").alias("d"),
         "n_members",

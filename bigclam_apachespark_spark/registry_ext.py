@@ -1389,6 +1389,49 @@ SIM_ORACLE = {
                round(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_q
         FROM member GROUP BY cell, d
     """,
+    # TWO full Lloyd rounds, centroids fed back between them: the
+    # round-1 means re-quantize to integer micro-units (one identical
+    # half-away round on both engines), so round 2's cosine argmax is
+    # again exact-integer — the whole refinement unrolls in SQL.
+    "sim_kmeans_refined": f"""
+        WITH {EMB_SQL}, {IVF_SQL},
+        mem1 AS (
+          SELECT a.cell, dim_i AS d, e.qv[dim_i + 1] AS qval
+          FROM assign a JOIN emb e USING (vec_id)
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim_i)
+        ),
+        m1 AS (
+          SELECT cell, d,
+                 round(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mq
+          FROM mem1 GROUP BY cell, d
+        ),
+        cent1a AS (
+          SELECT cell, list(CAST(round(mq) AS BIGINT) ORDER BY d) AS cqv
+          FROM m1 GROUP BY cell
+        ),
+        cent1 AS (
+          SELECT cell, cqv,
+                 sqrt(CAST(list_sum([v * v for v in cqv]) AS DOUBLE)) AS cnrm
+          FROM cent1a
+        ),
+        a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_IVF_COS_EC} DESC, c.cell) AS rn
+            FROM emb e CROSS JOIN cent1 c
+          ) WHERE rn = 1
+        ),
+        mem2 AS (
+          SELECT a.cell, dim_i AS d, e.qv[dim_i + 1] AS qval
+          FROM a1 a JOIN emb e USING (vec_id)
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim_i)
+        )
+        SELECT CAST(cell AS INT) AS cell, CAST(d AS INT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               round(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_q
+        FROM mem2 GROUP BY cell, d
+    """,
     # ANN recall@5 for the IVF index: same brute-force ground truth,
     # approximate side = the sim_ivf_topk candidate pipeline.
     "sim_ivf_recall": f"""
@@ -1558,6 +1601,9 @@ SIM_QUERIES = {
     ),
     "sim_kmeans_iteration": lambda spark, sf: S.kmeans_iteration(
         _emb(spark, sf), n_cells=16
+    ),
+    "sim_kmeans_refined": lambda spark, sf: S.kmeans_refined(
+        _emb(spark, sf), n_cells=16, rounds=2
     ),
     "sim_lsh_topk_multi": lambda spark, sf: S.lsh_topk_multi(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=4, n_tables=4
