@@ -62,6 +62,13 @@ HEADLINE = [
     "bigclam_two_iterations",
     "graph_conductance_pairs",
     "sim_lsh_topk_multi",
+    # round-5 additions: the bucketed per-source cap (plan changed
+    # this round), nearest-direction as-of join (one-sort dual scan),
+    # two chained Lloyd rounds, and 2-round label propagation
+    "text_cap_per_source",
+    "events_asof_nearest",
+    "sim_kmeans_refined",
+    "graph_label_prop",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -105,6 +112,11 @@ EXPECTED = {
     "bigclam_two_iterations": 66.0,
     "graph_conductance_pairs": 2.6,
     "sim_lsh_topk_multi": 6.7,
+    # round-5 additions (measured 2026-08-14, healthy window, min of 2)
+    "text_cap_per_source": 2.7,
+    "events_asof_nearest": 0.8,
+    "sim_kmeans_refined": 4.9,
+    "graph_label_prop": 6.5,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
