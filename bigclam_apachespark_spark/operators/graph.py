@@ -108,6 +108,61 @@ def label_propagation(sym_edges: DataFrame, rounds: int = 2) -> DataFrame:
     return labels
 
 
+def modularity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition → ONE row
+    ``(n_communities, e_within, q)``:
+
+        Q = E_in/m − D2/(4m²)
+
+    with m = |undirected edges|, E_in = Σ_c (within-community edges),
+    D2 = Σ_c (Σ degree in c)² — THE community-quality score the LPA/
+    BigCLAM family is judged by.
+
+    Exactness: E_in, D2, and 2m are INTEGER aggregates (order-
+    independent); Q is then two correctly-rounded IEEE divisions and
+    one subtraction — identical on both engines. The naive per-
+    community float sum Σ_c(e_c/m − (d_c/2m)²) would be fold-order-
+    dependent; factoring to integer numerators removes that.
+
+    Scale shape: two label joins onto the edge list (vertex-keyed
+    shuffles, AQE-splittable), one equality filter + count for E_in,
+    and a per-community degree agg (|C| rows) for D2. No window, no
+    collect."""
+    la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    tagged = sym_edges.join(la, "src").join(lb, "dst")
+    # sym edges carry each undirected edge twice: within-pairs / 2
+    e_in = tagged.where(F.col("la") == F.col("lb")).agg(
+        (F.count("*") / 2).cast("long").alias("e_within")
+    )
+    deg_by_c = (
+        sym_edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("deg"))
+        .join(labels, "id")
+        .groupBy("lbl")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    comm = deg_by_c.agg(
+        F.count("*").alias("n_communities"),
+        F.sum(F.col("dc") * F.col("dc")).alias("d2"),
+    )
+    m = sym_edges.agg((F.count("*") / 2).cast("long").alias("m"))
+    return (
+        e_in.crossJoin(comm)
+        .crossJoin(m)
+        .select(
+            F.col("n_communities").cast("long").alias("n_communities"),
+            "e_within",
+            F.round(
+                F.col("e_within").cast("double") / F.col("m").cast("double")
+                - F.col("d2").cast("double")
+                / (F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double")),
+                6,
+            ).alias("q"),
+        )
+    )
+
+
 def ego_nets(neighbors: DataFrame) -> DataFrame:
     """B4: node ∪ its neighbors → ``(id, members ARRAY<BIGINT>)``."""
     return neighbors.select(

@@ -221,6 +221,13 @@ def q_label_prop(spark, sf_dir):
     return G.label_propagation(_sym(spark, sf_dir), rounds=2)
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the 2-round LPA partition — the
+    community-quality score, integer-numerator-exact."""
+    sym = _sym(spark, sf_dir)
+    return G.modularity(sym, G.label_propagation(sym, rounds=2))
+
+
 def q_sql_degree_hist(spark, sf_dir):
     """Degree histogram of the co-purchase graph, declared in pure
     SQL (spark.sql over a temp view; Catalyst plans it exactly like
@@ -278,12 +285,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_link_candidates": q_link_candidates,
     "graph_bfs_hops": q_bfs_hops,
     "graph_label_prop": q_label_prop,
+    "graph_modularity": q_modularity,
 }
 
 
-def _lpa_sql(rounds: int = 2) -> str:
-    """Unrolled synchronous-LPA twin (MATERIALIZED rounds — DuckDB
-    inlines CTEs, and each round references the previous twice)."""
+def _lpa_cte(rounds: int = 2) -> str:
+    """Unrolled synchronous-LPA CTE chain (MATERIALIZED rounds —
+    DuckDB inlines CTEs, and each round references the previous
+    twice); final labels are in ``l{rounds}``."""
     parts = ["l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM sym)"]
     for r in range(1, rounds + 1):
         parts.append(
@@ -296,7 +305,36 @@ l{r} AS MATERIALIZED (
     SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, lbl) AS rn
     FROM c{r}) WHERE rn = 1)"""
         )
-    return ",\n".join(parts) + f"\nSELECT id, lbl FROM l{rounds}"
+    return ",\n".join(parts)
+
+
+def _lpa_sql(rounds: int = 2) -> str:
+    return _lpa_cte(rounds) + f"\nSELECT id, lbl FROM l{rounds}"
+
+
+def _modularity_sql(rounds: int = 2) -> str:
+    """Newman modularity of the round-``rounds`` LPA partition —
+    integer numerators (E_in, D2, m), then the same two IEEE
+    divisions the Spark operator performs."""
+    lf = f"l{rounds}"
+    return (
+        _lpa_cte(rounds)
+        + f""",
+tagged AS (
+  SELECT la.lbl AS la, lb.lbl AS lb
+  FROM sym e JOIN {lf} la ON la.id = e.src JOIN {lf} lb ON lb.id = e.dst),
+e_in AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS e_within FROM tagged WHERE la = lb),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+dcs AS (SELECT l.lbl, SUM(d.deg) AS dc FROM deg d JOIN {lf} l ON l.id = d.id GROUP BY l.lbl),
+comm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                CAST(SUM(dc * dc) AS BIGINT) AS d2 FROM dcs),
+mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM sym)
+SELECT n_communities, e_within,
+       round(CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(d2 AS DOUBLE)
+               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
+FROM e_in, comm, mm"""
+    )
 
 
 def _bfs_sql(rounds: int = 3, mod: int = 100) -> str:
@@ -517,6 +555,7 @@ ORACLE: dict[str, str] = {
     "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,
     "graph_bfs_hops": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_bfs_sql(3, 100)}",
     "graph_label_prop": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_lpa_sql(2)}",
+    "graph_modularity": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_modularity_sql(2)}",
     "graph_link_candidates": f"""
         WITH {EDGES_SQL}, {SYM_SQL},
         wedge AS (

@@ -321,3 +321,38 @@ def test_unpersist_local_checkpoint_frees_blocks(spark):
     assert live() == base + 1  # the documented leak
     unpersist_local_checkpoint(plain, blocking=True)
     assert live() == base
+
+
+def test_modularity_hand_computed(g1_edges):
+    """G1 (two 4-cliques + bridge), partition = the two cliques:
+    m = 13, E_in = 12, d_A = d_B = 13 → Q = 12/13 - 2·13²/(4·13²)
+    = 0.923077 - 0.5 = 0.423077 exactly at 6 dp."""
+    from bigclam_apachespark_spark.operators.graph import modularity, symmetrize
+
+    sym = symmetrize(g1_edges)
+    spark = g1_edges.sparkSession
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1) for i in range(8)], "id long, lbl long"
+    )
+    row = modularity(sym, labels).collect()[0]
+    assert row["n_communities"] == 2
+    assert row["e_within"] == 12
+    assert row["q"] == round(12 / 13 - 0.5, 6)
+
+
+def test_label_propagation_two_cliques(g1_edges):
+    """2 LPA rounds on G1 must label each clique uniformly (the
+    bridge endpoints adopt their own clique's mode label): round 1
+    gives min-neighbor, round 2's frequency argmax converges each
+    4-clique to label 0 / 4."""
+    from bigclam_apachespark_spark.operators.graph import (
+        label_propagation,
+        symmetrize,
+    )
+
+    got = {
+        r["id"]: r["lbl"]
+        for r in label_propagation(symmetrize(g1_edges), rounds=2).collect()
+    }
+    assert all(got[i] == 0 for i in range(4)), got
+    assert all(got[i] == 4 for i in range(4, 8)), got
