@@ -26,7 +26,10 @@ from bigclam_apachespark_spark.functions.hashing import (
 from bigclam_apachespark_spark.operators import dedup as D
 from bigclam_apachespark_spark.operators import events as E
 from bigclam_apachespark_spark.operators import sketches as SK
-from bigclam_apachespark_spark.sources import read_documents_jsonl
+from bigclam_apachespark_spark.sources import (
+    read_documents_csv,
+    read_documents_jsonl,
+)
 from bigclam_apachespark_spark.operators import similarity as S
 from bigclam_apachespark_spark.operators import temporal as TJ
 from bigclam_apachespark_spark.operators import text as X
@@ -526,6 +529,9 @@ from pathlib import Path as _Path  # noqa: E402
 DOCS_JSONL = str(
     _Path(__file__).resolve().parent.parent / "data" / "sample_docs.jsonl"
 )
+DOCS_CSV = str(
+    _Path(__file__).resolve().parent.parent / "data" / "sample_docs.csv"
+)
 
 def _cms_sql(k: int = 20, d: int = 4, w: int = 1024) -> str:
     """Count-min sketch twin (operators/sketches.py cms_topk_estimates)
@@ -570,8 +576,19 @@ TEXT_ORACLE["docs_jsonl_scan"] = f"""
       columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR', 'source': 'VARCHAR'}})
 """
 
+# CSV parse fidelity on the same shipped fixture: RFC-4180 quoting
+# (embedded commas, doubled quotes), empty trailing field -> NULL,
+# and the malformed-doc_id row dropped — all_varchar + try_cast
+# mirrors Spark's PERMISSIVE-nulls-then-drop policy exactly.
+TEXT_ORACLE["docs_csv_scan"] = f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source
+    FROM read_csv('{DOCS_CSV}', header=true, all_varchar=true)
+    WHERE try_cast(doc_id AS BIGINT) IS NOT NULL
+"""
+
 TEXT_QUERIES = {
     "docs_jsonl_scan": lambda spark, sf: read_documents_jsonl(spark, DOCS_JSONL),
+    "docs_csv_scan": lambda spark, sf: read_documents_csv(spark, DOCS_CSV),
     "text_token_stats": lambda spark, sf: X.token_stats(_docs(spark, sf)),
     "text_quality": lambda spark, sf: X.quality_score(_docs(spark, sf)),
     "text_lang_id": lambda spark, sf: X.lang_id(_docs(spark, sf)),

@@ -6,6 +6,7 @@ from bigclam_apachespark_spark.sources.edgelist import (
     weighted_copurchase_edges,
 )
 from bigclam_apachespark_spark.sources.docs import (
+    read_documents_csv,
     read_documents_jsonl,
     write_corpus_partitioned,
     write_compacted,
@@ -17,6 +18,7 @@ __all__ = [
     "copurchase_edges",
     "customer_supplier_edges",
     "weighted_copurchase_edges",
+    "read_documents_csv",
     "read_documents_jsonl",
     "write_corpus_partitioned",
     "write_compacted",

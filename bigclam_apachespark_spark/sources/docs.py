@@ -34,6 +34,29 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return df.where(df.doc_id.isNotNull())
 
 
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV corpus scan → ``(doc_id, text, source)``: declared schema
+    (no inference pass), header row, RFC-4180 quoting (embedded
+    commas and doubled quotes). Malformed rows (unparseable doc_id)
+    surface as PERMISSIVE nulls and are dropped explicitly — same
+    bad-line policy as the JSONL and edge-list readers.
+
+    Scale note: records are kept single-line on purpose — Spark's
+    multiLine CSV mode makes the file non-splittable (one task per
+    file), so a corpus with embedded newlines should be re-exported
+    as JSONL/parquet rather than scanned with multiLine at 100 TB."""
+    df = (
+        spark.read.schema(DOCS_JSONL_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        # Spark's default escape is backslash; RFC-4180 escapes a
+        # quote by DOUBLING it — escape='"' selects that convention
+        .option("escape", '"')
+        .csv(path)
+    )
+    return df.where(df.doc_id.isNotNull())
+
+
 def write_compacted(df: DataFrame, path: str, by: str | None = None) -> None:
     """Compacting parquet sink: the REBALANCE hint lets AQE coalesce
     AND split shuffle output so every written file lands near
