@@ -1,0 +1,157 @@
+"""Relational warehouse operators over the TPC-H-ish tables:
+data-quality validation and the classic scan-agg / join-agg report
+shapes (north-star extension; the reference has no relational surface
+at all — SURVEY.md §2 "not present").
+
+Exactness design: money sums are computed in INTEGER cents /
+basis-points, not floats. A double sum over tens of thousands of
+~1e5-magnitude prices carries an aggregation-order-dependent error
+far above round(…, 6) — the classic nondeterministic-aggregate trap.
+Quantizing each row once (exact: the synthetic prices have ≤2
+decimals) makes every SUM a BIGINT fold, exact in any order and on
+any engine; the final division back to currency is one
+correctly-rounded IEEE op. Row values stay < ~1e11 so the BIGINT
+fold is safe to ~1e7 rows per group per 10^18 headroom — document
+and revisit before a true 100-TB money pipeline (or switch to
+DECIMAL(38) aggregation, Spark's exact path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col: str) -> "F.Column":
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def dq_report(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Data-quality validation report → ``(rule, n_bad)``, one row
+    per rule — the expectation-check stage every production pipeline
+    runs before trusting a batch. Column rules are conditional sums
+    inside ONE scan per table (no per-rule jobs); referential rules
+    are left-anti join counts (broadcast when the dimension side is
+    small, AQE decides). All integer arithmetic."""
+    o_rules = orders.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+            "orders_null_custkey"
+        ),
+        F.sum((F.coalesce(F.col("o_totalprice"), F.lit(-1.0)) <= 0).cast("long")).alias(
+            "orders_nonpositive_total"
+        ),
+    )
+    l_rules = lineitem.agg(
+        F.sum(
+            (
+                (F.coalesce(F.col("l_discount"), F.lit(-1.0)) < 0)
+                | (F.col("l_discount") > 1)
+            ).cast("long")
+        ).alias("lineitem_discount_range"),
+        F.sum((F.coalesce(F.col("l_quantity"), F.lit(0.0)) <= 0).cast("long")).alias(
+            "lineitem_nonpositive_qty"
+        ),
+    )
+    fk_o = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).agg(F.count("*").alias("orders_fk_customer"))
+    fk_l = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    ).agg(F.count("*").alias("lineitem_fk_orders"))
+
+    def melt(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        pairs = []
+        for c in cols:
+            pairs.extend([F.lit(c), F.col(c).cast("long")])
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("rule", "n_bad")
+        )
+
+    return melt(o_rules).unionByName(melt(l_rules)).unionByName(
+        melt(fk_o)
+    ).unionByName(melt(fk_l))
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-03") -> DataFrame:
+    """TPC-H Q1-shape pricing summary per (returnflag, linestatus) —
+    THE scan-agg throughput benchmark: one pruned scan, one hash agg
+    with map-side combine, whole-stage codegen throughout.
+
+    Decimal-exact: prices/discounts/taxes are quantized once to
+    integer cents / percent points (exact — the data carries ≤2
+    decimals), so every SUM is an order-independent BIGINT fold and
+    the currency results are single divisions — cross-engine
+    bit-stable where naive double sums at ~1e9 magnitude would drift
+    above the 6-dp comparison."""
+    li = lineitem.where(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+    ep = _cents("l_extendedprice")
+    qty = _cents("l_quantity")
+    disc = F.round(F.col("l_discount") * 100).cast("long")  # percent points
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price = ep * (100 - disc)  # cents·percent
+    charge = disc_price * (100 + tax)  # cents·percent²
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(ep).alias("_sbp"),
+        F.sum(disc_price).alias("_sdp"),
+        F.sum(charge).alias("_sch"),
+        F.sum(disc).alias("_sd"),
+        F.count("*").alias("count_order"),
+    )
+    n = F.col("count_order").cast("double")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sq").cast("double") / 100.0, 6).alias("sum_qty"),
+        F.round(F.col("_sbp").cast("double") / 100.0, 6).alias("sum_base_price"),
+        F.round(F.col("_sdp").cast("double") / 10000.0, 6).alias("sum_disc_price"),
+        F.round(F.col("_sch").cast("double") / 1000000.0, 6).alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / 100.0 / n, 6).alias("avg_qty"),
+        F.round(F.col("_sbp").cast("double") / 100.0 / n, 6).alias("avg_price"),
+        F.round(F.col("_sd").cast("double") / 100.0 / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def top_revenue_orders(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    order_before: str = "1995-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shape top-k revenue orders for one market segment —
+    the join-agg benchmark: customer filter broadcast into orders,
+    the surviving orders semi-joined into lineitem BEFORE the
+    revenue agg (the big table never carries dropped rows through
+    the shuffle), integer-cents revenue, deterministic top-k
+    (revenue desc, orderkey) via TakeOrderedAndProject."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = (
+        orders.where(F.col("o_orderdate") < F.lit(order_before).cast("timestamp"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    li = lineitem.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
+    agg = per_order.join(
+        o, per_order.l_orderkey == o.o_orderkey
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("_rev").cast("double") / 10000.0, 6).alias("revenue"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), "o_orderkey").limit(k)

@@ -2613,11 +2613,133 @@ MULTIMODAL_QUERIES = {
 # holds the two streaming replays) so a budget/timeout hit on the
 # streaming tail can never silently drop oracle-checkable entries —
 # the r2 gate recorded nothing after events_range_attribution.
+# ---------------------------------------------------------------------------
+# Relational warehouse surface (data-quality + classic report shapes)
+# ---------------------------------------------------------------------------
+
+
+def _rel_tables(spark, sf):
+    return (
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
+def _q_dq_report(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import dq_report
+
+    return dq_report(*_rel_tables(spark, sf))
+
+
+def _q_pricing(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_rel_tables(spark, sf)[2])
+
+
+def _q_top_orders(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import top_revenue_orders
+
+    return top_revenue_orders(*_rel_tables(spark, sf))
+
+
+REL_QUERIES = {
+    "rel_dq_report": _q_dq_report,
+    "rel_pricing_summary": _q_pricing,
+    "rel_top_orders": _q_top_orders,
+}
+
+REL_ORACLE = {
+    "rel_dq_report": """
+        SELECT 'orders_null_custkey' AS rule,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        FROM orders
+        UNION ALL
+        SELECT 'orders_nonpositive_total',
+               CAST(SUM(CASE WHEN coalesce(o_totalprice, -1) <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST(SUM(CASE WHEN coalesce(l_discount, -1) < 0 OR l_discount > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty',
+               CAST(SUM(CASE WHEN coalesce(l_quantity, 0) <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    # Integer cents / percent-point quantization: every SUM is an
+    # order-independent BIGINT fold; naive double sums at ~1e9
+    # magnitude drift above the 6-dp comparison.
+    "rel_pricing_summary": """
+        WITH q AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+                 CAST(round(l_discount * 100) AS BIGINT) AS disc,
+                 CAST(round(l_tax * 100) AS BIGINT) AS tax
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+        ),
+        g AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(qty) AS BIGINT) AS sq,
+                 CAST(SUM(ep) AS BIGINT) AS sbp,
+                 CAST(SUM(ep * (100 - disc)) AS BIGINT) AS sdp,
+                 CAST(SUM(ep * (100 - disc) * (100 + tax)) AS BIGINT) AS sch,
+                 CAST(SUM(disc) AS BIGINT) AS sd,
+                 CAST(COUNT(*) AS BIGINT) AS count_order
+          FROM q GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sq AS DOUBLE) / 100.0, 6) AS sum_qty,
+               round(CAST(sbp AS DOUBLE) / 100.0, 6) AS sum_base_price,
+               round(CAST(sdp AS DOUBLE) / 10000.0, 6) AS sum_disc_price,
+               round(CAST(sch AS DOUBLE) / 1000000.0, 6) AS sum_charge,
+               round(CAST(sq AS DOUBLE) / 100.0 / CAST(count_order AS DOUBLE), 6) AS avg_qty,
+               round(CAST(sbp AS DOUBLE) / 100.0 / CAST(count_order AS DOUBLE), 6) AS avg_price,
+               round(CAST(sd AS DOUBLE) / 100.0 / CAST(count_order AS DOUBLE), 6) AS avg_disc,
+               count_order
+        FROM g
+    """,
+    "rel_top_orders": """
+        WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        o AS (
+          SELECT o_orderkey, o_orderdate FROM orders
+          JOIN c ON o_custkey = c_custkey
+          WHERE o_orderdate < TIMESTAMP '1995-03-15'
+        ),
+        r AS (
+          SELECT l.l_orderkey AS o_orderkey,
+                 CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rv
+          FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+          GROUP BY l.l_orderkey
+        )
+        SELECT o.o_orderkey, o.o_orderdate,
+               round(CAST(rv AS DOUBLE) / 10000.0, 6) AS revenue
+        FROM r JOIN o USING (o_orderkey)
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+}
+
+
 EXT_QUERIES = {
     **TEXT_QUERIES,
     **DEDUP_QUERIES,
     **SIM_QUERIES,
     **MULTIMODAL_QUERIES,
+    **REL_QUERIES,
     **EVENT_QUERIES,
 }
 EXT_ORACLE = {
@@ -2626,4 +2748,5 @@ EXT_ORACLE = {
     **SIM_ORACLE,
     **EVENT_ORACLE,
     **MULTIMODAL_ORACLE,
+    **REL_ORACLE,
 }
