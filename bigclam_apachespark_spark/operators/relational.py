@@ -155,3 +155,45 @@ def top_revenue_orders(
         F.round(F.col("_rev").cast("double") / 10000.0, 6).alias("revenue"),
     )
     return agg.orderBy(F.col("revenue").desc(), "o_orderkey").limit(k)
+
+def upsert_merge(
+    snapshot: DataFrame, updates: DataFrame, key: str = "o_orderkey"
+) -> DataFrame:
+    """MERGE-style upsert (the warehouse CDC-apply step Spark lacks
+    without a table format): rows in ``updates`` replace same-key
+    snapshot rows, new keys insert, other snapshot rows carry over —
+    expressed as updates ∪ (snapshot ⟕anti updates), which is one
+    shuffle-free union over an anti join on the key. Deterministic:
+    at most one update row per key is assumed (enforce upstream with
+    a last-write-wins window when the changefeed can carry dups).
+
+    At scale this is the pattern behind foreachBatch streaming
+    upserts: the anti join broadcast-prunes when the update batch is
+    small — exactly the common CDC shape (small delta, huge
+    snapshot)."""
+    return updates.unionByName(snapshot.join(updates.select(key), key, "left_anti"))
+
+
+def running_totals(orders: DataFrame, customer_key: str = "o_custkey") -> DataFrame:
+    """Per-customer running order-value totals → ``(o_custkey,
+    o_orderkey, o_orderdate, run_orders, run_total)`` — the ordered-
+    window ledger shape. Deterministic ordering (orderdate, orderkey)
+    and INTEGER-cents prefix sums, so every running value is an exact
+    fold — cross-engine stable at any prefix length, where double
+    prefix sums would accumulate order-independent-looking but
+    engine-visible rounding drift."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(customer_key)
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = _cents("o_totalprice")
+    return orders.select(
+        customer_key,
+        "o_orderkey",
+        "o_orderdate",
+        F.count("*").over(w).alias("run_orders"),
+        F.round(F.sum(cents).over(w).cast("double") / 100.0, 6).alias("run_total"),
+    )

@@ -2644,10 +2644,48 @@ def _q_top_orders(spark, sf):
     return top_revenue_orders(*_rel_tables(spark, sf))
 
 
+def _q_upsert(spark, sf):
+    """CDC apply: deterministic synthesized changefeed — every
+    orderkey % 10 = 0 row updated (+1.00 to total), every % 1000 = 0
+    row re-inserted under a shifted key with status 'N' — merged into
+    the snapshot. Both engines derive the same feed from the same
+    table, so the merge semantics (replace / insert / carry-over)
+    hash-check exactly."""
+    from bigclam_apachespark_spark.operators.relational import upsert_merge
+
+    orders = _rel_tables(spark, sf)[0]
+    cols = orders.columns
+    updated = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        *[
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    inserted = orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        *[
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey")
+            if c == "o_orderkey"
+            else (F.lit("N").alias("o_orderstatus") if c == "o_orderstatus" else F.col(c))
+            for c in cols
+        ]
+    )
+    return upsert_merge(orders, updated.unionByName(inserted))
+
+
+def _q_running_totals(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import running_totals
+
+    return running_totals(_rel_tables(spark, sf)[0])
+
+
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
+    "rel_upsert_merge": _q_upsert,
+    "rel_running_totals": _q_running_totals,
 }
 
 REL_ORACLE = {
@@ -2730,6 +2768,33 @@ REL_ORACLE = {
                round(CAST(rv AS DOUBLE) / 10000.0, 6) AS revenue
         FROM r JOIN o USING (o_orderkey)
         ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    # CDC apply: updates replace, new keys insert, the rest carry
+    # over — both engines derive the same deterministic changefeed.
+    "rel_upsert_merge": """
+        WITH upd AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 900000000, o_custkey, 'N',
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 1000 = 0
+        )
+        SELECT * FROM upd
+        UNION ALL
+        SELECT o.* FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+    # Integer-cents prefix sums: exact at any prefix length.
+    "rel_running_totals": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(COUNT(*) OVER w AS BIGINT) AS run_orders,
+               round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                          AS DOUBLE) / 100.0, 6) AS run_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING)
     """,
 }
 
