@@ -69,6 +69,9 @@ HEADLINE = [
     "events_asof_nearest",
     "sim_kmeans_refined",
     "graph_label_prop",
+    # relational surface: scan-agg and join-agg throughput shapes
+    "rel_pricing_summary",
+    "rel_top_orders",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -117,6 +120,8 @@ EXPECTED = {
     "events_asof_nearest": 0.8,
     "sim_kmeans_refined": 4.9,
     "graph_label_prop": 6.5,
+    "rel_pricing_summary": 2.3,
+    "rel_top_orders": 2.3,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
