@@ -86,24 +86,24 @@ def label_propagation(sym_edges: DataFrame, rounds: int = 2) -> DataFrame:
 
     Scale shape per round: one equi-join edges⋈labels (labels is
     |V|-sized — shuffles on the vertex key, AQE-splittable), one
-    hash agg with map-side combine, one argmax window over the
-    per-vertex label histogram (bounded by degree). Linear in
+    hash agg with map-side combine, then the argmax as a SECOND
+    max_by hash agg — NOT a per-vertex window: a celebrity hub's
+    label histogram would funnel through one window task, while
+    max_by partial-aggregates map-side like any other agg. Linear in
     rounds·|E|; nothing driver-side. Production LPA iterates to a
     fixpoint with a convergence count per round, same as
     ``connected_components``' loop."""
-    from pyspark.sql import Window
-
     labels = vertices(sym_edges).select("id", F.col("id").alias("lbl"))
     for _ in range(rounds):
         nbr = sym_edges.join(
             labels.select(F.col("id").alias("dst"), "lbl"), "dst"
         ).select(F.col("src").alias("id"), "lbl")
         cnt = nbr.groupBy("id", "lbl").agg(F.count("*").alias("n"))
-        w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("lbl"))
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", "lbl")
+        # argmax by (n desc, lbl asc) == max_by key (n, -lbl)
+        labels = cnt.groupBy("id").agg(
+            F.max_by("lbl", F.struct(F.col("n"), (-F.col("lbl")).alias("_t"))).alias(
+                "lbl"
+            )
         )
     return labels
 
