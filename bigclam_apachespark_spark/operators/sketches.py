@@ -219,3 +219,34 @@ def cms_topk_estimates(
         .groupBy("term", "n_exact")
         .agg(F.min("c").alias("n_cms"))
     )
+
+def finalize_windowed_hll(registers: DataFrame, b: int = 8) -> DataFrame:
+    """Finalize streamed per-window HLL register rows
+    ``(window_start, bucket, register)`` → ``(window_start, n_hll)``:
+    synthesize absent buckets from a (windows × m) spine, then the
+    standard estimator with small-range correction — the batch half
+    of the registers-then-finalize split (streaming carries only the
+    max-mergeable registers; see
+    ``streaming.hll_users_windowed_stream``)."""
+    m = 1 << b
+    windows = registers.select("window_start").distinct()
+    spine = windows.crossJoin(
+        F.broadcast(
+            registers.sparkSession.range(m).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    filled = spine.join(registers, ["window_start", "bucket"], "left").select(
+        "window_start", F.coalesce("register", F.lit(0)).alias("register")
+    )
+    agg = filled.groupBy("window_start").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select("window_start", F.round(est, 6).alias("n_hll"))

@@ -2289,6 +2289,79 @@ def _hll_by_type_sql(b: int = 8) -> str:
 EVENT_ORACLE["events_hll_users_by_type"] = _hll_by_type_sql(8)
 
 
+def _hll_by_window_sql(b: int = 8) -> str:
+    """Per-hour-window HLL twin — the batch restatement of the
+    streamed registers-then-finalize pipeline."""
+    from bigclam_apachespark_spark.operators.sketches import _alpha
+
+    m = 1 << b
+    width = 60 - b
+    am2 = _alpha(m) * m * m
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH hv AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                 CAST({h} % {m} AS INT) AS bucket, ({h} >> {b}) AS w
+          FROM events
+        ),
+        r AS (
+          SELECT window_start, bucket,
+                 MAX({width} + 1 - length(ltrim(bin(w), '0'))) AS register
+          FROM hv GROUP BY window_start, bucket
+        ),
+        spine AS (
+          SELECT g.window_start, d.bucket
+          FROM (SELECT DISTINCT window_start FROM hv) g
+          CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS bucket) d
+        ),
+        allb AS (
+          SELECT s.window_start, s.bucket, COALESCE(r.register, 0) AS register
+          FROM spine s LEFT JOIN r USING (window_start, bucket)
+        ),
+        agg AS (
+          SELECT window_start,
+                 SUM(power(2.0, -register)) AS s,
+                 SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v
+          FROM allb GROUP BY window_start
+        )
+        SELECT window_start,
+               round(CASE WHEN ({am2!r} / s) <= {2.5 * m!r} AND v > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / v)
+                          ELSE {am2!r} / s END, 6) AS n_hll
+        FROM agg
+    """
+
+
+EVENT_ORACLE["events_stream_hll_windows"] = _hll_by_window_sql(8)
+
+
+def _q_stream_hll_windows(spark, sf):
+    """Streaming sketch replay: watermarked per-window HLL register
+    agg (state = m integers per window) → complete-mode sink →
+    batch finalize. The estimates hash-match the batch DuckDB twin
+    because registers are integer functions of the shared hash."""
+    from bigclam_apachespark_spark.operators.sketches import finalize_windowed_hll
+    from bigclam_apachespark_spark.streaming import (
+        hll_users_windowed_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    regs = run_stream_to_memory(
+        hll_users_windowed_stream(stream, "1 hour", b=8),
+        "stream_hll_windows_oracle",
+        "complete",
+        timeout_sec=90.0,
+        strict=True,
+    )
+    # The finalize spine self-joins the sink; a MemorySink view
+    # self-join trips a conflicting-references INTERNAL_ERROR in
+    # Spark 4 — localCheckpoint re-roots the lineage with fresh
+    # attribute ids (the register table is m·windows rows, tiny).
+    return finalize_windowed_hll(regs.localCheckpoint(eager=True), b=8)
+
+
 def _q_hll_users_by_type(spark, sf):
     from bigclam_apachespark_spark.operators.sketches import hll_count_distinct_by
 
@@ -2368,6 +2441,7 @@ EVENT_QUERIES = {
     ),
     "events_stream_interval_join": _q_stream_interval_join,
     "events_stream_interval_left": _q_stream_interval_left,
+    "events_stream_hll_windows": _q_stream_hll_windows,
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_enrich": _q_stream_enrich,
     "events_stream_sessionize": _q_stream_sessionize,

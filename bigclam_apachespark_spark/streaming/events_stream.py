@@ -529,3 +529,51 @@ def dedup_within_watermark_stream(
     return keyed.dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "sec"]
     ).select("user_id", "event_type", "sec")
+
+def hll_users_windowed_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    b: int = 8,
+) -> DataFrame:
+    """Streaming SKETCH: per-window HyperLogLog registers for
+    distinct users → ``(window_start, bucket, register)`` — ONE
+    watermarked stateful aggregation whose state per open window is
+    m = 2^b small integers (register maxima) instead of the distinct
+    user set. Registers are max-mergeable, estimates are not, so the
+    streaming side carries only the mergeable form and the estimate
+    finalizes in batch (``sketches.finalize_windowed_hll``) — the
+    same registers-then-finalize split a production pipeline uses to
+    merge per-day sketches into arbitrary ranges.
+
+    Same md5-derived deterministic HLL as the batch operator
+    (``sketches.hll_registers``): bucket/rank are integer functions
+    of the shared hash, so the streamed registers — and therefore the
+    finalized estimates — hash-match the DuckDB twin exactly.
+    ``window_start`` is emitted as TIMESTAMP_NTZ UTC wall time, same
+    sink contract as ``windowed_counts_stream``."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    m = 1 << b
+    width_bits = 60 - b
+    h = hash64(F.col("user_id").cast("string"))
+    w = F.shiftright(h, b)
+    blen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(width_bits + 1)).otherwise(
+        F.lit(width_bits) + 1 - blen
+    )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    start_ntz = F.timestamp_add(
+        "MICROSECOND", F.unix_micros(F.col("w.start")), epoch
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            (h % m).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(F.window("ts", width).alias("w"), "bucket")
+        .agg(F.max("rho").alias("register"))
+        .select(start_ntz.alias("window_start"), "bucket", "register")
+    )
