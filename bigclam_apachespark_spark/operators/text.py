@@ -912,3 +912,47 @@ def cap_per_source(
             (rk <= cap).cast("int").alias("kept"),
         )
     )
+
+def global_shuffle_order(
+    docs: DataFrame, id_col: str = "doc_id", buckets: int = 64
+) -> DataFrame:
+    """Deterministic GLOBAL training order → ``(doc_id, rank)``,
+    rank 1..N by (hash64(id), id) — the corpus-shuffle primitive a
+    training data-loader needs: stable across runs, uniformly mixed,
+    and computed WITHOUT a single-partition global sort.
+
+    Same two-stage exact-rank kernel as ``cap_per_source`` with one
+    global "source": docs are range-bucketed by the top bits of the
+    order hash (bucket id monotone in the sort key), a ``buckets``-row
+    count aggregate yields exclusive prefix offsets, and rank =
+    offset + row_number within the bucket. The only
+    single-partition step is the offsets window over ≤``buckets``
+    rows; the corpus shuffles once, on the bucket key. A plain
+    ``ROW_NUMBER() OVER (ORDER BY …)`` would funnel 100 TB through
+    one task — this is the scale-correct formulation of the same
+    answer."""
+    from pyspark.sql import Window
+
+    k = max((buckets - 1).bit_length(), 0)
+    base = docs.select(
+        id_col, hash64(F.col(id_col).cast("string")).alias("_h")
+    ).withColumn("_cb", F.shiftrightunsigned("_h", 60 - k).cast("int"))
+
+    off_w = (
+        Window.orderBy("_cb").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_cb")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_cb", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+        )
+    )
+    rank_w = Window.partitionBy("_cb").orderBy("_h", id_col)
+    return (
+        base.join(F.broadcast(offsets), "_cb")
+        .select(
+            id_col,
+            (F.col("_off") + F.row_number().over(rank_w)).cast("long").alias("rank"),
+        )
+    )

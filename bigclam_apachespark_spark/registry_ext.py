@@ -406,6 +406,16 @@ TEXT_ORACLE = {
           FROM documents
         )
     """,
+    # Deterministic global training order: the oracle states the
+    # single-sort definition; the Spark side computes the same rank
+    # via the bucketed two-stage kernel (no one-task global sort).
+    "text_global_shuffle": f"""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS BIGINT) AS rank
+        FROM documents
+    """,
     # Per-source duplication report: exact distinct fingerprints.
     "text_dup_rate": f"""
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -653,6 +663,7 @@ TEXT_QUERIES = {
         )
     ),
     "text_cap_per_source": lambda spark, sf: X.cap_per_source(_docs(spark, sf), cap=200),
+    "text_global_shuffle": lambda spark, sf: X.global_shuffle_order(_docs(spark, sf)),
 }
 
 # ---------------------------------------------------------------------------
