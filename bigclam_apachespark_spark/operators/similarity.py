@@ -717,3 +717,54 @@ def cosine_histogram(
         .groupBy("bin")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+def cluster_topics(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    n_cells: int = 16,
+    k_terms: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Human-readable readout of an embedding clustering →
+    ``(cell, term, tf, df, rank, salience)``: documents grouped by
+    their k-means cell (``ivf_centroids`` + ``ivf_assign`` on the
+    aligned embedding table), each cluster labeled with its top
+    ``k_terms`` terms by the exact-rational cluster-tf / corpus-df
+    salience — the same libm-free ranking key as
+    ``text.salient_terms`` (cross-engine-stable ordering; equal
+    rationals tie-break on the term).
+
+    Cross-table composition shape: the assignment is a broadcast
+    argmax over the embedding scan; tokens explode from the document
+    scan; they meet in ONE doc-keyed join, then a (cell, term) hash
+    agg with map-side combine. The final rank window partitions by
+    cell (n_cells partitions over vocabulary-sized histograms —
+    bounded by vocab, not corpus)."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.hashing import tokens
+
+    assign = ivf_assign(embeddings, ivf_centroids(embeddings, n_cells))
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tf_doc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf_d"))
+    dfreq = tf_doc.groupBy("term").agg(F.count("*").alias("df"))
+    ctf = (
+        tf_doc.join(
+            assign.select(F.col("vec_id").alias("doc_id"), "cell"), "doc_id"
+        )
+        .groupBy("cell", "term")
+        .agg(F.sum("tf_d").alias("tf"))
+    )
+    sal = F.col("tf").cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy("cell").orderBy(F.col("salience").desc(), "term")
+    return (
+        ctf.join(dfreq, "term")
+        .select("cell", "term", "tf", "df", sal.alias("salience"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_terms)
+        .select(
+            "cell", "term", "tf", "df",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("salience", 6).alias("salience"),
+        )
+    )

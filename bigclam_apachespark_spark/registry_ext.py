@@ -1417,6 +1417,33 @@ SIM_ORACLE = {
                round(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_q
         FROM member GROUP BY cell, d
     """,
+    # Embedding-cluster topic labels: k-means cell assignment joined
+    # to document tokens; per-cluster top terms by the exact-rational
+    # cluster-tf / corpus-df salience (same libm-free key as
+    # text_salient_terms).
+    "sim_cluster_topics": f"""
+        WITH {EMB_SQL}, {IVF_SQL},
+        tok AS (SELECT doc_id, unnest({TOKENS}) AS term FROM documents),
+        tfd AS (SELECT doc_id, term, COUNT(*) AS tf_d FROM tok GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfd GROUP BY term),
+        ctf AS (
+          SELECT a.cell, t.term, CAST(SUM(t.tf_d) AS BIGINT) AS tf
+          FROM tfd t JOIN assign a ON a.vec_id = t.doc_id
+          GROUP BY a.cell, t.term
+        ),
+        scored AS (
+          SELECT cell, term, tf, df,
+                 CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS salience
+          FROM ctf JOIN dfreq USING (term)
+        )
+        SELECT CAST(cell AS INT) AS cell, term, tf, df,
+               CAST(rank AS INT) AS rank, round(salience, 6) AS salience
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                       ORDER BY salience DESC, term) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
     # TWO full Lloyd rounds, centroids fed back between them: the
     # round-1 means re-quantize to integer micro-units (one identical
     # half-away round on both engines), so round 2's cosine argmax is
@@ -1632,6 +1659,9 @@ SIM_QUERIES = {
     ),
     "sim_kmeans_refined": lambda spark, sf: S.kmeans_refined(
         _emb(spark, sf), n_cells=16, rounds=2
+    ),
+    "sim_cluster_topics": lambda spark, sf: S.cluster_topics(
+        _emb(spark, sf), _docs(spark, sf), n_cells=16, k_terms=5
     ),
     "sim_lsh_topk_multi": lambda spark, sf: S.lsh_topk_multi(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=4, n_tables=4
