@@ -848,3 +848,29 @@ def test_ngram_span_decontam(spark):
         for r in ngram_span_decontam(tdf, bdf, k=4, min_span_tokens=8).collect()
     }
     assert got == {1: (10, 1), 3: (10, 2)}
+
+
+def test_global_shuffle_matches_bruteforce(spark):
+    """The bucketed global rank must equal the brute-force sort by
+    (hash64(doc_id), doc_id) at any bucket count, including
+    buckets=1 (single bucket = the naive plan) and 64."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.operators.text import global_shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", hash64(F.col("doc_id").cast("string")).alias("h")
+        ).collect()
+    }
+    want = {
+        i: rk + 1
+        for rk, i in enumerate(sorted(hashes, key=lambda i: (hashes[i], i)))
+    }
+    for buckets in (1, 8, 64):
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in global_shuffle_order(df, buckets=buckets).collect()
+        }
+        assert got == want, buckets
