@@ -29,6 +29,7 @@ from bigclam_apachespark_spark.sqlfrag import (
     EDGES_SQL,
     SEEDS_SQL,
     SYM_SQL,
+    modularity_tail_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -313,28 +314,9 @@ def _lpa_sql(rounds: int = 2) -> str:
 
 
 def _modularity_sql(rounds: int = 2) -> str:
-    """Newman modularity of the round-``rounds`` LPA partition —
-    integer numerators (E_in, D2, m), then the same two IEEE
-    divisions the Spark operator performs."""
-    lf = f"l{rounds}"
-    return (
-        _lpa_cte(rounds)
-        + f""",
-tagged AS (
-  SELECT la.lbl AS la, lb.lbl AS lb
-  FROM sym e JOIN {lf} la ON la.id = e.src JOIN {lf} lb ON lb.id = e.dst),
-e_in AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS e_within FROM tagged WHERE la = lb),
-deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
-dcs AS (SELECT l.lbl, SUM(d.deg) AS dc FROM deg d JOIN {lf} l ON l.id = d.id GROUP BY l.lbl),
-comm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
-                CAST(SUM(dc * dc) AS BIGINT) AS d2 FROM dcs),
-mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM sym)
-SELECT n_communities, e_within,
-       round(CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
-             - CAST(d2 AS DOUBLE)
-               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
-FROM e_in, comm, mm"""
-    )
+    """Modularity of the round-``rounds`` LPA partition (tail shared
+    with the BigCLAM community-quality twin via sqlfrag)."""
+    return _lpa_cte(rounds) + ",\n" + modularity_tail_sql(f"l{rounds}")
 
 
 def _bfs_sql(rounds: int = 3, mod: int = 100) -> str:

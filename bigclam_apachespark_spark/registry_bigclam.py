@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from bigclam_apachespark_spark.functions.arrays import arr_dot, prob_hat
 from bigclam_apachespark_spark.operators import bigclam as B
 from bigclam_apachespark_spark.operators import graph as G
-from bigclam_apachespark_spark.sqlfrag import EDGES_SQL, SYM_SQL
+from bigclam_apachespark_spark.sqlfrag import (
+    EDGES_SQL,
+    SYM_SQL,
+    modularity_tail_sql,
+)
 from bigclam_apachespark_spark.sources import copurchase_edges
 
 K_FX = 4
@@ -664,6 +668,41 @@ BIGCLAM_ORACLE["bigclam_k_grid"] = """
 """
 
 
+def q_community_quality(spark, sf_dir):
+    """Community-quality bridge, ORACLE-CHECKED end to end: each
+    vertex assigned to its STRONGEST community (argmax_k F[u][k],
+    ties → smallest k — first-occurrence ``array_position`` on the
+    max) over the shared fixture factors, then Newman modularity of
+    that hard partition via the integer-exact kernel
+    (``graph.modularity``). Ties the BigCLAM membership matrix to
+    the same quality score the LPA baseline reports
+    (``graph_modularity``) — the apples-to-apples evaluation a user
+    of the reference would run to compare methods."""
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    labels = fx.select(
+        F.col("node_id").alias("id"),
+        (F.array_position(F.col("f"), F.array_max(F.col("f"))) - 1)
+        .cast("long")
+        .alias("lbl"),
+    )
+    return G.modularity(sym, labels)
+
+
+BIGCLAM_ORACLE["bigclam_community_quality"] = f"""
+WITH {EDGES_SQL}, {SYM_SQL},
+{FACTORS_LONG_SQL},
+best AS (
+  SELECT node_id AS id, CAST(k AS BIGINT) AS lbl FROM (
+    SELECT node_id, k,
+           ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY val DESC, k) AS rn
+    FROM factors_long
+  ) WHERE rn = 1
+),
+{modularity_tail_sql("best")}
+"""
+
+
 def q_fit_smoke(spark, sf_dir):
     """F5 end-to-end (rows-only: iterative, not SQL-expressible):
     2 optimizer iterations at K=4 on the co-purchase graph, returning
@@ -694,6 +733,7 @@ BIGCLAM_QUERIES = {
     "bigclam_invert": q_invert,
     "bigclam_init_membership": q_init_membership,
     "bigclam_k_grid": q_k_grid,
+    "bigclam_community_quality": q_community_quality,
 }
 
 # The iterative end-to-end demonstrations (rows-only, no oracle) are

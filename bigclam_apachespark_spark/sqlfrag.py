@@ -84,3 +84,26 @@ cand AS (
 )
 SELECT DISTINCT dst AS id, phi FROM cand WHERE rn = 1
 """
+
+
+def modularity_tail_sql(labels_cte: str) -> str:
+    """Newman-modularity CTE tail over any ``(id, lbl)`` labels CTE
+    (expects ``sym`` in scope) — integer numerators (E_in, D2, m),
+    then the same two IEEE divisions ``graph.modularity`` performs.
+    Shared by the LPA twin (registry.py) and the BigCLAM
+    community-quality twin (registry_bigclam.py)."""
+    lf = labels_cte
+    return f"""tagged AS (
+  SELECT la.lbl AS la, lb.lbl AS lb
+  FROM sym e JOIN {lf} la ON la.id = e.src JOIN {lf} lb ON lb.id = e.dst),
+e_in AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS e_within FROM tagged WHERE la = lb),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+dcs AS (SELECT l.lbl, SUM(d.deg) AS dc FROM deg d JOIN {lf} l ON l.id = d.id GROUP BY l.lbl),
+comm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                CAST(SUM(dc * dc) AS BIGINT) AS d2 FROM dcs),
+mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM sym)
+SELECT n_communities, e_within,
+       round(CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(d2 AS DOUBLE)
+               / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
+FROM e_in, comm, mm"""
