@@ -262,6 +262,19 @@ def test_pii_scrub_zero_exchange_no_python(spark):
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
 
 
+def test_ivf_assign_no_window(spark):
+    """The IVF assignment argmax must be a max_by hash aggregate —
+    map-side partial aggregation reduces n_cells scored rows per
+    vector to one BEFORE the exchange — not a per-vector window
+    (which would shuffle n_cells times the data and sort it)."""
+    plan = _plan(spark, "sim_ivf_topk")
+    import re
+
+    # no window whose partition spec is the corpus vec_id argmax
+    assert "max_by" in plan
+    assert not re.search(r"Window \[row_number\(\)[^\n]*\[vec_id#\d+L\],", plan), plan
+
+
 def test_asof_nearest_single_sort(spark):
     """direction='nearest' must compute BOTH scans (backward last +
     forward first) in one Window over one Exchange + one Sort — no
