@@ -250,3 +250,40 @@ def finalize_windowed_hll(registers: DataFrame, b: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
     ).otherwise(raw)
     return agg.select("window_start", F.round(est, 6).alias("n_hll"))
+
+def hll_union_estimate(
+    dfs: list[tuple[DataFrame, str]], b: int = 8
+) -> DataFrame:
+    """Distinct count of the UNION of several keyed columns via
+    HLL register MERGE → one row ``(m, n_hll)``: each input's
+    register table is computed independently and the merged sketch
+    is the per-bucket MAX — the mergeability property that makes
+    sketches the production answer for cross-table/cross-day
+    distincts (merging exact sets would shuffle every key; merging
+    sketches shuffles m integers per input).
+
+    ``dfs`` is a list of (DataFrame, column) pairs; values are
+    hashed through the shared deterministic hash, so the estimate
+    hash-matches the DuckDB twin run over the SQL UNION."""
+    regs = None
+    for df, col in dfs:
+        r = hll_registers(df, col, b)
+        regs = r if regs is None else regs.unionByName(r)
+    merged = regs.groupBy("bucket").agg(F.max("register").alias("register"))
+    m = 1 << b
+    spine = merged.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    full = spine.join(merged, "bucket", "left").select(
+        F.coalesce("register", F.lit(0)).alias("register")
+    )
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select(F.lit(m).alias("m"), F.round(est, 6).alias("n_hll"))

@@ -2376,6 +2376,61 @@ def _hll_by_window_sql(b: int = 8) -> str:
 EVENT_ORACLE["events_stream_hll_windows"] = _hll_by_window_sql(8)
 
 
+def _hll_union_sql(b: int = 8) -> str:
+    """Union-merge HLL twin: the SQL UNION of the two keyed columns
+    fed through the identical register/estimator chain — what the
+    Spark side computes by MERGING two independent register tables
+    (per-bucket max), exercising sketch mergeability."""
+    from bigclam_apachespark_spark.operators.sketches import _alpha
+
+    m = 1 << b
+    width = 60 - b
+    am2 = _alpha(m) * m * m
+    h = hash64_sql("v")
+    return f"""
+        WITH src AS (
+          SELECT CAST(user_id AS VARCHAR) AS v FROM events
+          UNION ALL
+          SELECT CAST(o_custkey AS VARCHAR) FROM orders
+        ),
+        hv AS (SELECT CAST({h} % {m} AS INT) AS bucket, ({h} >> {b}) AS w FROM src),
+        r AS (
+          SELECT bucket, MAX({width} + 1 - length(ltrim(bin(w), '0'))) AS register
+          FROM hv GROUP BY bucket
+        ),
+        allb AS (
+          SELECT d.bucket, COALESCE(r.register, 0) AS register
+          FROM (SELECT unnest(generate_series(0, {m - 1})) AS bucket) d
+          LEFT JOIN r USING (bucket)
+        ),
+        agg AS (
+          SELECT SUM(power(2.0, -register)) AS s,
+                 SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v
+          FROM allb
+        )
+        SELECT {m} AS m,
+               round(CASE WHEN ({am2!r} / s) <= {2.5 * m!r} AND v > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / v)
+                          ELSE {am2!r} / s END, 6) AS n_hll
+        FROM agg
+    """
+
+
+EVENT_ORACLE["events_hll_union"] = _hll_union_sql(8)
+
+
+def _q_hll_union(spark, sf):
+    """Sketch mergeability: HLL registers built independently over
+    events.user_id and orders.o_custkey, merged by per-bucket max —
+    must equal the sketch of the SQL UNION exactly."""
+    from bigclam_apachespark_spark.operators.sketches import hll_union_estimate
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return hll_union_estimate(
+        [(_events(spark, sf), "user_id"), (orders, "o_custkey")], b=8
+    )
+
+
 def _q_stream_hll_windows(spark, sf):
     """Streaming sketch replay: watermarked per-window HLL register
     agg (state = m integers per window) → complete-mode sink →
@@ -2483,6 +2538,7 @@ EVENT_QUERIES = {
     "events_stream_interval_join": _q_stream_interval_join,
     "events_stream_interval_left": _q_stream_interval_left,
     "events_stream_hll_windows": _q_stream_hll_windows,
+    "events_hll_union": _q_hll_union,
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_enrich": _q_stream_enrich,
     "events_stream_sessionize": _q_stream_sessionize,
