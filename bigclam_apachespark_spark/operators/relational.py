@@ -197,3 +197,32 @@ def running_totals(orders: DataFrame, customer_key: str = "o_custkey") -> DataFr
         F.count("*").over(w).alias("run_orders"),
         F.round(F.sum(cents).over(w).cast("double") / 100.0, 6).alias("run_total"),
     )
+
+
+def rolling_order_stats(
+    orders: DataFrame, customer_key: str = "o_custkey", frame: int = 3
+) -> DataFrame:
+    """Per-customer rolling order-value average over the trailing
+    ``frame`` orders → ``(o_custkey, o_orderkey, o_orderdate,
+    n_in_frame, rolling_avg)`` — the bounded-frame window shape
+    (ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW), integer-cents
+    exact inside the frame: the sum is a ≤frame-term integer fold,
+    the average one IEEE division."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(customer_key)
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-(frame - 1), Window.currentRow)
+    )
+    cents = _cents("o_totalprice")
+    n = F.count("*").over(w)
+    return orders.select(
+        customer_key,
+        "o_orderkey",
+        "o_orderdate",
+        n.alias("n_in_frame"),
+        F.round(
+            F.sum(cents).over(w).cast("double") / 100.0 / n.cast("double"), 6
+        ).alias("rolling_avg"),
+    )

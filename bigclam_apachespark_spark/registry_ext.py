@@ -2851,12 +2851,19 @@ def _q_running_totals(spark, sf):
     return running_totals(_rel_tables(spark, sf)[0])
 
 
+def _q_rolling_avg(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import rolling_order_stats
+
+    return rolling_order_stats(_rel_tables(spark, sf)[0], frame=3)
+
+
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
     "rel_upsert_merge": _q_upsert,
     "rel_running_totals": _q_running_totals,
+    "rel_rolling_avg": _q_rolling_avg,
 }
 
 REL_ORACLE = {
@@ -2956,6 +2963,18 @@ REL_ORACLE = {
         UNION ALL
         SELECT o.* FROM orders o
         WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+    # Bounded-frame window: trailing-3 rolling average, integer-cents
+    # exact inside the frame.
+    "rel_rolling_avg": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+               round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                          AS DOUBLE) / 100.0
+                     / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS rolling_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     # Integer-cents prefix sums: exact at any prefix length.
     "rel_running_totals": """
