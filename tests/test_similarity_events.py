@@ -803,3 +803,63 @@ def test_ppm_features_real_decode(spark):
     # 2x2 pooled grid of an 8-wide half split: left cells 0, right 1
     assert s["feature"] == [0.0, 1.0, 0.0, 1.0]
     assert got[3]["decode_error"] is not None
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path):
+    """The streamed per-window HLL registers must equal the batch
+    hll_registers computed per hour bucket — same hash, same rank
+    arithmetic — and the finalized estimate must be within the
+    standard HLL error of the exact distinct count."""
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.sketches import (
+        finalize_windowed_hll,
+        hll_registers,
+    )
+    from bigclam_apachespark_spark.streaming import (
+        hll_users_windowed_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    rows = [
+        (i, (i * 7) % 40, "click", f"2024-01-01 0{i % 3}:{10 + i % 40}:00", 1.0)
+        for i in range(120)
+    ]
+    src = str(tmp_path / "events_shll")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(src)
+
+    regs = run_stream_to_memory(
+        hll_users_windowed_stream(read_events_stream(spark, src), "1 hour", b=6),
+        "shll_unit_sink",
+        "complete",
+        timeout_sec=90.0,
+    ).localCheckpoint(eager=True)
+
+    batch = spark.read.parquet(src)
+    want = {}
+    for h in (0, 1, 2):
+        hour = batch.where(F.hour("ts") == h)
+        for r in hll_registers(hour, "user_id", b=6).collect():
+            want[(h, r["bucket"])] = r["register"]
+    got = {
+        (r["window_start"].hour, r["bucket"]): r["register"]
+        for r in regs.collect()
+    }
+    assert got == want
+
+    est = {r["window_start"].hour: r["n_hll"] for r in
+           finalize_windowed_hll(regs, b=6).collect()}
+    exact = {
+        r["h"]: r["n"]
+        for r in batch.groupBy(F.hour("ts").alias("h"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for h, n in exact.items():
+        assert abs(est[h] - n) / n < 0.5  # b=6: sigma ~13%, allow 4x
