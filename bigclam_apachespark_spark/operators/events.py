@@ -538,3 +538,35 @@ def dau_wau(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+def growth_accounting(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Daily growth accounting → ``(day, n_new, n_returning)``: each
+    active user classified per day as NEW (their first active epoch
+    day — floor-seconds // 86400, integer-exact cross-engine) or
+    RETURNING — the DAU decomposition next to ``cohort_retention``
+    in every product-analytics suite.
+
+    Scale shape mirrors retention's single-scan discipline: collapse
+    to DISTINCT (user, day) first (the big map-side-combined
+    hash-agg), take the per-user first day as a window MIN over that
+    small table (a groupBy+join-back would re-scan events), then one
+    (day)-keyed count agg."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast("long")
+    user_days = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    flagged = user_days.withColumn("first_day", F.min("day").over(w))
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("n_new"),
+            F.sum((F.col("day") != F.col("first_day")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+    )

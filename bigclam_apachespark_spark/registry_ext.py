@@ -1915,6 +1915,20 @@ EVENT_ORACLE = {
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    # Daily DAU decomposition into new vs returning users.
+    "events_growth_accounting": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+          FROM events
+        ),
+        f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+        SELECT ud.day,
+               CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN ud.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        FROM ud JOIN f USING (user_id)
+        GROUP BY ud.day
+    """,
     "events_props": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
@@ -2526,6 +2540,7 @@ EVENT_QUERIES = {
         _events(spark, sf)
     ),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
+    "events_growth_accounting": lambda spark, sf: E.growth_accounting(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
     "events_ordered_funnel": lambda spark, sf: E.ordered_funnel(_events(spark, sf)),
