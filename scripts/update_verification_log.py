@@ -61,6 +61,31 @@ def main() -> None:
     OUT.write_text("\n".join(lines))
     print(f"wrote {OUT} ({len(last_green)} hash-green queries)")
 
+    # Staleness-guarantee guard: with a ~50-query driver window the
+    # rotation cycle is ceil(registry / 50) rounds; the README's
+    # "no query >2 rounds unverified" claim needs cycle <= 3, i.e.
+    # <= 150 oracle-bearing queries. Warn loudly when growth breaks
+    # the invariant so the claim (or the window) gets updated, not
+    # silently outgrown.
+    try:
+        import sys
+
+        sys.path.insert(0, str(ROOT))
+        from bigclam_apachespark_spark.registry import ORACLE
+
+        n = len(ORACLE)
+        cycle = -(-n // 50)
+        if cycle > 3:
+            print(
+                f"WARNING: {n} oracle-bearing queries -> rotation cycle "
+                f"{cycle} rounds; worst-case staleness is now {cycle - 1} "
+                "rounds. Update the README claim or trim/merge queries."
+            )
+        else:
+            print(f"rotation cycle: {cycle} rounds over {n} oracle queries")
+    except Exception as ex:  # registry import needs pyspark; best-effort
+        print(f"(cycle check skipped: {ex})")
+
 
 if __name__ == "__main__":
     main()
