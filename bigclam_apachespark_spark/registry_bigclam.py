@@ -203,7 +203,7 @@ BIGCLAM_ORACLE = {
           FROM factors_long f JOIN sumf s ON s.k = f.k
           GROUP BY f.node_id
         )
-        SELECT round(SUM(n.nbr_term - t.fusf + t.fufu), 6) AS llh
+        SELECT round(SUM(n.nbr_term - t.fusf + t.fufu), 3) AS llh
         FROM nbr n JOIN node_terms t ON t.node_id = n.src
     """,
     # F2: gradient in long layout (node_id, k, gval).
@@ -434,7 +434,12 @@ def q_llh(spark, sf_dir):
     fx = fixture_factors(sym)
     sumf = B.sum_f(fx)
     llh = B.loglikelihood(sym, fx, sumf)
-    return spark.createDataFrame([(round(llh, 6),)], "llh double")
+    # 3-dp round: the scalar's magnitude grows with |E| (~3e8 at
+    # sf0.1), and 6 dp there demands 15 significant digits — past
+    # IEEE double, so engine fold-order shows through. 12 sig
+    # digits compare safely at every fixture scale and any real
+    # semantic bug moves the LLH at percent level, not 1e-3.
+    return spark.createDataFrame([(round(llh, 3),)], "llh double")
 
 
 def q_gradient(spark, sf_dir):
