@@ -1,0 +1,114 @@
+"""Bucketed two-stage exact global ordering kernels.
+
+A plain ``ROW_NUMBER() OVER (ORDER BY …)`` or ``SUM() OVER (ORDER BY
+… ROWS UNBOUNDED PRECEDING)`` funnels the whole relation through ONE
+task's sort — the classic 100-TB scale-killer (Spark warns
+``WindowExec: No Partition Defined``). These helpers compute the
+IDENTICAL answer in two exact stages:
+
+1. every row is range-bucketed by its proportional position between
+   the relation's min/max order key (one broadcast one-row bounds
+   aggregate; double math is monotone, so bucket boundaries respect
+   the ordering and key ties always share a bucket);
+2. a per-bucket COUNT/SUM aggregate — ≤``buckets`` rows, metadata-
+   sized — yields each bucket's exclusive prefix offset via a tiny
+   window, and the per-row rank / running sum is offset + a window
+   partitioned BY bucket, spreading the relation across ``buckets``
+   tasks.
+
+The only single-partition step left is the offsets window over
+≤``buckets`` rows, ordered on the internal ``_cb`` column — which is
+exactly what ``tests/test_plans.py``'s registry-wide guard allows.
+
+``operators/text.py::cap_per_source`` / ``global_shuffle_order`` use
+the same two-stage shape with a cheaper bucketing (top bits of their
+own uniform order hash — no bounds pass needed); these helpers are
+the generic-numeric-key form for relations ordered by a data column
+(conductance, doc_id, a precomputed rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_pos_bucket(df: DataFrame, order_col: str, buckets: int) -> DataFrame:
+    """Append ``_cb`` ∈ [0, buckets): monotone (non-strict) in the
+    numeric ``order_col``, via a broadcast min/max bounds row."""
+    bounds = df.agg(
+        F.min(order_col).cast("double").alias("_lo"),
+        F.max(order_col).cast("double").alias("_hi"),
+    )
+    span = F.col("_hi") - F.col("_lo")
+    pos = F.when(
+        span > 0, (F.col(order_col).cast("double") - F.col("_lo")) / span
+    ).otherwise(F.lit(0.0))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "_cb", F.least(F.floor(pos * buckets), F.lit(buckets - 1)).cast("int")
+        )
+        .drop("_lo", "_hi")
+    )
+
+
+def _bucket_offsets(bucketed: DataFrame, value: Column) -> DataFrame:
+    """(_cb, _off): exclusive prefix totals of ``value`` per bucket —
+    the ≤``buckets``-row relation whose window is allowed to be
+    unpartitioned."""
+    off_w = Window.orderBy("_cb").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        bucketed.groupBy("_cb")
+        .agg(F.sum(value).alias("_cnt"))
+        .select(
+            "_cb", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+        )
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame, order_cols: list[str], out: str = "rk", buckets: int = 64
+) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (ORDER BY order_cols)`` (1-based,
+    LONG) without a single-partition sort. ``order_cols[0]`` must be
+    numeric (it drives the range bucketing); remaining columns break
+    ties within a bucket, so the full tuple ordering is honored
+    exactly."""
+    b = _with_pos_bucket(df, order_cols[0], buckets)
+    offsets = _bucket_offsets(b, F.lit(1))
+    rank_w = Window.partitionBy("_cb").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), "_cb")
+        .withColumn(
+            out, (F.col("_off") + F.row_number().over(rank_w)).cast("long")
+        )
+        .drop("_cb", "_off")
+    )
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "run_sum",
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact inclusive ``SUM(value_col) OVER (ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING)`` (LONG) without a single-partition
+    sort. Same bucketing contract as ``bucketed_row_number``."""
+    b = _with_pos_bucket(df, order_cols[0], buckets)
+    offsets = _bucket_offsets(b, F.col(value_col))
+    run_w = (
+        Window.partitionBy("_cb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offsets), "_cb")
+        .withColumn(
+            out,
+            (F.col("_off") + F.sum(value_col).over(run_w)).cast("long"),
+        )
+        .drop("_cb", "_off")
+    )

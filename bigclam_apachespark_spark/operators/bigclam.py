@@ -55,6 +55,7 @@ def seed_membership(
     k: int,
     include_self: bool = True,
     seeds_ranked: DataFrame | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Top-K deduped seed neighborhoods → ``(c, members)``.
 
@@ -62,15 +63,31 @@ def seed_membership(
     (``bigclam_long.init_factors_long``) inits so the documented
     duplicate-neighborhood dedup deviation (see ``init_factors``) is
     defined in exactly one place.
+
+    Scale shape: the locally-minimal seed set is a constant fraction
+    of V (every φ local minimum), so both global rankings — the raw
+    (φ, id) seed rank and the post-dedup community index — go through
+    the bucketed two-stage exact-rank kernel (``functions/ranks.py``),
+    never a single-partition ``row_number`` sort over a V-sized
+    relation. The dedup election window partitions by ``members``
+    (ego-net-sized groups) and was always safe. The kernel reads its
+    input three times (bounds, per-bucket counts, final join), so
+    both ranking inputs are cached — without that, the conductance
+    subtree under ``seeds_ranked`` would re-evaluate per reference
+    and compound across the two rankings (measured ~10× at sf0.01).
+    ``cache_handles``: same release contract as ``ego_conductance``.
     """
     from pyspark.sql import Window
 
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
     if seeds_ranked is None:
         seeds_ranked = G.local_min_seeds(sym_edges, G.ego_conductance(sym_edges))
+    seeds_ranked = seeds_ranked.cache()
+    if cache_handles is not None:
+        cache_handles.append(seeds_ranked)
     nbrs = G.neighbor_lists(sym_edges)
-    ranked = seeds_ranked.withColumn(
-        "rk", F.row_number().over(Window.orderBy("phi", "id"))
-    )
+    ranked = bucketed_row_number(seeds_ranked, ["phi", "id"], out="rk")
     # array_sort: the dedup key must be order-insensitive (array_union
     # puts self first, so equal SETS would otherwise compare unequal).
     cand = ranked.join(nbrs, "id").select(
@@ -82,11 +99,18 @@ def seed_membership(
         ).alias("members"),
     )
     # Drop duplicate-membership seeds (keep best rank), re-rank → c.
-    dedup = cand.withColumn(
-        "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
-    ).where(F.col("dd") == 1)
+    dedup = (
+        cand.withColumn(
+            "dd", F.row_number().over(Window.partitionBy("members").orderBy("rk"))
+        )
+        .where(F.col("dd") == 1)
+        .cache()
+    )
+    if cache_handles is not None:
+        cache_handles.append(dedup)
     return (
-        dedup.withColumn("c", F.row_number().over(Window.orderBy("rk")) - 1)
+        bucketed_row_number(dedup, ["rk"], out="_c")
+        .withColumn("c", (F.col("_c") - 1).cast("int"))
         .where(F.col("c") < k)
         .select("c", "members")
     )

@@ -457,7 +457,7 @@ def chunk_plan(
 
 
 def pack_sequences(
-    docs: DataFrame, text_col: str = "text", budget: int = 256
+    docs: DataFrame, text_col: str = "text", budget: int = 256, buckets: int = 64
 ) -> DataFrame:
     """Context-window packing plan → ``(doc_id, n_tokens, bin,
     bin_offset)``: documents are laid end-to-end in doc_id order and
@@ -466,17 +466,22 @@ def pack_sequences(
     waste; a doc may straddle two bins, carried by bin/bin_offset of
     its FIRST token). Pure integer cumulative arithmetic.
 
-    Scale shape: one global running-sum window ordered by doc_id over
-    (doc_id, n_tokens) rows — metadata-sized, not corpus-sized. A
-    sharded deployment would partition by corpus shard first; the
-    single-partition window over doc COUNTS is the honest cost of a
-    globally deterministic layout."""
-    from pyspark.sql import Window
+    Scale shape (bucketed two-stage prefix sum,
+    ``functions/ranks.py``): a naive ``SUM() OVER (ORDER BY
+    doc_id)`` funnels one row PER DOCUMENT through a single task's
+    sort — tens of GB at 1 B docs. The kernel range-buckets docs by
+    proportional doc_id position (broadcast bounds row, monotone),
+    aggregates per-bucket token sums into a ≤``buckets``-row offsets
+    window, and computes cum_end = offset + running sum within the
+    bucket — identical output, corpus spread across ``buckets``
+    tasks."""
+    from bigclam_apachespark_spark.functions.ranks import bucketed_running_sum
 
     n_tok = F.size(tokens(text_col))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sized = docs.select("doc_id", n_tok.alias("n_tokens"))
-    cum = sized.withColumn("cum_end", F.sum("n_tokens").over(w))
+    cum = bucketed_running_sum(
+        sized, ["doc_id"], "n_tokens", out="cum_end", buckets=buckets
+    )
     cum_start = F.col("cum_end") - F.col("n_tokens")
     return cum.select(
         "doc_id",
@@ -804,8 +809,15 @@ PII_PHONE = r"(?:\+|\b)\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 # often not SSNs. Disjoint from PII_PHONE (3-2-4 vs 3-3-4 grouping).
 PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
 # Secret/API-key-shaped tokens: a known prefix, one separator, and a
-# long high-entropy tail. Greedy tail, no trailing \b needed.
-PII_SECRET = r"\b(?:sk|pk|api|key|token|secret)[-_][A-Za-z0-9_-]{16,}"
+# long high-entropy tail. Greedy tail, no trailing \b needed. The
+# generic English-word prefixes (api/key/token/secret) require an
+# UNDERSCORE separator — with '-' allowed they redact ordinary
+# hyphenated prose ("key-value-store-backed", "token-based-
+# authentication"); only the non-word vendor prefixes sk/pk keep
+# both separators (OpenAI/Stripe-style "sk-..." keys).
+PII_SECRET = (
+    r"\b(?:(?:sk|pk)[-_]|(?:api|key|token|secret)_)[A-Za-z0-9_-]{16,}"
+)
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:

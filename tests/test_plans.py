@@ -275,6 +275,24 @@ def test_ivf_assign_no_window(spark):
     assert not re.search(r"Window \[row_number\(\)[^\n]*\[vec_id#\d+L\],", plan), plan
 
 
+def test_ivf_persisted_index_prunes_cells(spark):
+    """The persisted-IVF serving path must read only the probed cell
+    partitions: the broadcast probe list becomes a dynamic partition
+    pruning filter on the `cell` partition column of the index scan
+    (at 100 TB: nprobe/n_cells of the corpus read per query batch,
+    not a full pass)."""
+    plan = _plan(spark, "sim_ivf_topk_persisted")
+    assert "dynamicpruning" in plan
+    cells_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "/cells" in ln
+    ]
+    assert cells_scans and all(
+        "dynamicpruning" in ln for ln in cells_scans
+    ), cells_scans
+
+
 def test_asof_nearest_single_sort(spark):
     """direction='nearest' must compute BOTH scans (backward last +
     forward first) in one Window over one Exchange + one Sort — no
@@ -285,6 +303,95 @@ def test_asof_nearest_single_sort(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def _window_groups(line: str) -> list[str]:
+    """Top-level bracket groups of a ``Window …`` plan line."""
+    out: list[str] = []
+    depth, cur = 0, ""
+    for ch in line:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return out
+
+
+def _unpartitioned_ordered_windows(plan: str) -> list[str]:
+    """Order specs of every single-partition ordered Window in the
+    plan. Rendering: ``Window [exprs], [partSpec], [orderSpec]`` when
+    partitioned (3 groups); 2 groups is either unpartitioned+ordered
+    (2nd group carries ASC/DESC markers — the dangerous kind: the
+    whole relation sorts through ONE task) or partitioned+orderless
+    (bare columns — fine)."""
+    hits = []
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-: ").strip()
+        if not s.startswith("Window "):
+            continue
+        g = _window_groups(s)
+        if len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
+            hits.append(g[1])
+    return hits
+
+
+# Queries allowed to keep an unpartitioned ordered window, each over
+# a provably tiny relation. Windows ordering on a `_cb` bucket column
+# are allowed everywhere (the bucketed two-stage kernels' offsets
+# windows run over <= `buckets` aggregate rows by construction).
+_UNPARTITIONED_WINDOW_OK = {
+    # inverse-CDF cumsum over DISTINCT token lengths (bounded domain)
+    "text_length_quantiles",
+    # ranks k rows AFTER a TakeOrderedAndProject limit
+    "text_vocab_topk",
+    # centroid seeding ranks a .limit(n_cells)=16-row relation
+    "sim_cluster_topics",
+    "sim_ivf_recall",
+    "sim_ivf_topk",
+    "sim_kmeans_iteration",
+    "sim_kmeans_refined",
+}
+
+# Construction executes multi-minute iterative jobs (rows-only
+# smokes) or streaming state — their building blocks (seed ranking,
+# LPA, factors init) are covered by the cheaper oracle queries swept
+# below.
+_PLAN_SWEEP_SKIP = {
+    "bigclam_facebook_pipeline",
+    "bigclam_fit_smoke",
+    "bigclam_fit_long_smoke",
+    "bigclam_model_selection_smoke",
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_relation(spark):
+    """Registry-wide 100-TB guard: no query may sort a corpus-sized
+    relation through a single window task (`WindowExec: No Partition
+    Defined`). Global orderings must use the bucketed two-stage
+    exact-rank kernels (functions/ranks.py, text.py cap/shuffle);
+    the only unpartitioned ordered windows allowed are the kernels'
+    own <= `buckets`-row offsets windows (ordered on `_cb`) and the
+    explicitly-bounded relations in _UNPARTITIONED_WINDOW_OK."""
+    bad = {}
+    for name in sorted(QUERIES):
+        if "stream" in name or name in _PLAN_SWEEP_SKIP:
+            continue
+        hits = [
+            h
+            for h in _unpartitioned_ordered_windows(_plan(spark, name))
+            if not h.lstrip().startswith("_cb")
+        ]
+        if hits and name not in _UNPARTITIONED_WINDOW_OK:
+            bad[name] = hits
+    assert not bad, f"unpartitioned ordered windows over unbounded relations: {bad}"
 
 
 def test_cap_per_source_bucketed_rank(spark):

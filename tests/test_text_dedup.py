@@ -726,6 +726,11 @@ def test_pii_scrub(spark):
         (5, "order 5551234567 at epoch 1704067200123 qty 12345678901"),
         (6, "ssn 123-45-6789 and token sk_abcDEF0123456789xyz_9 leaked"),
         (7, "short key_abc123 is not a secret; 12-34-5678 not an ssn"),
+        # hyphenated prose is NOT a secret (generic prefixes need '_')
+        (8, "the key-value-store-backed cache uses token-based-authentication"
+            " behind an api-gateway-configuration layer"),
+        # ...but vendor-style sk-/pk- keys with hyphens still redact
+        (9, "leaked sk-proj-AbC123dEf456GhI789jK in the logs"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
@@ -747,6 +752,9 @@ def test_pii_scrub(spark):
     assert got[6]["n_phones"] == 0
     assert got[7]["n_secrets"] == 0 and got[7]["n_ssns"] == 0
     assert got[7]["clean_text"] == rows[7][1]
+    assert got[8]["n_secrets"] == 0 and got[8]["clean_text"] == rows[8][1]
+    assert got[9]["n_secrets"] == 1
+    assert got[9]["clean_text"] == "leaked <SECRET> in the logs"
 
 
 def test_cap_per_source(spark):
