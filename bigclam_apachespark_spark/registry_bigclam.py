@@ -203,8 +203,17 @@ BIGCLAM_ORACLE = {
           FROM factors_long f JOIN sumf s ON s.k = f.k
           GROUP BY f.node_id
         )
-        SELECT round(SUM(n.nbr_term - t.fusf + t.fufu), 3) AS llh
-        FROM nbr n JOIN node_terms t ON t.node_id = n.src
+        ,raw AS (
+          SELECT SUM(n.nbr_term - t.fusf + t.fufu) AS s
+          FROM nbr n JOIN node_terms t ON t.node_id = n.src
+        )
+        -- 9 SIGNIFICANT digits (matches q_llh's _round_sig): the
+        -- tolerance tracks the scalar's magnitude at any sf, unlike
+        -- a fixed decimal-place round.
+        SELECT CASE WHEN s = 0 THEN 0.0
+               ELSE round(s, 8 - CAST(floor(log10(abs(s))) AS INT))
+               END AS llh
+        FROM raw
     """,
     # F2: gradient in long layout (node_id, k, gval).
     "bigclam_gradient": f"""
@@ -429,17 +438,28 @@ def q_edge_prob(spark, sf_dir):
     )
 
 
+def _round_sig(x: float, sig: int = 9) -> float:
+    """Round to ``sig`` SIGNIFICANT digits — the magnitude-aware
+    comparison contract for sum-accumulated scalars. A fixed
+    decimal-place round is wrong in both directions: at sf0.1 the
+    LLH is ~3e8 so 6 dp demands 15 significant digits (past IEEE
+    double — engine fold-order shows through), while at fixture
+    scale (~1e2) even 3 dp only checks 5 significant digits. 9 sig
+    digits sit ~6 digits inside double at every scale, and any real
+    semantic bug moves the LLH at percent level."""
+    import math
+
+    if x == 0 or not math.isfinite(x):
+        return x
+    return round(x, sig - 1 - math.floor(math.log10(abs(x))))
+
+
 def q_llh(spark, sf_dir):
     sym = _sym(spark, sf_dir)
     fx = fixture_factors(sym)
     sumf = B.sum_f(fx)
     llh = B.loglikelihood(sym, fx, sumf)
-    # 3-dp round: the scalar's magnitude grows with |E| (~3e8 at
-    # sf0.1), and 6 dp there demands 15 significant digits — past
-    # IEEE double, so engine fold-order shows through. 12 sig
-    # digits compare safely at every fixture scale and any real
-    # semantic bug moves the LLH at percent level, not 1e-3.
-    return spark.createDataFrame([(round(llh, 3),)], "llh double")
+    return spark.createDataFrame([(_round_sig(llh),)], "llh double")
 
 
 def q_gradient(spark, sf_dir):
