@@ -110,7 +110,7 @@ def label_propagation(sym_edges: DataFrame, rounds: int = 2) -> DataFrame:
 
 def modularity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Newman modularity of a vertex partition → ONE row
-    ``(n_communities, e_within, q)``:
+    ``(n_communities, e_within, n_unlabeled, q)``:
 
         Q = E_in/m − D2/(4m²)
 
@@ -124,10 +124,18 @@ def modularity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
     community float sum Σ_c(e_c/m − (d_c/2m)²) would be fold-order-
     dependent; factoring to integer numerators removes that.
 
+    Coverage guard: the label joins are INNER, so a vertex missing
+    from ``labels`` silently drops from E_in and D2 while m still
+    counts its edges — a partial partition would yield a skewed Q
+    with no error. ``n_unlabeled`` (anti-join count of uncovered
+    vertices) surfaces that in the result row: 0 means Q is the true
+    modularity; nonzero means the partition was partial and Q is
+    only the covered subgraph's score against the FULL edge mass.
+
     Scale shape: two label joins onto the edge list (vertex-keyed
     shuffles, AQE-splittable), one equality filter + count for E_in,
-    and a per-community degree agg (|C| rows) for D2. No window, no
-    collect."""
+    a per-community degree agg (|C| rows) for D2, and one anti-join
+    count for the guard. No window, no collect."""
     la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
     lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
     tagged = sym_edges.join(la, "src").join(lb, "dst")
@@ -147,12 +155,19 @@ def modularity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.sum(F.col("dc") * F.col("dc")).alias("d2"),
     )
     m = sym_edges.agg((F.count("*") / 2).cast("long").alias("m"))
+    unl = (
+        vertices(sym_edges)
+        .join(labels.select("id"), "id", "left_anti")
+        .agg(F.count("*").alias("n_unlabeled"))
+    )
     return (
         e_in.crossJoin(comm)
         .crossJoin(m)
+        .crossJoin(unl)
         .select(
             F.col("n_communities").cast("long").alias("n_communities"),
             "e_within",
+            "n_unlabeled",
             F.round(
                 F.col("e_within").cast("double") / F.col("m").cast("double")
                 - F.col("d2").cast("double")

@@ -101,9 +101,13 @@ deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
 dcs AS (SELECT l.lbl, SUM(d.deg) AS dc FROM deg d JOIN {lf} l ON l.id = d.id GROUP BY l.lbl),
 comm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
                 CAST(SUM(dc * dc) AS BIGINT) AS d2 FROM dcs),
-mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM sym)
-SELECT n_communities, e_within,
+mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM sym),
+unl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_unlabeled
+  FROM (SELECT DISTINCT src AS id FROM sym) v
+  LEFT JOIN {lf} l ON l.id = v.id WHERE l.id IS NULL)
+SELECT n_communities, e_within, n_unlabeled,
        round(CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
              - CAST(d2 AS DOUBLE)
                / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
-FROM e_in, comm, mm"""
+FROM e_in, comm, mm, unl"""

@@ -337,7 +337,15 @@ def test_modularity_hand_computed(g1_edges):
     row = modularity(sym, labels).collect()[0]
     assert row["n_communities"] == 2
     assert row["e_within"] == 12
+    assert row["n_unlabeled"] == 0
     assert row["q"] == round(12 / 13 - 0.5, 6)
+
+    # coverage guard: a partial partition is flagged, not silent
+    partial = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1) for i in range(6)], "id long, lbl long"
+    )
+    prow = modularity(sym, partial).collect()[0]
+    assert prow["n_unlabeled"] == 2
 
 
 def test_label_propagation_two_cliques(g1_edges):
