@@ -8,12 +8,18 @@ basis-points, not floats. A double sum over tens of thousands of
 ~1e5-magnitude prices carries an aggregation-order-dependent error
 far above round(…, 6) — the classic nondeterministic-aggregate trap.
 Quantizing each row once (exact: the synthetic prices have ≤2
-decimals) makes every SUM a BIGINT fold, exact in any order and on
-any engine; the final division back to currency is one
-correctly-rounded IEEE op. Row values stay < ~1e11 so the BIGINT
-fold is safe to ~1e7 rows per group per 10^18 headroom — document
-and revisit before a true 100-TB money pipeline (or switch to
-DECIMAL(38) aggregation, Spark's exact path).
+decimals) makes every SUM an exact integer fold, order-independent
+on any engine; the final division back to currency is one
+correctly-rounded IEEE op. Width policy: per-ROW arithmetic stays
+BIGINT (safe to ~$9e12 per line item — cents·percent² < 2^63), but
+the two wide accumulators (disc_price ~2e9/row, charge ~2e11/row)
+are SUMmed as DECIMAL(38,0) — Spark's exact 128-bit path — because
+a BIGINT fold of charge wraps silently at ~5e7 rows per group
+(≈TPC-H sf100, well inside a 100-TB run). DuckDB's BIGINT SUM
+already returns HUGEINT, so the oracle side was never at risk;
+DECIMAL(38,0) makes the Spark side match exactly at any group size
+(``tests/test_text_dedup.py::test_pricing_summary_decimal_headroom``
+proves it past 2^63).
 """
 
 from __future__ import annotations
@@ -86,10 +92,15 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-03") -> Dat
 
     Decimal-exact: prices/discounts/taxes are quantized once to
     integer cents / percent points (exact — the data carries ≤2
-    decimals), so every SUM is an order-independent BIGINT fold and
+    decimals), so every SUM is an order-independent integer fold and
     the currency results are single divisions — cross-engine
     bit-stable where naive double sums at ~1e9 magnitude would drift
-    above the 6-dp comparison."""
+    above the 6-dp comparison. The two wide accumulators
+    (disc_price cents·percent ~2e9/row, charge cents·percent²
+    ~2e11/row) SUM as DECIMAL(38,0) — Spark's exact 128-bit fold —
+    because a BIGINT sum of charge wraps silently at ~5e7 rows per
+    group (≈TPC-H sf100); per-row arithmetic stays BIGINT (safe to
+    ~$9e12 per line item)."""
     li = lineitem.where(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
     ep = _cents("l_extendedprice")
     qty = _cents("l_quantity")
@@ -100,8 +111,8 @@ def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-03") -> Dat
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).alias("_sq"),
         F.sum(ep).alias("_sbp"),
-        F.sum(disc_price).alias("_sdp"),
-        F.sum(charge).alias("_sch"),
+        F.sum(disc_price.cast("decimal(38,0)")).alias("_sdp"),
+        F.sum(charge.cast("decimal(38,0)")).alias("_sch"),
         F.sum(disc).alias("_sd"),
         F.count("*").alias("count_order"),
     )
