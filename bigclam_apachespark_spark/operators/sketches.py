@@ -69,6 +69,43 @@ def hll_registers(
     )
 
 
+def _finalize_registers(
+    registers: DataFrame,
+    m: int,
+    group_cols: list[str] | None = None,
+    groups: DataFrame | None = None,
+):
+    """Shared HLL finalization — spine-fill absent buckets to
+    register 0, then the standard estimator E = α_m·m²/Σ 2^(−M_j)
+    with the small-range correction E ≤ 2.5m ∧ V>0 → m·ln(m/V).
+    Returns ``(agg_df, est_col)`` where ``agg_df`` has one row per
+    group (columns ``*group_cols, s, v``) and ``est_col`` is the
+    estimate expression over it. Single definition so the estimator
+    and its correction threshold cannot drift between the global,
+    per-group, windowed, and union finalizers."""
+    gcols = list(group_cols or [])
+    spine = registers.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    if gcols:
+        if groups is None:
+            groups = registers.select(*gcols).distinct()
+        spine = groups.crossJoin(F.broadcast(spine))
+    filled = spine.join(registers, gcols + ["bucket"], "left").select(
+        *gcols, F.coalesce("register", F.lit(0)).alias("register")
+    )
+    agg = filled.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    return agg, est
+
+
 def hll_count_distinct(df: DataFrame, col: str, b: int = 6) -> DataFrame:
     """Deterministic HLL distinct estimate → one row ``(m, n_exact,
     n_hll, rel_err)`` (n_exact included for accuracy evaluation; a
@@ -82,20 +119,7 @@ def hll_count_distinct(df: DataFrame, col: str, b: int = 6) -> DataFrame:
     the 6-decimal output round."""
     m = 1 << b
     regs = hll_registers(df, col, b)
-    spark = df.sparkSession
-    all_buckets = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
-    full = all_buckets.join(regs, "bucket", "left").select(
-        "bucket", F.coalesce("register", F.lit(0)).alias("register")
-    )
-    agg = full.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
-        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
-    )
-    raw = F.lit(_alpha(m) * m * m) / F.col("s")
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("v") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
-    ).otherwise(raw)
+    agg, est = _finalize_registers(regs, m)
     exact = df.agg(F.countDistinct(col).alias("n_exact"))
     return (
         agg.crossJoin(exact)
@@ -123,24 +147,9 @@ def hll_count_distinct_by(
     registers."""
     m = 1 << b
     regs = hll_registers(df, col, b, group_cols=[group_col])
-    groups = df.select(group_col).distinct()
-    spine = groups.crossJoin(
-        F.broadcast(
-            df.sparkSession.range(m).select(F.col("id").cast("int").alias("bucket"))
-        )
+    agg, est = _finalize_registers(
+        regs, m, [group_col], groups=df.select(group_col).distinct()
     )
-    filled = spine.join(regs, [group_col, "bucket"], "left").select(
-        group_col, "bucket", F.coalesce("register", F.lit(0)).alias("register")
-    )
-    agg = filled.groupBy(group_col).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
-        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
-    )
-    raw = F.lit(_alpha(m) * m * m) / F.col("s")
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("v") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
-    ).otherwise(raw)
     exact = df.groupBy(group_col).agg(F.countDistinct(col).alias("n_exact"))
     return (
         agg.join(exact, group_col)
@@ -229,26 +238,7 @@ def finalize_windowed_hll(registers: DataFrame, b: int = 8) -> DataFrame:
     max-mergeable registers; see
     ``streaming.hll_users_windowed_stream``)."""
     m = 1 << b
-    windows = registers.select("window_start").distinct()
-    spine = windows.crossJoin(
-        F.broadcast(
-            registers.sparkSession.range(m).select(
-                F.col("id").cast("int").alias("bucket")
-            )
-        )
-    )
-    filled = spine.join(registers, ["window_start", "bucket"], "left").select(
-        "window_start", F.coalesce("register", F.lit(0)).alias("register")
-    )
-    agg = filled.groupBy("window_start").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
-        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
-    )
-    raw = F.lit(_alpha(m) * m * m) / F.col("s")
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("v") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
-    ).otherwise(raw)
+    agg, est = _finalize_registers(registers, m, ["window_start"])
     return agg.select("window_start", F.round(est, 6).alias("n_hll"))
 
 def hll_union_estimate(
@@ -271,19 +261,5 @@ def hll_union_estimate(
         regs = r if regs is None else regs.unionByName(r)
     merged = regs.groupBy("bucket").agg(F.max("register").alias("register"))
     m = 1 << b
-    spine = merged.sparkSession.range(m).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    full = spine.join(merged, "bucket", "left").select(
-        F.coalesce("register", F.lit(0)).alias("register")
-    )
-    agg = full.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("s"),
-        F.sum(F.when(F.col("register") == 0, 1).otherwise(0)).alias("v"),
-    )
-    raw = F.lit(_alpha(m) * m * m) / F.col("s")
-    est = F.when(
-        (raw <= 2.5 * m) & (F.col("v") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
-    ).otherwise(raw)
+    agg, est = _finalize_registers(merged, m)
     return agg.select(F.lit(m).alias("m"), F.round(est, 6).alias("n_hll"))
