@@ -402,13 +402,31 @@ def ivf_topk(
     narrow broadcast-scored map + per-vector argmax), then candidate
     scoring joins corpus rows against the (tiny, broadcast) probe
     list on the cell key — expected candidate volume is
-    |Q| · nprobe/n_cells · |N|, against the brute-force |Q| · |N|. In
-    a persisted deployment the assignment is written bucketed by
-    ``cell`` so probes prune at the scan."""
-    from pyspark.sql import Window
-
+    |Q| · nprobe/n_cells · |N|, against the brute-force |Q| · |N|.
+    For the serving shape — index computed ONCE, probed per query
+    batch — see ``write_ivf_index`` / ``ivf_topk_persisted``, which
+    persist the assignment partitioned by ``cell`` so probes prune
+    at the scan."""
     cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     corpus = ivf_assign(embeddings, cent, id_col, vec_col, keep_vec=True)
+    return _ivf_search(cent, corpus, queries, k, nprobe, id_col, vec_col)
+
+
+def _ivf_search(
+    cent: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF probe + candidate-scoring tail: queries score the
+    broadcast centroids, keep their ``nprobe`` best cells, and the
+    (tiny, broadcast) probe list equi-joins the corpus assignment on
+    ``cell``. One definition so the inline (``ivf_topk``) and
+    persisted (``ivf_topk_persisted``) paths cannot drift."""
+    from pyspark.sql import Window
 
     qscored = quantized(queries, id_col, vec_col).crossJoin(F.broadcast(cent)).select(
         F.col(id_col).alias("q"),
@@ -436,6 +454,51 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q", id_col, "rank", "cos_sim")
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index — the ANN SERVING shape: centroids
+    (n_cells rows) plus the quantized corpus assignment written
+    PARTITIONED BY ``cell``, so a probe-time reader skips non-probed
+    cells at the FILE level (PartitionFilters in the scan, zero
+    bytes read from unprobed cells). Build cost (one corpus scan +
+    one partitioned write) is paid once; every subsequent query
+    batch reads ~nprobe/n_cells of the corpus instead of re-scanning
+    and re-assigning all of it — at 100 TB the difference between an
+    index and a full-table pass per batch. ``cell`` is
+    low-cardinality by construction (n_cells directories)."""
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    corpus = ivf_assign(embeddings, cent, id_col, vec_col, keep_vec=True)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k against a PERSISTED index
+    (``write_ivf_index``) → ``(q, vec_id, rank, cos_sim)``, identical
+    results to the inline ``ivf_topk`` over the same corpus. The
+    probe list joins the cell-partitioned assignment as a broadcast,
+    and Spark's dynamic partition pruning turns the broadcast side
+    into a runtime partition filter on ``cell`` — the scan reads
+    only the probed cell directories (plan-asserted in
+    tests/test_plans.py)."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    corpus = spark.read.parquet(f"{path}/cells")
+    return _ivf_search(cent, corpus, queries, k, nprobe, id_col, vec_col)
 
 
 def cosine_near_dup_pairs(

@@ -1163,6 +1163,25 @@ def _queries_subset(spark, sf):
     return _emb(spark, sf).where(F.col("vec_id") < 10)
 
 
+def _q_ivf_topk_persisted(spark, sf):
+    """The IVF SERVING path, oracle-checked: build + persist the
+    cell-partitioned index (write_ivf_index), then answer the same
+    query batch from the persisted index with dynamic partition
+    pruning on the probed cells. Results are identical to the inline
+    sim_ivf_topk by construction, so the oracle SQL is shared — what
+    this row additionally verifies is the round trip through the
+    partitioned parquet layout."""
+    import os
+
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    path = f"/tmp/spark_graft_ivf_index_{os.path.basename(sf.rstrip('/'))}"
+    S.write_ivf_index(_emb(spark, sf), path, n_cells=16)
+    return S.ivf_topk_persisted(
+        spark, path, _queries_subset(spark, sf), k=5, nprobe=4
+    )
+
+
 def _planes_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
     """Hyperplane literals as a DuckDB CTE (plane, qvec) — the SAME
     integer micro-unit components the Spark side uses
@@ -1601,6 +1620,11 @@ SIM_ORACLE = {
     """,
 }
 
+# The persisted-index serving path returns IDENTICAL results to the
+# inline IVF pipeline (same centroids, same assignment, same probes —
+# only the storage layout differs), so it shares the oracle.
+SIM_ORACLE["sim_ivf_topk_persisted"] = SIM_ORACLE["sim_ivf_topk"]
+
 
 def _q_sim_dedup_survivors(spark, sf):
     from bigclam_apachespark_spark.operators import dedup as DD
@@ -1634,6 +1658,7 @@ SIM_QUERIES = {
     "sim_ivf_topk": lambda spark, sf: S.ivf_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),
+    "sim_ivf_topk_persisted": lambda spark, sf: _q_ivf_topk_persisted(spark, sf),
     "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5
     ),
@@ -2720,6 +2745,23 @@ MULTIMODAL_ORACLE = {
                           + (4 - greatest(s - 4, 0)) / 4.0), 6) AS feat_sum
         FROM m
     """,
+    # Same split-pattern closed form as the PPM twin (the pixel
+    # CONTENT is identical by construction); what this row verifies
+    # is the whole zlib/IHDR/IDAT/un-filter decode chain — the
+    # fixture cycles color type RGB/gray/RGBA and all five PNG row
+    # filters, and one wrong reconstructed byte anywhere moves a
+    # mean off its exact eighth.
+    "multimodal_png_features": """
+        WITH m AS (SELECT i, i % 9 AS s FROM generate_series(0, 47) t(i))
+        SELECT i AS media_id, 8 AS width, 8 AS height,
+               round((8 - s) / 8.0, 6) AS mean_r,
+               round((8 - s) / 8.0, 6) AS mean_g,
+               round((8 - s) / 8.0, 6) AS mean_b,
+               round(2 * ((4 - least(s, 4)) / 4.0
+                          + (4 - greatest(s - 4, 0)) / 4.0), 6) AS feat_sum,
+               CAST(0 AS BIGINT) AS had_error
+        FROM m
+    """,
 }
 
 def _q_patch_grid(spark, sf):
@@ -2783,6 +2825,28 @@ def _q_ppm_features(spark, sf):
     )
 
 
+def _q_png_features(spark, sf):
+    """REAL baseline-PNG decode (stdlib zlib), ORACLE-CHECKED: the
+    fixture's closed form (split-column images — see
+    synthetic_png_media) is restated in DuckDB, cross-verifying the
+    zlib inflate, chunk walk, and all five filter reconstructions.
+    had_error makes a silent decode failure (which would NULL the
+    means) a hash mismatch rather than an invisible row."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        png_features,
+        synthetic_png_media,
+    )
+
+    feats = png_features(synthetic_png_media(spark, n=48), pool=4)
+    return feats.select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+        F.col("decode_error").isNotNull().cast("long").alias("had_error"),
+    )
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_caption_join": _q_caption_join,
     "multimodal_media_features": _q_media_features,
@@ -2792,6 +2856,7 @@ MULTIMODAL_QUERIES = {
     "multimodal_audio_chunks": _q_audio_chunks,
     "multimodal_wav_stats": _q_wav_stats,
     "multimodal_ppm_features": _q_ppm_features,
+    "multimodal_png_features": _q_png_features,
 }
 
 # Registration order = driver execution order. The cheap oracle-

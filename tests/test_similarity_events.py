@@ -805,6 +805,71 @@ def test_ppm_features_real_decode(spark):
     assert got[3]["decode_error"] is not None
 
 
+def test_png_decode_roundtrip_all_filters():
+    """The zlib PNG decoder must reconstruct random images exactly
+    for every color type and every row-filter type (including mixed
+    filters), driver-side — the pure-numpy contract under
+    png_features."""
+    import numpy as np
+
+    from bigclam_apachespark_spark.operators.multimodal import (
+        _png_decode,
+        _png_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3, 4):
+        img = rng.randint(0, 256, size=(13, 9, c), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            dec = _png_decode(_png_encode(img, filters))
+            assert dec.shape == img.shape and (dec == img).all(), (c, filters)
+
+
+def test_png_features_real_decode(spark):
+    """REAL PNG decode through the Spark mapInPandas path: encoded
+    split images recover exact channel means and pooled cells;
+    corrupt bytes and unsupported (interlaced) headers -> row-level
+    decode_error, non-image kinds filtered."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigclam_apachespark_spark.operators.multimodal import (
+        _png_encode,
+        png_features,
+    )
+
+    split = np.zeros((8, 8, 3), dtype=np.uint8)
+    split[:, 4:, :] = 255
+    ok = _png_encode(split, filters=[0, 1, 2, 3, 4])
+
+    # flip the interlace byte of a valid PNG -> unsupported, not crash
+    interlaced = bytearray(_png_encode(split))
+    ihdr_off = 8 + 8  # sig + len/type
+    interlaced[ihdr_off + 12] = 1  # interlace flag inside IHDR data
+    # fix the CRC so only the interlace flag is "wrong"
+    crc = zlib.crc32(b"IHDR" + bytes(interlaced[ihdr_off : ihdr_off + 13])) & 0xFFFFFFFF
+    interlaced[ihdr_off + 13 : ihdr_off + 17] = struct.pack(">I", crc)
+
+    rows = [
+        (1, "image", bytearray(ok)),
+        (2, "image", bytearray(b"\x89PNG\r\n\x1a\nnot really")),
+        (3, "image", bytearray(interlaced)),
+        (4, "audio", bytearray(b"RIFF....")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in png_features(df, pool=4).collect()}
+    assert set(got) == {1, 2, 3}
+    f = got[1]
+    assert (f["width"], f["height"]) == (8, 8)
+    assert f["mean_r"] == 0.5 and f["mean_g"] == 0.5 and f["mean_b"] == 0.5
+    assert f["feature"] == [0.0, 1.0, 0.0, 1.0]
+    assert f["decode_error"] is None
+    assert got[2]["decode_error"] is not None
+    assert "interlaced" in got[3]["decode_error"]
+
+
 def test_stream_hll_registers_match_batch(spark, tmp_path):
     """The streamed per-window HLL registers must equal the batch
     hll_registers computed per hour bucket — same hash, same rank
