@@ -146,6 +146,82 @@ def lsh_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
+def minhash_band_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 5,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Per-document LSH band keys as a pure NARROW map → ``(doc_id,
+    band, bucket)`` — identical buckets to
+    ``lsh_buckets(minhash_signatures(docs))`` (property-tested), but
+    computed with ZERO aggregation: each permutation min is an
+    ``array_min`` over the hashed shingle array instead of an
+    explode + min-agg, and the band hash concatenates the mins
+    positionally.
+
+    This is the STREAMING formulation: with no stateful agg upstream
+    the stream stays in append mode, and the only state is the dedup
+    operator's own key store (``streaming.minhash_band_stream``).
+    Batch callers keep the explode+agg shape in
+    ``minhash_signatures`` — codegen runs one pass over shingle rows
+    there versus ``num_perms`` array traversals here — but the two
+    formulations share every constant (normalize, shingle geometry,
+    hash, affine family, band hash), so their buckets are equal by
+    construction."""
+    perms = minhash_perm_constants(num_perms)
+    n_bands = num_perms // rows_per_band
+    normd = docs.select("doc_id", normalize_text(text_col).alias("norm"))
+    shingles = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_n - 1), F.lit(1))
+        ),
+        lambda i: F.col("norm").substr(i, F.lit(shingle_n)),
+    )
+    hashed = normd.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles), lambda s: hash64(s) % MINHASH_P
+        ).alias("h0s"),
+    )
+    mins = hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "h0s", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+                    )
+                )
+                for _, a, b in perms
+            ]
+        ).alias("mins"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("mins", b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(
     buckets: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:

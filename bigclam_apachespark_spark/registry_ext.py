@@ -952,6 +952,13 @@ DEDUP_ORACLE = {
         SELECT DISTINCT {hash64_sql(normalize_text_sql('text'))} AS content_fp
         FROM documents
     """,
+    # Streaming MinHash/LSH twin: the stream's first-occupancy rows
+    # are the distinct band-bucket set of the batch LSH banding
+    # (which doc occupies first is scheduling; the SET is exact).
+    "dedup_stream_minhash": f"""
+        WITH {MINHASH_SQL}, {BUCKETS_SQL}
+        SELECT DISTINCT band, bucket FROM buckets
+    """,
     # Word-BIGRAM Jaccard: order-sensitive near-dup (a token-shuffled
     # copy keeps unigram Jaccard ~1 but loses its bigrams). Same
     # inverted-index shape as dedup_token_jaccard, WITH the hot-gram
@@ -1103,6 +1110,23 @@ def _q_dedup_stream(spark, sf):
     )
 
 
+def _q_dedup_stream_minhash(spark, sf):
+    """Streaming MinHash/LSH bucket-occupancy replay: the appended
+    first-occupancy rows across all micro-batches must equal the
+    batch DISTINCT (band, bucket) set — the bounded-replay oracle
+    stated exactly like dedup_stream_exact's."""
+    from bigclam_apachespark_spark.streaming import (
+        minhash_band_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_documents_stream(spark, f"{sf}/documents.parquet")
+    return run_stream_to_memory(
+        minhash_band_stream(stream), "dedup_stream_minhash_sink", "append", strict=True
+    )
+
+
 def _with_handles(make):
     """Run ``make(handles)`` and attach the operator's internal cache
     handles to the returned DataFrame as ``_cache_handles`` — gate
@@ -1135,6 +1159,7 @@ DEDUP_QUERIES = {
     ),
     "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
     "dedup_stream_exact": _q_dedup_stream,
+    "dedup_stream_minhash": _q_dedup_stream_minhash,
     "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)),
     "dedup_lsh_buckets": lambda spark, sf: D.lsh_buckets(D.minhash_signatures(_docs(spark, sf))),
     "dedup_minhash_lsh_pairs": lambda spark, sf: _with_handles(

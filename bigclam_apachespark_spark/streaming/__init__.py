@@ -11,6 +11,7 @@ from bigclam_apachespark_spark.streaming.events_stream import (
 from bigclam_apachespark_spark.streaming.docs_stream import (
     read_documents_stream,
     dedup_stream,
+    minhash_band_stream,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "run_stream_to_memory",
     "read_documents_stream",
     "dedup_stream",
+    "minhash_band_stream",
 ]

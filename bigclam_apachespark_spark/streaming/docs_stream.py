@@ -72,3 +72,42 @@ def dedup_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``SELECT DISTINCT hash(normalize(text))``."""
     fp = docs.select(hash64(normalize_text(text_col)).alias("content_fp"))
     return fp.dropDuplicates(["content_fp"])
+
+
+def minhash_band_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 5,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Streaming MinHash/LSH NEAR-dup state → one ``(band, bucket)``
+    row per first-seen LSH band bucket — the streaming twin of the
+    batch ``lsh_buckets`` path.
+
+    This is the state a streaming near-dup ADMISSION filter
+    maintains: an arriving document whose band keys all hit occupied
+    buckets is a near-dup suspect (same banding guarantee as batch
+    LSH); a document that opens at least one new bucket is novel.
+    The emitted first-occupancy stream IS that state, and — like
+    ``dedup_stream`` — it is the part of the computation with a
+    deterministic cross-engine answer (which doc_id first occupies a
+    shared bucket is a scheduling artifact; the occupied-bucket SET
+    is not), so the oracle twin is the batch bucket distinct:
+    ``SELECT DISTINCT band, bucket FROM lsh_buckets(...)``.
+
+    Scale shape: signatures are computed per document as a pure
+    narrow map (``dedup.minhash_band_keys`` — array_min over the
+    hashed shingle array, no stateful agg, so the stream stays in
+    append mode), then ``dropDuplicates`` keeps one state-store row
+    per distinct (band, bucket) — num_bands fixed-width longs per
+    distinct content neighborhood, the RocksDB-friendly bounded
+    state. With an event-time column upstream,
+    ``dropDuplicatesWithinWatermark`` bounds retention to the
+    watermark horizon (the documents fixture carries no timestamp,
+    so this models the unbounded-retention variant, same stance as
+    ``dedup_stream``)."""
+    from bigclam_apachespark_spark.operators.dedup import minhash_band_keys
+
+    keys = minhash_band_keys(docs, text_col, num_perms, shingle_n, rows_per_band)
+    return keys.select("band", "bucket").dropDuplicates(["band", "bucket"])

@@ -118,6 +118,51 @@ def test_minhash_lsh_finds_near_dups(docs):
         assert 0.5 <= got2[(0, 2)] < 1.0
 
 
+def test_minhash_band_keys_match_agg_formulation(docs, spark):
+    """The narrow-map streaming formulation (array_min over hashed
+    shingles, positional band concat) must produce EXACTLY the same
+    (doc_id, band, bucket) rows as the batch explode+agg pipeline —
+    the equivalence the streaming oracle rests on. Also checked on
+    real fixture documents (richer shingle sets than the toy docs)."""
+    from bigclam_apachespark_spark.operators.dedup import minhash_band_keys
+
+    for df in (
+        docs,
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100),
+    ):
+        batch = lsh_buckets(minhash_signatures(df, num_perms=16), rows_per_band=4)
+        narrow = minhash_band_keys(df, num_perms=16, rows_per_band=4)
+        a = sorted(map(tuple, batch.collect()))
+        b = sorted(map(tuple, narrow.collect()))
+        assert a == b and len(a) > 0
+
+
+def test_minhash_band_stream_matches_batch(spark, tmp_path):
+    """Replaying the documents fixture through the streaming
+    MinHash/LSH dedup must emit exactly the batch DISTINCT
+    (band, bucket) set, across micro-batch boundaries."""
+    from bigclam_apachespark_spark.operators.dedup import minhash_band_keys
+    from bigclam_apachespark_spark.streaming import (
+        minhash_band_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    stream = read_documents_stream(spark, src)
+    got = run_stream_to_memory(
+        minhash_band_stream(stream), "t_mh_stream_sink", "append", strict=True
+    )
+    batch = (
+        minhash_band_keys(spark.read.parquet(src))
+        .select("band", "bucket")
+        .distinct()
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_simhash(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[0] == sh[1]  # identical token sets
