@@ -728,6 +728,125 @@ best AS (
 """
 
 
+# G1 two-cliques fixture (FIXTURES.md §2; tests/conftest.py
+# G1_PAIRS): two 4-cliques bridged by (3, 4) — small enough for a
+# fully-unrolled DuckDB twin, structured enough that the fit does
+# real work (the K=2 init finds exactly the two cliques).
+G1_FIXTURE_PAIRS = [
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),
+    (3, 4),
+]
+
+
+def q_fit_fixture(spark, sf_dir):
+    """F5 END-TO-END as a hash-checked oracle row: on the G1
+    two-cliques fixture the full fit composition — seeded
+    neighborhood init (K=2; both cliques surface as seeds, so the
+    non-cross-engine random-completion branch never fires) chained
+    into THREE unrolled optimizer rounds with the round(·, 6)
+    re-quantization barrier — is deterministic on both engines.
+    Returns the final factors in long layout. With
+    bigclam_one/two_iterations (fixture-factor start) this closes
+    the last inferential gap in the loop: init feeding the iteration
+    body is now oracle-verified, leaving only true real-dataset
+    smokes rows-only. ``sf_dir`` unused (fixture graph)."""
+    edges = spark.createDataFrame(G1_FIXTURE_PAIRS, "src long, dst long")
+    sym = G.symmetrize(edges).localCheckpoint()
+    fx = B.init_factors(sym, k=2).localCheckpoint()
+    for _ in range(3):
+        sumf = B.sum_f(fx)
+        state = B.gradient_state(sym, fx, sumf)
+        upd = B.line_search_updates(sym, fx, state, sumf, quantize=6)
+        fx = (
+            B.apply_updates(fx, upd)
+            .select("node_id", F.transform("f", lambda v: F.round(v, 6)).alias("f"))
+            .localCheckpoint()
+        )
+    return fx.select("node_id", F.posexplode("f").alias("k", "v")).select(
+        "node_id", F.col("k").cast("int").alias("k"), F.col("v").alias("fval")
+    )
+
+
+_G1_VALUES = ", ".join(f"({a}, {b})" for a, b in G1_FIXTURE_PAIRS)
+
+# Deterministic K=2 init over the fixture graph: same CTE chain as
+# the bigclam_init_membership oracle (conductance → locally-minimal
+# seeds → (φ, id) rank → duplicate-neighborhood dedup → top-K), then
+# the ego-net indicator factors f0[u][c] = 1 iff u ∈ N(seed_c)∪{seed_c}.
+_G1_INIT_SQL = f"""
+edges_g AS (SELECT src, dst FROM (VALUES {_G1_VALUES}) t(src, dst)),
+{SYM_SQL.strip().lstrip(",").strip()},
+ego_pairs AS (
+  SELECT src AS u, dst AS m FROM sym
+  UNION
+  SELECT DISTINCT src AS u, src AS m FROM sym
+),
+twohop AS (
+  SELECT e.u, s.dst AS w FROM ego_pairs e JOIN sym s ON e.m = s.src
+),
+flags AS (
+  SELECT t.u, CASE WHEN ep2.u IS NULL THEN 1 ELSE 0 END AS is_cut
+  FROM twohop t LEFT JOIN ego_pairs ep2 ON ep2.u = t.u AND ep2.m = t.w
+),
+cagg AS (SELECT u, SUM(is_cut) AS cut, COUNT(*) AS z FROM flags GROUP BY u),
+ctot AS (SELECT COUNT(*) AS sdeg FROM sym),
+ccond AS (
+  SELECT u AS id,
+    CASE WHEN z - cut = 0 THEN 0.0
+         WHEN sdeg - (z - cut) - 2 * cut = 0 THEN 1.0
+         ELSE CAST(cut AS DOUBLE) / LEAST(z - cut, sdeg - (z - cut) - 2 * cut)
+    END AS phi
+  FROM cagg, ctot
+),
+lmin AS (
+  SELECT s.src, s.dst, c.phi,
+         ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY c.phi, s.dst) AS rn
+  FROM sym s JOIN ccond c ON s.dst = c.id
+),
+seeds AS (SELECT DISTINCT dst AS id, phi FROM lmin WHERE rn = 1),
+sranked AS (
+  SELECT id AS seed_id, ROW_NUMBER() OVER (ORDER BY phi, id) AS rk
+  FROM seeds
+),
+seedmem AS (
+  SELECT r.rk, r.seed_id, m.member
+  FROM sranked r
+  JOIN (
+    SELECT src AS seed, dst AS member FROM sym
+    UNION
+    SELECT DISTINCT src AS seed, src AS member FROM sym
+  ) m ON m.seed = r.seed_id
+),
+skeyed AS (
+  SELECT rk, seed_id,
+         array_to_string(list(CAST(member AS VARCHAR) ORDER BY member), ',')
+           AS mem_key
+  FROM seedmem GROUP BY rk, seed_id
+),
+sdedup AS (
+  SELECT rk, seed_id,
+         ROW_NUMBER() OVER (PARTITION BY mem_key ORDER BY rk) AS dd
+  FROM skeyed QUALIFY dd = 1
+),
+stopk AS (
+  SELECT seed_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY rk) - 1 AS INT) AS c
+  FROM sdedup QUALIFY c < 2
+),
+smem2 AS (
+  SELECT t.c, sm.member
+  FROM stopk t JOIN seedmem sm ON sm.seed_id = t.seed_id
+),
+f0 AS MATERIALIZED (
+  SELECT v.node_id, k2.k,
+         CASE WHEN sm.member IS NOT NULL THEN 1.0 ELSE 0.0 END AS val
+  FROM (SELECT DISTINCT src AS node_id FROM sym) v
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k2
+  LEFT JOIN smem2 sm ON sm.c = k2.k AND sm.member = v.node_id
+)"""
+
+
 def q_fit_smoke(spark, sf_dir):
     """F5 end-to-end (rows-only: iterative, not SQL-expressible):
     2 optimizer iterations at K=4 on the co-purchase graph, returning
@@ -742,6 +861,16 @@ def q_fit_smoke(spark, sf_dir):
 
 
 BIGCLAM_ORACLE["bigclam_gradient_long"] = BIGCLAM_ORACLE["bigclam_gradient"]
+
+# F5 end-to-end on the G1 fixture: deterministic init → 3 unrolled
+# iteration bodies, every round re-quantized (see q_fit_fixture).
+BIGCLAM_ORACLE["bigclam_fit_fixture"] = f"""
+WITH {_G1_INIT_SQL.strip()},
+{_iteration_ctes('_r1', 'f0')},
+{_iteration_ctes('_r2', 'fnext_r1')},
+{_iteration_ctes('_r3', 'fnext_r2')}
+SELECT node_id, CAST(k AS INT) AS k, val AS fval FROM fnext_r3
+"""
 
 
 BIGCLAM_QUERIES = {
@@ -759,6 +888,7 @@ BIGCLAM_QUERIES = {
     "bigclam_init_membership": q_init_membership,
     "bigclam_k_grid": q_k_grid,
     "bigclam_community_quality": q_community_quality,
+    "bigclam_fit_fixture": q_fit_fixture,
 }
 
 # The iterative end-to-end demonstrations (rows-only, no oracle) are
