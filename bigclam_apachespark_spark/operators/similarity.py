@@ -645,6 +645,172 @@ def ivf_recall_eval(
     return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
 
 
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks → ``(sub, code, cqv)``: the
+    vector space splits into ``m`` subspaces of ``dim/m`` dims; per
+    subspace the codewords are the sub-vectors of the ``ksub``
+    smallest-sample-key corpus vectors — the same deterministic
+    md5-sample rule as ``ivf_centroids`` (k-means-refined codebooks
+    would be an orthogonal driver loop; the deterministic sample
+    keeps the whole PQ pipeline oracle-checkable). m·ksub rows —
+    codebook state is a broadcast literal at any corpus size."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    sub_d = dim // m
+    keyed = quantized(embeddings, id_col, vec_col).select(
+        F.col(id_col), "qv", hash64(F.col(id_col).cast("string")).alias("skey")
+    )
+    seeds = keyed.orderBy("skey", id_col).limit(ksub)
+    w = Window.orderBy("skey", id_col)
+    coded = seeds.withColumn("code", F.row_number().over(w) - 1)
+    return coded.select(
+        "code", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "qv"
+    ).select(
+        "sub",
+        "code",
+        F.slice("qv", F.col("sub") * sub_d + 1, sub_d).alias("cqv"),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding → ``(vec_id, sub, code)``: per subspace, the
+    nearest codeword by EXACT integer squared-L2 over the micro-unit
+    grid (ties → lowest code, via an integer struct ``min_by``) —
+    the 32× compression step (m small codes instead of dim floats)
+    that makes billion-vector serving RAM-resident.
+
+    Scale shape: one narrow subvector explode (m rows per vector),
+    codebooks broadcast, and the argmin is a ``min_by`` hash
+    aggregate — partial aggregation collapses the ksub scored rows
+    per (vector, sub) map-side, same discipline as ``ivf_assign``'s
+    argmax (no window, no ksub-amplified shuffle)."""
+    sub_d = dim // m
+    sub_vecs = quantized(embeddings, id_col, vec_col).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "qv",
+    ).select(
+        id_col, "sub", F.slice("qv", F.col("sub") * sub_d + 1, sub_d).alias("sv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cqv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = sub_vecs.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub", "code", d2.alias("d2")
+    )
+    return scored.groupBy(id_col, "sub").agg(
+        F.min_by("code", F.struct("d2", "code")).alias("code")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k → ``(q, vec_id, rank, adc_cos)``:
+    each query precomputes a (sub, code) → partial-dot lookup table
+    (|Q|·m·ksub integer entries — broadcast-sized at any corpus
+    scale), the code table joins it on (sub, code), and the
+    approximate dot is the SUM of m integer partials per (q, vec) —
+    an exact integer fold, so the ADC score is cross-engine
+    bit-stable. Scoring normalizes by the query norm and the
+    RECONSTRUCTED vector norm (sqrt of the summed codeword norm²s,
+    also exact integers), giving the PQ approximation of cosine.
+
+    The 100-TB shape: the corpus crosses the wire as m codes per
+    vector (the compressed representation), never the float
+    embeddings; everything query-dependent is broadcast. Compose
+    with ``ivf_assign`` cells for IVF-PQ (probe then ADC-score only
+    the probed cells' codes)."""
+    from pyspark.sql import Window
+
+    cb = pq_codebooks(embeddings, m, ksub, dim, id_col, vec_col)
+    codes = pq_encode(embeddings, cb, m, dim, id_col, vec_col)
+
+    sub_d = dim // m
+    qsub = quantized(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "qv",
+    ).select(
+        "q", "qnrm", "sub",
+        F.slice("qv", F.col("sub") * sub_d + 1, sub_d).alias("qsv"),
+    )
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "q", "qnrm", "sub", "code",
+        _dot_long("qsv", "cqv").alias("part"),
+        _dot_long("cqv", "cqv").alias("cn2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("q") != F.col(id_col))
+        .groupBy("q", id_col)
+        .agg(
+            F.sum("part").alias("dot"),
+            F.sum("cn2").alias("rn2"),
+            F.min("qnrm").alias("qnrm"),
+        )
+    )
+    score = F.round(
+        F.col("dot").cast("double")
+        / (F.col("qnrm") * F.sqrt(F.col("rn2").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("q").orderBy(F.col("adc_cos").desc(), F.col(id_col))
+    return (
+        adc.select("q", id_col, score.alias("adc_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", id_col, "rank", "adc_cos")
+    )
+
+
+def pq_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PQ-ADC ranking against exact brute force →
+    ``(q, n_retrieved, n_hits, recall)`` — the honesty loop for the
+    compression: (m, ksub) is a memory-recall dial, and this
+    measures where it lands (twin of ``ivf_recall_eval``)."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    approx = pq_topk(embeddings, queries, k, m, ksub, dim, id_col, vec_col)
+    return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
+
+
 def _multi_bucket_expr(qv, n_planes: int, n_tables: int, seed: int, dim: int):
     """Array of n_tables independent hyperplane-LSH buckets (one
     plane set per table, seeds disjoint)."""

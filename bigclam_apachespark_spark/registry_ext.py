@@ -1305,7 +1305,108 @@ probes AS (
   ) WHERE rn <= 4
 )"""
 
+# Product-quantization fragments: deterministic md5-sample codebooks
+# (same rule as IVF centroids) → exact-integer nearest-codeword
+# encoding → ADC scoring as a SUM of integer partial dots. Constants
+# (m=16 subspaces of 4 dims, ksub=64 codes, queries vec_id < 10)
+# mirror SIM_QUERIES["sim_pq_topk"].
+_PQ_M, _PQ_KSUB, _PQ_SUBD = 16, 64, 4
+
+PQ_SQL = f"""
+psubs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+pseed AS (
+  SELECT qv,
+         ROW_NUMBER() OVER (
+           ORDER BY {hash64_sql('CAST(vec_id AS VARCHAR)')}, vec_id) AS rn
+  FROM emb
+  QUALIFY rn <= {_PQ_KSUB}
+),
+pcb AS (
+  SELECT s.sub, CAST(p.rn - 1 AS INT) AS code,
+         p.qv[s.sub * {_PQ_SUBD} + 1 : s.sub * {_PQ_SUBD} + {_PQ_SUBD}] AS cqv
+  FROM pseed p CROSS JOIN psubs s
+),
+psv AS (
+  SELECT e.vec_id, s.sub,
+         e.qv[s.sub * {_PQ_SUBD} + 1 : s.sub * {_PQ_SUBD} + {_PQ_SUBD}] AS sv
+  FROM emb e CROSS JOIN psubs s
+),
+pdist AS (
+  SELECT v.vec_id, v.sub, c.code,
+         list_sum([(v.sv[i] - c.cqv[i]) * (v.sv[i] - c.cqv[i])
+                   for i in generate_series(1, {_PQ_SUBD})]) AS d2
+  FROM psv v JOIN pcb c ON c.sub = v.sub
+),
+pcodes AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM pdist
+  ) WHERE rn = 1
+),
+plut AS (
+  SELECT e.vec_id AS q, e.nrm AS qnrm, c.sub, c.code,
+         list_sum([e.qv[c.sub * {_PQ_SUBD} + i] * c.cqv[i]
+                   for i in generate_series(1, {_PQ_SUBD})]) AS part,
+         list_sum([c.cqv[i] * c.cqv[i]
+                   for i in generate_series(1, {_PQ_SUBD})]) AS cn2
+  FROM emb e CROSS JOIN pcb c
+  WHERE e.vec_id < 10
+),
+padc AS (
+  SELECT l.q, c.vec_id, SUM(l.part) AS dot, SUM(l.cn2) AS rn2,
+         MIN(l.qnrm) AS qnrm
+  FROM pcodes c JOIN plut l ON l.sub = c.sub AND l.code = c.code
+  WHERE l.q <> c.vec_id
+  GROUP BY l.q, c.vec_id
+),
+pnn AS (
+  SELECT q, vec_id, adc_cos, rank FROM (
+    SELECT q, vec_id, adc_cos,
+           ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY adc_cos DESC, vec_id) AS rank
+    FROM (
+      SELECT q, vec_id,
+             round(CAST(dot AS DOUBLE) / (qnrm * sqrt(CAST(rn2 AS DOUBLE))), 6)
+               AS adc_cos
+      FROM padc
+    )
+  ) WHERE rank <= 5
+)"""
+
 SIM_ORACLE = {
+    "sim_pq_topk": f"""
+        WITH {EMB_SQL}, {PQ_SQL}
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM pnn
+    """,
+    "sim_pq_recall": f"""
+        WITH {EMB_SQL}, {PQ_SQL},
+        bscored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        ),
+        bnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM bscored
+          ) WHERE rank <= 5
+        ),
+        hits AS (
+          SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM bnn b JOIN pnn i ON i.q = b.q AND i.vec_id = b.vec_id
+          GROUP BY b.q
+        ),
+        ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM pnn GROUP BY q),
+        qspine AS (SELECT DISTINCT q FROM bnn)
+        SELECT s.q,
+               CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+        FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
+    """,
     "sim_ivf_topk": f"""
         WITH {EMB_SQL}, {IVF_SQL},
         scored AS (
@@ -1684,6 +1785,12 @@ SIM_QUERIES = {
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),
     "sim_ivf_topk_persisted": lambda spark, sf: _q_ivf_topk_persisted(spark, sf),
+    "sim_pq_topk": lambda spark, sf: S.pq_topk(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, m=16, ksub=64
+    ),
+    "sim_pq_recall": lambda spark, sf: S.pq_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, m=16, ksub=64
+    ),
     "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5
     ),

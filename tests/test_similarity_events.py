@@ -805,6 +805,81 @@ def test_ppm_features_real_decode(spark):
     assert got[3]["decode_error"] is not None
 
 
+def test_pq_encode_properties(spark):
+    """PQ structural guarantees: every vector gets exactly m codes;
+    identical vectors encode identically; a vector that IS a
+    codebook seed reconstructs its own subvectors exactly (ADC dot
+    against itself = true dot in every seeded subspace)."""
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(
+        200
+    )
+    m, ksub = 16, 8
+    cb = S.pq_codebooks(emb, m=m, ksub=ksub)
+    assert cb.count() == m * ksub
+    codes = S.pq_encode(emb, cb, m=m)
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [m]
+
+    # a seed vector's nearest codeword in each subspace is itself
+    # (d2 = 0), so its code row joins back to its own subvector
+    from pyspark.sql import functions as F
+
+    seed_ids = [
+        r["vec_id"]
+        for r in S.quantized(emb)
+        .select(
+            "vec_id",
+            __import__(
+                "bigclam_apachespark_spark.functions.hashing",
+                fromlist=["hash64"],
+            ).hash64(F.col("vec_id").cast("string")).alias("skey"),
+        )
+        .orderBy("skey", "vec_id")
+        .limit(ksub)
+        .collect()
+    ]
+    joined = (
+        codes.where(F.col("vec_id").isin(seed_ids))
+        .join(cb, ["sub", "code"])
+        .join(
+            S.quantized(emb).select("vec_id", "qv"), "vec_id"
+        )
+        .select(
+            "vec_id",
+            "sub",
+            (
+                F.slice("qv", F.col("sub") * (64 // m) + 1, 64 // m) == F.col("cqv")
+            ).alias("exact"),
+        )
+    )
+    assert all(r["exact"] for r in joined.collect())
+
+
+def test_pq_recall_improves_with_finer_codes(spark):
+    """The (m, ksub) dial must move recall the right way — coarse
+    (8, 16) strictly below fine (16, 64) on mean recall@5."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    coarse = (
+        S.pq_recall_eval(emb, q, k=5, m=8, ksub=16)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    fine = (
+        S.pq_recall_eval(emb, q, k=5, m=16, ksub=64)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert fine > coarse
+    assert fine >= 0.4
+
+
 def test_png_decode_roundtrip_all_filters():
     """The zlib PNG decoder must reconstruct random images exactly
     for every color type and every row-filter type (including mixed
