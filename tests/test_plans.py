@@ -344,20 +344,16 @@ def _unpartitioned_ordered_windows(plan: str) -> list[str]:
 
 
 # Queries allowed to keep an unpartitioned ordered window, each over
-# a provably tiny relation. Windows ordering on a `_cb` bucket column
-# are allowed everywhere (the bucketed two-stage kernels' offsets
-# windows run over <= `buckets` aggregate rows by construction).
+# a provably tiny relation. Windows ordering on a `_cb`-prefixed
+# column are allowed everywhere: the bucketed two-stage kernels'
+# offsets windows run over <= `buckets` aggregate rows by
+# construction, and `_seed_ranked`'s `_cb_seed` window ranks a
+# .limit(n)-row seed sample (similarity.py) — both bounded shapes.
 _UNPARTITIONED_WINDOW_OK = {
     # inverse-CDF cumsum over DISTINCT token lengths (bounded domain)
     "text_length_quantiles",
     # ranks k rows AFTER a TakeOrderedAndProject limit
     "text_vocab_topk",
-    # centroid seeding ranks a .limit(n_cells)=16-row relation
-    "sim_cluster_topics",
-    "sim_ivf_recall",
-    "sim_ivf_topk",
-    "sim_kmeans_iteration",
-    "sim_kmeans_refined",
 }
 
 # Construction executes multi-minute iterative jobs (rows-only
