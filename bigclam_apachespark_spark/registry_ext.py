@@ -1200,10 +1200,34 @@ def _q_ivf_topk_persisted(spark, sf):
 
     from bigclam_apachespark_spark.operators import similarity as S
 
-    path = f"/tmp/spark_graft_ivf_index_{os.path.basename(sf.rstrip('/'))}"
+    # pid in the path: two concurrent runs against the same sf dir
+    # must not race on the overwrite-then-read round trip.
+    path = (
+        f"/tmp/spark_graft_ivf_index_{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
+    )
     S.write_ivf_index(_emb(spark, sf), path, n_cells=16)
     return S.ivf_topk_persisted(
         spark, path, _queries_subset(spark, sf), k=5, nprobe=4
+    )
+
+
+def _q_ivfpq_topk(spark, sf):
+    """The IVF-PQ SERVING path, oracle-checked: build + persist the
+    compressed cell-partitioned index (write_ivfpq_index), then
+    answer the query batch from it — probed-cell partition pruning
+    over m-code packed rows. Results are identical to the inline
+    ivfpq_topk by construction, so the oracle verifies BOTH the
+    composition arithmetic and the packed-parquet round trip."""
+    import os
+
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    path = (
+        f"/tmp/spark_graft_ivfpq_index_{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
+    )
+    S.write_ivfpq_index(_emb(spark, sf), path, n_cells=16, m=16, ksub=64)
+    return S.ivfpq_topk_persisted(
+        spark, path, _queries_subset(spark, sf), k=5, nprobe=4, m=16
     )
 
 
@@ -1751,6 +1775,99 @@ SIM_ORACLE = {
 # only the storage layout differs), so it shares the oracle.
 SIM_ORACLE["sim_ivf_topk_persisted"] = SIM_ORACLE["sim_ivf_topk"]
 
+# IVF-PQ composition: the IVF probe list (probes/assign from IVF_SQL)
+# restricts the PQ code table (pcodes from PQ_SQL); ADC scoring then
+# runs only over the probed cells' codes. Same constants as the
+# component queries (16 cells, 4 probes, m=16, ksub=64, top-5,
+# queries vec_id < 10).
+_IVFPQ_NN_SQL = """
+ppadc AS (
+  SELECT l.q, c.vec_id, SUM(l.part) AS dot, SUM(l.cn2) AS rn2,
+         MIN(l.qnrm) AS qnrm
+  FROM pcodes c
+  JOIN assign s ON s.vec_id = c.vec_id
+  JOIN probes pr ON pr.cell = s.cell
+  JOIN plut l ON l.q = pr.q AND l.sub = c.sub AND l.code = c.code
+  WHERE pr.q <> c.vec_id
+  GROUP BY l.q, c.vec_id
+),
+ppnn AS (
+  SELECT q, vec_id, adc_cos, rank FROM (
+    SELECT q, vec_id, adc_cos,
+           ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY adc_cos DESC, vec_id) AS rank
+    FROM (
+      SELECT q, vec_id,
+             round(CAST(dot AS DOUBLE) / (qnrm * sqrt(CAST(rn2 AS DOUBLE))), 6)
+               AS adc_cos
+      FROM ppadc
+    )
+  ) WHERE rank <= 5
+)"""
+
+SIM_ORACLE["sim_ivfpq_topk"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL}, {PQ_SQL}, {_IVFPQ_NN_SQL}
+    SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM ppnn
+"""
+
+SIM_ORACLE["sim_ivfpq_recall"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL}, {PQ_SQL}, {_IVFPQ_NN_SQL},
+    bscored AS (
+      SELECT eb.vec_id AS q, ea.vec_id,
+             round({_PAIR_COS}, 6) AS cos_sim
+      FROM emb ea CROSS JOIN emb eb
+      WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+    ),
+    bnn AS (
+      SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 5
+    ),
+    iscored AS (
+      SELECT p.q, ea.vec_id,
+             round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) AS cos_sim
+      FROM probes p
+      JOIN assign s ON s.cell = p.cell
+      JOIN emb ea ON ea.vec_id = s.vec_id
+      JOIN emb eb ON eb.vec_id = p.q
+      WHERE ea.vec_id <> p.q
+    ),
+    inn AS (
+      SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM iscored
+      ) WHERE rank <= 5
+    ),
+    ihits AS (
+      SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bnn b JOIN inn i ON i.q = b.q AND i.vec_id = b.vec_id
+      GROUP BY b.q
+    ),
+    iret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM inn GROUP BY q),
+    phits AS (
+      SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bnn b JOIN ppnn p ON p.q = b.q AND p.vec_id = b.vec_id
+      GROUP BY b.q
+    ),
+    pret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM ppnn GROUP BY q),
+    qspine AS (SELECT DISTINCT q FROM bnn)
+    SELECT s.q,
+           CAST(COALESCE(ir.n, 0) AS BIGINT) AS n_retrieved_ivf,
+           CAST(COALESCE(ih.n_hits, 0) AS BIGINT) AS n_hits_ivf,
+           round(CAST(COALESCE(ih.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6)
+             AS recall_ivf,
+           CAST(COALESCE(pr.n, 0) AS BIGINT) AS n_retrieved_ivfpq,
+           CAST(COALESCE(ph.n_hits, 0) AS BIGINT) AS n_hits_ivfpq,
+           round(CAST(COALESCE(ph.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6)
+             AS recall_ivfpq
+    FROM qspine s
+    LEFT JOIN iret ir USING (q) LEFT JOIN ihits ih USING (q)
+    LEFT JOIN pret pr USING (q) LEFT JOIN phits ph USING (q)
+"""
+
 
 def _q_sim_dedup_survivors(spark, sf):
     from bigclam_apachespark_spark.operators import dedup as DD
@@ -1785,6 +1902,11 @@ SIM_QUERIES = {
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),
     "sim_ivf_topk_persisted": lambda spark, sf: _q_ivf_topk_persisted(spark, sf),
+    "sim_ivfpq_topk": lambda spark, sf: _q_ivfpq_topk(spark, sf),
+    "sim_ivfpq_recall": lambda spark, sf: S.ivfpq_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        k=5, n_cells=16, nprobe=4, m=16, ksub=64,
+    ),
     "sim_pq_topk": lambda spark, sf: S.pq_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, m=16, ksub=64
     ),

@@ -1003,3 +1003,23 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
     }
     for h, n in exact.items():
         assert abs(est[h] - n) / n < 0.5  # b=6: sigma ~13%, allow 4x
+
+
+def test_ivfpq_composition(spark, tmp_path):
+    """IVF-PQ invariants: at full probe width (nprobe = n_cells) the
+    candidate set is the whole corpus, so IVF-PQ must equal plain PQ
+    exactly; and the persisted index (packed codes, cell-partitioned)
+    must reproduce the inline composition bit-for-bit."""
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    full = S.ivfpq_topk(emb, q, k=5, n_cells=4, nprobe=4, m=8, ksub=16)
+    plain = S.pq_topk(emb, q, k=5, m=8, ksub=16)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, plain.collect()))
+
+    path = str(tmp_path / "ivfpq_idx")
+    S.write_ivfpq_index(emb, path, n_cells=4, m=8, ksub=16)
+    pers = S.ivfpq_topk_persisted(spark, path, q, k=5, nprobe=2, m=8)
+    inline = S.ivfpq_topk(emb, q, k=5, n_cells=4, nprobe=2, m=8, ksub=16)
+    assert sorted(map(tuple, pers.collect())) == sorted(map(tuple, inline.collect()))
