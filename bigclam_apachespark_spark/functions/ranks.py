@@ -35,13 +35,18 @@ from pyspark.sql import functions as F
 
 def _with_pos_bucket(df: DataFrame, order_col: str, buckets: int) -> DataFrame:
     """Append ``_cb`` ∈ [0, buckets): monotone (non-strict) in the
-    numeric ``order_col``, via a broadcast min/max bounds row."""
+    numeric ``order_col``, via a broadcast min/max bounds row. NULL
+    order keys map to bucket 0 — min/max ignore them, and a plain
+    ``Window.orderBy`` sorts NULLS FIRST, so ranking them at the
+    front (before bucket 0's non-null rows, via the window's own
+    NULLS FIRST within the bucket) keeps the kernel a drop-in
+    replacement for the single-partition window."""
     bounds = df.agg(
         F.min(order_col).cast("double").alias("_lo"),
         F.max(order_col).cast("double").alias("_hi"),
     )
     span = F.col("_hi") - F.col("_lo")
-    pos = F.when(
+    pos = F.when(F.col(order_col).isNull(), F.lit(0.0)).when(
         span > 0, (F.col(order_col).cast("double") - F.col("_lo")) / span
     ).otherwise(F.lit(0.0))
     return (

@@ -76,6 +76,11 @@ def seed_membership(
     subtree under ``seeds_ranked`` would re-evaluate per reference
     and compound across the two rankings (measured ~10× at sf0.01).
     ``cache_handles``: same release contract as ``ego_conductance``.
+    The two caches are taken UNCONDITIONALLY (they are load-bearing,
+    see above); a caller that passes no ``cache_handles`` accepts
+    that the blocks live until executor LRU eviction — fine for
+    one-shot registry queries, but loop drivers (``fit``) must pass
+    handles and release per round.
     """
     from pyspark.sql import Window
 

@@ -73,8 +73,17 @@ def shingle_table(docs: DataFrame, text_col: str = "text", shingle_n: int = 5) -
     subexpression-eliminated, so inlining normalize_text into the
     shingle transform re-runs the regex once PER SHINGLE (measured
     16 s for 1M shingles at sf0.1 → ~3 s with the projection
-    boundary)."""
-    normd = docs.select("doc_id", normalize_text(text_col).alias("norm"))
+    boundary).
+
+    NULL-text docs drop entirely: without the filter, substr over a
+    NULL norm yields a ``[NULL]`` shingle array whose explode emits
+    one spurious NULL shingle (and so a spurious signature). The
+    narrow streaming formulation (``minhash_band_keys``) filters
+    identically — the two must drop the same docs for their claimed
+    band equality to hold."""
+    normd = docs.select("doc_id", normalize_text(text_col).alias("norm")).where(
+        F.col("norm").isNotNull()
+    )
     shingles = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_n - 1), F.lit(1))
@@ -172,7 +181,13 @@ def minhash_band_keys(
     construction."""
     perms = minhash_perm_constants(num_perms)
     n_bands = num_perms // rows_per_band
-    normd = docs.select("doc_id", normalize_text(text_col).alias("norm"))
+    # NULL-text docs must drop here exactly like the batch explode
+    # path drops them (explode of no shingles emits nothing);
+    # without the filter concat_ws would skip the NULL mins and
+    # hash the empty string, emitting rows the batch twin never sees.
+    normd = docs.select("doc_id", normalize_text(text_col).alias("norm")).where(
+        F.col("norm").isNotNull()
+    )
     shingles = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_n - 1), F.lit(1))

@@ -131,6 +131,11 @@ def modularity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
     vertices) surfaces that in the result row: 0 means Q is the true
     modularity; nonzero means the partition was partial and Q is
     only the covered subgraph's score against the FULL edge mass.
+    The dual failure — a vertex with MULTIPLE label rows duplicates
+    its edges through both inner joins, inflating E_in and D2 while
+    ``n_unlabeled`` stays 0 — is surfaced the same way:
+    ``n_dup_labels`` (label rows minus distinct ids) must be 0 for Q
+    to be a valid partition score.
 
     Scale shape: two label joins onto the edge list (vertex-keyed
     shuffles, AQE-splittable), one equality filter + count for E_in,
@@ -160,14 +165,19 @@ def modularity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
         .join(labels.select("id"), "id", "left_anti")
         .agg(F.count("*").alias("n_unlabeled"))
     )
+    dup = labels.agg(
+        (F.count("*") - F.count_distinct(F.col("id"))).alias("n_dup_labels")
+    )
     return (
         e_in.crossJoin(comm)
         .crossJoin(m)
         .crossJoin(unl)
+        .crossJoin(dup)
         .select(
             F.col("n_communities").cast("long").alias("n_communities"),
             "e_within",
             "n_unlabeled",
+            F.col("n_dup_labels").cast("long").alias("n_dup_labels"),
             F.round(
                 F.col("e_within").cast("double") / F.col("m").cast("double")
                 - F.col("d2").cast("double")

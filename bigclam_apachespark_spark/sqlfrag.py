@@ -105,9 +105,12 @@ mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM sym),
 unl AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_unlabeled
   FROM (SELECT DISTINCT src AS id FROM sym) v
-  LEFT JOIN {lf} l ON l.id = v.id WHERE l.id IS NULL)
-SELECT n_communities, e_within, n_unlabeled,
+  LEFT JOIN {lf} l ON l.id = v.id WHERE l.id IS NULL),
+dupl AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT id) AS BIGINT) AS n_dup_labels
+  FROM {lf})
+SELECT n_communities, e_within, n_unlabeled, n_dup_labels,
        round(CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
              - CAST(d2 AS DOUBLE)
                / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
-FROM e_in, comm, mm, unl"""
+FROM e_in, comm, mm, unl, dupl"""

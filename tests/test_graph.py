@@ -347,6 +347,16 @@ def test_modularity_hand_computed(g1_edges):
     prow = modularity(sym, partial).collect()[0]
     assert prow["n_unlabeled"] == 2
 
+    # duplicate-label guard: a vertex with two label rows inflates
+    # E_in/D2 through both inner joins — flagged, not silent
+    dup = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1) for i in range(8)] + [(0, 1)],
+        "id long, lbl long",
+    )
+    drow = modularity(sym, dup).collect()[0]
+    assert drow["n_dup_labels"] == 1
+    assert row["n_dup_labels"] == 0
+
 
 def test_label_propagation_two_cliques(g1_edges):
     """2 LPA rounds on G1 must label each clique uniformly (the

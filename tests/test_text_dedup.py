@@ -136,6 +136,19 @@ def test_minhash_band_keys_match_agg_formulation(docs, spark):
         b = sorted(map(tuple, narrow.collect()))
         assert a == b and len(a) > 0
 
+    # NULL-text docs must drop from BOTH formulations identically
+    # (the batch explode emits nothing; the narrow map must filter,
+    # not hash an empty concat)
+    nulled = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the dog"), (1, None)],
+        "doc_id long, text string",
+    )
+    batch = lsh_buckets(minhash_signatures(nulled, num_perms=16), rows_per_band=4)
+    narrow = minhash_band_keys(nulled, num_perms=16, rows_per_band=4)
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, narrow.collect()))
+    assert a == b and {r[0] for r in a} == {0}
+
 
 def test_minhash_band_stream_matches_batch(spark, tmp_path):
     """Replaying the documents fixture through the streaming
