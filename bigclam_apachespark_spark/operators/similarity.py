@@ -404,6 +404,89 @@ def kmeans_refined(
     )
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF coarse quantizer → ``(cell, cqv, cnrm)``:
+    the deterministic sample seeds (``ivf_centroids``) improved by
+    ``rounds`` exact k-means steps (``kmeans_refined``), re-quantized
+    to integer micro-units (``_centroids_from_means``) so every
+    downstream argmax/probe decision stays cross-engine exact — the
+    re-quantization barrier that makes a REFINED codebook
+    oracle-checkable, closing the quality gap the sampled-seed
+    docstrings concede. Refined centroids balance cell populations,
+    which lifts recall at fixed nprobe (measured:
+    ``ivf_recall_compare_kmeans``)."""
+    means = kmeans_refined(embeddings, n_cells, rounds, id_col, vec_col)
+    return _centroids_from_means(means.select("cell", "d", "mean_q"))
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over the Lloyd-refined centroids
+    (``ivf_centroids_kmeans``) — same probe/score tail as
+    ``ivf_topk``, only the coarse quantizer differs. The centroid
+    build costs ``rounds`` extra corpus passes ONCE per index build;
+    serving cost is unchanged."""
+    cent = ivf_centroids_kmeans(embeddings, n_cells, rounds, id_col, vec_col)
+    corpus = ivf_assign(embeddings, cent, id_col, vec_col, keep_vec=True)
+    return _ivf_search(cent, corpus, queries, k, nprobe, id_col, vec_col)
+
+
+def ivf_recall_compare_kmeans(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of sampled-centroid IVF vs Lloyd-refined IVF at the
+    same (n_cells, nprobe), both against exact truth → ``(q,
+    n_retrieved_sampled, n_hits_sampled, recall_sampled,
+    n_retrieved_kmeans, n_hits_kmeans, recall_kmeans)`` — measures
+    what the refinement buys instead of assuming it (twin of
+    ``ivfpq_recall_eval``'s comparison shape)."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    sampled = ivf_topk(embeddings, queries, k, n_cells, nprobe, id_col, vec_col)
+    refined = ivf_topk_kmeans(
+        embeddings, queries, k, n_cells, nprobe, rounds, id_col, vec_col
+    )
+    a = _recall_combine(
+        truth, sampled.select("q", F.col(id_col).alias("nn")), k
+    ).select(
+        "q",
+        F.col("n_retrieved").alias("n_retrieved_sampled"),
+        F.col("n_hits").alias("n_hits_sampled"),
+        F.col("recall").alias("recall_sampled"),
+    )
+    b = _recall_combine(
+        truth, refined.select("q", F.col(id_col).alias("nn")), k
+    ).select(
+        "q",
+        F.col("n_retrieved").alias("n_retrieved_kmeans"),
+        F.col("n_hits").alias("n_hits_kmeans"),
+        F.col("recall").alias("recall_kmeans"),
+    )
+    return a.join(b, "q")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -708,6 +791,146 @@ def pq_codebooks(
     )
 
 
+def _pq_sub_vecs(
+    embeddings: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, sv): each vector split into its m quantized
+    subvectors — one narrow explode, shared by encode and the
+    per-subspace Lloyd refinement."""
+    sub_d = dim // m
+    return quantized(embeddings, id_col, vec_col).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "qv",
+    ).select(
+        id_col, "sub", F.slice("qv", F.col("sub") * sub_d + 1, sub_d).alias("sv")
+    )
+
+
+def _pq_d2() -> Column:
+    """Exact integer squared-L2 between a subvector ``sv`` and a
+    codeword ``cqv`` (both in scope)."""
+    return F.aggregate(
+        F.zip_with("sv", "cqv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks_kmeans(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd-refined PQ codebooks → ``(sub, code,
+    cqv)``: the deterministic sample seeds (``pq_codebooks``)
+    improved by ``rounds`` k-means steps run INDEPENDENTLY in each
+    of the m subspaces — assignment by exact integer squared-L2
+    (ties → lowest code, the ``pq_encode`` rule), means over integer
+    micro-unit components, each mean re-quantized back to integers
+    (the same oracle-exactness barrier as
+    ``ivf_centroids_kmeans``). Empty codes drop out (standard
+    Lloyd).
+
+    Scale shape per round: codebooks broadcast into a narrow d2
+    scoring map, ONE |N|·m-row min_by hash agg (map-side combined),
+    one |N|·dim long shuffle for the means, and an m·ksub·sub_d
+    grouped rebuild (metadata-sized)."""
+    cb = pq_codebooks(embeddings, m, ksub, dim, id_col, vec_col)
+    sub_vecs = _pq_sub_vecs(embeddings, m, dim, id_col, vec_col)
+    for _ in range(rounds):
+        scored = sub_vecs.join(F.broadcast(cb), "sub").select(
+            id_col, "sub", "code", "sv", _pq_d2().alias("d2")
+        )
+        assigned = scored.groupBy(id_col, "sub").agg(
+            F.min_by("code", F.struct("d2", "code")).alias("code"),
+            # sv is constant within the (id, sub) group
+            F.first("sv").alias("sv"),
+        )
+        means = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("d", "qval"))
+            .groupBy("sub", "code", "d")
+            .agg(
+                F.round(
+                    F.sum("qval").cast("double") / F.count("*").cast("double"), 6
+                ).alias("mean_q")
+            )
+        )
+        cb = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("mean_q")))),
+                lambda s: F.round(s["mean_q"], 0).cast("long"),
+            ).alias("cqv")
+        )
+    return cb
+
+
+def pq_topk_kmeans(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ADC top-k over the per-subspace Lloyd-refined codebooks
+    (``pq_codebooks_kmeans``) — same encode/LUT/rank tail as
+    ``pq_topk``, only the codeword source differs."""
+    cb = pq_codebooks_kmeans(embeddings, m, ksub, dim, rounds, id_col, vec_col)
+    codes = pq_encode(embeddings, cb, m, dim, id_col, vec_col)
+    lut = _pq_lut(queries, cb, m, dim, id_col, vec_col)
+    adc = codes.join(F.broadcast(lut), ["sub", "code"])
+    return _adc_rank(adc, k, id_col)
+
+
+def pq_recall_compare_kmeans(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of sampled-codebook PQ vs Lloyd-refined PQ at the
+    same (m, ksub), both against exact truth → per-query
+    ``(q, n_retrieved_sampled, n_hits_sampled, recall_sampled,
+    n_retrieved_kmeans, n_hits_kmeans, recall_kmeans)``."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    sampled = pq_topk(embeddings, queries, k, m, ksub, dim, id_col, vec_col)
+    refined = pq_topk_kmeans(
+        embeddings, queries, k, m, ksub, dim, rounds, id_col, vec_col
+    )
+    a = _recall_combine(
+        truth, sampled.select("q", F.col(id_col).alias("nn")), k
+    ).select(
+        "q",
+        F.col("n_retrieved").alias("n_retrieved_sampled"),
+        F.col("n_hits").alias("n_hits_sampled"),
+        F.col("recall").alias("recall_sampled"),
+    )
+    b = _recall_combine(
+        truth, refined.select("q", F.col(id_col).alias("nn")), k
+    ).select(
+        "q",
+        F.col("n_retrieved").alias("n_retrieved_kmeans"),
+        F.col("n_hits").alias("n_hits_kmeans"),
+        F.col("recall").alias("recall_kmeans"),
+    )
+    return a.join(b, "q")
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: DataFrame,
@@ -727,21 +950,9 @@ def pq_encode(
     aggregate — partial aggregation collapses the ksub scored rows
     per (vector, sub) map-side, same discipline as ``ivf_assign``'s
     argmax (no window, no ksub-amplified shuffle)."""
-    sub_d = dim // m
-    sub_vecs = quantized(embeddings, id_col, vec_col).select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        "qv",
-    ).select(
-        id_col, "sub", F.slice("qv", F.col("sub") * sub_d + 1, sub_d).alias("sv")
-    )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cqv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    sub_vecs = _pq_sub_vecs(embeddings, m, dim, id_col, vec_col)
     scored = sub_vecs.join(F.broadcast(codebooks), "sub").select(
-        id_col, "sub", "code", d2.alias("d2")
+        id_col, "sub", "code", _pq_d2().alias("d2")
     )
     return scored.groupBy(id_col, "sub").agg(
         F.min_by("code", F.struct("d2", "code")).alias("code")

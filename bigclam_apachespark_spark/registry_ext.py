@@ -1775,6 +1775,271 @@ SIM_ORACLE = {
 # only the storage layout differs), so it shares the oracle.
 SIM_ORACLE["sim_ivf_topk_persisted"] = SIM_ORACLE["sim_ivf_topk"]
 
+def _kmeans_chain_sql(rounds: int) -> str:
+    """CTE chain for ``rounds`` Lloyd steps from the sampled seeds
+    (expects ``emb`` + IVF_SQL's ``assign`` in scope): per round r,
+    mem{r} (member components of the previous assignment), m{r}
+    (exact-integer means), cent{r} (re-quantized centroids — the
+    oracle-exactness barrier, twin of _centroids_from_means), a{r}
+    (assignment to cent{r}). ``cent{rounds}``/``a{rounds}`` are the
+    refined quantizer and its corpus assignment
+    (similarity.ivf_centroids_kmeans / ivf_topk_kmeans)."""
+    parts = []
+    prev = "assign"
+    for r in range(1, rounds + 1):
+        parts.append(f"""mem{r} AS (
+  SELECT a.cell, dim_i AS d, e.qv[dim_i + 1] AS qval
+  FROM {prev} a JOIN emb e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim_i)
+),
+m{r} AS (
+  SELECT cell, d,
+         round(CAST(SUM(qval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mq
+  FROM mem{r} GROUP BY cell, d
+),
+cent{r}a AS (
+  SELECT cell, list(CAST(round(mq) AS BIGINT) ORDER BY d) AS cqv
+  FROM m{r} GROUP BY cell
+),
+cent{r} AS (
+  SELECT cell, cqv,
+         sqrt(CAST(list_sum([v * v for v in cqv]) AS DOUBLE)) AS cnrm
+  FROM cent{r}a
+),
+a{r} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS_EC} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN cent{r} c
+  ) WHERE rn = 1
+)""")
+        prev = f"a{r}"
+    return ",\n".join(parts)
+
+
+# Probe + score tail against the round-2 refined quantizer — same
+# shape as IVF_SQL's probes / sim_ivf_topk's scored, swapping in
+# cent2/a2. Constants mirror SIM_QUERIES (16 cells, 4 probes, top-5,
+# 2 Lloyd rounds, queries vec_id < 10).
+_KM_IVF_SQL = f"""
+kprobes AS (
+  SELECT q, cell FROM (
+    SELECT e.vec_id AS q, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IVF_COS_EC} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN cent2 c WHERE e.vec_id < 10
+  ) WHERE rn <= 4
+),
+kscored AS (
+  SELECT p.q, ea.vec_id,
+         round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) AS cos_sim
+  FROM kprobes p
+  JOIN a2 s ON s.cell = p.cell
+  JOIN emb ea ON ea.vec_id = s.vec_id
+  JOIN emb eb ON eb.vec_id = p.q
+  WHERE ea.vec_id <> p.q
+),
+knn AS (
+  SELECT q, vec_id, cos_sim, rank FROM (
+    SELECT q, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM kscored
+  ) WHERE rank <= 5
+)"""
+
+SIM_ORACLE["sim_ivf_topk_kmeans"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL}, {_kmeans_chain_sql(2)}, {_KM_IVF_SQL}
+    SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM knn
+"""
+
+SIM_ORACLE["sim_ivf_kmeans_recall"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL}, {_kmeans_chain_sql(2)}, {_KM_IVF_SQL},
+    bscored AS (
+      SELECT eb.vec_id AS q, ea.vec_id,
+             round({_PAIR_COS}, 6) AS cos_sim
+      FROM emb ea CROSS JOIN emb eb
+      WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+    ),
+    bnn AS (
+      SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 5
+    ),
+    iscored AS (
+      SELECT p.q, ea.vec_id,
+             round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) AS cos_sim
+      FROM probes p
+      JOIN assign s ON s.cell = p.cell
+      JOIN emb ea ON ea.vec_id = s.vec_id
+      JOIN emb eb ON eb.vec_id = p.q
+      WHERE ea.vec_id <> p.q
+    ),
+    inn AS (
+      SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM iscored
+      ) WHERE rank <= 5
+    ),
+    shits AS (
+      SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bnn b JOIN inn i ON i.q = b.q AND i.vec_id = b.vec_id
+      GROUP BY b.q
+    ),
+    sret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM inn GROUP BY q),
+    khits AS (
+      SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bnn b JOIN knn k ON k.q = b.q AND k.vec_id = b.vec_id
+      GROUP BY b.q
+    ),
+    kret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM knn GROUP BY q),
+    qspine AS (SELECT DISTINCT q FROM bnn)
+    SELECT s.q,
+           CAST(COALESCE(sr.n, 0) AS BIGINT) AS n_retrieved_sampled,
+           CAST(COALESCE(sh.n_hits, 0) AS BIGINT) AS n_hits_sampled,
+           round(CAST(COALESCE(sh.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6)
+             AS recall_sampled,
+           CAST(COALESCE(kr.n, 0) AS BIGINT) AS n_retrieved_kmeans,
+           CAST(COALESCE(kh.n_hits, 0) AS BIGINT) AS n_hits_kmeans,
+           round(CAST(COALESCE(kh.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6)
+             AS recall_kmeans
+    FROM qspine s
+    LEFT JOIN sret sr USING (q) LEFT JOIN shits sh USING (q)
+    LEFT JOIN kret kr USING (q) LEFT JOIN khits kh USING (q)
+"""
+
+def _pq_kmeans_chain_sql(rounds: int) -> str:
+    """Per-subspace Lloyd chain (expects PQ_SQL's ``psv``/``pcb`` in
+    scope): pc0 aliases the sampled seed codebooks; per round r,
+    kpa{r} assigns every (vec, sub) to its nearest pc{r-1} codeword
+    by exact integer squared-L2 (ties → lowest code), kpm{r} takes
+    per-component integer means, pc{r} re-quantizes them — the twin
+    of similarity.pq_codebooks_kmeans."""
+    d2 = (
+        f"list_sum([(v.sv[i] - c.cqv[i]) * (v.sv[i] - c.cqv[i]) "
+        f"for i in generate_series(1, {_PQ_SUBD})])"
+    )
+    parts = ["pc0 AS (SELECT sub, code, cqv FROM pcb)"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""kpa{r} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, v.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+                              ORDER BY {d2}, c.code) AS rn
+    FROM psv v JOIN pc{r - 1} c ON c.sub = v.sub
+  ) WHERE rn = 1
+),
+kpm{r} AS (
+  SELECT a.sub, a.code, di AS d,
+         round(CAST(SUM(v.sv[di]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mq
+  FROM kpa{r} a JOIN psv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  CROSS JOIN (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS di)
+  GROUP BY a.sub, a.code, di
+),
+pc{r} AS (
+  SELECT sub, code, list(CAST(round(mq) AS BIGINT) ORDER BY d) AS cqv
+  FROM kpm{r} GROUP BY sub, code
+)""")
+    return ",\n".join(parts)
+
+
+# Encode/LUT/ADC/rank tail against the round-2 refined codebooks —
+# PQ_SQL's pcodes/plut/padc/pnn with pc2 swapped in for pcb.
+_KM_PQ_SQL = f"""
+kpdist AS (
+  SELECT v.vec_id, v.sub, c.code,
+         list_sum([(v.sv[i] - c.cqv[i]) * (v.sv[i] - c.cqv[i])
+                   for i in generate_series(1, {_PQ_SUBD})]) AS d2
+  FROM psv v JOIN pc2 c ON c.sub = v.sub
+),
+kpcodes AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM kpdist
+  ) WHERE rn = 1
+),
+kplut AS (
+  SELECT e.vec_id AS q, e.nrm AS qnrm, c.sub, c.code,
+         list_sum([e.qv[c.sub * {_PQ_SUBD} + i] * c.cqv[i]
+                   for i in generate_series(1, {_PQ_SUBD})]) AS part,
+         list_sum([c.cqv[i] * c.cqv[i]
+                   for i in generate_series(1, {_PQ_SUBD})]) AS cn2
+  FROM emb e JOIN pc2 c ON TRUE
+  WHERE e.vec_id < 10
+),
+kpadc AS (
+  SELECT l.q, c.vec_id, SUM(l.part) AS dot, SUM(l.cn2) AS rn2,
+         MIN(l.qnrm) AS qnrm
+  FROM kpcodes c JOIN kplut l ON l.sub = c.sub AND l.code = c.code
+  WHERE l.q <> c.vec_id
+  GROUP BY l.q, c.vec_id
+),
+kpnn AS (
+  SELECT q, vec_id, adc_cos, rank FROM (
+    SELECT q, vec_id, adc_cos,
+           ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY adc_cos DESC, vec_id) AS rank
+    FROM (
+      SELECT q, vec_id,
+             round(CAST(dot AS DOUBLE) / (qnrm * sqrt(CAST(rn2 AS DOUBLE))), 6)
+               AS adc_cos
+      FROM kpadc
+    )
+  ) WHERE rank <= 5
+)"""
+
+SIM_ORACLE["sim_pq_topk_kmeans"] = f"""
+    WITH {EMB_SQL}, {PQ_SQL}, {_pq_kmeans_chain_sql(2)}, {_KM_PQ_SQL}
+    SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM kpnn
+"""
+
+SIM_ORACLE["sim_pq_kmeans_recall"] = f"""
+    WITH {EMB_SQL}, {PQ_SQL}, {_pq_kmeans_chain_sql(2)}, {_KM_PQ_SQL},
+    bscored AS (
+      SELECT eb.vec_id AS q, ea.vec_id,
+             round({_PAIR_COS}, 6) AS cos_sim
+      FROM emb ea CROSS JOIN emb eb
+      WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+    ),
+    bnn AS (
+      SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 5
+    ),
+    shits AS (
+      SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bnn b JOIN pnn i ON i.q = b.q AND i.vec_id = b.vec_id
+      GROUP BY b.q
+    ),
+    sret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM pnn GROUP BY q),
+    khits AS (
+      SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bnn b JOIN kpnn k ON k.q = b.q AND k.vec_id = b.vec_id
+      GROUP BY b.q
+    ),
+    kret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM kpnn GROUP BY q),
+    qspine AS (SELECT DISTINCT q FROM bnn)
+    SELECT s.q,
+           CAST(COALESCE(sr.n, 0) AS BIGINT) AS n_retrieved_sampled,
+           CAST(COALESCE(sh.n_hits, 0) AS BIGINT) AS n_hits_sampled,
+           round(CAST(COALESCE(sh.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6)
+             AS recall_sampled,
+           CAST(COALESCE(kr.n, 0) AS BIGINT) AS n_retrieved_kmeans,
+           CAST(COALESCE(kh.n_hits, 0) AS BIGINT) AS n_hits_kmeans,
+           round(CAST(COALESCE(kh.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6)
+             AS recall_kmeans
+    FROM qspine s
+    LEFT JOIN sret sr USING (q) LEFT JOIN shits sh USING (q)
+    LEFT JOIN kret kr USING (q) LEFT JOIN khits kh USING (q)
+"""
+
 # IVF-PQ composition: the IVF probe list (probes/assign from IVF_SQL)
 # restricts the PQ code table (pcodes from PQ_SQL); ADC scoring then
 # runs only over the probed cells' codes. Same constants as the
@@ -1903,6 +2168,22 @@ SIM_QUERIES = {
     ),
     "sim_ivf_topk_persisted": lambda spark, sf: _q_ivf_topk_persisted(spark, sf),
     "sim_ivfpq_topk": lambda spark, sf: _q_ivfpq_topk(spark, sf),
+    "sim_pq_topk_kmeans": lambda spark, sf: S.pq_topk_kmeans(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        k=5, m=16, ksub=64, rounds=2,
+    ),
+    "sim_pq_kmeans_recall": lambda spark, sf: S.pq_recall_compare_kmeans(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        k=5, m=16, ksub=64, rounds=2,
+    ),
+    "sim_ivf_topk_kmeans": lambda spark, sf: S.ivf_topk_kmeans(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        k=5, n_cells=16, nprobe=4, rounds=2,
+    ),
+    "sim_ivf_kmeans_recall": lambda spark, sf: S.ivf_recall_compare_kmeans(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        k=5, n_cells=16, nprobe=4, rounds=2,
+    ),
     "sim_ivfpq_recall": lambda spark, sf: S.ivfpq_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf),
         k=5, n_cells=16, nprobe=4, m=16, ksub=64,

@@ -1023,3 +1023,46 @@ def test_ivfpq_composition(spark, tmp_path):
     pers = S.ivfpq_topk_persisted(spark, path, q, k=5, nprobe=2, m=8)
     inline = S.ivfpq_topk(emb, q, k=5, n_cells=4, nprobe=2, m=8, ksub=16)
     assert sorted(map(tuple, pers.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_kmeans_centroids_dont_hurt_recall(spark):
+    """The Lloyd refinement must never lose to the raw sampled seeds
+    on mean recall@5 at the registry config (measured +0.02 at
+    sf0.01; ties allowed — the dial is data-dependent)."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    row = (
+        S.ivf_recall_compare_kmeans(emb, q, k=5, n_cells=16, nprobe=4, rounds=2)
+        .agg(
+            F.avg("recall_sampled").alias("s"), F.avg("recall_kmeans").alias("k")
+        )
+        .collect()[0]
+    )
+    assert row["k"] >= row["s"]
+    assert row["k"] > 0.3
+
+
+def test_pq_codebooks_kmeans_structure(spark):
+    """Per-subspace Lloyd invariants: rounds=0 degenerates to the
+    sampled seed codebooks exactly; refined codebooks keep the
+    (sub, code) domain within the seed grid and sub_d-length
+    codewords; encoding against them still yields m codes/vector."""
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    m, ksub = 8, 16
+    seeds = S.pq_codebooks(emb, m=m, ksub=ksub)
+    zero = S.pq_codebooks_kmeans(emb, m=m, ksub=ksub, rounds=0)
+    assert sorted(map(tuple, seeds.collect())) == sorted(map(tuple, zero.collect()))
+
+    ref = S.pq_codebooks_kmeans(emb, m=m, ksub=ksub, rounds=2)
+    rows = ref.collect()
+    assert all(0 <= r["sub"] < m and 0 <= r["code"] < ksub for r in rows)
+    assert all(len(r["cqv"]) == 64 // m for r in rows)
+    codes = S.pq_encode(emb, ref, m=m)
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [m]
