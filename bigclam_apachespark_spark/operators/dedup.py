@@ -161,6 +161,7 @@ def minhash_band_keys(
     num_perms: int = 16,
     shingle_n: int = 5,
     rows_per_band: int = 4,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document LSH band keys as a pure NARROW map → ``(doc_id,
     band, bucket)`` — identical buckets to
@@ -185,9 +186,10 @@ def minhash_band_keys(
     # path drops them (explode of no shingles emits nothing);
     # without the filter concat_ws would skip the NULL mins and
     # hash the empty string, emitting rows the batch twin never sees.
-    normd = docs.select("doc_id", normalize_text(text_col).alias("norm")).where(
-        F.col("norm").isNotNull()
-    )
+    keep = list(keep_cols)
+    normd = docs.select(
+        "doc_id", *keep, normalize_text(text_col).alias("norm")
+    ).where(F.col("norm").isNotNull())
     shingles = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_n - 1), F.lit(1))
@@ -196,12 +198,14 @@ def minhash_band_keys(
     )
     hashed = normd.select(
         "doc_id",
+        *keep,
         F.transform(
             F.array_distinct(shingles), lambda s: hash64(s) % MINHASH_P
         ).alias("h0s"),
     )
     mins = hashed.select(
         "doc_id",
+        *keep,
         F.array(
             *[
                 F.array_min(
@@ -232,8 +236,11 @@ def minhash_band_keys(
             for b in range(n_bands)
         ]
     )
-    return mins.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    return mins.select("doc_id", *keep, F.explode(bands).alias("bb")).select(
+        "doc_id",
+        *keep,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
     )
 
 

@@ -959,6 +959,13 @@ DEDUP_ORACLE = {
         WITH {MINHASH_SQL}, {BUCKETS_SQL}
         SELECT DISTINCT band, bucket FROM buckets
     """,
+    # Watermarked twin: identical bounded-replay answer (nothing is
+    # evicted inside one AvailableNow batch); the state bound is the
+    # production property.
+    "dedup_stream_minhash_watermark": f"""
+        WITH {MINHASH_SQL}, {BUCKETS_SQL}
+        SELECT DISTINCT band, bucket FROM buckets
+    """,
     # Word-BIGRAM Jaccard: order-sensitive near-dup (a token-shuffled
     # copy keeps unigram Jaccard ~1 but loses its bigrams). Same
     # inverted-index shape as dedup_token_jaccard, WITH the hot-gram
@@ -1127,6 +1134,32 @@ def _q_dedup_stream_minhash(spark, sf):
     )
 
 
+def _q_dedup_stream_minhash_watermark(spark, sf):
+    """Watermark-bounded streaming near-dup replay: on the bounded
+    AvailableNow replay nothing is evicted, so the emitted set equals
+    the batch DISTINCT (band, bucket) — same oracle as the unbounded
+    twin; what this row additionally verifies is that the event-time
+    staging + dropDuplicatesWithinWatermark path emits the identical
+    set (the state BOUND is the production property, covered by the
+    operator docstring and tests)."""
+    from bigclam_apachespark_spark.streaming import (
+        minhash_band_stream_watermark,
+        read_documents_stream,
+        run_stream_to_memory,
+        with_arrival_time,
+    )
+
+    stream = with_arrival_time(
+        read_documents_stream(spark, f"{sf}/documents.parquet")
+    )
+    return run_stream_to_memory(
+        minhash_band_stream_watermark(stream),
+        "dedup_stream_minhash_wm_sink",
+        "append",
+        strict=True,
+    )
+
+
 def _with_handles(make):
     """Run ``make(handles)`` and attach the operator's internal cache
     handles to the returned DataFrame as ``_cache_handles`` — gate
@@ -1160,6 +1193,7 @@ DEDUP_QUERIES = {
     "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
     "dedup_stream_exact": _q_dedup_stream,
     "dedup_stream_minhash": _q_dedup_stream_minhash,
+    "dedup_stream_minhash_watermark": _q_dedup_stream_minhash_watermark,
     "dedup_minhash_signatures": lambda spark, sf: D.minhash_signatures(_docs(spark, sf)),
     "dedup_lsh_buckets": lambda spark, sf: D.lsh_buckets(D.minhash_signatures(_docs(spark, sf))),
     "dedup_minhash_lsh_pairs": lambda spark, sf: _with_handles(

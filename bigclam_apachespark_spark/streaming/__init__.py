@@ -12,6 +12,8 @@ from bigclam_apachespark_spark.streaming.docs_stream import (
     read_documents_stream,
     dedup_stream,
     minhash_band_stream,
+    minhash_band_stream_watermark,
+    with_arrival_time,
 )
 
 __all__ = [
@@ -26,4 +28,6 @@ __all__ = [
     "read_documents_stream",
     "dedup_stream",
     "minhash_band_stream",
+    "minhash_band_stream_watermark",
+    "with_arrival_time",
 ]

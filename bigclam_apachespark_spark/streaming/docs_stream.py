@@ -18,13 +18,16 @@ Scale notes:
   state key is a fixed-width long, never the document text.
 - When the source carries event time, ``dropDuplicatesWithinWatermark``
   bounds state by the watermark horizon instead (dedup-within-window
-  semantics); the documents fixture has no timestamp column, so this
-  module models the unbounded-retention variant.
+  semantics). The documents fixture has no timestamp column, so the
+  exact/near-dup streams model the unbounded-retention variant;
+  ``minhash_band_stream_watermark`` (+ ``with_arrival_time`` staging a
+  deterministic event time) is the watermark-bounded configuration.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigclam_apachespark_spark.functions.hashing import hash64, normalize_text
@@ -111,3 +114,55 @@ def minhash_band_stream(
 
     keys = minhash_band_keys(docs, text_col, num_perms, shingle_n, rows_per_band)
     return keys.select("band", "bucket").dropDuplicates(["band", "bucket"])
+
+
+def with_arrival_time(docs: DataFrame, epoch0: int = 1704067200) -> DataFrame:
+    """Appends a deterministic event-time column ``ts`` = 2024-01-01
+    UTC + ``doc_id`` seconds — the timestamped staging of the
+    documents fixture (which carries no timestamp of its own). A
+    pure narrow projection, so a streaming source stays in append
+    mode; deterministic so the bounded-replay oracle can state the
+    emitted set exactly."""
+    return docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(epoch0) + F.col("doc_id"))
+    )
+
+
+def minhash_band_stream_watermark(
+    docs_ts: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 16,
+    shingle_n: int = 5,
+    rows_per_band: int = 4,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded streaming near-dup state → one ``(band,
+    bucket)`` row per band bucket first occupied WITHIN the watermark
+    horizon — the ``dropDuplicatesWithinWatermark`` twin of
+    ``minhash_band_stream``, closing its documented unbounded-
+    retention stance. Requires an event-time column ``ts`` on the
+    input (``with_arrival_time`` stages one for the fixture).
+
+    Semantics: a near-dup arriving within the horizon of its bucket's
+    first occupant is suppressed; one arriving later RE-ADMITS the
+    bucket (dedup-within-window, the content-drift-tolerant policy a
+    continuously-ingesting corpus actually wants). State per open
+    bucket is evicted once the watermark passes it — bounded by the
+    arrival rate × horizon instead of growing with corpus lifetime,
+    the 100-TB-safe configuration.
+
+    Oracle: on a bounded AvailableNow replay all rows land in one
+    batch where nothing has been evicted yet, so the emitted set
+    equals the batch DISTINCT (band, bucket) — same bounded-replay
+    contract as ``events_stream.dedup_within_watermark_stream``; the
+    state bound is the production property."""
+    from bigclam_apachespark_spark.operators.dedup import minhash_band_keys
+
+    keys = minhash_band_keys(
+        docs_ts, text_col, num_perms, shingle_n, rows_per_band, keep_cols=("ts",)
+    )
+    return (
+        keys.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["band", "bucket"])
+        .select("band", "bucket")
+    )

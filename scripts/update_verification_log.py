@@ -75,14 +75,17 @@ def main() -> None:
 
         n = len(ORACLE)
         cycle = -(-n // 50)
-        if cycle > 3:
+        if cycle > 4:
             print(
                 f"WARNING: {n} oracle-bearing queries -> rotation cycle "
                 f"{cycle} rounds; worst-case staleness is now {cycle - 1} "
                 "rounds. Update the README claim or trim/merge queries."
             )
         else:
-            print(f"rotation cycle: {cycle} rounds over {n} oracle queries")
+            print(
+                f"rotation cycle: {cycle} rounds over {n} oracle queries "
+                f"(README documents cycle 4 / worst-case staleness 3)"
+            )
     except Exception as ex:  # registry import needs pyspark; best-effort
         print(f"(cycle check skipped: {ex})")
 

@@ -362,7 +362,6 @@ _UNPARTITIONED_WINDOW_OK = {
 # below.
 _PLAN_SWEEP_SKIP = {
     "bigclam_facebook_pipeline",
-    "bigclam_fit_smoke",
     "bigclam_fit_long_smoke",
     "bigclam_model_selection_smoke",
 }

@@ -940,3 +940,39 @@ def test_global_shuffle_matches_bruteforce(spark):
             for r in global_shuffle_order(df, buckets=buckets).collect()
         }
         assert got == want, buckets
+
+
+def test_minhash_band_stream_watermark_matches_batch(spark):
+    """The watermark-bounded streaming near-dup filter must emit
+    exactly the batch DISTINCT (band, bucket) set on a bounded
+    replay (nothing evicted inside one AvailableNow pass), and the
+    staged arrival time must be deterministic (2024-01-01 + doc_id
+    seconds)."""
+    from bigclam_apachespark_spark.operators.dedup import minhash_band_keys
+    from bigclam_apachespark_spark.streaming import (
+        minhash_band_stream_watermark,
+        read_documents_stream,
+        run_stream_to_memory,
+        with_arrival_time,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    staged = with_arrival_time(spark.read.parquet(src))
+    t0 = staged.where("doc_id = 0").select("ts").collect()[0][0]
+    assert t0.year == 2024 and t0.month == 1 and t0.day == 1
+
+    stream = with_arrival_time(read_documents_stream(spark, src))
+    got = run_stream_to_memory(
+        minhash_band_stream_watermark(stream),
+        "t_mh_wm_stream_sink",
+        "append",
+        strict=True,
+    )
+    batch = (
+        minhash_band_keys(spark.read.parquet(src))
+        .select("band", "bucket")
+        .distinct()
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
