@@ -72,6 +72,12 @@ HEADLINE = [
     # relational surface: scan-agg and join-agg throughput shapes
     "rel_pricing_summary",
     "rel_top_orders",
+    # round-7 additions: the ANN serving ladder's compressed end —
+    # PQ ADC ranking, the IVF-PQ composition (persisted, partition-
+    # pruned), and the Lloyd-refined IVF quantizer build+serve
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivf_topk_kmeans",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -122,6 +128,10 @@ EXPECTED = {
     "graph_label_prop": 6.5,
     "rel_pricing_summary": 2.3,
     "rel_top_orders": 2.3,
+    # round-7 additions (measured 2026-08-15, healthy window)
+    "sim_pq_topk": 4.4,
+    "sim_ivfpq_topk": 7.2,
+    "sim_ivf_topk_kmeans": 5.0,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -293,6 +293,26 @@ def test_ivf_persisted_index_prunes_cells(spark):
     ), cells_scans
 
 
+def test_ivfpq_persisted_index_prunes_cells(spark):
+    """The persisted IVF-PQ serving path must combine BOTH 100-TB
+    properties: the packed-code scan reads only probed cell
+    partitions (dynamic partition pruning from the broadcast probe
+    list), and the ADC ranking stays a hash agg — no window over the
+    corpus-sized code relation (the per-q rank runs post-agg on
+    |Q|·candidates rows partitioned by q)."""
+    plan = _plan(spark, "sim_ivfpq_topk")
+    assert "dynamicpruning" in plan
+    codes_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "/codes" in ln
+    ]
+    assert codes_scans and all(
+        "dynamicpruning" in ln for ln in codes_scans
+    ), codes_scans
+    import re
+
+    assert not re.search(r"Window \[row_number\(\)[^\n]*\[vec_id#\d+L\],", plan), plan
+
+
 def test_asof_nearest_single_sort(spark):
     """direction='nearest' must compute BOTH scans (backward last +
     forward first) in one Window over one Exchange + one Sort — no
