@@ -939,3 +939,88 @@ def ngram_span_decontam(
         F.max("span_tokens").cast("int").alias("max_span_tokens"),
         F.count("*").cast("int").alias("n_spans"),
     )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """WITHIN-corpus duplicated-span scrubbing (the ExactSubstr-style
+    "deduplicating training data" pass, k-gram formulation) →
+    ``(doc_id, n_tokens, n_tokens_kept, n_tokens_removed,
+    text_scrubbed)``: any ``k``-token span whose exact (normalized)
+    content occurs at MORE than one position in the corpus is removed
+    from every position except the canonical first occurrence
+    (global min (doc_id, pos)); the surviving tokens rejoin in order.
+    Complements ``ngram_span_decontam`` (train-vs-benchmark REPORT):
+    this one REWRITES the training corpus itself, the memorization-
+    reduction step an LLM data pipeline runs corpus-wide.
+
+    Semantics (one pass, deterministic): drop-set = union of the
+    [pos, pos+k) windows of every non-canonical duplicated gram;
+    overlapping duplicated spans union naturally, and a canonical
+    occurrence's tokens survive unless some OTHER duplicated span's
+    window covers them. One pass, not a fixpoint: rejoined text can
+    form new k-grams a second pass would catch — the standard
+    trade-off in this family.
+
+    Scale shape: positional gram hashing is one narrow pass over the
+    token arrays; the occurrence stats are ONE hash agg on the gram
+    hash (map-side combined) filtered to duplicated grams (a small
+    fraction of any real corpus) before the join back, so the
+    re-join's build side is duplicate-proportional, not
+    corpus-proportional; the k-position fan-out is bounded by k; the
+    final rebuild groups each doc's kept tokens (per-doc groups —
+    AQE-splittable only across docs, which is the natural unit). No
+    window touches a corpus-sized relation."""
+    from bigclam_apachespark_spark.functions.hashing import (
+        hash64,
+        tokens,
+        word_ngrams_of,
+    )
+
+    toks = docs.select("doc_id", tokens(text_col).alias("tk"))
+    occ = toks.select(
+        "doc_id", F.posexplode(word_ngrams_of(F.col("tk"), k)).alias("pos", "gram")
+    ).select("doc_id", "pos", hash64("gram").alias("g"))
+    stats = (
+        occ.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct("doc_id", "pos")).alias("canon"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    dup = occ.join(stats, "g").where(
+        ~(
+            (F.col("doc_id") == F.col("canon.doc_id"))
+            & (F.col("pos") == F.col("canon.pos"))
+        )
+    )
+    drop_pos = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"),
+    ).distinct()
+    tok_pos = toks.select("doc_id", F.posexplode("tk").alias("p", "tok"))
+    kept = tok_pos.join(drop_pos, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_scrubbed"),
+    )
+    base = toks.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (
+            F.col("n_tokens") - F.coalesce("n_tokens_kept", F.lit(0))
+        ).cast("long").alias("n_tokens_removed"),
+        F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
+    )

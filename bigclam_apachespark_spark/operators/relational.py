@@ -167,6 +167,72 @@ def top_revenue_orders(
     )
     return agg.orderBy(F.col("revenue").desc(), "o_orderkey").limit(k)
 
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shape local-supplier revenue per nation — the
+    6-table join-ordering benchmark: for one region and one order
+    year, revenue from lineitems whose SUPPLIER sits in the same
+    nation as the ordering CUSTOMER.
+
+    Scale shape (what Catalyst should — and does — plan): the
+    region⨝nation filter chain collapses to a ≤25-row nation list
+    that is explicitly BROADCAST into customer and supplier (the
+    only joins small enough to force at any scale); the date filter
+    pushes to the orders scan; lineitem — the only 100-TB table —
+    is touched once, equi-joined to the filtered orders on orderkey
+    and to the region's suppliers on suppkey, with the same-nation
+    condition riding the join (cust_nation = supp_nation as a join
+    predicate, never a post-join filter over a wider product).
+    Those two joins are left to Catalyst/AQE: at small SF both
+    sides auto-broadcast; at 100 TB they become key-partitioned
+    hash joins — forcing a broadcast there would be the bug.
+    Revenue is an exact integer-cents fold per nation.
+    """
+    nat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("c_nationkey").alias("cust_nation"))
+    o = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("s_nationkey").alias("supp_nation"), "n_name")
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    li = lineitem.join(o, lineitem.l_orderkey == o.o_orderkey).join(
+        supp,
+        (lineitem.l_suppkey == supp.s_suppkey)
+        & (F.col("cust_nation") == F.col("supp_nation")),
+    )
+    return (
+        li.groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "n_name",
+            F.round(F.col("_rev").cast("double") / 10000.0, 6).alias("revenue"),
+        )
+    )
+
+
 def upsert_merge(
     snapshot: DataFrame, updates: DataFrame, key: str = "o_orderkey"
 ) -> DataFrame:

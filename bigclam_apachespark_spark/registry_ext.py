@@ -847,6 +847,48 @@ DEDUP_ORACLE = {
     # matching diagonals (pos_t - pos_b constant) merged by the
     # gaps-and-islands trick; span_tokens = run + k - 1. Integer-exact
     # both engines; mirrors operators/dedup.py ngram_span_decontam.
+    # Within-corpus duplicated-span scrubbing: every non-canonical
+    # occurrence of a duplicated 8-gram drops its [pos, pos+8)
+    # window; survivors rejoin in order. Parallel unnest zips the
+    # gram list with its 0-based positions (same trick as the span
+    # decontam twin); canonical = ROW_NUMBER 1 over (doc_id, pos).
+    "dedup_span_scrub": f"""
+        WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+        gr AS (SELECT doc_id, {word_ngrams_sql('tk', 8)} AS grams FROM tk),
+        occ0 AS (SELECT doc_id, unnest(range(len(grams))) AS pos,
+                        unnest(grams) AS gram FROM gr),
+        occ AS (SELECT doc_id, pos, {hash64_sql('gram')} AS g FROM occ0),
+        marked AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM occ
+        ),
+        dup AS (SELECT doc_id, pos FROM marked WHERE n >= 2 AND rn > 1),
+        drop_pos AS (
+          SELECT DISTINCT doc_id, pos + d AS p
+          FROM dup CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) dd
+        ),
+        tp0 AS (SELECT doc_id, unnest(range(len(tk))) AS p,
+                       unnest(tk) AS tok FROM tk),
+        kept AS (
+          SELECT t.doc_id, t.p, t.tok FROM tp0 t
+          LEFT JOIN drop_pos d ON d.doc_id = t.doc_id AND d.p = t.p
+          WHERE d.doc_id IS NULL
+        ),
+        reb AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+                 array_to_string(list(tok ORDER BY p), ' ') AS text_scrubbed
+          FROM kept GROUP BY doc_id
+        ),
+        base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk)
+        SELECT b.doc_id, b.n_tokens,
+               CAST(COALESCE(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(b.n_tokens - COALESCE(r.n_tokens_kept, 0) AS BIGINT)
+                 AS n_tokens_removed,
+               COALESCE(r.text_scrubbed, '') AS text_scrubbed
+        FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
     "dedup_span_decontam": f"""
         WITH tk_all AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
         tt AS (SELECT doc_id, {word_ngrams_sql('tk', 4)} AS grams FROM tk_all WHERE doc_id % 10 != 0),
@@ -1189,6 +1231,9 @@ DEDUP_QUERIES = {
         _docs(spark, sf).where("doc_id % 10 = 0"),
         k=4,
         min_span_tokens=8,
+    ),
+    "dedup_span_scrub": lambda spark, sf: D.scrub_duplicate_spans(
+        _docs(spark, sf), k=8
     ),
     "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
     "dedup_stream_exact": _q_dedup_stream,
@@ -3506,8 +3551,22 @@ def _q_rolling_avg(spark, sf):
     return rolling_order_stats(_rel_tables(spark, sf)[0], frame=3)
 
 
+def _q_local_supplier_volume(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        spark.read.parquet(f"{sf}/region.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
+    "rel_local_supplier_volume": _q_local_supplier_volume,
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
     "rel_upsert_merge": _q_upsert,
@@ -3516,6 +3575,26 @@ REL_QUERIES = {
 }
 
 REL_ORACLE = {
+    # Q5-shape: revenue in integer cents · percent (exact fold),
+    # divided back once — same quantization as rel_pricing_summary.
+    "rel_local_supplier_volume": """
+        SELECT n.n_name,
+               round(CAST(SUM(
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               ) AS DOUBLE) / 10000.0, 6) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
     "rel_dq_report": """
         SELECT 'orders_null_custkey' AS rule,
                CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad

@@ -976,3 +976,30 @@ def test_minhash_band_stream_watermark_matches_batch(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_scrub_duplicate_spans_hand_computed(spark):
+    """Span-scrub semantics on a hand-built corpus (k=3): the
+    canonical (first) occurrence keeps its tokens, every other
+    occurrence loses the union of its duplicated k-windows —
+    including WITHIN-document repetition."""
+    from bigclam_apachespark_spark.operators.dedup import scrub_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "x y a b c d z"),  # shares the 4-token run a b c d
+            (2, "p q r p q r"),    # internal repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(docs, k=3).collect()}
+    assert out[0]["text_scrubbed"] == "a b c d e f"  # canonical keeps all
+    assert out[0]["n_tokens_removed"] == 0
+    # doc 1: grams "a b c"@2 and "b c d"@3 are non-canonical dups ->
+    # drop {2,3,4} U {3,4,5} -> keep x y z
+    assert out[1]["text_scrubbed"] == "x y z"
+    assert out[1]["n_tokens_removed"] == 4
+    # doc 2: "p q r"@3 duplicates its own pos 0 -> second run drops
+    assert out[2]["text_scrubbed"] == "p q r"
+    assert out[2]["n_tokens_removed"] == 3
