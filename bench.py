@@ -78,6 +78,11 @@ HEADLINE = [
     "sim_pq_topk",
     "sim_ivfpq_topk",
     "sim_ivf_topk_kmeans",
+    # round-7 late additions: the ExactSubstr-style corpus rewrite
+    # (heaviest dedup shape: positional grams + anti-join + rebuild)
+    # and the 6-table Q5 join-ordering shape
+    "dedup_span_scrub",
+    "rel_local_supplier_volume",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
