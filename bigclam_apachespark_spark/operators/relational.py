@@ -233,6 +233,129 @@ def local_supplier_volume(
     )
 
 
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    market_region: str = "AMERICA",
+    supp_nation: str = "NATION_3",
+    part_type: str = "PROMO",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8-shape national market share — the conditional-
+    aggregation join shape: within one region's customers' orders of
+    one part type, the fraction of revenue supplied by one target
+    nation, per order year → ``(o_year, nation_revenue,
+    total_revenue, mkt_share)``.
+
+    Scale shape: the region⨝nation chain broadcasts into customer
+    (market side); the supplier⨝nation lookup broadcasts the ≤25-row
+    nation table and keeps ONLY a boolean ``is_target`` (the share
+    numerator is a conditional sum inside the SAME hash agg as the
+    denominator — one aggregate, not two joined subqueries); the
+    part-type filter prunes lineitem via an equi-join that AQE sizes
+    (filtered part is |part|/|types| — broadcastable at small SF,
+    shuffle-hash at 100 TB; forcing either would be wrong at the
+    other scale); the date window pushes to the orders scan.
+    lineitem is touched once. Both revenue folds are exact integer
+    cents·percent; the share is one double division rounded once.
+    """
+    nat_r = nation.join(
+        F.broadcast(region.where(F.col("r_name") == market_region)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(nat_r), customer.c_nationkey == nat_r.n_nationkey
+    ).select("c_custkey")
+    o = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(
+        "s_suppkey", (F.col("n_name") == supp_nation).alias("is_target")
+    )
+    pt = part.where(F.col("p_type") == part_type).select("p_partkey")
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    li = (
+        lineitem.join(pt, lineitem.l_partkey == pt.p_partkey)
+        .join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(supp, lineitem.l_suppkey == supp.s_suppkey)
+    )
+    agg = li.groupBy("o_year").agg(
+        F.sum(F.when(F.col("is_target"), rev).otherwise(F.lit(0))).alias("_nat"),
+        F.sum(rev).alias("_tot"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("_nat").cast("double") / 10000.0, 6).alias("nation_revenue"),
+        F.round(F.col("_tot").cast("double") / 10000.0, 6).alias("total_revenue"),
+        F.round(
+            F.col("_nat").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+def scd2_intervals(
+    orders: DataFrame,
+    key: str = "o_custkey",
+    attr: str = "o_orderpriority",
+) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) interval build — the
+    warehouse versioning pattern: collapse each key's change-row
+    stream into validity intervals → ``(o_custkey, o_orderpriority,
+    valid_from, valid_to, n_rows)``, one row per consecutive run of
+    an unchanged attribute, ``valid_to`` = the next run's start
+    (NULL on the current run). Gaps-and-islands: a lag-change flag,
+    a running sum to an island id, a per-island collapse, a lead for
+    the closing edge.
+
+    Scale shape: every window partitions by the dimension KEY (the
+    natural CDC shard — millions of partitions of a few rows, never
+    a global sort); change ordering is (event_time, row_key) so ties
+    are deterministic; the island collapse is a hash agg. One
+    shuffle on the key, reused by all three steps."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        key, "o_orderkey", "o_orderdate", attr
+    ).withColumn(
+        "_chg",
+        (
+            (F.lag(attr).over(w).isNull())
+            | (F.lag(attr).over(w) != F.col(attr))
+        ).cast("long"),
+    ).withColumn("_island", F.sum("_chg").over(w))
+    runs = flagged.groupBy(key, "_island").agg(
+        # all rows in an island share the attr; min is the
+        # deterministic way to say "the" value
+        F.min(attr).alias(attr),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    w2 = Window.partitionBy(key).orderBy("_island")
+    return runs.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_rows",
+    )
+
+
 def upsert_merge(
     snapshot: DataFrame, updates: DataFrame, key: str = "o_orderkey"
 ) -> DataFrame:

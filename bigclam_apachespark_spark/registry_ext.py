@@ -3564,9 +3564,31 @@ def _q_local_supplier_volume(spark, sf):
     )
 
 
+def _q_market_share(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import market_share
+
+    return market_share(
+        spark.read.parquet(f"{sf}/region.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/part.parquet"),
+    )
+
+
+def _q_scd2(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import scd2_intervals
+
+    return scd2_intervals(spark.read.parquet(f"{sf}/orders.parquet"))
+
+
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
     "rel_local_supplier_volume": _q_local_supplier_volume,
+    "rel_market_share": _q_market_share,
+    "rel_scd2_intervals": _q_scd2,
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
     "rel_upsert_merge": _q_upsert,
@@ -3575,6 +3597,74 @@ REL_QUERIES = {
 }
 
 REL_ORACLE = {
+    # Q8-shape: numerator and denominator are exact integer folds in
+    # the SAME aggregate; the share is one double division rounded
+    # once — identical quantization on both engines.
+    "rel_market_share": """
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE) / 10000.0, 6) AS nation_revenue,
+               round(CAST(SUM(
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               ) AS DOUBLE) / 10000.0, 6) AS total_revenue,
+               round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   ) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+                     AND r.r_name = 'AMERICA'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    # SCD2 interval build: lag-change flag -> running-sum island id
+    # -> per-island collapse -> lead closing edge. Window order
+    # (o_orderdate, o_orderkey) is a key, so every step is
+    # deterministic; islands are per-key sequential so the lead
+    # ordering is unambiguous.
+    "rel_scd2_intervals": """
+        WITH flagged AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                 CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                        OR LAG(o_orderpriority) OVER w != o_orderpriority
+                      THEN 1 ELSE 0 END AS chg
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)
+        ),
+        islands AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ),
+        runs AS (
+          SELECT o_custkey, island,
+                 MIN(o_orderpriority) AS o_orderpriority,
+                 MIN(o_orderdate) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM islands GROUP BY o_custkey, island
+        )
+        SELECT o_custkey, o_orderpriority, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY island) AS valid_to,
+               n_rows
+        FROM runs
+    """,
     # Q5-shape: revenue in integer cents · percent (exact fold),
     # divided back once — same quantization as rel_pricing_summary.
     "rel_local_supplier_volume": """

@@ -74,3 +74,87 @@ def test_pricing_summary_matches_plain_double_at_small_scale(spark):
     assert abs(r["sum_disc_price"] - exp_disc) < 1e-4
     assert abs(r["sum_charge"] - exp_charge) < 1e-4
     assert r["count_order"] == 2
+
+
+def test_scd2_intervals_hand_computed(spark):
+    """Gaps-and-islands on a hand-built change stream: runs collapse,
+    valid_to chains to the next run's start, the open run is NULL,
+    and a REVERTED attribute starts a NEW island (not a merge)."""
+    from bigclam_apachespark_spark.operators.relational import scd2_intervals
+
+    d = datetime.datetime
+    rows = [
+        # cust 1: LOW LOW HIGH LOW  -> 3 islands (LOW reverts)
+        (1, 1, d(2020, 1, 1), "LOW"),
+        (2, 1, d(2020, 2, 1), "LOW"),
+        (3, 1, d(2020, 3, 1), "HIGH"),
+        (4, 1, d(2020, 4, 1), "LOW"),
+        # cust 2: single row -> one open interval
+        (5, 2, d(2021, 1, 1), "MED"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    out = sorted(
+        scd2_intervals(orders).collect(),
+        key=lambda r: (r["o_custkey"], r["valid_from"]),
+    )
+    got = [
+        (r["o_custkey"], r["o_orderpriority"], r["valid_from"],
+         r["valid_to"], r["n_rows"])
+        for r in out
+    ]
+    assert got == [
+        (1, "LOW", d(2020, 1, 1), d(2020, 3, 1), 2),
+        (1, "HIGH", d(2020, 3, 1), d(2020, 4, 1), 1),
+        (1, "LOW", d(2020, 4, 1), None, 1),
+        (2, "MED", d(2021, 1, 1), None, 1),
+    ]
+
+
+def test_market_share_hand_computed(spark):
+    """Q8 share on a 2-lineitem fixture: one target-nation supplier
+    and one other, share = target revenue / total revenue."""
+    from bigclam_apachespark_spark.operators.relational import market_share
+
+    d = datetime.datetime
+    region = spark.createDataFrame(
+        [(0, "AMERICA"), (1, "ASIA")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_3", 0), (1, "NATION_9", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    customer = spark.createDataFrame(
+        [(10, 0)], "c_custkey long, c_nationkey int"
+    )
+    supplier = spark.createDataFrame(
+        [(100, 0), (101, 1)], "s_suppkey long, s_nationkey int"
+    )
+    orders = spark.createDataFrame(
+        [(1000, 10, d(1996, 6, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(7, "PROMO"), (8, "SMALL")], "p_partkey long, p_type string"
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1000, 7, 100, 100.0, 0.0),   # target nation: rev 100
+            (1000, 7, 101, 300.0, 0.0),   # other nation:  rev 300
+            (1000, 8, 100, 999.0, 0.0),   # wrong part type: excluded
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double",
+    )
+    out = market_share(
+        region, nation, customer, supplier, orders, lineitem, part
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["o_year"] == 1996
+    assert r["nation_revenue"] == 100.0
+    assert r["total_revenue"] == 400.0
+    assert r["mkt_share"] == 0.25
