@@ -1410,3 +1410,94 @@ def cluster_topics(
             F.round("salience", 6).alias("salience"),
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    n_cand: int = 16,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR (maximal marginal relevance) diversified top-k → ``(q,
+    vec_id, sel_rank, mmr_score)``: greedily select ``k`` of the top
+    ``n_cand`` exact-cosine candidates per query, each step taking
+    argmax of ``lam·rel − (1−lam)·max_sim_to_selected`` — the
+    standard redundancy-suppressing re-rank (a retrieval batch of
+    near-duplicate passages wastes its context budget; MMR trades
+    raw relevance for coverage).
+
+    Exactness: rel and the pairwise candidate sims are 6-dp-rounded
+    integer-quantized cosines, so with ``lam`` = 0.5 every greedy
+    comparison is over exactly-representable doubles — deterministic
+    and engine-identical, with (score desc, id) tie-breaks. rank-1's
+    mmr_score is its plain relevance (the standard convention).
+
+    Scale shape: candidate generation is the ANN ladder's job (swap
+    ``brute_force_topk`` for the IVF/PQ paths at scale); the re-rank
+    itself touches only |Q|·n_cand rows, every join/agg/window keyed
+    by q, and the greedy loop unrolls to k−1 bounded DataFrame
+    rounds — no Python in the loop, no corpus-sized relation."""
+    from pyspark.sql import Window
+
+    cand = brute_force_topk(
+        embeddings, queries, k=n_cand, id_col=id_col, vec_col=vec_col
+    )
+    rel = cand.select(
+        "q", F.col(id_col).alias("c"), F.col("cos_sim").alias("rel")
+    )
+    qc = quantized(embeddings, id_col, vec_col)
+    cv = rel.join(qc.withColumnRenamed(id_col, "c"), "c")
+    a = cv.select(
+        "q", F.col("c").alias("a"),
+        F.col("qv").alias("aqv"), F.col("nrm").alias("anrm"),
+    )
+    b = cv.select(
+        "q", F.col("c").alias("b"),
+        F.col("qv").alias("bqv"), F.col("nrm").alias("bnrm"),
+    )
+    pw = (
+        a.join(b, "q")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "q", "a", "b",
+            F.round(_cos_q("aqv", "anrm", "bqv", "bnrm"), 6).alias("s"),
+        )
+    )
+    w1 = Window.partitionBy("q").orderBy(F.col("rel").desc(), F.col("c"))
+    selected = (
+        rel.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .select(
+            "q", "c",
+            F.lit(1).cast("int").alias("sel_rank"),
+            F.round("rel", 6).alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        remaining = rel.join(selected.select("q", "c"), ["q", "c"], "left_anti")
+        ms = (
+            pw.join(
+                selected.select("q", F.col("c").alias("b")), ["q", "b"]
+            )
+            .groupBy("q", F.col("a").alias("c"))
+            .agg(F.max("s").alias("maxsim"))
+        )
+        mmr = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
+        ws = Window.partitionBy("q").orderBy(mmr.desc(), F.col("c"))
+        pick = (
+            remaining.join(ms, ["q", "c"])
+            .withColumn("_rn", F.row_number().over(ws))
+            .where(F.col("_rn") == 1)
+            .select(
+                "q", "c",
+                F.lit(step).cast("int").alias("sel_rank"),
+                F.round(mmr, 6).alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "q", F.col("c").alias(id_col), "sel_rank", "mmr_score"
+    )

@@ -596,9 +596,43 @@ TEXT_ORACLE["docs_csv_scan"] = f"""
     WHERE try_cast(doc_id AS BIGINT) IS NOT NULL
 """
 
+# ORC round-trip: write the documents table as ORC, re-read, and
+# aggregate over every column class (count, text length fold, id
+# range) — the oracle computes the same aggregate straight from
+# parquet, so a hash match attests the round-trip is lossless.
+TEXT_ORACLE["docs_orc_roundtrip"] = """
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY lang, source
+"""
+
+
+def _q_docs_orc_roundtrip(spark, sf):
+    import os
+
+    from bigclam_apachespark_spark.sources.docs import roundtrip_orc
+
+    path = (
+        "/tmp/spark_graft_orc_docs_"
+        f"{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
+    )
+    back = roundtrip_orc(spark.read.parquet(f"{sf}/documents.parquet"), path)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_chars"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
 TEXT_QUERIES = {
     "docs_jsonl_scan": lambda spark, sf: read_documents_jsonl(spark, DOCS_JSONL),
     "docs_csv_scan": lambda spark, sf: read_documents_csv(spark, DOCS_CSV),
+    "docs_orc_roundtrip": _q_docs_orc_roundtrip,
     "text_token_stats": lambda spark, sf: X.token_stats(_docs(spark, sf)),
     "text_quality": lambda spark, sf: X.quality_score(_docs(spark, sf)),
     "text_lang_id": lambda spark, sf: X.lang_id(_docs(spark, sf)),
@@ -2240,7 +2274,81 @@ SIM_ORACLE["sim_pair_hist"] = f"""
     FROM pairs GROUP BY 1
 """
 
+def _mmr_sql(k: int = 4, n_cand: int = 16, lam: float = 0.5) -> str:
+    """Unrolled greedy MMR twin of similarity.mmr_rerank: the k−1
+    selection steps become chained CTEs (DuckDB has no iterative
+    argmax); rel and pairwise sims are the same 6-dp quantized
+    cosines, lam = 0.5 keeps every score exactly representable."""
+    steps = []
+    prev = "sel1"
+    for i in range(2, k + 1):
+        steps.append(f"""
+        rem{i} AS (
+          SELECT cand.* FROM cand
+          WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                            WHERE s.q = cand.q AND s.c = cand.c)
+        ),
+        ms{i} AS (
+          SELECT pw.q, pw.a AS c, MAX(pw.s) AS maxsim
+          FROM pw JOIN {prev} s ON s.q = pw.q AND s.c = pw.b
+          GROUP BY pw.q, pw.a
+        ),
+        pick{i} AS (
+          SELECT q, c, CAST({i} AS INT) AS sel_rank,
+                 round({lam} * rel - {1.0 - lam} * maxsim, 6) AS mmr_score
+          FROM (
+            SELECT r.q, r.c, r.rel, m.maxsim,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY r.q
+                     ORDER BY ({lam} * r.rel - {1.0 - lam} * m.maxsim) DESC, r.c
+                   ) AS rn
+            FROM rem{i} r JOIN ms{i} m ON m.q = r.q AND m.c = r.c
+          ) WHERE rn = 1
+        ),
+        sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
+        prev = f"sel{i}"
+    return f"""
+        WITH {EMB_SQL},
+        cand AS (
+          SELECT q, c, rel FROM (
+            SELECT eb.vec_id AS q, ea.vec_id AS c,
+                   round({_PAIR_COS}, 6) AS rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY eb.vec_id
+                     ORDER BY round({_PAIR_COS}, 6) DESC, ea.vec_id
+                   ) AS rank
+            FROM emb ea CROSS JOIN emb eb
+            WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+          ) WHERE rank <= {n_cand}
+        ),
+        pw AS (
+          SELECT ca.q, ca.c AS a, cb.c AS b,
+                 round({_cosq_sql('ea.qv', 'ea.nrm', 'eb.qv', 'eb.nrm')}, 6) AS s
+          FROM cand ca
+          JOIN cand cb ON cb.q = ca.q AND cb.c <> ca.c
+          JOIN emb ea ON ea.vec_id = ca.c
+          JOIN emb eb ON eb.vec_id = cb.c
+        ),
+        sel1 AS (
+          SELECT q, c, CAST(1 AS INT) AS sel_rank,
+                 round(rel, 6) AS mmr_score
+          FROM (
+            SELECT q, c, rel,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY rel DESC, c) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        ),{','.join(steps)}
+        SELECT q, c AS vec_id, sel_rank, mmr_score FROM {prev}
+    """
+
+
+SIM_ORACLE["sim_mmr_topk"] = _mmr_sql(4, 16, 0.5)
+
 SIM_QUERIES = {
+    "sim_mmr_topk": lambda spark, sf: S.mmr_rerank(
+        _emb(spark, sf), _queries_subset(spark, sf), k=4, n_cand=16, lam=0.5
+    ),
     "sim_pair_hist": lambda spark, sf: S.cosine_histogram(_emb(spark, sf)),
     "sim_ivf_topk": lambda spark, sf: S.ivf_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4

@@ -108,3 +108,17 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def roundtrip_orc(df: DataFrame, path: str) -> DataFrame:
+    """ORC sink + scan — the second columnar interchange format a
+    warehouse must speak (Hive-ecosystem peers hand data over as ORC
+    at least as often as parquet). Spark's ORC datasource has the
+    same vectorized reader, predicate pushdown, and column pruning
+    as parquet, so every scan-shape guarantee in this repo carries
+    over; the round-trip is lossless for all primitive + nested
+    types used here. Writes with overwrite semantics, returns the
+    re-read relation (lazy — the read scan's schema comes from the
+    ORC footer, not the writer's lineage)."""
+    df.write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)

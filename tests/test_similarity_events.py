@@ -1066,3 +1066,28 @@ def test_pq_codebooks_kmeans_structure(spark):
     codes = S.pq_encode(emb, ref, m=m)
     per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_vec] == [m]
+
+
+def test_mmr_rerank_prefers_diverse_candidate(spark):
+    """MMR semantics on a 3-candidate fixture: plain top-2 would be
+    {A, B} (B nearly duplicates A), but MMR's second pick is the
+    diverse C; rank-1 mmr_score is plain relevance."""
+    from bigclam_apachespark_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0]),       # the query
+        (1, [0.9, 0.436]),     # A: rel ~0.89996
+        (2, [0.88, 0.47]),     # B: rel ~0.8821, near-dup of A (sim ~0.9992)
+        (3, [0.9, -0.436]),    # C: rel ~0.8996 mirrored, sim to A ~0.62
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id = 0")
+    out = {
+        r["sel_rank"]: r
+        for r in mmr_rerank(emb, queries, k=2, n_cand=3).collect()
+    }
+    # A and C tie on rel (0.899957); vec_id breaks the tie -> A first
+    assert out[1]["vec_id"] == 1
+    assert out[1]["mmr_score"] == 0.899957
+    # step 2: score(B) = .5*0.8821 - .5*0.9992 < 0 < score(C) ~ 0.14
+    assert out[2]["vec_id"] == 3
