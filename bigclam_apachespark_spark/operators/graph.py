@@ -446,6 +446,76 @@ def pagerank(
     return ranks.select("id", F.round("r", 6).alias("rank"))
 
 
+def pagerank_personalized(
+    sym_edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank → ``(id, rank)``: the teleport mass
+    lands only on the ``seeds`` cohort instead of uniformly — the
+    seed-expansion / recommendation primitive ("rank everything by
+    proximity to THIS set"). Same mean-1 normalization and fixed-k
+    determinism contract as ``pagerank`` (total mass N: seeds get
+    (1−d)·N/|S| teleport each, so Σrank stays N and the 6-decimal
+    round survives any graph size).
+
+    Scale shape: identical per-iteration cost to ``pagerank`` (one
+    edges⋈ranks join + one hash agg, cached edges⋈degree,
+    per-round localCheckpoint + release). The teleport column is
+    built once by broadcasting the seed set and the two scalar
+    counts (a one-row crossJoin, never a collect) and cached across
+    iterations."""
+    deg = degrees(sym_edges)
+    verts = vertices(sym_edges)
+    edges_deg = sym_edges.join(
+        deg.select(F.col("id").alias("src"), "degree"), "src"
+    ).cache()
+    stats = verts.agg(F.count("*").alias("n_v")).crossJoin(
+        seeds.agg(F.count("*").alias("n_s"))
+    )
+    tele = (
+        verts.join(
+            F.broadcast(seeds.select("id", F.lit(1).alias("_s"))), "id", "left"
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.when(
+                F.col("_s") == 1,
+                F.lit(1.0 - damping)
+                * (F.col("n_v").cast("double") / F.col("n_s").cast("double")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .cache()
+    )
+    ranks = verts.select("id", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("degree")).alias("m"))
+        )
+        new_ranks = (
+            tele.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.col("tele")
+                    + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        unpersist_local_checkpoint(ranks)
+        ranks = new_ranks
+    edges_deg.unpersist()
+    tele.unpersist()
+    return ranks.select("id", F.round("r", 6).alias("rank"))
+
+
 def connected_components(sym_edges: DataFrame) -> DataFrame:
     """Weakly connected components → ``(id, component)`` with
     component = the member minimum id. Thin graph-level alias over the

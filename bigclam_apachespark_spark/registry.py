@@ -171,6 +171,14 @@ def q_pagerank_weighted(spark, sf_dir):
     return G.pagerank_weighted(weighted_copurchase_edges(spark, sf_dir, 2), n_iter=5)
 
 
+def q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank: teleport mass on the id%97 seed cohort
+    (a stable, hash-free ~1% sample of vertices)."""
+    sym = _sym(spark, sf_dir)
+    seeds = G.vertices(sym).where(F.col("id") % 97 == 0)
+    return G.pagerank_personalized(sym, seeds, n_iter=5)
+
+
 # One ANSI-portable SQL string executed VERBATIM by BOTH engines:
 # Spark runs it with spark.sql() over temp views of the parquet
 # tables, and the IDENTICAL string is registered as the DuckDB
@@ -278,6 +286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_triangles,
     "graph_clustering": q_clustering,
     "graph_pagerank": q_pagerank,
+    "graph_pagerank_personalized": q_pagerank_personalized,
     "graph_components": q_components,
     "graph_pagerank_weighted": q_pagerank_weighted,
     "graph_kcore": q_kcore,
@@ -403,6 +412,39 @@ def _pagerank_weighted_sql(n_iter: int = 5, d: float = 0.85) -> str:
     return ",\n".join(parts) + f"\nSELECT id, round(r, 6) AS rank FROM pr{n_iter}"
 
 
+def _ppr_sql(n_iter: int = 5, d: float = 0.85, mod: int = 97) -> str:
+    """Unrolled personalized-PageRank twin: teleport only on the
+    id%mod seed cohort, (1−d)·N/|S| each — same fixed-k chain as
+    _pagerank_sql with the teleport column replacing the constant."""
+    parts = [
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src)",
+        "verts AS (SELECT DISTINCT src AS id FROM sym)",
+        f"seeds AS (SELECT id FROM verts WHERE id % {mod} = 0)",
+        "st AS (SELECT (SELECT COUNT(*) FROM verts) AS n_v, "
+        "(SELECT COUNT(*) FROM seeds) AS n_s)",
+        f"""tele AS (
+  SELECT v.id,
+         CASE WHEN sd.id IS NOT NULL
+              THEN {1.0 - d} * (CAST(st.n_v AS DOUBLE) / CAST(st.n_s AS DOUBLE))
+              ELSE 0.0 END AS tele
+  FROM verts v LEFT JOIN seeds sd USING (id) CROSS JOIN st
+)""",
+        "pr0 AS (SELECT id, 1.0::DOUBLE AS r FROM verts)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""pr{i + 1} AS (
+  SELECT t.id, t.tele + {d} * COALESCE(s.m, 0) AS r
+  FROM tele t LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r / dg.degree) AS m
+    FROM sym e JOIN pr{i} p ON p.id = e.src JOIN deg dg ON dg.id = e.src
+    GROUP BY e.dst
+  ) s USING (id)
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, round(r, 6) AS rank FROM pr{n_iter}"
+
+
 def _pagerank_sql(n_iter: int = 5, d: float = 0.85) -> str:
     """Unrolled k-iteration PageRank CTE chain (DuckDB twin of
     operators/graph.py pagerank) — fixed k keeps the fixpoint
@@ -507,6 +549,7 @@ ORACLE: dict[str, str] = {
         FROM deg d LEFT JOIN cnt c USING (id)
     """,
     "graph_pagerank": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_pagerank_sql(5)}",
+    "graph_pagerank_personalized": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ppr_sql(5)}",
     # Components of the support-thresholded graph as a recursive
     # fixpoint (closure over the sparsified edge set; label = MIN
     # reachable id — Spark computes the same fixpoint iteratively via

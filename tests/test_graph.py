@@ -374,3 +374,27 @@ def test_label_propagation_two_cliques(g1_edges):
     }
     assert all(got[i] == 0 for i in range(4)), got
     assert all(got[i] == 4 for i in range(4, 8)), got
+
+
+def test_pagerank_personalized_fixture(spark, g2_edges):
+    import math
+
+    from bigclam_apachespark_spark.operators.graph import (
+        pagerank_personalized,
+        symmetrize,
+        vertices,
+    )
+
+    # P4 path 0-1-2-3, seed {0}: hand-iterated 5-step fixpoint
+    # (node 1 outranks the seed — deg(0)=1 hands it ALL of 0's mass
+    # each round — but the far end starves); total mass stays N
+    sym = symmetrize(g2_edges)
+    seeds = vertices(sym).where("id = 0")
+    out = {
+        r["id"]: r["rank"]
+        for r in pagerank_personalized(sym, seeds, n_iter=5).collect()
+    }
+    expected = {0: 1.225383, 1: 1.382585, 2: 1.008731, 3: 0.3833}
+    for v, e in expected.items():
+        assert math.isclose(out[v], e, abs_tol=1e-6), (v, out[v], e)
+    assert math.isclose(sum(out.values()) / 4, 1.0, rel_tol=1e-3)
