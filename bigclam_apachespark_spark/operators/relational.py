@@ -308,6 +308,39 @@ def market_share(
     )
 
 
+def supplier_diversity(
+    part: DataFrame,
+    lineitem: DataFrame,
+    exclude_returnflag: str = "R",
+) -> DataFrame:
+    """TPC-H Q16-shape supplier diversity — the distinct-aggregate +
+    exclusion shape: per (p_brand, p_type), how many DISTINCT
+    suppliers shipped that product class, excluding any supplier
+    with a returned line item anywhere → ``(p_brand, p_type,
+    supplier_cnt)``.
+
+    Scale shape: the exclusion list is one distinct projection
+    anti-joined on the supplier key BEFORE the part join (the big
+    table drops excluded rows as early as possible); the part
+    attribute lookup is an equi-join AQE sizes; COUNT(DISTINCT)
+    compiles to Spark's two-phase partial-distinct Expand — a
+    map-side dedup on (group, suppkey) then a count, never a
+    collect_set blowup. All-integer output."""
+    bad = (
+        lineitem.where(F.col("l_returnflag") == exclude_returnflag)
+        .select("l_suppkey")
+        .distinct()
+    )
+    ps = lineitem.select("l_partkey", "l_suppkey").join(
+        bad, "l_suppkey", "left_anti"
+    )
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
 def scd2_intervals(
     orders: DataFrame,
     key: str = "o_custkey",

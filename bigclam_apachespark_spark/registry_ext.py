@@ -3692,11 +3692,21 @@ def _q_scd2(spark, sf):
     return scd2_intervals(spark.read.parquet(f"{sf}/orders.parquet"))
 
 
+def _q_supplier_diversity(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import supplier_diversity
+
+    return supplier_diversity(
+        spark.read.parquet(f"{sf}/part.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
     "rel_local_supplier_volume": _q_local_supplier_volume,
     "rel_market_share": _q_market_share,
     "rel_scd2_intervals": _q_scd2,
+    "rel_supplier_diversity": _q_supplier_diversity,
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
     "rel_upsert_merge": _q_upsert,
@@ -3705,6 +3715,18 @@ REL_QUERIES = {
 }
 
 REL_ORACLE = {
+    # Q16-shape: the exclusion list anti-joins before the part join;
+    # COUNT(DISTINCT) is exact on both engines.
+    "rel_supplier_diversity": """
+        SELECT p.p_brand, p.p_type,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey NOT IN (
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        )
+        GROUP BY p.p_brand, p.p_type
+    """,
     # Q8-shape: numerator and denominator are exact integer folds in
     # the SAME aggregate; the share is one double division rounded
     # once — identical quantization on both engines.

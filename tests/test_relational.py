@@ -158,3 +158,31 @@ def test_market_share_hand_computed(spark):
     assert r["nation_revenue"] == 100.0
     assert r["total_revenue"] == 400.0
     assert r["mkt_share"] == 0.25
+
+
+def test_supplier_diversity_excludes_returned(spark):
+    """Q16 shape: a supplier with ANY returned line item vanishes
+    from every group's distinct count."""
+    from bigclam_apachespark_spark.operators.relational import (
+        supplier_diversity,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "B1", "PROMO"), (2, "B1", "SMALL")],
+        "p_partkey long, p_brand string, p_type string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100, "N"),  # ok supplier
+            (1, 101, "N"),  # ok supplier
+            (1, 102, "N"),  # 102 also has a return below -> excluded
+            (2, 102, "R"),
+            (2, 100, "N"),
+        ],
+        "l_partkey long, l_suppkey long, l_returnflag string",
+    )
+    out = {
+        (r["p_brand"], r["p_type"]): r["supplier_cnt"]
+        for r in supplier_diversity(part, lineitem).collect()
+    }
+    assert out == {("B1", "PROMO"): 2, ("B1", "SMALL"): 1}
