@@ -52,6 +52,44 @@ def sliding_window_agg(
     )
 
 
+def topk_per_window(
+    events: DataFrame,
+    k: int = 3,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trending top-k per tumbling window → ``(window_start,
+    user_id, n_events, rank)``: the k most active users in each
+    event-time window, ties broken by user_id — the "trending
+    items" report shape.
+
+    Scale shape: one hash agg on (window, user) with map-side
+    combine, then a rank whose window PARTITIONS by the time bucket
+    (thousands of independent partitions — never a global sort; the
+    plan guard's partitioned-window rule). At 100 TB the per-window
+    group count is bounded by the active-user cardinality, and k
+    caps the output."""
+    from pyspark.sql import Window
+
+    w = F.window(ts_col, width)
+    per_user = (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= k)
+        .select(
+            "window_start", "user_id", "n_events",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
 ) -> DataFrame:

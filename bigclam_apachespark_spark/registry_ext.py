@@ -610,6 +610,43 @@ TEXT_ORACLE["docs_orc_roundtrip"] = """
 """
 
 
+# Schema-evolution merge read: the legacy generation (even doc_ids)
+# lacks source/n_chars; the oracle replays the generation boundary by
+# doc_id parity on the original table — NULL-column semantics must
+# match exactly.
+TEXT_ORACLE["docs_schema_evolution"] = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS sum_n_chars_current
+    FROM documents GROUP BY lang
+"""
+
+
+def _q_docs_schema_evolution(spark, sf):
+    import os
+
+    from bigclam_apachespark_spark.sources.docs import (
+        roundtrip_schema_evolution,
+    )
+
+    path = (
+        "/tmp/spark_graft_schema_evo_"
+        f"{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
+    )
+    merged = roundtrip_schema_evolution(
+        spark.read.parquet(f"{sf}/documents.parquet"), path
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("source").isNull().cast("long"))
+        .cast("long")
+        .alias("n_legacy"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars_current"),
+    )
+
+
 def _q_docs_orc_roundtrip(spark, sf):
     import os
 
@@ -633,6 +670,7 @@ TEXT_QUERIES = {
     "docs_jsonl_scan": lambda spark, sf: read_documents_jsonl(spark, DOCS_JSONL),
     "docs_csv_scan": lambda spark, sf: read_documents_csv(spark, DOCS_CSV),
     "docs_orc_roundtrip": _q_docs_orc_roundtrip,
+    "docs_schema_evolution": _q_docs_schema_evolution,
     "text_token_stats": lambda spark, sf: X.token_stats(_docs(spark, sf)),
     "text_quality": lambda spark, sf: X.quality_score(_docs(spark, sf)),
     "text_lang_id": lambda spark, sf: X.lang_id(_docs(spark, sf)),
@@ -2420,6 +2458,18 @@ SIM_QUERIES = {
 # ---------------------------------------------------------------------------
 
 EVENT_ORACLE = {
+    "events_topk_window": """
+        SELECT window_start, user_id, n_events, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                 user_id, COUNT(*) AS n_events,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY COUNT(*) DESC, user_id
+                 ) AS rank
+          FROM events GROUP BY 1, 2
+        ) WHERE rank <= 3
+    """,
     "events_tumbling": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
@@ -3267,6 +3317,7 @@ def _q_stream_interval_join(spark, sf):
 
 EVENT_QUERIES = {
     "events_tumbling": lambda spark, sf: E.tumbling_window_agg(_events(spark, sf)),
+    "events_topk_window": lambda spark, sf: E.topk_per_window(_events(spark, sf)),
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
     "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
     "events_hll_users": _q_hll_users,

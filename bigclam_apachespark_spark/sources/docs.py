@@ -14,6 +14,7 @@ aborting the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DOCS_JSONL_SCHEMA = T.StructType(
@@ -122,3 +123,25 @@ def roundtrip_orc(df: DataFrame, path: str) -> DataFrame:
     ORC footer, not the writer's lineage)."""
     df.write.mode("overwrite").orc(path)
     return df.sparkSession.read.orc(path)
+
+
+def roundtrip_schema_evolution(docs: DataFrame, path: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same
+    table — a legacy batch missing the newer columns and a current
+    full-schema batch — merged by ``mergeSchema`` into one relation
+    whose missing columns surface as NULLs. This is the 100-TB
+    reality check for any long-lived corpus: columns get added over
+    time and a reader must span generations without a rewrite.
+    Spark merges the parquet footers at planning time (cost ∝ number
+    of files, not rows); per-row the legacy batch pays nothing — the
+    vectorized reader fills the absent columns with NULL batches.
+    Splits deterministically by doc_id parity so the oracle can
+    replay the generation boundary."""
+    legacy = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    current = docs.where(F.col("doc_id") % 2 == 1)
+    legacy.write.mode("overwrite").parquet(f"{path}/gen=legacy")
+    current.write.mode("overwrite").parquet(f"{path}/gen=current")
+    return (
+        docs.sparkSession.read.option("mergeSchema", "true")
+        .parquet(f"{path}/gen=legacy", f"{path}/gen=current")
+    )

@@ -1091,3 +1091,25 @@ def test_mmr_rerank_prefers_diverse_candidate(spark):
     assert out[1]["mmr_score"] == 0.899957
     # step 2: score(B) = .5*0.8821 - .5*0.9992 < 0 < score(C) ~ 0.14
     assert out[2]["vec_id"] == 3
+
+
+def test_topk_per_window_ties_and_cap(spark):
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.events import topk_per_window
+
+    t0 = dt.datetime(2024, 1, 1, 0, 10)
+    t1 = dt.datetime(2024, 1, 1, 1, 10)  # second window
+    rows = (
+        [(t0, 1)] * 3 + [(t0, 2)] * 2 + [(t0, 3)] * 2 + [(t0, 4)]
+        + [(t1, 9)]
+    )
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = sorted(
+        topk_per_window(ev, k=2).collect(),
+        key=lambda r: (r["window_start"], r["rank"]),
+    )
+    got = [(r["user_id"], r["n_events"], r["rank"]) for r in out]
+    # window 0: user 1 (3 events) then the 2-vs-2 tie broken by id;
+    # user 4 is cut by k; window 1 has its lone user
+    assert got == [(1, 3, 1), (2, 2, 2), (9, 1, 1)]
