@@ -3184,6 +3184,40 @@ def _hll_by_window_sql(b: int = 8) -> str:
     """
 
 
+# Streaming CMS twin: per-window counter table restated in batch —
+# same hash64("cms{r}:" + user) bucketing, so counts are exact.
+EVENT_ORACLE["events_stream_cms_windows"] = f"""
+    WITH pr AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(rr.r AS INT) AS r,
+             CAST({hash64_sql("'cms' || CAST(rr.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 1024 AS INT) AS bucket
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rr
+    )
+    SELECT window_start, r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM pr GROUP BY 1, 2, 3
+"""
+
+
+def _q_stream_cms_windows(spark, sf):
+    """Streaming sketch replay: watermarked per-window CMS counter
+    agg (state = d*w integers per window) -> complete-mode sink.
+    Counters hash-match the batch DuckDB twin exactly."""
+    from bigclam_apachespark_spark.streaming import (
+        cms_users_windowed_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_stream_to_memory(
+        cms_users_windowed_stream(stream, "1 hour", d=4, w=1024),
+        "stream_cms_windows_oracle",
+        "complete",
+        timeout_sec=90.0,
+        strict=True,
+    )
+
+
 EVENT_ORACLE["events_stream_hll_windows"] = _hll_by_window_sql(8)
 
 
@@ -3351,6 +3385,7 @@ EVENT_QUERIES = {
     "events_stream_interval_join": _q_stream_interval_join,
     "events_stream_interval_left": _q_stream_interval_left,
     "events_stream_hll_windows": _q_stream_hll_windows,
+    "events_stream_cms_windows": _q_stream_cms_windows,
     "events_hll_union": _q_hll_union,
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_enrich": _q_stream_enrich,

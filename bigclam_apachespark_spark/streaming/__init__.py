@@ -4,6 +4,7 @@ from bigclam_apachespark_spark.streaming.events_stream import (
     enriched_counts_stream,
     click_attribution_stream,
     dedup_within_watermark_stream,
+    cms_users_windowed_stream,
     hll_users_windowed_stream,
     sessionize_stream,
     run_stream_to_memory,
@@ -22,6 +23,7 @@ __all__ = [
     "enriched_counts_stream",
     "click_attribution_stream",
     "dedup_within_watermark_stream",
+    "cms_users_windowed_stream",
     "hll_users_windowed_stream",
     "sessionize_stream",
     "run_stream_to_memory",

@@ -577,3 +577,61 @@ def hll_users_windowed_stream(
         .agg(F.max("rho").alias("register"))
         .select(start_ntz.alias("window_start"), "bucket", "register")
     )
+
+
+def cms_users_windowed_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Streaming count-min sketch: per-window CMS counter table over
+    user activity → ``(window_start, r, bucket, c)`` — ONE
+    watermarked stateful aggregation whose state per open window is
+    d·w integers instead of a per-user count table (the heavy-hitter
+    feed for unbounded-cardinality keys). Counters are SUM-mergeable
+    — the merge-friendly half of the sketch; point estimates (min
+    over the d probed counters) finalize downstream in batch, the
+    same split as the streamed HLL registers.
+
+    Same md5-derived deterministic hashing as the batch sketch
+    (``sketches.cms_counters``: hash64 of ``"cms{r}:" + term``),
+    so the streamed counters hash-match the batch DuckDB twin
+    exactly. ``window_start`` is TIMESTAMP_NTZ UTC wall time, same
+    sink contract as ``windowed_counts_stream``."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        hash64(
+                            F.concat(
+                                F.lit(f"cms{r}:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        )
+                        % w
+                    )
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for r in range(d)
+            ]
+        )
+    )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    start_ntz = F.timestamp_add(
+        "MICROSECOND", F.unix_micros(F.col("w.start")), epoch
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", probes.alias("p"))
+        .select("ts", F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .groupBy(F.window("ts", width).alias("w"), "r", "bucket")
+        .agg(F.count("*").alias("c"))
+        .select(start_ntz.alias("window_start"), "r", "bucket", "c")
+    )

@@ -1005,6 +1005,58 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
         assert abs(est[h] - n) / n < 0.5  # b=6: sigma ~13%, allow 4x
 
 
+def test_stream_cms_counters_match_batch(spark, tmp_path):
+    """The streamed per-window CMS counter table must equal the batch
+    cms_counters computed per hour bucket — same md5-derived hashing,
+    so counts (not just estimates) are exact — and absent (r, bucket)
+    cells must simply be missing (zero), never negative."""
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.sketches import cms_counters
+    from bigclam_apachespark_spark.streaming import (
+        cms_users_windowed_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    rows = [
+        (i, (i * 11) % 25, "click", f"2024-01-01 0{i % 3}:{10 + i % 40}:00", 1.0)
+        for i in range(90)
+    ]
+    src = str(tmp_path / "events_scms")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(src)
+
+    sink = run_stream_to_memory(
+        cms_users_windowed_stream(
+            read_events_stream(spark, src), "1 hour", d=2, w=64
+        ),
+        "scms_unit_sink",
+        "complete",
+        timeout_sec=90.0,
+    ).localCheckpoint(eager=True)
+
+    batch = spark.read.parquet(src)
+    want = {}
+    for h in (0, 1, 2):
+        hour = batch.where(F.hour("ts") == h).select(
+            F.col("user_id").cast("string").alias("term")
+        )
+        for r in cms_counters(hour, "term", d=2, w=64).collect():
+            want[(h, r["r"], r["bucket"])] = r["c"]
+    got = {
+        (r["window_start"].hour, r["r"], r["bucket"]): r["c"]
+        for r in sink.collect()
+    }
+    assert got == want
+    # every counter row counts at least one occurrence
+    assert all(c >= 1 for c in got.values())
+
+
 def test_ivfpq_composition(spark, tmp_path):
     """IVF-PQ invariants: at full probe width (nprobe = n_cells) the
     candidate set is the whole corpus, so IVF-PQ must equal plain PQ
