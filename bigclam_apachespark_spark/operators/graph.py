@@ -723,6 +723,63 @@ def common_neighbor_candidates(
     return wedges.join(adj, ["u", "w"], "left_anti")
 
 
+def sssp_weighted(
+    cost_edges: DataFrame, sources: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Bounded weighted single-source-set shortest paths →
+    ``(id, dist)``: minimal total integer edge cost from ANY source
+    within ``rounds`` Bellman-Ford relaxation rounds — the weighted
+    upgrade of ``bfs_hops`` (hop counts treat a strong tie and a
+    coincidental one identically; costed traversal does not).
+    ``cost_edges`` is ``(src, dst, cost)`` with INTEGER costs (the
+    caller derives them — e.g. ``1e6 div support`` — so every path
+    sum is an exact integer fold and min-comparisons are
+    bit-identical cross-engine; float costs would make the argmin
+    engine-dependent at the last ulp). ``sources`` is ``(id)``.
+
+    Frontier-relaxation shape (delta-stepping's scalable core):
+    each round joins ONLY the vertices whose distance improved last
+    round against the edge list — a round costs Σ deg(improved),
+    not Σ deg(V) — takes the per-destination MIN as a map-side-
+    combined hash agg, keeps strict improvements via one left join
+    against the distance table, and merges anti-join-style. An
+    empty improvement set exits early, bit-identical to running all
+    rounds (no improvement relaxes to nothing). Distance state
+    shuffles once per round on id; localCheckpoint per round cuts
+    the growing lineage, same cadence as bfs/pagerank/kcore."""
+    dist = sources.select(
+        "id", F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(cost_edges, frontier["id"] == cost_edges["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("cost")).alias("nd"),
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.count() == 0:
+            break
+        new_dist = (
+            dist.join(improved, "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        unpersist_local_checkpoint(dist)
+        dist = new_dist
+        frontier = improved
+    return dist
+
+
 def bfs_hops(
     sym_edges: DataFrame, sources: DataFrame, max_hops: int = 3
 ) -> DataFrame:

@@ -341,6 +341,139 @@ def supplier_diversity(
     )
 
 
+def big_quantity_orders(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: int = 300,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shape large-volume orders — the agg-then-semi-join
+    shape: orders whose total line-item quantity exceeds
+    ``qty_threshold``, with their customer, top-``k`` by
+    (o_totalprice desc, o_orderkey) → ``(c_name, c_custkey,
+    o_orderkey, o_orderdate, o_totalprice, total_qty)``.
+
+    Scale shape: the HAVING filter runs on the lineitem aggregate
+    BEFORE any join — the 100-TB table collapses to its qualifying
+    order keys first (one map-side-combined hash agg + one integer
+    comparison), and only those ~0.3% of orders flow into the
+    orders/customer joins, which AQE broadcasts at the resulting
+    size. Quantities sum as exact integers; the top-k is a
+    TakeOrderedAndProject with a deterministic tie-break, never a
+    global sort."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > qty_threshold)
+    )
+    o = orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+    res = o.join(customer, o.o_custkey == customer.c_custkey).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty",
+    )
+    return res.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(k)
+
+
+def small_quantity_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand: str = "Brand#23",
+    max_size: int = 10,
+) -> DataFrame:
+    """TPC-H Q17-shape small-quantity revenue — the correlated-
+    average decorrelation shape: yearly-averaged revenue from line
+    items of one brand's small parts whose quantity is below 20% of
+    that PART's average quantity → one ``(avg_yearly)`` row.
+
+    The correlated subquery (``l_quantity < 0.2 * avg(l_quantity)
+    where same part``) decorrelates into a per-part aggregate joined
+    back on the part key — the rewrite every engine's optimizer
+    must do; here it is expressed directly so the plan is the
+    rewritten one by construction. The 20%-of-average comparison is
+    exact integer arithmetic (``5·qty·n < Σqty``, no float
+    division), so the row set is bit-identical cross-engine.
+
+    Scale shape: the brand/size filter broadcasts a small part-key
+    list into lineitem FIRST (semi-join prune — the stats never
+    compute over unrelated parts); the per-part stats and the
+    stats-back join then shuffle only the surviving slice on the
+    same key (one partitioning, reused); the final sum is one
+    integer-cents fold."""
+    p = part.where(
+        (F.col("p_brand") == brand) & (F.col("p_size") < max_size)
+    ).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), lineitem.l_partkey == p.p_partkey, "left_semi"
+    ).select("l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+             _cents("l_extendedprice").alias("price_c"))
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("n_li")
+    )
+    small = li.join(stats, "l_partkey").where(
+        F.col("qty") * 5 * F.col("n_li") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum("price_c").cast("double") / 700.0, 6
+        ).alias("avg_yearly")
+    )
+
+
+def bucketed_segment_spend(
+    spark,
+    orders: DataFrame,
+    customer: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Co-located (bucketed) join — the storage-layout answer to the
+    biggest recurring shuffle in a warehouse: both sides are written
+    ONCE as bucketed tables on the join key (``bucketBy(n, custkey)``
+    + in-bucket sort), and every subsequent join on that key reads
+    the matching buckets directly — ZERO Exchange on either side
+    (plan-asserted in tests/test_plans.py). Result: per-segment
+    order volume → ``(c_mktsegment, n_orders, total_spend)``.
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every query and paying the partitioning once at ingest:
+    fact⨝dim and fact⨝fact joins on the bucket key become map-side
+    merges of pre-sorted buckets, and bucket pruning serves point
+    lookups. The bucket COUNT is the knob that must hold at scale —
+    buckets ≈ data / (executor-digestible split size); both sides
+    must agree on it (Spark only elides the shuffle when the bucket
+    counts match or divide evenly).
+
+    ``table_prefix`` must be run-unique (caller passes a pid-scoped
+    name, same discipline as the persisted IVF index): saveAsTable
+    into the session warehouse, mode overwrite."""
+    ot, ct = f"{table_prefix}_orders", f"{table_prefix}_customer"
+    (
+        orders.write.format("parquet").mode("overwrite")
+        .bucketBy(n_buckets, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ot)
+    )
+    (
+        customer.write.format("parquet").mode("overwrite")
+        .bucketBy(n_buckets, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(ct)
+    )
+    o = spark.table(ot)
+    c = spark.table(ct)
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    # wide accumulator → DECIMAL(38,0), per the module money policy
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(_cents("o_totalprice").cast("decimal(38,0)")).cast("double")
+            / 100.0,
+            6,
+        ).alias("total_spend"),
+    )
+
+
 def scd2_intervals(
     orders: DataFrame,
     key: str = "o_custkey",

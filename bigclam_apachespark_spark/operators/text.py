@@ -410,6 +410,55 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-bigram conditional language-model score per document →
+    ``(doc_id, n_bigrams, avg_logprob)`` with avg_logprob = mean
+    over adjacent token pairs of ln(c(w1,w2) / c(w1,·)) — the
+    order-sensitive upgrade of ``unigram_logprob``: token-salad
+    documents (scrambled text, keyword stuffing) score high under a
+    unigram LM because every token is individually common, but
+    their TRANSITIONS are rare, and this catches exactly that. No
+    smoothing needed: every scored bigram occurs in the corpus the
+    LM is built from (count ≥ 1), so the ratio is always defined
+    and in (0, 1]. Documents with fewer than two tokens drop (they
+    have no transitions to score).
+
+    Float discipline: ln only in rounded OUTPUT values, never a
+    rank or threshold (same policy as ``unigram_logprob``).
+
+    Scale shape: ONE zip_with pair construction (narrow — the pair
+    relation is built by slicing the token array against itself,
+    no self-join on position), feeding both corpus counts; the
+    bigram and head-count tables are vocabulary²-bounded but
+    Zipf-small in practice, joined back vertex-keyed; no windows,
+    no collects."""
+    tk = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pr = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bf = pr.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    hf = pr.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        pr.join(bf, ["w1", "w2"]).join(hf, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def chunk_plan(
     docs: DataFrame,
     text_col: str = "text",

@@ -223,6 +223,24 @@ def q_bfs_hops(spark, sf_dir):
     return G.bfs_hops(sym, sources, max_hops=3)
 
 
+def q_sssp_weighted(spark, sf_dir):
+    """Bounded weighted SSSP (4 Bellman-Ford rounds) from the
+    src % 100 = 0 cohort over the support-weighted co-purchase
+    graph. Edge cost = 1e6 div support (integer division on BOTH
+    engines — strong ties are cheap to traverse), so every path sum
+    is an exact integer and the min is bit-stable."""
+    from bigclam_apachespark_spark.sources import weighted_copurchase_edges
+
+    w = weighted_copurchase_edges(spark, sf_dir, 2)
+    costs = w.select(
+        "src", "dst", F.expr("1000000 div support").cast("long").alias("cost")
+    )
+    sources = costs.select(F.col("src").alias("id")).distinct().where(
+        F.col("id") % 100 == 0
+    )
+    return G.sssp_weighted(costs, sources, rounds=4)
+
+
 def q_label_prop(spark, sf_dir):
     """Two synchronous LPA rounds on the co-purchase graph (identity
     init; deterministic mode-with-smallest-tie rule — exact unrolled
@@ -294,6 +312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_degree_hist": q_sql_degree_hist,
     "graph_link_candidates": q_link_candidates,
     "graph_bfs_hops": q_bfs_hops,
+    "graph_sssp_weighted": q_sssp_weighted,
     "graph_label_prop": q_label_prop,
     "graph_modularity": q_modularity,
 }
@@ -349,6 +368,37 @@ d{h} AS MATERIALIZED (
 f{h} AS MATERIALIZED (SELECT id FROM x{h})"""
         )
     return ",\n".join(parts) + f"\nSELECT id, hops FROM d{rounds}"
+
+
+def _sssp_sql(rounds: int = 4, mod: int = 100) -> str:
+    """Unrolled frontier Bellman-Ford twin over the weighted
+    co-purchase graph (MATERIALIZED rounds — same rationale as
+    _bfs_sql). Integer costs via DuckDB's // (exact twin of Spark's
+    `div`)."""
+    parts = [
+        """costs AS MATERIALIZED (
+  SELECT src, dst, 1000000 // support AS cost FROM wedges)""",
+        f"""sd0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM costs
+  WHERE src % {mod} = 0),
+sf0 AS MATERIALIZED (SELECT id, dist FROM sd0)""",
+    ]
+    for h in range(1, rounds + 1):
+        parts.append(
+            f"""sc{h} AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(f.dist + e.cost) AS nd
+  FROM costs e JOIN sf{h - 1} f ON f.id = e.src GROUP BY e.dst),
+sx{h} AS MATERIALIZED (
+  SELECT c.id, CAST(c.nd AS BIGINT) AS dist
+  FROM sc{h} c LEFT JOIN sd{h - 1} d ON d.id = c.id
+  WHERE d.id IS NULL OR c.nd < d.dist),
+sd{h} AS MATERIALIZED (
+  SELECT d.id, d.dist FROM sd{h - 1} d
+  LEFT JOIN sx{h} x ON x.id = d.id WHERE x.id IS NULL
+  UNION ALL SELECT id, dist FROM sx{h}),
+sf{h} AS MATERIALIZED (SELECT id, dist FROM sx{h})"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, dist FROM sd{rounds}"
 
 
 def _kcore_sql(k: int = 80, rounds: int = 8) -> str:
@@ -574,6 +624,7 @@ ORACLE: dict[str, str] = {
         SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
     """,
     "graph_pagerank_weighted": f"WITH {_WEDGES_SQL},\n{_pagerank_weighted_sql(5)}",
+    "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
     # Verbatim the same string spark.sql() executes — portability is
     # the point (see PORTABLE_DEGREE_HIST_SQL).

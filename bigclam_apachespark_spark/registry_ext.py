@@ -337,6 +337,26 @@ TEXT_ORACLE = {
         FROM tok JOIN tf USING (term) CROSS JOIN tot
         GROUP BY doc_id
     """,
+    # Bigram conditional LM: adjacent token pairs via parallel
+    # positional unnest of the two array slices (DuckDB zips
+    # same-SELECT unnests positionally — the twin of Spark's
+    # zip_with over the sliced token array). ln only in rounded
+    # output values, same policy as the unigram LM.
+    "text_bigram_logprob": f"""
+        WITH tk AS (SELECT doc_id, {TOKENS} AS l FROM documents),
+        pr AS (
+          SELECT doc_id,
+                 unnest(l[1:len(l)-1]) AS w1,
+                 unnest(l[2:len(l)]) AS w2
+          FROM tk WHERE len(l) >= 2
+        ),
+        bf AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM pr GROUP BY 1, 2),
+        hf AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM pr GROUP BY 1)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(AVG(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 6) AS avg_logprob
+        FROM pr JOIN bf USING (w1, w2) JOIN hf USING (w1)
+        GROUP BY doc_id
+    """,
     # PII redaction: same five RE2/Java-portable patterns applied
     # sequentially (emails -> IPs -> phones -> SSNs -> secrets),
     # counts on each stage's residual text - mirroring
@@ -690,6 +710,7 @@ TEXT_QUERIES = {
     "text_pack_sequences": lambda spark, sf: X.pack_sequences(_docs(spark, sf), budget=256),
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
+    "text_bigram_logprob": lambda spark, sf: X.bigram_logprob(_docs(spark, sf)),
     "text_cms_token_counts": lambda spark, sf: SK.cms_topk_estimates(
         _docs(spark, sf), k=20, d=4, w=1024
     ),
@@ -3778,6 +3799,36 @@ def _q_scd2(spark, sf):
     return scd2_intervals(spark.read.parquet(f"{sf}/orders.parquet"))
 
 
+def _q_pit_dimension_join(spark, sf):
+    """Point-in-time-correct dimension join — the feature-store
+    leakage guard: each order picks up the SCD2 priority interval of
+    its customer that was VALID AT the order date, via a backward
+    as-of join on (custkey, valid_from). Composing the SCD2 build
+    with the union-sort as-of kernel gives the PIT lookup as ONE
+    key-partitioned sort — never an interval×fact range join, and
+    never the future-leaking plain join a naive feature pipeline
+    writes. Ties (two islands starting the same date) resolve to the
+    greatest (valid_from, priority), deterministic cross-engine."""
+    from bigclam_apachespark_spark.operators.relational import scd2_intervals
+    from bigclam_apachespark_spark.operators.temporal import as_of_join
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    dim = scd2_intervals(orders).select(
+        "o_custkey",
+        "valid_from",
+        F.col("o_orderpriority").alias("prio_pit"),
+    )
+    return as_of_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        dim,
+        on=["o_custkey"],
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        payload=["prio_pit"],
+        direction="backward",
+    )
+
+
 def _q_supplier_diversity(spark, sf):
     from bigclam_apachespark_spark.operators.relational import supplier_diversity
 
@@ -3787,11 +3838,54 @@ def _q_supplier_diversity(spark, sf):
     )
 
 
+def _q_big_orders(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import big_quantity_orders
+
+    return big_quantity_orders(
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
+def _q_small_qty_revenue(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        spark.read.parquet(f"{sf}/part.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
+def _q_bucketed_join(spark, sf):
+    """Run-unique table prefix (pid-scoped, same discipline as the
+    persisted IVF index path) so concurrent runs against the same sf
+    never clobber each other's bucketed tables."""
+    import os
+
+    from bigclam_apachespark_spark.operators.relational import bucketed_segment_spend
+
+    prefix = (
+        f"bkt_{os.path.basename(sf.rstrip('/')).replace('.', '_')}_{os.getpid()}"
+    )
+    return bucketed_segment_spend(
+        spark,
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        prefix,
+        n_buckets=8,
+    )
+
+
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
+    "rel_big_orders": _q_big_orders,
+    "rel_small_qty_revenue": _q_small_qty_revenue,
+    "rel_bucketed_join": _q_bucketed_join,
     "rel_local_supplier_volume": _q_local_supplier_volume,
     "rel_market_share": _q_market_share,
     "rel_scd2_intervals": _q_scd2,
+    "rel_pit_dimension_join": _q_pit_dimension_join,
     "rel_supplier_diversity": _q_supplier_diversity,
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
@@ -3801,6 +3895,54 @@ REL_QUERIES = {
 }
 
 REL_ORACLE = {
+    # Q18-shape: HAVING on the lineitem aggregate BEFORE any join;
+    # deterministic top-k tie-break on the order key.
+    "rel_big_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.total_qty
+        FROM big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    # Q17-shape: the correlated average decorrelated into a per-part
+    # aggregate; the 20%-of-average comparison is exact integer
+    # arithmetic (5*qty*n < sum_qty), so the row set is bit-identical.
+    "rel_small_qty_revenue": """
+        WITH pk AS (
+          SELECT p_partkey FROM part
+          WHERE p_brand = 'Brand#23' AND p_size < 10
+        ),
+        li AS (
+          SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+          FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)
+        ),
+        st AS (
+          SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_li
+          FROM li GROUP BY 1
+        )
+        SELECT round(CAST(SUM(price_c) AS DOUBLE) / 700.0, 6) AS avg_yearly
+        FROM li JOIN st USING (l_partkey)
+        WHERE qty * 5 * n_li < sum_qty
+    """,
+    # Bucketed co-located join: the RESULT is layout-independent (the
+    # bucketing only removes the join exchanges — plan-asserted in
+    # tests/test_plans.py), so the oracle is the plain join.
+    "rel_bucketed_join": """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               round(CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                     AS DOUBLE) / 100.0, 6) AS total_spend
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    """,
     # Q16-shape: the exclusion list anti-joins before the part join;
     # COUNT(DISTINCT) is exact on both engines.
     "rel_supplier_diversity": """
@@ -3846,6 +3988,47 @@ REL_ORACLE = {
         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY 1
+    """,
+    # PIT dimension join: SCD2 islands restated, then for each order
+    # the valid-at interval = rank-1 by (valid_from DESC, prio DESC)
+    # among intervals starting at or before the order date — the
+    # relational restatement of the backward as-of (whose equal-key
+    # ties resolve to the greatest (valid_from, payload) struct).
+    "rel_pit_dimension_join": """
+        WITH flagged AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                 CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                        OR LAG(o_orderpriority) OVER w != o_orderpriority
+                      THEN 1 ELSE 0 END AS chg
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)
+        ),
+        islands AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged
+        ),
+        runs AS (
+          SELECT o_custkey, island,
+                 MIN(o_orderpriority) AS prio_pit,
+                 MIN(o_orderdate) AS valid_from
+          FROM islands GROUP BY o_custkey, island
+        ),
+        j AS (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                 d.valid_from, d.prio_pit,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY d.valid_from DESC, d.prio_pit DESC) AS rn
+          FROM orders o JOIN runs d
+            ON d.o_custkey = o.o_custkey
+           AND d.valid_from <= o.o_orderdate
+        )
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               valid_from AS asof_valid_from, prio_pit AS asof_prio_pit
+        FROM j WHERE rn = 1
     """,
     # SCD2 interval build: lag-change flag -> running-sum island id
     # -> per-island collapse -> lead closing edge. Window order

@@ -398,3 +398,23 @@ def test_pagerank_personalized_fixture(spark, g2_edges):
     for v, e in expected.items():
         assert math.isclose(out[v], e, abs_tol=1e-6), (v, out[v], e)
     assert math.isclose(sum(out.values()) / 4, 1.0, rel_tol=1e-3)
+
+
+def test_sssp_weighted_prefers_cheap_detour(spark):
+    """Weighted SSSP on a diamond where the 2-edge detour (cost 1+1)
+    beats the direct edge (cost 5): the relaxation must improve an
+    already-reached vertex in a later round — the case plain BFS
+    gets wrong by construction. Bounded rounds truncate honestly."""
+    from bigclam_apachespark_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        # 0->2 direct cost 5; 0->1->2 total cost 2; 2->3 cost 1
+        [(0, 2, 5), (0, 1, 1), (1, 2, 1), (2, 3, 1)],
+        "src long, dst long, cost long",
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    full = {r.id: r.dist for r in sssp_weighted(edges, src, rounds=4).collect()}
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3}
+    # one round only reaches direct successors at direct cost
+    one = {r.id: r.dist for r in sssp_weighted(edges, src, rounds=1).collect()}
+    assert one == {0: 0, 1: 1, 2: 5}

@@ -422,3 +422,22 @@ def test_cap_per_source_bucketed_rank(spark):
 
     specs = re.findall(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan)
     assert any("_cb" in s for s in specs), specs
+
+
+def test_bucketed_join_elides_exchanges(spark):
+    """The co-located join must read matching buckets directly: with
+    auto-broadcast off (forcing the join shape a 100-TB run would
+    take), the ONLY hash exchange in the plan is the final
+    per-segment aggregate — neither join side re-shuffles on the
+    bucket key, and the scans report their bucket selection."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "rel_bucketed_join")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    ex = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(ex) == 1 and "c_mktsegment" in ex[0], plan
+    assert "SelectedBucketsCount" in plan

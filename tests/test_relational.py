@@ -186,3 +186,111 @@ def test_supplier_diversity_excludes_returned(spark):
         for r in supplier_diversity(part, lineitem).collect()
     }
     assert out == {("B1", "PROMO"): 2, ("B1", "SMALL"): 1}
+
+
+def test_big_quantity_orders_having_and_order(spark):
+    """Q18 shape: the HAVING threshold binds on the SUMMED quantity
+    (no single line need exceed it), and the top-k orders by
+    (totalprice desc, orderkey)."""
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.relational import (
+        big_quantity_orders,
+    )
+
+    d = dt.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, d, 500.0), (2, 10, d, 900.0), (3, 11, d, 900.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, "alice"), (11, "bob")], "c_custkey long, c_name string"
+    )
+    lineitem = spark.createDataFrame(
+        # order 1: 6+6 = 12 > 10; order 2: 11 > 10; order 3: 10 (not >)
+        [(1, 6.0), (1, 6.0), (2, 11.0), (3, 10.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    got = big_quantity_orders(
+        orders, customer, lineitem, qty_threshold=10, k=10
+    ).collect()
+    # order 3 sums to exactly 10 — NOT > threshold — and must drop;
+    # order 2 (price 900) precedes order 1 (price 500).
+    assert [(r["o_orderkey"], r["total_qty"], r["c_name"]) for r in got] == [
+        (2, 11, "alice"),
+        (1, 12, "alice"),
+    ]
+
+
+def test_small_quantity_revenue_integer_threshold(spark):
+    """Q17 shape: a line item counts iff 5*qty*n < sum_qty for its
+    part (strictly below 20% of the part's average), and the result
+    is sum(extendedprice)/7 over exactly those rows."""
+    from bigclam_apachespark_spark.operators.relational import (
+        small_quantity_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "B", 5), (2, "B", 5), (3, "X", 5)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    # part 1: quantities 1, 9 -> sum 10, n 2; row qty=1: 5*1*2=10 < 10
+    # is FALSE (strict) -> nothing qualifies.
+    # part 2: quantities 1, 19 -> sum 20, n 2; qty=1: 10 < 20 TRUE.
+    # part 3: wrong brand, huge price, must be ignored entirely.
+    lineitem = spark.createDataFrame(
+        [
+            (1, 1.0, 70.0),
+            (1, 9.0, 70.0),
+            (2, 1.0, 140.0),
+            (2, 19.0, 70.0),
+            (3, 1.0, 9999.0),
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    got = small_quantity_revenue(part, lineitem, brand="B", max_size=10).collect()
+    assert len(got) == 1
+    assert got[0]["avg_yearly"] == round(140.0 / 7.0, 6)
+
+
+def test_bucketed_segment_spend_matches_plain_join(spark, tmp_path):
+    """The bucketed-layout result must be layout-independent: equal
+    to the plain join+agg over the same inputs."""
+    import os
+    import uuid
+
+    from bigclam_apachespark_spark.operators.relational import (
+        bucketed_segment_spend,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, i % 7, 10.0 + i) for i in range(100)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, "SEG_%d" % (i % 3)) for i in range(7)],
+        "c_custkey long, c_mktsegment string",
+    )
+    prefix = f"bkt_test_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    got = {
+        r["c_mktsegment"]: (r["n_orders"], r["total_spend"])
+        for r in bucketed_segment_spend(
+            spark, orders, customer, prefix, n_buckets=4
+        ).collect()
+    }
+    want = {
+        r["c_mktsegment"]: (r["n"], round(r["s"], 6))
+        for r in orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_orders")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_customer")

@@ -205,3 +205,45 @@ def test_as_of_join_nearest_tie_and_equal_ts(spark):
             for r in m.itertuples()
         }
         assert got == want, direction
+
+
+def test_pit_join_never_leaks_future_dimension(spark):
+    """The point-in-time composition (scd2_intervals + backward
+    as-of) must give each fact the dimension value valid AT its
+    date: an early order must see the EARLY priority even though the
+    customer's attribute later changes — the training-data leakage a
+    plain dimension join commits."""
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.relational import scd2_intervals
+    from bigclam_apachespark_spark.operators.temporal import as_of_join
+    from pyspark.sql import functions as F
+
+    d = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    orders = spark.createDataFrame(
+        [
+            (1, 7, d("1995-01-01"), "LOW"),
+            (2, 7, d("1995-06-01"), "LOW"),
+            (3, 7, d("1996-01-01"), "HIGH"),
+            (4, 7, d("1996-06-01"), "HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    dim = scd2_intervals(orders).select(
+        "o_custkey", "valid_from", F.col("o_orderpriority").alias("prio_pit")
+    )
+    got = {
+        r["o_orderkey"]: r["asof_prio_pit"]
+        for r in as_of_join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            dim,
+            on=["o_custkey"],
+            left_ts="o_orderdate",
+            right_ts="valid_from",
+            payload=["prio_pit"],
+            direction="backward",
+        ).collect()
+    }
+    # orders 1-2 predate the change and must NOT see HIGH
+    assert got == {1: "LOW", 2: "LOW", 3: "HIGH", 4: "HIGH"}

@@ -1003,3 +1003,26 @@ def test_scrub_duplicate_spans_hand_computed(spark):
     # doc 2: "p q r"@3 duplicates its own pos 0 -> second run drops
     assert out[2]["text_scrubbed"] == "p q r"
     assert out[2]["n_tokens_removed"] == 3
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Conditional bigram LM on a 3-doc corpus: hand-computed
+    ln(c(w1,w2)/c(w1,·)) averages; a 1-token doc has no transitions
+    and must drop from the result."""
+    import math
+
+    from bigclam_apachespark_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(got) == {1, 2}
+    # corpus pairs: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,c)
+    # c(a,.) = 3, c(b,.) = 1; c(a,b) = 2, c(b,a) = 1, c(a,c) = 1
+    assert got[1]["n_bigrams"] == 3
+    want1 = (math.log(2 / 3) + math.log(1 / 1) + math.log(2 / 3)) / 3
+    assert got[1]["avg_logprob"] == round(want1, 6)
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["avg_logprob"] == round(math.log(1 / 3), 6)
