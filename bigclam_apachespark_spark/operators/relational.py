@@ -474,6 +474,104 @@ def bucketed_segment_spend(
     )
 
 
+def disjunctive_filter_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q19-shape disjunctive-predicate revenue — the
+    OR-of-conjunctions shape: revenue from line items matching ANY
+    of three (brand, size-range, quantity-range) arms → one
+    ``(revenue)`` row. The predicate spans BOTH tables (brand/size
+    on part, quantity on lineitem), so a naive plan evaluates it
+    only after the join; the scale-correct plan pushes each side's
+    weakest common factor down to its scan. Catalyst extracts those
+    common factors from the disjunction itself (CNF conversion:
+    quantity ≤ 30 reaches the lineitem scan, size ≥ 1 the part
+    scan) — asserted in tests/test_plans.py rather than re-derived
+    by hand here.
+
+    Scale shape: one part⨝lineitem equi-join (part side prunes to 3
+    brands before the join — that filter is disjunction-factorable
+    and pushed whole), predicate rides the join, one integer-cents
+    fold. Revenue = extendedprice·(1−discount) in exact cents."""
+    qty = F.col("l_quantity").cast("long")
+    arms = (
+        ((F.col("p_brand") == "Brand#12") & qty.between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & qty.between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#15") & qty.between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = lineitem.join(
+        part.where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#15")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    return j.where(arms).agg(
+        F.round(F.sum(rev).cast("double") / 10000.0, 6).alias("revenue")
+    )
+
+
+def sole_late_supplier_blame(
+    orders: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-intent "sole late supplier" — the double correlated
+    quantifier shape (EXISTS another supplier ∧ NOT EXISTS another
+    LATE supplier) → ``(s_name, numwait)``, top-``k`` suppliers who
+    were the ONLY late supplier on a multi-supplier order. A line
+    item is late when it ships more than ``late_days`` after the
+    order date (the synthetic schema has no commit/receipt dates;
+    ship-vs-order lateness is the same correlation structure).
+
+    The two correlated subqueries decorrelate into ONE aggregation
+    cascade instead of two self-joins of the 100-TB table: per
+    (order, supplier) fold the late flag, per order count suppliers
+    and late suppliers, then blame = late ∧ n_supp>1 ∧ n_late=1.
+    Every step is a map-side-combinable hash agg on keys the
+    previous step already partitioned by — the orderkey
+    partitioning is reused twice; the self-join formulation would
+    shuffle lineitem thrice and explode on hot orders.
+
+    Scale shape: one lineitem⨝orders equi-join (date columns only),
+    two cascaded hash aggs, a supplier-name broadcast, and a
+    TakeOrderedAndProject top-k with deterministic (count desc,
+    name) ordering."""
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).alias("late"),
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("any_late").cast("long")).alias("n_late"),
+    )
+    blame = (
+        per_supp.join(per_order, "l_orderkey")
+        .where(F.col("any_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        blame.join(F.broadcast(supplier), blame.l_suppkey == supplier.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(k)
+    )
+
+
 def scd2_intervals(
     orders: DataFrame,
     key: str = "o_custkey",

@@ -3829,6 +3829,29 @@ def _q_pit_dimension_join(spark, sf):
     )
 
 
+def _q_disjunctive_revenue(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import (
+        disjunctive_filter_revenue,
+    )
+
+    return disjunctive_filter_revenue(
+        spark.read.parquet(f"{sf}/part.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
+def _q_late_supplier_blame(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import (
+        sole_late_supplier_blame,
+    )
+
+    return sole_late_supplier_blame(
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
 def _q_supplier_diversity(spark, sf):
     from bigclam_apachespark_spark.operators.relational import supplier_diversity
 
@@ -3886,6 +3909,8 @@ REL_QUERIES = {
     "rel_market_share": _q_market_share,
     "rel_scd2_intervals": _q_scd2,
     "rel_pit_dimension_join": _q_pit_dimension_join,
+    "rel_disjunctive_revenue": _q_disjunctive_revenue,
+    "rel_late_supplier_blame": _q_late_supplier_blame,
     "rel_supplier_diversity": _q_supplier_diversity,
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
@@ -3988,6 +4013,54 @@ REL_ORACLE = {
         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY 1
+    """,
+    # Q19-shape: the OR-of-conjunctions predicate verbatim; exact
+    # integer-cents revenue fold.
+    "rel_disjunctive_revenue": """
+        SELECT round(CAST(SUM(
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               ) AS DOUBLE) / 10000.0, 6) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12'
+               AND CAST(l.l_quantity AS BIGINT) BETWEEN 1 AND 11
+               AND p.p_size BETWEEN 1 AND 5)
+           OR (p.p_brand = 'Brand#23'
+               AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 20
+               AND p.p_size BETWEEN 1 AND 10)
+           OR (p.p_brand = 'Brand#15'
+               AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 30
+               AND p.p_size BETWEEN 1 AND 15)
+    """,
+    # Q21-intent: both correlated quantifiers decorrelated into one
+    # aggregation cascade (per-(order,supplier) late fold, per-order
+    # supplier/late counts, blame filter) — same rows as the
+    # EXISTS / NOT EXISTS formulation by construction.
+    "rel_late_supplier_blame": """
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        ps AS (
+          SELECT l_orderkey, l_suppkey, MAX(late) AS any_late
+          FROM li GROUP BY 1, 2
+        ),
+        po AS (
+          SELECT l_orderkey, COUNT(*) AS n_supp,
+                 SUM(CASE WHEN any_late THEN 1 ELSE 0 END) AS n_late
+          FROM ps GROUP BY 1
+        ),
+        blame AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+          FROM ps JOIN po USING (l_orderkey)
+          WHERE any_late AND n_supp > 1 AND n_late = 1
+          GROUP BY 1
+        )
+        SELECT s.s_name, b.numwait
+        FROM blame b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        ORDER BY b.numwait DESC, s.s_name
+        LIMIT 20
     """,
     # PIT dimension join: SCD2 islands restated, then for each order
     # the valid-at interval = rank-1 by (valid_from DESC, prio DESC)

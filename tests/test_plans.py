@@ -441,3 +441,29 @@ def test_bucketed_join_elides_exchanges(spark):
     ]
     assert len(ex) == 1 and "c_mktsegment" in ex[0], plan
     assert "SelectedBucketsCount" in plan
+
+
+def test_disjunctive_predicate_factors_reach_scans(spark):
+    """Q19 shape: Catalyst must extract the disjunction's common
+    factors per side — the 3-brand IN-list and size lower bound push
+    into the part scan's parquet filters, the quantity range reaches
+    the lineitem scan as a data filter (the double cast blocks the
+    parquet-level push, not the scan-level evaluation), and the
+    lineitem read schema prunes to exactly the 4 needed columns."""
+    plan = _plan(spark, "rel_disjunctive_revenue")
+    part_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "part.parquet" in ln
+    ]
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "lineitem.parquet" in ln
+    ]
+    assert len(part_scans) == 1 and len(li_scans) == 1
+    assert "In(p_brand" in part_scans[0]
+    assert "GreaterThanOrEqual(p_size,1)" in part_scans[0]
+    assert "l_quantity" in li_scans[0].split("DataFilters:")[1].split("Format:")[0]
+    assert (
+        "struct<l_partkey:bigint,l_quantity:double,"
+        "l_extendedprice:double,l_discount:double>" in li_scans[0]
+    )

@@ -294,3 +294,69 @@ def test_bucketed_segment_spend_matches_plain_join(spark, tmp_path):
     assert got == want
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_orders")
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_customer")
+
+
+def test_sole_late_supplier_blame_quantifiers(spark):
+    """Q21 intent: blame requires (a) the supplier was late, (b) the
+    order had ANOTHER supplier, (c) no OTHER supplier was late —
+    each violated by one fixture order."""
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.relational import (
+        sole_late_supplier_blame,
+    )
+
+    d0 = dt.datetime(1995, 1, 1)
+    late = dt.datetime(1995, 6, 1)   # > 90 days after d0
+    ontime = dt.datetime(1995, 1, 15)
+    orders = spark.createDataFrame(
+        [(1, d0), (2, d0), (3, d0)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "s10"), (11, "s11"), (12, "s12")],
+        "s_suppkey long, s_name string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # order 1: supp 10 late, supp 11 on time -> 10 blamed
+            (1, 10, late), (1, 11, ontime),
+            # order 2: both late -> nobody blamed (n_late = 2)
+            (2, 10, late), (2, 11, late),
+            # order 3: single supplier, late -> not blamed (n_supp = 1)
+            (3, 12, late),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    got = [
+        (r["s_name"], r["numwait"])
+        for r in sole_late_supplier_blame(orders, supplier, lineitem).collect()
+    ]
+    assert got == [("s10", 1)]
+
+
+def test_disjunctive_revenue_arm_isolation(spark):
+    """Q19 shape: each arm binds its own (brand, size, qty) — a row
+    matching one arm's brand but another arm's quantity range must
+    NOT count."""
+    from bigclam_apachespark_spark.operators.relational import (
+        disjunctive_filter_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "Brand#12", 3), (2, "Brand#23", 8), (3, "Brand#12", 20)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 5.0, 100.0, 0.0),    # arm 1: qty 1-11, size 1-5 -> counts
+            (1, 15.0, 100.0, 0.0),   # Brand#12 but qty 15 (arm-2 range) -> no
+            (2, 15.0, 200.0, 0.5),   # arm 2: qty 10-20, size 1-10 -> counts
+            (3, 5.0, 999.0, 0.0),    # Brand#12 size 20 > 5 -> no
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    )
+    got = disjunctive_filter_revenue(part, lineitem).collect()
+    assert len(got) == 1
+    assert got[0]["revenue"] == round(100.0 + 200.0 * 0.5, 6)
