@@ -3754,6 +3754,45 @@ def _q_upsert(spark, sf):
     return upsert_merge(orders, updated.unionByName(inserted))
 
 
+def _q_upsert_stream(spark, sf):
+    """Streaming twin of rel_upsert_merge: the SAME deterministic
+    changefeed, staged to parquet and replayed as a file-source
+    stream whose micro-batches foreachBatch-MERGE into the snapshot
+    — the warehouse CDC-apply sink. Feed keys are unique, so any
+    batch split commutes to one merge and the ORACLE IS SHARED with
+    the batch query (stated there). pid-scoped staging/target dirs,
+    same discipline as the persisted IVF index."""
+    import os
+
+    from bigclam_apachespark_spark.streaming import cdc_upsert_stream
+
+    orders = _rel_tables(spark, sf)[0]
+    cols = orders.columns
+    updated = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        *[
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    inserted = orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        *[
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey")
+            if c == "o_orderkey"
+            else (F.lit("N").alias("o_orderstatus") if c == "o_orderstatus" else F.col(c))
+            for c in cols
+        ]
+    )
+    feed = updated.unionByName(inserted)
+    tag = f"{os.path.basename(sf.rstrip('/')).replace('.', '_')}_{os.getpid()}"
+    feed_dir = f"/tmp/spark_graft_cdc_feed_{tag}"
+    target_dir = f"/tmp/spark_graft_cdc_target_{tag}"
+    feed.write.mode("overwrite").parquet(feed_dir)
+    stream = spark.readStream.schema(feed.schema).parquet(feed_dir)
+    return cdc_upsert_stream(spark, orders, stream, target_dir)
+
+
 def _q_running_totals(spark, sf):
     from bigclam_apachespark_spark.operators.relational import running_totals
 
@@ -3915,6 +3954,7 @@ REL_QUERIES = {
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
     "rel_upsert_merge": _q_upsert,
+    "rel_upsert_stream": _q_upsert_stream,
     "rel_running_totals": _q_running_totals,
     "rel_rolling_avg": _q_rolling_avg,
 }
@@ -4277,6 +4317,10 @@ REL_ORACLE = {
                      ROWS UNBOUNDED PRECEDING)
     """,
 }
+
+# The streamed CDC apply must converge to EXACTLY the batch merge
+# (unique feed keys ⇒ batch splits commute), so the oracle is shared.
+REL_ORACLE["rel_upsert_stream"] = REL_ORACLE["rel_upsert_merge"]
 
 
 EXT_QUERIES = {

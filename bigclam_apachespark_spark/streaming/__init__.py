@@ -9,6 +9,9 @@ from bigclam_apachespark_spark.streaming.events_stream import (
     sessionize_stream,
     run_stream_to_memory,
 )
+from bigclam_apachespark_spark.streaming.cdc_stream import (
+    cdc_upsert_stream,
+)
 from bigclam_apachespark_spark.streaming.docs_stream import (
     read_documents_stream,
     dedup_stream,
@@ -27,6 +30,7 @@ __all__ = [
     "hll_users_windowed_stream",
     "sessionize_stream",
     "run_stream_to_memory",
+    "cdc_upsert_stream",
     "read_documents_stream",
     "dedup_stream",
     "minhash_band_stream",

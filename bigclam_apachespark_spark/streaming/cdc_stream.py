@@ -1,0 +1,70 @@
+"""Streaming CDC apply: a changefeed stream merged into a warehouse
+snapshot via ``foreachBatch`` — the sink-side half of the streaming
+story (the other modules cover stateful transforms; this covers
+committing their output transactionally-per-batch into a table).
+
+On a real deployment the merge body is one ``MERGE INTO`` against a
+table format (Delta/Iceberg) and the read-rewrite below collapses to
+a metadata-pruned file rewrite; plain parquet has no transaction log,
+so the demonstrable-here version rewrites the snapshot per batch.
+The ALGEBRA — last-write-wins per key, insert-or-replace, carry-over
+— is exactly ``operators/relational.upsert_merge`` and is what the
+oracle checks; the plumbing (foreachBatch, availableNow trigger,
+epoch-id-per-batch) is the part Structured Streaming adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigclam_apachespark_spark.operators.relational import upsert_merge
+
+
+def cdc_upsert_stream(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    changefeed: DataFrame,
+    target_dir: str,
+    key: str = "o_orderkey",
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Apply a streaming changefeed to a snapshot with per-micro-batch
+    MERGE semantics; returns the final merged table.
+
+    Each ``foreachBatch`` invocation reads the current snapshot,
+    merges the batch (updates replace same-key rows, new keys insert,
+    the rest carry over), and rewrites. The merged frame is EAGERLY
+    materialized (localCheckpoint) before the overwrite — reading and
+    overwriting the same path lazily would corrupt it. Batch splits
+    are safe whenever each key appears at most once in the feed
+    (sequential merges of key-disjoint batches commute to one merge);
+    feeds with per-key histories must be collapsed last-write-wins
+    upstream, the documented ``upsert_merge`` precondition.
+
+    ``availableNow`` processes the staged feed and stops itself;
+    ``timeout_sec`` is the hang watchdog (same posture as
+    ``run_stream_to_memory``)."""
+    snapshot.write.mode("overwrite").parquet(target_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(target_dir)
+        merged = upsert_merge(cur, batch_df, key=key).localCheckpoint(
+            eager=True
+        )
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    q = (
+        changefeed.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"cdc_upsert_stream did not finish in {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(target_dir)

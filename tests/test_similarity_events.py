@@ -1165,3 +1165,51 @@ def test_topk_per_window_ties_and_cap(spark):
     # window 0: user 1 (3 events) then the 2-vs-2 tie broken by id;
     # user 4 is cut by k; window 1 has its lone user
     assert got == [(1, 3, 1), (2, 2, 2), (9, 1, 1)]
+
+
+def test_cdc_upsert_stream_multibatch_converges(spark, tmp_path):
+    """foreachBatch CDC apply across MULTIPLE micro-batches (one file
+    per trigger) must converge to the single batch merge: updates
+    replace, inserts append, untouched rows carry over — regardless
+    of how the feed splits into batches."""
+    import pyspark.sql.functions as F
+
+    from bigclam_apachespark_spark.operators.relational import upsert_merge
+    from bigclam_apachespark_spark.streaming import cdc_upsert_stream
+
+    snapshot = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    upd1 = spark.createDataFrame(
+        [(2, "U", 21.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    upd2 = spark.createDataFrame(
+        [(4, "N", 40.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    feed_dir = str(tmp_path / "feed")
+    # two separate files -> two micro-batches at maxFilesPerTrigger=1
+    upd1.coalesce(1).write.mode("append").parquet(feed_dir)
+    upd2.coalesce(1).write.mode("append").parquet(feed_dir)
+    stream = (
+        spark.readStream.schema(snapshot.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    got = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in cdc_upsert_stream(
+            spark, snapshot, stream, str(tmp_path / "target")
+        ).collect()
+    }
+    want = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in upsert_merge(
+            snapshot, upd1.unionByName(upd2)
+        ).collect()
+    }
+    assert got == want == {
+        1: ("A", 10.0), 2: ("U", 21.0), 3: ("B", 30.0), 4: ("N", 40.0)
+    }
