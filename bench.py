@@ -83,6 +83,17 @@ HEADLINE = [
     # and the 6-table Q5 join-ordering shape
     "dedup_span_scrub",
     "rel_local_supplier_volume",
+    # round-7 continued: the agg-before-join Q18 shape, the
+    # bucketed co-located join (cold: includes both bucketed table
+    # writes), the SCD2+as-of PIT composition, the Q21 double-
+    # quantifier aggregation cascade, weighted frontier SSSP, and
+    # the corpus-bigram LM (heaviest text-side join shape)
+    "rel_big_orders",
+    "rel_bucketed_join",
+    "rel_pit_dimension_join",
+    "rel_late_supplier_blame",
+    "graph_sssp_weighted",
+    "text_bigram_logprob",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -137,6 +148,15 @@ EXPECTED = {
     "sim_pq_topk": 4.4,
     "sim_ivfpq_topk": 7.2,
     "sim_ivf_topk_kmeans": 5.0,
+    "dedup_span_scrub": 2.0,
+    "rel_local_supplier_volume": 3.6,
+    # round-7 continued (measured 2026-08-15, healthy window)
+    "rel_big_orders": 2.3,
+    "rel_bucketed_join": 2.8,
+    "rel_pit_dimension_join": 0.6,
+    "rel_late_supplier_blame": 2.7,
+    "graph_sssp_weighted": 7.7,
+    "text_bigram_logprob": 2.7,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
