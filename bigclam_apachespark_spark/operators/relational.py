@@ -690,3 +690,124 @@ def rolling_order_stats(
             F.sum(cents).over(w).cast("double") / 100.0 / n.cast("double"), 6
         ).alias("rolling_avg"),
     )
+
+
+def zorder_key(
+    orders: DataFrame,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day) →
+    ``(o_orderkey, cust_dim, day_dim, zkey)``: the two dimensions'
+    low ``bits`` bits interleaved (cust at even positions, day at
+    odd) — the multi-dimensional sort key behind Delta/Iceberg
+    OPTIMIZE ZORDER. Sorting a table by zkey before writing makes
+    parquet row-group min/max stats selective in BOTH dimensions at
+    once, so point/range scans on EITHER column skip files — a
+    single-column sort gives locality in one dimension and destroys
+    it in the other. The key itself is pure integer bit arithmetic
+    (shiftright/&/shiftleft — all inside codegen, zero exchanges to
+    compute), so it is bit-identical cross-engine; the layout
+    benefit at 100 TB comes from `repartitionByRange(zkey)` +
+    in-partition sort at write time (the write path is exercised by
+    the partitioned/compacting sink tests; this operator is the
+    KEY derivation those writes order by).
+
+    Dimensions clamp into ``bits`` via masking (high bits beyond the
+    interleave width cannot influence skipping anyway): cust_dim =
+    custkey & (2^bits−1), day_dim = days-since-epoch & (2^bits−1)."""
+    mask = (1 << bits) - 1
+    cust = F.col("o_custkey").bitwiseAND(F.lit(mask))
+    day = (
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        .cast("long")
+        .bitwiseAND(F.lit(mask))
+    )
+    base = orders.select(
+        "o_orderkey", cust.alias("cust_dim"), day.alias("day_dim")
+    )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col("cust_dim"), i).bitwiseAND(F.lit(1)),
+                    2 * i,
+                )
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(F.col("day_dim"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    return base.select("o_orderkey", "cust_dim", "day_dim", z.alias("zkey"))
+
+
+def incremental_agg_merge(
+    base_orders: DataFrame,
+    delta_orders: DataFrame,
+) -> DataFrame:
+    """Self-maintainable aggregate update — the materialized-view
+    delta pattern: a per-customer (order count, total spend)
+    aggregate maintained INCREMENTALLY by aggregating only the delta
+    and merging it into the stored base aggregate →
+    ``(o_custkey, n_orders, total_spend)``, provably equal to
+    recomputing over base ∪ delta (the oracle recomputes; count/sum
+    are the self-maintainable class — min/max are not under
+    deletes). At 100 TB this is the difference between touching the
+    day's partition and re-scanning the table: the merge cost is
+    |delta agg| + |base agg|, independent of the fact table's size.
+    Both inputs agg to the SAME integer-cents layout, union, and
+    re-agg — the merge is one vocabulary-sized hash agg."""
+    def per_cust(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(_cents("o_totalprice").cast("decimal(38,0)")).alias("_spend_c"),
+        )
+
+    merged = per_cust(base_orders).unionByName(per_cust(delta_orders))
+    return merged.groupBy("o_custkey").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.round(
+            F.sum("_spend_c").cast("double") / 100.0, 6
+        ).alias("total_spend"),
+    )
+
+
+def table_stats(
+    lineitem: DataFrame,
+    columns: tuple[str, ...] = (
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    ),
+) -> DataFrame:
+    """ANALYZE-style column statistics → one row per column:
+    ``(col_name, n_rows, n_nulls, ndv, min_str, max_str)`` — the
+    stats a cost-based optimizer (and a human debugging a skewed
+    join) needs: exact distinct counts, null counts, and min/max
+    (stringified so heterogeneous column types share one schema;
+    numeric min/max stringify deterministically on both engines).
+
+    Scale shape: ONE scan feeds every column's stats via a stack of
+    per-column aggregates unioned after aggregation (each is a
+    map-side-combined hash agg; the union is metadata-sized — never
+    an explode of the fact table to (row, col) pairs, which would
+    |cols|× the shuffle). Exact NDV is the honest default at this
+    fixture size; the HLL sketches (operators/sketches.py) are the
+    drop-in for columns where exact distinct would dominate."""
+    parts = []
+    for c in columns:
+        col = F.col(c)
+        parts.append(
+            lineitem.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+                F.countDistinct(col).cast("long").alias("ndv"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3793,6 +3793,71 @@ def _q_upsert_stream(spark, sf):
     return cdc_upsert_stream(spark, orders, stream, target_dir)
 
 
+def _q_zorder_key(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import zorder_key
+
+    return zorder_key(spark.read.parquet(f"{sf}/orders.parquet"), bits=16)
+
+
+def _q_incremental_agg(spark, sf):
+    """Base/delta split is deterministic (orderkey % 50): the
+    incremental merge must equal the oracle's FULL recompute —
+    the self-maintainability property itself is what's checked."""
+    from bigclam_apachespark_spark.operators.relational import (
+        incremental_agg_merge,
+    )
+
+    orders = _rel_tables(spark, sf)[0]
+    return incremental_agg_merge(
+        orders.where(F.col("o_orderkey") % 50 != 0),
+        orders.where(F.col("o_orderkey") % 50 == 0),
+    )
+
+
+def _q_table_stats(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import table_stats
+
+    return table_stats(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((cust_dim >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((day_dim >> {i}) & 1) << {2 * i + 1})")
+    expr = " | ".join(terms)
+    return f"""
+        WITH base AS (
+          SELECT o_orderkey,
+                 o_custkey & {mask} AS cust_dim,
+                 CAST(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT)
+                   & {mask} AS day_dim
+          FROM orders
+        )
+        SELECT o_orderkey, CAST(cust_dim AS BIGINT) AS cust_dim,
+               CAST(day_dim AS BIGINT) AS day_dim,
+               CAST({expr} AS BIGINT) AS zkey
+        FROM base
+    """
+
+
+def _table_stats_oracle_sql() -> str:
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"]
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM lineitem"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _q_running_totals(spark, sf):
     from bigclam_apachespark_spark.operators.relational import running_totals
 
@@ -3955,6 +4020,9 @@ REL_QUERIES = {
     "rel_top_orders": _q_top_orders,
     "rel_upsert_merge": _q_upsert,
     "rel_upsert_stream": _q_upsert_stream,
+    "rel_zorder_key": _q_zorder_key,
+    "rel_incremental_agg": _q_incremental_agg,
+    "rel_table_stats": _q_table_stats,
     "rel_running_totals": _q_running_totals,
     "rel_rolling_avg": _q_rolling_avg,
 }
@@ -4321,6 +4389,18 @@ REL_ORACLE = {
 # The streamed CDC apply must converge to EXACTLY the batch merge
 # (unique feed keys ⇒ batch splits commute), so the oracle is shared.
 REL_ORACLE["rel_upsert_stream"] = REL_ORACLE["rel_upsert_merge"]
+
+# Morton interleave restated bit-by-bit; incremental merge checked
+# against the FULL recompute (the self-maintainability property);
+# ANALYZE stats as one UNION ALL of per-column aggregates.
+REL_ORACLE["rel_zorder_key"] = _zorder_oracle_sql(16)
+REL_ORACLE["rel_incremental_agg"] = """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100.0, 6) AS total_spend
+    FROM orders GROUP BY 1
+"""
+REL_ORACLE["rel_table_stats"] = _table_stats_oracle_sql()
 
 
 EXT_QUERIES = {

@@ -360,3 +360,54 @@ def test_disjunctive_revenue_arm_isolation(spark):
     got = disjunctive_filter_revenue(part, lineitem).collect()
     assert len(got) == 1
     assert got[0]["revenue"] == round(100.0 + 200.0 * 0.5, 6)
+
+
+def test_zorder_key_interleave_hand_computed(spark):
+    """Morton key bit math: cust bits land at even positions, day
+    bits at odd — checked against Python's own interleave."""
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.relational import zorder_key
+
+    def morton(c, d):
+        z = 0
+        for i in range(16):
+            z |= ((c >> i) & 1) << (2 * i)
+            z |= ((d >> i) & 1) << (2 * i + 1)
+        return z
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = [(k, c, epoch + dt.timedelta(days=d))
+            for k, (c, d) in enumerate([(0, 0), (1, 0), (0, 1), (5, 3),
+                                        (0xFFFF, 0xFFFF), (70000, 70000)])]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    )
+    got = {r["o_orderkey"]: (r["cust_dim"], r["day_dim"], r["zkey"])
+           for r in zorder_key(orders, bits=16).collect()}
+    assert got[0] == (0, 0, 0)
+    assert got[1] == (1, 0, 1)          # cust bit 0 -> position 0
+    assert got[2] == (0, 1, 2)          # day bit 0 -> position 1
+    assert got[3] == (5, 3, morton(5, 3))
+    assert got[4] == (0xFFFF, 0xFFFF, morton(0xFFFF, 0xFFFF))
+    # dims beyond 16 bits clamp by masking
+    assert got[5] == (70000 & 0xFFFF, 70000 & 0xFFFF,
+                      morton(70000 & 0xFFFF, 70000 & 0xFFFF))
+
+
+def test_table_stats_counts_nulls_and_ndv(spark):
+    """ANALYZE stats: null rows count into n_rows but not ndv/min/max."""
+    from bigclam_apachespark_spark.operators.relational import table_stats
+
+    li = spark.createDataFrame(
+        [(1, 1, 1, 5.0, "N"), (2, 1, None, 7.0, "R"), (3, 2, 9, None, "N")],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_returnflag string",
+    )
+    s = {r["col_name"]: r for r in table_stats(li).collect()}
+    assert s["l_suppkey"]["n_rows"] == 3
+    assert s["l_suppkey"]["n_nulls"] == 1
+    assert s["l_suppkey"]["ndv"] == 2
+    assert s["l_suppkey"]["min_str"] == "1" and s["l_suppkey"]["max_str"] == "9"
+    assert s["l_quantity"]["n_nulls"] == 1
+    assert s["l_returnflag"]["ndv"] == 2
