@@ -723,6 +723,72 @@ def common_neighbor_candidates(
     return wedges.join(adj, ["u", "w"], "left_anti")
 
 
+def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """HITS hubs & authorities on a DIRECTED graph → ``(id, role,
+    score)`` with role ∈ {hub, authority} — the mutual-reinforcement
+    ranking (good hubs point at good authorities and vice versa)
+    that PageRank's single score cannot express; on the bipartite
+    customer→supplier graph it ranks buyers by the quality of the
+    suppliers they reach and suppliers by the quality of their
+    buyers. Fixed ``n_iter`` rounds of a⁽ᵏ⁾(v)=Σ_{u→v}h(u),
+    h⁽ᵏ⁾(u)=Σ_{u→v}a(v), each MEAN-normalized per round (mean-1
+    keeps scores O(1) at any graph size — sum-normalization would
+    drown in the 6-dp output round; same policy as ``pagerank``).
+    Every src has out-degree ≥1 and every dst in-degree ≥1 by
+    construction (vertex sets derive from the edge list), so no
+    mass is dropped.
+
+    Scale shape per round: two edges⋈scores joins + two hash aggs
+    (map-side combined) + two metadata-sized mean scalars broadcast
+    back via one-row crossJoins — never a collect; scores
+    localCheckpoint per round with release, same cadence as
+    pagerank. The DuckDB twin unrolls the identical chain."""
+
+    def _mean_norm(raw: DataFrame) -> DataFrame:
+        m = raw.agg(F.avg("s").alias("_m"))
+        return (
+            raw.crossJoin(F.broadcast(m))
+            .select("id", (F.col("s") / F.col("_m")).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+
+    h = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(1.0).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    a = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(h.select(F.col("id").alias("src"), "s"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("s").alias("s"))
+        )
+        a_prev, a = a, _mean_norm(a_raw)
+        if a_prev is not None:
+            unpersist_local_checkpoint(a_prev)
+        h_raw = (
+            edges.join(
+                a.select(F.col("id").alias("dst"), F.col("s").alias("_as")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("_as").alias("s"))
+        )
+        h_prev, h = h, _mean_norm(h_raw)
+        unpersist_local_checkpoint(h_prev)
+    return h.select(
+        "id", F.lit("hub").alias("role"), F.round("s", 6).alias("score")
+    ).unionByName(
+        a.select(
+            "id",
+            F.lit("authority").alias("role"),
+            F.round("s", 6).alias("score"),
+        )
+    )
+
+
 def sssp_weighted(
     cost_edges: DataFrame, sources: DataFrame, rounds: int = 4
 ) -> DataFrame:

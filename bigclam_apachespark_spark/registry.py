@@ -223,6 +223,13 @@ def q_bfs_hops(spark, sf_dir):
     return G.bfs_hops(sym, sources, max_hops=3)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities, 3 mean-normalized rounds on the
+    directed bipartite customer→supplier graph (buyers ranked by the
+    suppliers they reach, suppliers by their buyers)."""
+    return G.hits(customer_supplier_edges(spark, sf_dir), n_iter=3)
+
+
 def q_sssp_weighted(spark, sf_dir):
     """Bounded weighted SSSP (4 Bellman-Ford rounds) from the
     src % 100 = 0 cohort over the support-weighted co-purchase
@@ -313,6 +320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_link_candidates": q_link_candidates,
     "graph_bfs_hops": q_bfs_hops,
     "graph_sssp_weighted": q_sssp_weighted,
+    "graph_hits": q_hits,
     "graph_label_prop": q_label_prop,
     "graph_modularity": q_modularity,
 }
@@ -368,6 +376,38 @@ d{h} AS MATERIALIZED (
 f{h} AS MATERIALIZED (SELECT id FROM x{h})"""
         )
     return ",\n".join(parts) + f"\nSELECT id, hops FROM d{rounds}"
+
+
+def _hits_sql(rounds: int = 3) -> str:
+    """Unrolled HITS twin over the bipartite edges_cs view
+    (MATERIALIZED rounds; each round is two join-aggs + two
+    mean-normalization scalars, exactly the Spark chain)."""
+    parts = [
+        """hh0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, 1.0::DOUBLE AS s FROM edges_cs)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.s) AS s
+  FROM edges_cs e JOIN hh{k - 1} h ON h.id = e.src GROUP BY e.dst),
+am{k} AS MATERIALIZED (SELECT AVG(s) AS m FROM ar{k}),
+aa{k} AS MATERIALIZED (
+  SELECT id, s / m AS s FROM ar{k} CROSS JOIN am{k}),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.s) AS s
+  FROM edges_cs e JOIN aa{k} a ON a.id = e.dst GROUP BY e.src),
+hm{k} AS MATERIALIZED (SELECT AVG(s) AS m FROM hr{k}),
+hh{k} AS MATERIALIZED (
+  SELECT id, s / m AS s FROM hr{k} CROSS JOIN hm{k})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT id, 'hub' AS role, round(s, 6) AS score FROM hh{rounds}
+UNION ALL
+SELECT id, 'authority' AS role, round(s, 6) AS score FROM aa{rounds}"""
+    )
 
 
 def _sssp_sql(rounds: int = 4, mod: int = 100) -> str:
@@ -625,6 +665,7 @@ ORACLE: dict[str, str] = {
     """,
     "graph_pagerank_weighted": f"WITH {_WEDGES_SQL},\n{_pagerank_weighted_sql(5)}",
     "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
+    "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
     # Verbatim the same string spark.sql() executes — portability is
     # the point (see PORTABLE_DEGREE_HIST_SQL).

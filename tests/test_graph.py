@@ -418,3 +418,24 @@ def test_sssp_weighted_prefers_cheap_detour(spark):
     # one round only reaches direct successors at direct cost
     one = {r.id: r.dist for r in sssp_weighted(edges, src, rounds=1).collect()}
     assert one == {0: 0, 1: 1, 2: 5}
+
+
+def test_hits_star_bipartite(spark):
+    """HITS on a directed 2-hub star: the customer connected to both
+    suppliers outscores the single-supplier one, the shared supplier
+    outscores the exclusive one, and mean-normalization puts each
+    role's average at exactly 1."""
+    from bigclam_apachespark_spark.operators.graph import hits
+
+    # c1 -> {s1, s2}; c2 -> {s1}
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101)], "src long, dst long"
+    )
+    rows = hits(edges, n_iter=3).collect()
+    hubs = {r["id"]: r["score"] for r in rows if r["role"] == "hub"}
+    auth = {r["id"]: r["score"] for r in rows if r["role"] == "authority"}
+    assert set(hubs) == {1, 2} and set(auth) == {101, 102}
+    assert hubs[1] > hubs[2]
+    assert auth[101] > auth[102]
+    assert round(sum(hubs.values()) / 2, 5) == 1.0
+    assert round(sum(auth.values()) / 2, 5) == 1.0
