@@ -368,6 +368,63 @@ def extract_props(events: DataFrame, key: str = "k") -> DataFrame:
     )
 
 
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``session_window`` →
+    ``(user_id, session_start, session_end, n_events, sum_value)``
+    — the native operator twin of the gaps-and-islands
+    ``sessionize`` (same expression works under readStream with a
+    watermark, where the island windows do not). ``session_end`` is
+    the window's half-open close: last event + gap.
+
+    Boundary semantics: the merge test is INCLUSIVE — an event
+    arriving EXACTLY gap after the previous one EXTENDS the session
+    (unit-tested, and the oracle's strict `> gap` new-session flag
+    states it) — i.e. session_window agrees with the islands
+    ``sessionize`` at the boundary; only the reported ``session_end``
+    differs (last event + gap here vs last event there). Pinning
+    this down matters because it is the off-by-one every
+    sessionization migration trips over.
+
+    Scale shape: one hash-partition on user + in-partition sort
+    (Spark plans session_window as a partial merge of per-user
+    sorted runs) — no driver state, no window over the global
+    relation."""
+    w = F.session_window(ts_col, gap)
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def extract_props_variant(events: DataFrame, key: str = "k") -> DataFrame:
+    """Spark 4 VariantType path extraction → ``(event_id, k_val)``:
+    ``parse_json`` decodes the props string ONCE into the
+    binary-encoded variant, then ``try_variant_get`` reads a typed
+    path — the modern replacement for repeated ``get_json_object``
+    string re-parses (parse once, then O(1) typed access per key;
+    with multiple keys the difference is a full JSON re-parse per
+    key vs none). Same output contract as ``extract_props`` so the
+    oracle is shared — the VALUES must agree, only the access path
+    differs."""
+    v = F.parse_json("props")
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, f"$.{key}", "long").alias("k_val"),
+    )
+
+
 def ordered_funnel(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Strict-order conversion funnel per user → ``(user_id, view_ts,
     click_ts, purchase_ts, stage)``: the first view, the first click

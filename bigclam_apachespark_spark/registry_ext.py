@@ -2751,6 +2751,38 @@ EVENT_ORACLE = {
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
     """,
+    # Variant path access must agree with the string-walk extraction
+    # value-for-value; only the Spark-side access path differs.
+    "events_props_variant": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    # Built-in session_window twin: the merge boundary is INCLUSIVE
+    # (an event at exactly prev+gap EXTENDS the session — unit-tested
+    # against the operator, it is the same strict-> rule as the
+    # islands sessionize); session_end = last event + gap.
+    "events_session_window": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """,
     # Strict-order funnel: first view → first click ≥ view → first
     # purchase ≥ click. Exact timestamps only.
     "events_ordered_funnel": """
@@ -3375,6 +3407,7 @@ EVENT_QUERIES = {
     "events_topk_window": lambda spark, sf: E.topk_per_window(_events(spark, sf)),
     "events_sliding": lambda spark, sf: E.sliding_window_agg(_events(spark, sf)),
     "events_sessionize": lambda spark, sf: E.sessionize(_events(spark, sf)),
+    "events_session_window": lambda spark, sf: E.session_window_agg(_events(spark, sf)),
     "events_hll_users": _q_hll_users,
     "events_hll_users_by_type": _q_hll_users_by_type,
     "events_anomaly": lambda spark, sf: E.window_anomaly_scores(_events(spark, sf)),
@@ -3395,6 +3428,7 @@ EVENT_QUERIES = {
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_growth_accounting": lambda spark, sf: E.growth_accounting(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
+    "events_props_variant": lambda spark, sf: E.extract_props_variant(_events(spark, sf)),
     "events_funnel": lambda spark, sf: E.event_type_funnel(_events(spark, sf)),
     "events_ordered_funnel": lambda spark, sf: E.ordered_funnel(_events(spark, sf)),
     "events_asof_attribution": lambda spark, sf: TJ.click_attribution(_events(spark, sf)),

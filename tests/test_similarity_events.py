@@ -1213,3 +1213,42 @@ def test_cdc_upsert_stream_multibatch_converges(spark, tmp_path):
     assert got == want == {
         1: ("A", 10.0), 2: ("U", 21.0), 3: ("B", 30.0), 4: ("N", 40.0)
     }
+
+
+def test_session_window_boundary_matches_islands(spark):
+    """Spark's built-in session_window merges INCLUSIVELY at the gap
+    boundary: an event arriving exactly `gap` later EXTENDS the
+    session — the same strict-> rule as the islands sessionize (this
+    pins the semantics the oracle's `> 1800` flag encodes). An event
+    one second past the boundary opens a new session in both, and
+    session_end reports last-event + gap."""
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.events import (
+        session_window_agg,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        # EXACTLY 30 min later -> same session in both operators
+        (1, t0 + dt.timedelta(minutes=30), 1, "view", 1.0, "{}"),
+        # 30 min + 1 s after the second -> new session in both
+        (2, t0 + dt.timedelta(minutes=60, seconds=1), 1, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sw = sorted(
+        session_window_agg(ev, gap="30 minutes").collect(),
+        key=lambda r: r["session_start"],
+    )
+    isl = sessionize(ev, gap_minutes=30).collect()
+    assert len(sw) == 2 and len(isl) == 2
+    assert sw[0]["n_events"] == 2   # boundary event merged
+    assert sw[1]["n_events"] == 1
+    # half-open close: last event + gap
+    assert sw[0]["session_end"] == t0 + dt.timedelta(minutes=60)
