@@ -263,3 +263,59 @@ def hll_union_estimate(
     m = 1 << b
     agg, est = _finalize_registers(merged, m)
     return agg.select(F.lit(m).alias("m"), F.round(est, 6).alias("n_hll"))
+
+
+def hll_sliding_estimate(
+    events: DataFrame,
+    hours: int = 3,
+    b: int = 8,
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Trailing-``hours`` distinct-user estimate per hour by MERGING
+    the hourly HLL register tables → ``(window_start,
+    n_hll_trailing)`` — the sketch-mergeability pattern in its most
+    common production form: hourly registers are computed ONCE (the
+    same m-integer rows a streaming job checkpoints), and every
+    sliding window is a per-bucket MAX over the covered hours'
+    registers — the raw stream is never rescanned per window, and a
+    window's merge cost is hours·m integers. The exact-distinct
+    formulation re-shuffles every (window, user) pair — hours× the
+    events table — which is precisely what sketches exist to avoid
+    at 100 TB. Targets are the hours present in the data (a trailing
+    window may cover absent earlier hours — they contribute
+    nothing, exactly like an empty shard).
+
+    Deterministic (md5-derived hash + exact bit-length registers),
+    so the DuckDB twin hash-matches the ESTIMATES, not just
+    approximately."""
+    w = F.window(ts_col, "1 hour")
+    keyed = events.select(w.alias("w"), key).select(
+        F.col("w.start").alias("window_start"), key
+    )
+    hourly = hll_registers(keyed, key, b, group_cols=["window_start"])
+    targets = hourly.select("window_start").distinct()
+    contrib = hourly.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(hours)])
+        ).alias("o"),
+        "window_start",
+        "bucket",
+        "register",
+    ).select(
+        F.timestamp_add("HOUR", F.col("o"), F.col("window_start")).alias(
+            "window_start"
+        ),
+        "bucket",
+        "register",
+    )
+    merged = (
+        contrib.join(targets, "window_start", "left_semi")
+        .groupBy("window_start", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    m = 1 << b
+    agg, est = _finalize_registers(merged, m, ["window_start"], groups=targets)
+    return agg.select(
+        "window_start", F.round(est, 6).alias("n_hll_trailing")
+    )

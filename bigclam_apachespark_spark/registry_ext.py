@@ -3237,6 +3237,69 @@ def _hll_by_window_sql(b: int = 8) -> str:
     """
 
 
+def _hll_sliding_sql(hours: int = 3, b: int = 8) -> str:
+    """Trailing-window HLL merge twin: hourly registers restated,
+    then per-bucket MAX over each target hour's covered range —
+    identical estimator tail to _hll_by_window_sql."""
+    from bigclam_apachespark_spark.operators.sketches import _alpha
+
+    m = 1 << b
+    width = 60 - b
+    am2 = _alpha(m) * m * m
+    h = hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH hv AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                 CAST({h} % {m} AS INT) AS bucket, ({h} >> {b}) AS w
+          FROM events
+        ),
+        r AS (
+          SELECT window_start, bucket,
+                 MAX({width} + 1 - length(ltrim(bin(w), '0'))) AS register
+          FROM hv GROUP BY window_start, bucket
+        ),
+        t AS (SELECT DISTINCT window_start FROM hv),
+        mg AS (
+          SELECT t.window_start, r.bucket, MAX(r.register) AS register
+          FROM t JOIN r
+            ON r.window_start <= t.window_start
+           AND r.window_start > t.window_start - INTERVAL {hours} HOUR
+          GROUP BY t.window_start, r.bucket
+        ),
+        spine AS (
+          SELECT t.window_start, d.bucket
+          FROM t CROSS JOIN
+               (SELECT unnest(generate_series(0, {m - 1})) AS bucket) d
+        ),
+        allb AS (
+          SELECT s.window_start, s.bucket, COALESCE(mg.register, 0) AS register
+          FROM spine s LEFT JOIN mg USING (window_start, bucket)
+        ),
+        agg AS (
+          SELECT window_start,
+                 SUM(power(2.0, -register)) AS s,
+                 SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v
+          FROM allb GROUP BY window_start
+        )
+        SELECT window_start,
+               round(CASE WHEN ({am2!r} / s) <= {2.5 * m!r} AND v > 0
+                          THEN {float(m)!r} * ln({float(m)!r} / v)
+                          ELSE {am2!r} / s END, 6) AS n_hll_trailing
+        FROM agg
+    """
+
+
+EVENT_ORACLE["events_hll_sliding"] = _hll_sliding_sql(3, 8)
+
+
+def _q_hll_sliding(spark, sf):
+    from bigclam_apachespark_spark.operators.sketches import (
+        hll_sliding_estimate,
+    )
+
+    return hll_sliding_estimate(_events(spark, sf), hours=3, b=8)
+
+
 # Streaming CMS twin: per-window counter table restated in batch —
 # same hash64("cms{r}:" + user) bucketing, so counts are exact.
 EVENT_ORACLE["events_stream_cms_windows"] = f"""
@@ -3442,6 +3505,7 @@ EVENT_QUERIES = {
     "events_stream_hll_windows": _q_stream_hll_windows,
     "events_stream_cms_windows": _q_stream_cms_windows,
     "events_hll_union": _q_hll_union,
+    "events_hll_sliding": _q_hll_sliding,
     "events_stream_tumbling": _q_stream_tumbling,
     "events_stream_enrich": _q_stream_enrich,
     "events_stream_sessionize": _q_stream_sessionize,

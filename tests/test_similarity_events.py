@@ -1252,3 +1252,41 @@ def test_session_window_boundary_matches_islands(spark):
     assert sw[1]["n_events"] == 1
     # half-open close: last event + gap
     assert sw[0]["session_end"] == t0 + dt.timedelta(minutes=60)
+
+
+def test_hll_sliding_merge_equals_rescan(spark):
+    """Sketch mergeability: the trailing-3h estimate from MERGED
+    hourly registers must equal the estimate computed from scratch
+    over each trailing window's raw rows (max-merge of per-hour
+    register maxima IS the window's register table)."""
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.sketches import (
+        _finalize_registers,
+        hll_registers,
+        hll_sliding_estimate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, (i * 13) % 37, "view",
+         t0 + dt.timedelta(hours=i % 5, minutes=(i * 7) % 60), 1.0, "{}")
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double, props string",
+    )
+    got = {
+        r["window_start"]: r["n_hll_trailing"]
+        for r in hll_sliding_estimate(ev, hours=3, b=6).collect()
+    }
+    for h in range(5):
+        lo = t0 + dt.timedelta(hours=h - 2)
+        hi = t0 + dt.timedelta(hours=h + 1)
+        window_rows = ev.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        regs = hll_registers(window_rows, "user_id", b=6)
+        agg, est = _finalize_registers(regs, 64)
+        want = agg.select(F.round(est, 6).alias("e")).collect()[0]["e"]
+        assert got[t0 + dt.timedelta(hours=h)] == want
