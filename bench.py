@@ -94,6 +94,12 @@ HEADLINE = [
     "rel_late_supplier_blame",
     "graph_sssp_weighted",
     "text_bigram_logprob",
+    # round-7 late batch: HITS (heaviest new iterative kernel), the
+    # built-in session_window operator, and the trailing-window HLL
+    # register merge
+    "graph_hits",
+    "events_session_window",
+    "events_hll_sliding",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -157,6 +163,9 @@ EXPECTED = {
     "rel_late_supplier_blame": 2.7,
     "graph_sssp_weighted": 7.7,
     "text_bigram_logprob": 2.7,
+    "graph_hits": 12.6,
+    "events_session_window": 1.2,
+    "events_hll_sliding": 1.1,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
