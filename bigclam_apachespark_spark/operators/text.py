@@ -505,6 +505,66 @@ def chunk_plan(
     )
 
 
+def span_corruption(
+    docs: DataFrame, text_col: str = "text", period: int = 7
+) -> DataFrame:
+    """T5-style span-corruption objective prep → ``(doc_id,
+    n_masked, input_text, target_text)``: every ``period``-token
+    block masks a fixed 2-token span (0-based offsets 3 and 4 within
+    the block), the input replaces each masked span with one
+    ``<extra_id_k>`` sentinel (k = block index), and the target is
+    the sentinel-prefixed masked spans in order — the denoising
+    (input, target) pair a seq2seq pretraining pipeline feeds the
+    trainer. Deterministic POSITIONAL masking (not random): the
+    whole pair is a pure function of the text, so the oracle
+    hash-checks the exact strings; swapping in a seeded-hash mask
+    keeps the same shape.
+
+    Documents too short to contain a span (< 5 tokens) emit
+    n_masked = 0 with NULL target (stated: string_agg over an empty
+    set is NULL — the Spark side nulls its empty concat to match).
+
+    Scale shape: zero exchanges and zero Python — the token array
+    transforms in place with index-aware lambdas (filter/transform
+    with (x, i)), both output strings are narrow ``concat_ws`` folds
+    inside codegen; embarrassingly parallel like chunk_plan."""
+    tk = tokens(text_col)
+    sentinel = lambda i: F.concat(  # noqa: E731
+        F.lit("<extra_id_"),
+        F.floor(i / period).cast("long").cast("string"),
+        F.lit(">"),
+    )
+    inp = F.filter(
+        F.transform(
+            tk,
+            lambda x, i: F.when(i % period == 3, sentinel(i))
+            .when(i % period == 4, F.lit(None).cast("string"))
+            .otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tgt = F.filter(
+        F.transform(
+            tk,
+            lambda x, i: F.when(
+                i % period == 3, F.concat(sentinel(i), F.lit(" "), x)
+            )
+            .when(i % period == 4, x)
+            .otherwise(F.lit(None).cast("string")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_masked = F.size(
+        F.filter(tk, lambda x, i: (i % period == 3) | (i % period == 4))
+    )
+    return docs.select(
+        "doc_id",
+        n_masked.cast("long").alias("n_masked"),
+        F.concat_ws(" ", inp).alias("input_text"),
+        F.nullif(F.concat_ws(" ", tgt), F.lit("")).alias("target_text"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame, text_col: str = "text", budget: int = 256, buckets: int = 64
 ) -> DataFrame:

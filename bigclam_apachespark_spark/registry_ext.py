@@ -357,6 +357,30 @@ TEXT_ORACLE = {
         FROM pr JOIN bf USING (w1, w2) JOIN hf USING (w1)
         GROUP BY doc_id
     """,
+    # T5 span-corruption prep: parallel positional unnests (term, i)
+    # zip; string_agg ORDER BY i skips NULLs exactly like the Spark
+    # side's filtered transform; empty target set -> NULL (the Spark
+    # side nulls its empty concat to match).
+    "text_span_corruption": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(l) AS term,
+                 unnest(range(0, len(l))) AS i
+          FROM (SELECT doc_id, {TOKENS} AS l FROM documents)
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i % 7 IN (3, 4) THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked,
+               string_agg(CASE WHEN i % 7 = 3
+                                 THEN '<extra_id_' || CAST(i // 7 AS VARCHAR) || '>'
+                               WHEN i % 7 = 4 THEN NULL
+                               ELSE term END, ' ' ORDER BY i) AS input_text,
+               string_agg(CASE WHEN i % 7 = 3
+                                 THEN '<extra_id_' || CAST(i // 7 AS VARCHAR)
+                                      || '> ' || term
+                               WHEN i % 7 = 4 THEN term END,
+                          ' ' ORDER BY i) AS target_text
+        FROM tok GROUP BY doc_id
+    """,
     # PII redaction: same five RE2/Java-portable patterns applied
     # sequentially (emails -> IPs -> phones -> SSNs -> secrets),
     # counts on each stage's residual text - mirroring
@@ -711,6 +735,7 @@ TEXT_QUERIES = {
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
     "text_bigram_logprob": lambda spark, sf: X.bigram_logprob(_docs(spark, sf)),
+    "text_span_corruption": lambda spark, sf: X.span_corruption(_docs(spark, sf)),
     "text_cms_token_counts": lambda spark, sf: SK.cms_topk_estimates(
         _docs(spark, sf), k=20, d=4, w=1024
     ),

@@ -1026,3 +1026,26 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[1]["avg_logprob"] == round(want1, 6)
     assert got[2]["n_bigrams"] == 1
     assert got[2]["avg_logprob"] == round(math.log(1 / 3), 6)
+
+
+def test_span_corruption_hand_computed(spark):
+    """T5 span masking on a 10-token doc: block 0 masks absolute
+    indices 3-4; block 1's maskable offsets are absolute indices
+    10-11, which don't exist — so exactly ONE span masks. A 3-token
+    doc masks nothing: identity input, NULL target."""
+    from bigclam_apachespark_spark.operators.text import span_corruption
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_corruption(docs).collect()}
+    r1 = got[1]
+    assert r1["n_masked"] == 2
+    assert r1["input_text"] == "t0 t1 t2 <extra_id_0> t5 t6 t7 t8 t9"
+    assert r1["target_text"] == "<extra_id_0> t3 t4"
+    # too short for any span: identity input, NULL target
+    r2 = got[2]
+    assert r2["n_masked"] == 0
+    assert r2["input_text"] == "a b c"
+    assert r2["target_text"] is None
