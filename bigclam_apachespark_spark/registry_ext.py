@@ -3417,6 +3417,56 @@ def _q_hll_union(spark, sf):
     )
 
 
+def _q_stream_session_window(spark, sf):
+    """Built-in session_window streaming replay: watermarked
+    state-store session merge → append-mode sink. Bounded-replay
+    emission: sessions whose end ≤ max(ts) − 2 h (boundary
+    INCLUSIVE, probed) — the oracle restates exactly that set."""
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_window_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_stream_to_memory(
+        session_window_stream(stream, "30 minutes", "2 hours"),
+        "stream_session_window_oracle",
+        "append",
+        timeout_sec=90.0,
+        strict=True,
+    )
+
+
+EVENT_ORACLE["events_stream_session_window"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM flagged
+    ),
+    built AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(SUM(value), 6) AS sum_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM built
+    WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+"""
+
+
 def _q_stream_hll_windows(spark, sf):
     """Streaming sketch replay: watermarked per-window HLL register
     agg (state = m integers per window) → complete-mode sink →
@@ -3528,6 +3578,7 @@ EVENT_QUERIES = {
     "events_stream_interval_join": _q_stream_interval_join,
     "events_stream_interval_left": _q_stream_interval_left,
     "events_stream_hll_windows": _q_stream_hll_windows,
+    "events_stream_session_window": _q_stream_session_window,
     "events_stream_cms_windows": _q_stream_cms_windows,
     "events_hll_union": _q_hll_union,
     "events_hll_sliding": _q_hll_sliding,

@@ -7,6 +7,7 @@ from bigclam_apachespark_spark.streaming.events_stream import (
     cms_users_windowed_stream,
     hll_users_windowed_stream,
     sessionize_stream,
+    session_window_stream,
     run_stream_to_memory,
 )
 from bigclam_apachespark_spark.streaming.cdc_stream import (
@@ -29,6 +30,7 @@ __all__ = [
     "cms_users_windowed_stream",
     "hll_users_windowed_stream",
     "sessionize_stream",
+    "session_window_stream",
     "run_stream_to_memory",
     "cdc_upsert_stream",
     "read_documents_stream",

@@ -635,3 +635,48 @@ def cms_users_windowed_stream(
         .agg(F.count("*").alias("c"))
         .select(start_ntz.alias("window_start"), "r", "bucket", "c")
     )
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` under
+    Structured Streaming → ``(user_id, session_start, session_end,
+    n_events, sum_value)`` — the state-store-managed twin of both
+    the batch ``session_window_agg`` and the custom
+    ``applyInPandasWithState`` ``sessionize_stream``: Spark itself
+    merges overlapping session state across micro-batches and
+    evicts via the watermark, no user state code at all.
+
+    Append-mode emission rule (probed and PINNED — the oracle
+    encodes it): a session emits when the watermark passes its end,
+    boundary INCLUSIVE — ``session_end <= max(ts) − delay`` under a
+    bounded replay. Sessions still open at end-of-stream stay in
+    the state store and never reach the sink, the same
+    bounded-replay contract as ``sessionize_stream``'s
+    sessions-minus-open rule, restated per-session here.
+
+    ``window_start``/``session_end`` emit as TIMESTAMP_NTZ UTC wall
+    time, same sink contract as ``windowed_counts_stream``."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def ntz(c):
+        return F.timestamp_add("MICROSECOND", F.unix_micros(c), epoch)
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        ntz(F.col("w.start")).alias("session_start"),
+        ntz(F.col("w.end")).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
