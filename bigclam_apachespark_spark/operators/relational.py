@@ -811,3 +811,196 @@ def table_stats(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q4-shape order-priority check → ``(o_orderpriority,
+    order_count)``: orders placed in a date window that have AT
+    LEAST ONE returned line item (the synthetic schema has no
+    commit/receipt dates; ``l_returnflag = 'R'`` carries Q4's
+    correlated-EXISTS structure unchanged).
+
+    The EXISTS decorrelates into a LEFT SEMI join — Spark never
+    materializes the per-order match list, and the date filter is
+    pushed to the orders scan so only the window's keys cross the
+    wire into the semi-join. One join + one hash agg; the naive
+    correlated form would re-scan lineitem per order."""
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    returned = lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def late_priority_matrix(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 60,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q12-shape shipping/priority matrix → ``(l_returnflag,
+    high_line_count, low_line_count)``: among line items shipped in
+    the window MORE than ``late_days`` after their order date, how
+    many belong to high-priority (1-URGENT/2-HIGH) vs low-priority
+    orders, by return flag (the synthetic schema has no ship mode;
+    the return flag plays its grouping role — the CASE-sum-after-
+    join shape is Q12's point and is unchanged).
+
+    The ship-window filter is pushed to the lineitem scan; the only
+    join carries two narrow columns off orders; both counts fold in
+    ONE hash agg (conditional sums, not two passes)."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).where(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_status: str = "P"
+) -> DataFrame:
+    """TPC-H Q13-shape customer order-count distribution →
+    ``(c_count, custdist)``: how many customers placed exactly N
+    qualifying orders — INCLUDING the zero-order customers the
+    inner-join formulation silently drops (the classic Q13 trap).
+    Orders with status ``exclude_status`` don't qualify (stand-in
+    for Q13's comment NOT LIKE filter — same filtered-left-join
+    structure).
+
+    Left join from customer, count the RIGHT side's key (NULL-safe:
+    no-match rows count 0), then a second tiny hash agg over the
+    ≤|distinct counts| rows. The order-side filter prunes before
+    the join; both aggs are map-side combinable."""
+    o = orders.where(F.col("o_orderstatus") != exclude_status).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, "c_custkey", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def top_revenue_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q15-shape top supplier → ``(s_suppkey, s_name,
+    total_revenue)``: the supplier(s) whose shipped revenue in the
+    window equals the GLOBAL maximum — Q15's scalar-subquery-on-a-
+    view shape. Revenue folds exactly in integer cents×bps, so the
+    max-equality join is an INTEGER comparison: no float-tie
+    ambiguity between engines, and genuinely tied suppliers all
+    surface (Q15 semantics).
+
+    The per-supplier revenue agg is computed ONCE and reused for
+    both sides: the 1-row global max broadcasts back onto it (plan:
+    one lineitem scan + one hash agg + a broadcast join), instead
+    of the self-join-on-aggregate a literal translation writes.
+    Deterministic order by suppkey."""
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("decimal(38,0)").alias("_rev"))
+    )
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    return (
+        per_supp.join(F.broadcast(mx), per_supp._rev == mx._mx)
+        .join(F.broadcast(supplier), per_supp.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double") / 10000.0, 6).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation_keys: tuple = (0, 1, 2, 3, 4, 5, 6),
+) -> DataFrame:
+    """TPC-H Q22-shape "global sales opportunity" → ``(c_nationkey,
+    numcust, totacctbal)``: customers in a nation cohort with an
+    account balance above the cohort's positive-balance average who
+    have never placed an order (the synthetic schema has no phone
+    column; ``c_nationkey`` carries the country-code cohort role).
+
+    The correlated scalar subquery (the global average) is an exact
+    INTEGER cross-multiplication: ``bal_cents * n > sum_cents``
+    instead of ``bal > sum/n`` — no float division, so the row set
+    is bit-identical on any engine and independent of aggregation
+    order. The 1-row (sum, n) agg broadcasts onto the customer
+    scan; "never ordered" is a LEFT ANTI join (no DISTINCT on the
+    100-TB fact side — the anti-join short-circuits per key).
+    Balance totals are exact cents, divided back once."""
+    cohort = customer.where(
+        F.col("c_nationkey").isin(*nation_keys)
+    ).select("c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c"))
+    pos = cohort.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("_sum"), F.count("*").alias("_n")
+    )
+    rich = cohort.join(F.broadcast(pos)).where(
+        F.col("bal_c") * F.col("_n") > F.col("_sum")
+    )
+    idle = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum("bal_c").cast("double") / 100.0, 6
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -4178,8 +4178,52 @@ def _q_bucketed_join(spark, sf):
     )
 
 
+def _q_order_priority(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import order_priority_check
+
+    o, _, li = _rel_tables(spark, sf)
+    return order_priority_check(o, li)
+
+
+def _q_late_priority(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import late_priority_matrix
+
+    o, _, li = _rel_tables(spark, sf)
+    return late_priority_matrix(o, li)
+
+
+def _q_order_distribution(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    o, c, _ = _rel_tables(spark, sf)
+    return customer_order_distribution(c, o)
+
+
+def _q_top_supplier(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import top_revenue_supplier
+
+    return top_revenue_supplier(
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        _rel_tables(spark, sf)[2],
+    )
+
+
+def _q_idle_rich(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import idle_rich_customers
+
+    o, c, _ = _rel_tables(spark, sf)
+    return idle_rich_customers(c, o)
+
+
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
+    "rel_order_priority": _q_order_priority,
+    "rel_late_priority": _q_late_priority,
+    "rel_order_distribution": _q_order_distribution,
+    "rel_top_supplier": _q_top_supplier,
+    "rel_idle_rich": _q_idle_rich,
     "rel_big_orders": _q_big_orders,
     "rel_small_qty_revenue": _q_small_qty_revenue,
     "rel_bucketed_join": _q_bucketed_join,
@@ -4202,6 +4246,90 @@ REL_QUERIES = {
 }
 
 REL_ORACLE = {
+    # Q4-shape: the correlated EXISTS decorrelates to a semi-join;
+    # both engines count each qualifying order exactly once.
+    "rel_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # Q12-shape: one pass, both priority classes as conditional sums.
+    "rel_late_priority": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    # Q13-shape: LEFT join keeps zero-order customers; COUNT on the
+    # right-side key is NULL-safe so they land in the c_count=0 bin.
+    "rel_order_distribution": """
+        WITH per_cust AS (
+          SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus <> 'P') o
+            ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    # Q15-shape: integer cents×bps revenue, so the =max comparison
+    # is exact and genuinely tied suppliers all surface.
+    "rel_top_supplier": """
+        WITH per_supp AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS HUGEINT) AS rv
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               round(CAST(rv AS DOUBLE) / 10000.0, 6) AS total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rv = (SELECT MAX(rv) FROM per_supp)
+        ORDER BY s_suppkey
+    """,
+    # Q22-shape: bal*n > sum is the exact-integer form of
+    # bal > avg — identical row sets on both engines.
+    "rel_idle_rich": """
+        WITH cohort AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer WHERE c_nationkey IN (0,1,2,3,4,5,6)
+        ),
+        pos AS (
+          SELECT CAST(SUM(bal_c) AS HUGEINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM cohort WHERE bal_c > 0
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               round(CAST(SUM(bal_c) AS DOUBLE) / 100.0, 6) AS totacctbal
+        FROM cohort, pos
+        WHERE bal_c * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = cohort.c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
     # Q18-shape: HAVING on the lineitem aggregate BEFORE any join;
     # deterministic top-k tie-break on the order key.
     "rel_big_orders": """

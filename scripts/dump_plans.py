@@ -50,6 +50,9 @@ SHOWCASE = {
     "rel_late_supplier_blame": "Q21 decorrelated: one lineitem-orders join, two cascaded hash aggs reusing the orderkey partitioning, no self-joins",
     "rel_pit_dimension_join": "PIT lookup: SCD2 islands + backward as-of in key-partitioned sorts — no interval range join",
     "text_bigram_logprob": "pair relation by array self-slicing (narrow), vocab-sized count tables joined back — no positional self-join",
+    "rel_order_priority": "Q4 EXISTS decorrelated to a LEFT SEMI join: date window pushed to the orders scan, no match-list materialization",
+    "rel_top_supplier": "Q15 scalar subquery: per-supplier agg computed once, 1-row max broadcast back onto it — no self-join-on-aggregate",
+    "rel_idle_rich": "Q22: 1-row (sum,n) broadcast, exact integer mean compare, never-ordered via LEFT ANTI (no DISTINCT on the fact side)",
 }
 
 

@@ -411,3 +411,123 @@ def test_table_stats_counts_nulls_and_ndv(spark):
     assert s["l_suppkey"]["min_str"] == "1" and s["l_suppkey"]["max_str"] == "9"
     assert s["l_quantity"]["n_nulls"] == 1
     assert s["l_returnflag"]["ndv"] == 2
+
+
+def test_order_priority_counts_each_order_once(spark):
+    """Q4's EXISTS must count an order ONCE no matter how many
+    returned line items it has — the inner-join formulation would
+    multiply. Order 1: three 'R' lines → 1. Order 2: zero 'R' lines
+    → dropped. Order 3: outside the date window → dropped."""
+    from bigclam_apachespark_spark.operators.relational import order_priority_check
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", datetime.datetime(1997, 6, 1)),
+            (2, "1-URGENT", datetime.datetime(1997, 6, 1)),
+            (3, "1-URGENT", datetime.datetime(1996, 6, 1)),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [(1, "R"), (1, "R"), (1, "R"), (2, "N"), (3, "R")],
+        "l_orderkey long, l_returnflag string",
+    )
+    got = order_priority_check(orders, li).collect()
+    assert [(r.o_orderpriority, r.order_count) for r in got] == [("1-URGENT", 1)]
+
+
+def test_late_priority_strict_interval_boundary(spark):
+    """A line shipped EXACTLY late_days after the order date is not
+    late (strict >); one day later is. High/low classes are split by
+    priority in one agg."""
+    from bigclam_apachespark_spark.operators.relational import late_priority_matrix
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", datetime.datetime(1997, 1, 1)),
+            (2, "5-LOW", datetime.datetime(1997, 1, 1)),
+        ],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "A", datetime.datetime(1997, 3, 2)),   # exactly +60d: not late
+            (1, "A", datetime.datetime(1997, 3, 3)),   # +61d: late, high
+            (2, "A", datetime.datetime(1997, 12, 1)),  # late, low
+        ],
+        "l_orderkey long, l_returnflag string, l_shipdate timestamp",
+    )
+    got = late_priority_matrix(orders, li, late_days=60).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.l_returnflag, r.high_line_count, r.low_line_count) == ("A", 1, 1)
+
+
+def test_order_distribution_keeps_zero_order_customers(spark):
+    """The Q13 trap: customers with NO qualifying orders must appear
+    in the c_count=0 bin — both the never-ordered customer and the
+    one whose only order has the excluded status."""
+    from bigclam_apachespark_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O"), (11, 1, "F"), (12, 2, "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    )
+    got = customer_order_distribution(customer, orders).collect()
+    # cust 1 → 2 orders; cust 2 → only a 'P' order → 0; cust 3 → 0.
+    assert [(r.c_count, r.custdist) for r in got] == [(0, 2), (2, 1)]
+
+
+def test_top_supplier_surfaces_exact_ties(spark):
+    """Q15 semantics: every supplier at the global max revenue
+    surfaces. Revenue folds in integer cents×bps, so two suppliers
+    with identical line economics tie EXACTLY."""
+    from bigclam_apachespark_spark.operators.relational import top_revenue_supplier
+
+    supplier = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")],
+        "s_suppkey long, s_name string",
+    )
+    d = datetime.datetime(1997, 6, 1)
+    li = spark.createDataFrame(
+        [
+            (1, 100.10, 0.05, d),
+            (2, 100.10, 0.05, d),  # identical → exact tie with s1
+            (3, 50.00, 0.00, d),
+            (3, 45.00, 0.00, d),   # 95 < 95.095: below max
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    got = top_revenue_supplier(supplier, li).collect()
+    assert [(r.s_suppkey, r.s_name) for r in got] == [(1, "s1"), (2, "s2")]
+    assert all(r.total_revenue == round(100.10 * 0.95, 6) for r in got)
+
+
+def test_idle_rich_strict_mean_and_anti_join(spark):
+    """Q22 semantics: the mean is over POSITIVE balances only, the
+    comparison is strictly above it (bal*n > sum — exact integers,
+    so a balance exactly AT the mean is excluded), and any customer
+    with an order is excluded however rich."""
+    from bigclam_apachespark_spark.operators.relational import idle_rich_customers
+
+    customer = spark.createDataFrame(
+        [
+            (1, 0, 300.0),   # above mean(200), no orders → kept
+            (2, 0, 200.0),   # exactly at mean → excluded (strict)
+            (3, 0, 100.0),   # below mean → excluded
+            (4, 0, 500.0),   # above mean but HAS an order → excluded
+            (5, 1, -50.0),   # negative: not in the positive mean
+        ],
+        "c_custkey long, c_nationkey int, c_acctbal double",
+    )
+    orders = spark.createDataFrame([(90, 4)], "o_orderkey long, o_custkey long")
+    # positive mean = (300+200+100+500)/4 = 275; above it: 300, 500;
+    # 500 has an order → kept = {cust 1}.
+    got = idle_rich_customers(customer, orders, nation_keys=(0, 1)).collect()
+    assert [(r.c_nationkey, r.numcust, r.totacctbal) for r in got] == [(0, 1, 300.0)]
