@@ -1077,3 +1077,163 @@ def global_shuffle_order(
             (F.col("_off") + F.row_number().over(rank_w)).cast("long").alias("rank"),
         )
     )
+
+
+def pmi_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k pointwise-mutual-information collocations → ``(w1, w2,
+    n_pair, pmi)``: the token pairs that co-occur within ``window``
+    positions far more often than their unigram frequencies predict
+    — the classic phrase-mining signal (Mikolov-style word2phrase
+    uses exactly this score to glue "new york" into one token before
+    LM training). Pairs are position-ordered (w1 before w2) and
+    counted once per occurrence.
+
+    Float discipline: the ranking score is ONE division of two
+    products that are each exact in the integer domain (num =
+    c12·T1², den = T12·c1·c2, both folded as DECIMAL(38,0) /
+    HUGEINT before a single cast-to-double divide), so both engines
+    produce the bit-identical double; exact rational ties fall back
+    to (w1, w2). ``ln`` appears only in the rounded OUTPUT column.
+
+    Scale shape: the pair relation is built NARROWLY by slicing the
+    token array against itself once per offset (no positional
+    self-join, no explode²); pair counts and unigram counts are
+    vocabulary-bounded hash aggs; the two scalar totals broadcast.
+    min_count prunes the long Zipf tail before the join."""
+    tk = tokens(text_col)
+    offs = []
+    for d in range(1, window):
+        offs.append(
+            F.zip_with(
+                F.slice(tk, 1, F.greatest(F.size(tk) - d, F.lit(0))),
+                F.slice(tk, 1 + d, F.greatest(F.size(tk) - d, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        )
+    pr = docs.select(
+        F.explode(F.flatten(F.array(*offs))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    c12 = pr.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    t12 = c12.agg(F.sum("n_pair").alias("t12"))
+    uni = docs.select(F.explode(tk).alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    t1 = uni.agg(F.sum("cu").alias("t1"))
+
+    num = (
+        F.col("n_pair").cast("decimal(38,0)")
+        * F.col("t1").cast("decimal(38,0)")
+        * F.col("t1").cast("decimal(38,0)")
+    )
+    den = (
+        F.col("t12").cast("decimal(38,0)")
+        * F.col("cu1").cast("decimal(38,0)")
+        * F.col("cu2").cast("decimal(38,0)")
+    )
+    score = num.cast("double") / den.cast("double")
+    return (
+        c12.where(F.col("n_pair") >= min_count)
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2"
+        )
+        .crossJoin(F.broadcast(t12))
+        .crossJoin(F.broadcast(t1))
+        .withColumn("_s", score)
+        .orderBy(F.col("_s").desc(), "w1", "w2")
+        .limit(k)
+        .select("w1", "w2", "n_pair", F.round(F.log("_s"), 6).alias("pmi"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """First BPE merge-candidate table → ``(left_sym, right_sym,
+    pair_count)``: adjacent CHARACTER-pair frequencies weighted by
+    word frequency, word boundaries isolated — exactly the statistic
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016)
+    maximizes at each merge step. Top-k by count, all-integer, so
+    the ranking is exact on any engine.
+
+    Scale shape: the BPE trick — ONE corpus-sized pass collapses
+    text to a vocabulary-sized word-frequency table; character
+    splitting, pair slicing, and the weighted count all run over
+    the vocab relation (|V| ≪ corpus), the same reason real BPE
+    trainers iterate over word counts and not raw text."""
+    wf = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.length("w") - 1),
+        F.slice(chars, 2, F.length("w") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        wf.select("f", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(k)
+    )
+
+
+def token_frequency_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frequency-of-frequencies spectrum → ``(freq, n_terms,
+    gt_adjusted)``: how many distinct terms occur exactly ``freq``
+    times, plus the Good-Turing adjusted count r* = (r+1)·S(r+1)/S(r)
+    (NULL where S(r+1) is empty) — the input to Good-Turing/Katz
+    smoothing and the standard Zipf-fit diagnostic for corpus health
+    (a training mix whose spectrum bends away from the Zipf line has
+    dedup or boilerplate problems).
+
+    All counting is integer-exact; the single r* division happens
+    once per OUTPUT row on exact integers (deterministic double).
+
+    Scale shape: corpus pass → vocabulary-sized term-count agg →
+    spectrum agg whose cardinality is O(max term frequency) in the
+    worst case and ~O(√total_tokens) under Zipf; the r+1 self-join
+    runs on that tiny relation (AQE broadcasts it)."""
+    tf = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("ctf"))
+    )
+    spec = tf.groupBy(F.col("ctf").alias("freq")).agg(
+        F.count("*").alias("n_terms")
+    )
+    nxt = spec.select(
+        (F.col("freq") - 1).alias("freq"), F.col("n_terms").alias("_n_next")
+    )
+    return (
+        spec.join(nxt, "freq", "left")
+        .select(
+            "freq",
+            "n_terms",
+            F.round(
+                (F.col("freq") + 1)
+                * F.col("_n_next").cast("double")
+                / F.col("n_terms").cast("double"),
+                6,
+            ).alias("gt_adjusted"),
+        )
+        .orderBy("freq")
+    )

@@ -123,6 +123,78 @@ def _clean_ctes(quality_threshold: float = 0.5, lang: str = "en") -> str:
 
 
 TEXT_ORACLE = {
+    # PMI ranking score: one division of two exact-integer products
+    # (HUGEINT here, DECIMAL(38,0) on the Spark side) — bit-identical
+    # doubles on both engines; ln only in the rounded output column.
+    "text_pmi_topk": f"""
+        WITH tk AS (SELECT {TOKENS} AS l FROM documents),
+        pr AS (
+          SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+          FROM tk WHERE len(l) >= 2
+          UNION ALL
+          SELECT unnest(l[1:len(l)-2]), unnest(l[3:len(l)])
+          FROM tk WHERE len(l) >= 3
+        ),
+        c12 AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+          FROM pr GROUP BY 1, 2
+        ),
+        t12 AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t12 FROM c12),
+        uni AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+          FROM (SELECT unnest(l) AS w FROM tk) GROUP BY w
+        ),
+        t1 AS (SELECT CAST(SUM(cu) AS BIGINT) AS t1 FROM uni),
+        sc AS (
+          SELECT w1, w2, n_pair,
+                 CAST(CAST(n_pair AS HUGEINT) * t1.t1 * t1.t1 AS DOUBLE)
+                 / CAST(CAST(t12.t12 AS HUGEINT) * u1.cu * u2.cu AS DOUBLE) AS s
+          FROM c12
+          JOIN uni u1 ON u1.w = c12.w1
+          JOIN uni u2 ON u2.w = c12.w2
+          CROSS JOIN t12 CROSS JOIN t1
+          WHERE n_pair >= 5
+        )
+        SELECT w1, w2, n_pair, round(ln(s), 6) AS pmi
+        FROM sc ORDER BY s DESC, w1, w2 LIMIT 20
+    """,
+    # BPE merge candidates: all-integer weighted pair counts over the
+    # vocabulary relation.
+    "text_bpe_pair_counts": f"""
+        WITH wf AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT unnest({TOKENS}) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w
+        ),
+        ch AS (
+          SELECT f,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM wf
+        ),
+        pr AS (
+          SELECT f, unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch
+        )
+        SELECT l AS left_sym, r AS right_sym, CAST(SUM(f) AS BIGINT) AS pair_count
+        FROM pr GROUP BY 1, 2
+        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+    """,
+    # Good-Turing r*: single division on exact integers per output row.
+    "text_freq_spectrum": f"""
+        WITH tf AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS ctf
+          FROM (SELECT unnest({TOKENS}) AS w FROM documents) GROUP BY w
+        ),
+        spec AS (
+          SELECT ctf AS freq, CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM tf GROUP BY 1
+        )
+        SELECT s.freq, s.n_terms,
+               round((s.freq + 1) * CAST(n2.n_terms AS DOUBLE)
+                     / CAST(s.n_terms AS DOUBLE), 6) AS gt_adjusted
+        FROM spec s LEFT JOIN spec n2 ON n2.freq = s.freq + 1
+        ORDER BY s.freq
+    """,
     "text_token_stats": f"""
         SELECT doc_id,
                CAST(len({TOKENS}) AS INT) AS n_tokens,
@@ -735,6 +807,15 @@ TEXT_QUERIES = {
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
     "text_bigram_logprob": lambda spark, sf: X.bigram_logprob(_docs(spark, sf)),
+    "text_pmi_topk": lambda spark, sf: X.pmi_topk(
+        _docs(spark, sf), window=3, min_count=5, k=20
+    ),
+    "text_bpe_pair_counts": lambda spark, sf: X.bpe_pair_counts(
+        _docs(spark, sf), k=20
+    ),
+    "text_freq_spectrum": lambda spark, sf: X.token_frequency_spectrum(
+        _docs(spark, sf)
+    ),
     "text_span_corruption": lambda spark, sf: X.span_corruption(_docs(spark, sf)),
     "text_cms_token_counts": lambda spark, sf: SK.cms_topk_estimates(
         _docs(spark, sf), k=20, d=4, w=1024

@@ -1049,3 +1049,71 @@ def test_span_corruption_hand_computed(spark):
     assert r2["n_masked"] == 0
     assert r2["input_text"] == "a b c"
     assert r2["target_text"] is None
+
+
+def test_pmi_topk_window_and_score_hand_computed(spark):
+    """PMI counts pairs at offsets 1 AND 2 (window=3), position-
+    ordered. Corpus 'x y z' ×3: pairs (x,y),(y,z) at offset 1 and
+    (x,z) at offset 2, each ×3. Unigrams: x,y,z ×3 each, T1=9;
+    T12=9. PMI(x,y) = ln(3·81 / (9·3·3)) = ln(3) — all three pairs
+    tie exactly, so the order falls back to (w1, w2)."""
+    import math
+
+    from bigclam_apachespark_spark.operators.text import pmi_topk
+
+    docs = spark.createDataFrame(
+        [(i, "x y z") for i in range(3)], "doc_id long, text string"
+    )
+    got = pmi_topk(docs, window=3, min_count=3, k=10).collect()
+    assert [(r.w1, r.w2, r.n_pair) for r in got] == [
+        ("x", "y", 3),
+        ("x", "z", 3),
+        ("y", "z", 3),
+    ]
+    assert all(r.pmi == round(math.log(3.0), 6) for r in got)
+
+
+def test_pmi_min_count_prunes(spark):
+    """A pair below min_count never reaches the scored relation."""
+    from bigclam_apachespark_spark.operators.text import pmi_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "q r")], "doc_id long, text string"
+    )
+    got = pmi_topk(docs, window=2, min_count=2, k=10).collect()
+    # (a,b) ×2 and (b,a) ×1, (q,r) ×1 → only (a,b) survives
+    assert [(r.w1, r.w2, r.n_pair) for r in got] == [("a", "b", 2)]
+
+
+def test_bpe_pair_counts_weighted_and_boundary_isolated(spark):
+    """Pair counts weigh by word FREQUENCY and never cross a word
+    boundary: 'ab ab ba' has no (b,a)-crossing from 'ab ab' — only
+    the real word 'ba' contributes (b,a). Single-char words carry
+    no pairs."""
+    from bigclam_apachespark_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ba"), (2, "ab c")], "doc_id long, text string"
+    )
+    got = bpe_pair_counts(docs, k=10).collect()
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in got] == [
+        ("a", "b", 3),
+        ("b", "a", 1),
+    ]
+
+
+def test_frequency_spectrum_good_turing(spark):
+    """'a a a b b c d' → tf: a=3, b=2, c=1, d=1 → spectrum S(1)=2,
+    S(2)=1, S(3)=1. r*(1) = 2·S(2)/S(1) = 1.0, r*(2) = 3·S(3)/S(2)
+    = 3.0, r*(3) = NULL (no S(4))."""
+    from bigclam_apachespark_spark.operators.text import token_frequency_spectrum
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "c d")], "doc_id long, text string"
+    )
+    got = token_frequency_spectrum(docs).collect()
+    assert [(r.freq, r.n_terms, r.gt_adjusted) for r in got] == [
+        (1, 2, 1.0),
+        (2, 1, 3.0),
+        (3, 1, None),
+    ]
