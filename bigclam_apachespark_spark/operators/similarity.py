@@ -1501,3 +1501,150 @@ def mmr_rerank(
     return selected.select(
         "q", F.col("c").alias(id_col), "sel_rank", "mmr_score"
     )
+
+
+def _jl_signs(k_dim: int, dim: int, seed: int = 7) -> list:
+    """Sparse Achlioptas JL sign matrix ({+1, 0, -1}, density 1/3)
+    via md5 — Achlioptas (2001): entries of ±1 w.p. 1/6 each and 0
+    w.p. 2/3 satisfy the JL lemma with the same distortion bound as
+    Gaussians, and an INTEGER matrix keeps the whole projection in
+    the exact fixed-point domain (the DuckDB oracle injects the same
+    literals). h = md5 word mod 6: 0 → +1, 1 → −1, else 0."""
+    import hashlib
+
+    rows = []
+    for j in range(k_dim):
+        row = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"jl:{seed}:{j}:{d}".encode()).hexdigest()[:8], 16
+            ) % 6
+            row.append(1 if h == 0 else (-1 if h == 1 else 0))
+        rows.append(row)
+    return rows
+
+
+def jl_project(
+    embeddings: DataFrame,
+    k_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection → ``(vec_id, pqv, pnrm)``:
+    each micro-unit vector projected to ``k_dim`` dims through the
+    sparse ±1 matrix — every component an exact int64 sum of signed
+    micro-units (|comp| ≤ dim·10⁶, self-dot ≤ k_dim·(dim·10⁶)² ≪
+    2⁶³), so the projection is bit-identical cross-engine with NO
+    float anywhere.
+
+    Scale shape: a pure narrow map over the corpus — at 100 TB this
+    is the cheap pass that shrinks every downstream pair scoring by
+    dim/k_dim (4× here), the standard first stage before brute/IVF
+    on billion-vector corpora."""
+    # The sparse matrix is known at plan time, so each component is
+    # a PLAIN signed add-chain over the ~dim/3 nonzero entries, each
+    # term quantizing exactly ONE raw element in place — whole-stage
+    # codegen arithmetic, zero higher-order functions. Two rejected
+    # formulations, both measured at sf0.1: an HOF transform×
+    # zip_with×aggregate matrix product runs interpreted per element
+    # (5×), and staging qv = _qvec(vec) in a projection is worse
+    # (35 s for 2 000 rows) because CollapseProject inlines the full
+    # 64-element quantization lambda into every one of the ~341
+    # qv[d] references. vec[d] is 0-based in SQL expressions.
+    def _term(d: int) -> str:
+        return f"CAST(round({vec_col}[{d}] * {float(SCALE)}) AS LONG)"
+
+    comps = []
+    for row in _jl_signs(k_dim, dim, seed):
+        terms = " ".join(
+            f"{'+' if s > 0 else '-'} {_term(d)}" for d, s in enumerate(row) if s
+        )
+        comps.append(f"CAST(0 AS LONG) {terms}" if terms else "CAST(0 AS LONG)")
+    # The self-dot is ALSO spelled as plain arithmetic over the same
+    # chains: _dot_long(pqv, pqv) here would inline the whole array
+    # expression into an interpreted zip_with twice per row
+    # (measured 8× the stage time at sf0.1). No zero-norm filter —
+    # same degenerate-vector policy as ``quantized``/brute (an
+    # all-cancelled projection yields 0/0 = NaN cosines, and NaN is
+    # the GREATEST double in both Spark and DuckDB orderings, so
+    # even that measure-zero case ranks identically cross-engine);
+    # a filter here would also drag the 682-term predicate out of
+    # whole-stage codegen (measured 11× the stage time).
+    ss = " + ".join(f"(({c}) * ({c}))" for c in comps)
+    return embeddings.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(comps) + ")").alias("pqv"),
+        F.sqrt(F.expr(ss).cast("double")).alias("pnrm"),
+    )
+
+
+def jl_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by PROJECTED cosine → ``(q, vec_id, rank, cos_sim)``:
+    ``brute_force_topk``'s shape run in the k_dim-dimensional JL
+    space — the score wire cost per pair drops from ``dim`` to
+    ``k_dim`` multiplies and the corpus representation shrinks 4×.
+    cos_sim here is the PROJECTED cosine (what the search actually
+    ranked by), rounded for output; ``jl_recall_eval`` measures what
+    the distortion costs against exact truth."""
+    from pyspark.sql import Window
+
+    corpus = jl_project(embeddings, k_dim, dim, seed, id_col, vec_col)
+    qs = jl_project(queries, k_dim, dim, seed, id_col, vec_col).select(
+        F.col(id_col).alias("q"),
+        F.col("pqv").alias("qpqv"),
+        F.col("pnrm").alias("qpnrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("q") != F.col(id_col))
+        .select(
+            "q",
+            id_col,
+            F.round(
+                _dot_long("pqv", "qpqv").cast("double")
+                / (F.col("pnrm") * F.col("qpnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", id_col, "rank", "cos_sim")
+    )
+
+
+def jl_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of JL-projected search against exact brute force →
+    ``(q, n_retrieved, n_hits, recall)`` — the honesty loop for the
+    dimensionality reduction, twin of ``lsh_recall_eval``: k_dim is
+    the JL speed-distortion dial, and this measures where it lands
+    on THIS corpus instead of trusting the lemma's union bound."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    approx = jl_topk(
+        embeddings, queries, k, k_dim, dim, seed, id_col, vec_col
+    )
+    return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)

@@ -1532,6 +1532,33 @@ def _planes_multi_sql(n_planes: int, n_tables: int, dim: int = 64, seed: int = 4
     return "planes_m(tbl, plane, qvec) AS (VALUES " + ", ".join(rows) + ")"
 
 
+def _jl_proj_sql(k_dim: int = 16, dim: int = 64, seed: int = 7) -> str:
+    """JL projection as a DuckDB CTE (vec_id, pqv, pnrm) — the SAME
+    sparse ±1 literals as similarity._jl_signs, all-integer sums, so
+    the projected vectors are bit-identical. Quantization happens
+    per referenced element (round(x·10⁶), the _qvec rule) exactly
+    as on the Spark side."""
+    comps = []
+    for row in S._jl_signs(k_dim, dim, seed):
+        terms = [
+            f"{'+' if s > 0 else '-'} qv[{d + 1}]"
+            for d, s in enumerate(row)
+            if s
+        ]
+        comps.append(
+            "CAST(0 AS BIGINT) " + " ".join(terms) if terms else "CAST(0 AS BIGINT)"
+        )
+    arr = "[" + ", ".join(f"({c})" for c in comps) + "]"
+    return f"""pemb AS (
+  SELECT vec_id, {arr} AS pqv FROM emb
+),
+pembn AS (
+  SELECT vec_id, pqv,
+         sqrt(CAST(list_sum([v * v for v in pqv]) AS DOUBLE)) AS pnrm
+  FROM pemb
+)"""
+
+
 def _dotq_sql(a: str, b: str) -> str:
     """Exact integer dot of two quantized BIGINT lists (DuckDB twin of
     similarity._dot_long)."""
@@ -1725,6 +1752,66 @@ SIM_ORACLE = {
                  ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos_sim DESC, vec_id) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """,
+    # JL search: projection components are exact int64 sums of the
+    # same ±1 literals; the only floats are the final cosine's
+    # correctly-rounded sqrt/mul/div — bit-identical cross-engine.
+    "sim_jl_topk": f"""
+        WITH {EMB_SQL}, {_jl_proj_sql(16, 64, 7)},
+        scored AS (
+          SELECT pb.vec_id AS q, pa.vec_id,
+                 round(CAST({_dotq_sql('pa.pqv', 'pb.pqv')} AS DOUBLE)
+                       / (pa.pnrm * pb.pnrm), 6) AS cos_sim
+          FROM pembn pa CROSS JOIN pembn pb
+          WHERE pb.vec_id < 10 AND pa.vec_id <> pb.vec_id
+        )
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+          SELECT q, vec_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    "sim_jl_recall": f"""
+        WITH {EMB_SQL}, {_jl_proj_sql(16, 64, 7)},
+        bscored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        ),
+        bnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM bscored
+          ) WHERE rank <= 5
+        ),
+        jscored AS (
+          SELECT pb.vec_id AS q, pa.vec_id,
+                 round(CAST({_dotq_sql('pa.pqv', 'pb.pqv')} AS DOUBLE)
+                       / (pa.pnrm * pb.pnrm), 6) AS cos_sim
+          FROM pembn pa CROSS JOIN pembn pb
+          WHERE pb.vec_id < 10 AND pa.vec_id <> pb.vec_id
+        ),
+        jnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM jscored
+          ) WHERE rank <= 5
+        ),
+        hits AS (
+          SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM bnn b JOIN jnn j ON j.q = b.q AND j.vec_id = b.vec_id
+          GROUP BY b.q
+        ),
+        ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM jnn GROUP BY q),
+        qspine AS (SELECT DISTINCT q FROM bnn)
+        SELECT s.q,
+               CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+        FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
     """,
     "sim_topk_brute": f"""
         WITH {EMB_SQL},
@@ -2511,6 +2598,12 @@ def _mmr_sql(k: int = 4, n_cand: int = 16, lam: float = 0.5) -> str:
 SIM_ORACLE["sim_mmr_topk"] = _mmr_sql(4, 16, 0.5)
 
 SIM_QUERIES = {
+    "sim_jl_topk": lambda spark, sf: S.jl_topk(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, k_dim=16
+    ),
+    "sim_jl_recall": lambda spark, sf: S.jl_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, k_dim=16
+    ),
     "sim_mmr_topk": lambda spark, sf: S.mmr_rerank(
         _emb(spark, sf), _queries_subset(spark, sf), k=4, n_cand=16, lam=0.5
     ),

@@ -1290,3 +1290,58 @@ def test_hll_sliding_merge_equals_rescan(spark):
         agg, est = _finalize_registers(regs, 64)
         want = agg.select(F.round(est, 6).alias("e")).collect()[0]["e"]
         assert got[t0 + dt.timedelta(hours=h)] == want
+
+
+def test_jl_project_matches_numpy_reference(spark):
+    """The Spark-side JL projection must equal R·q computed in plain
+    Python over the same sign matrix and the same micro-unit
+    quantization — exact integer equality, component by component."""
+    from bigclam_apachespark_spark.operators.similarity import (
+        _jl_signs,
+        jl_project,
+    )
+
+    dim, k_dim = 8, 4
+    rows = [
+        (0, [0.1, -0.2, 0.3, -0.4, 0.5, -0.6, 0.7, -0.8]),
+        (1, [1.0, 1.0, 0.0, 0.0, -1.0, -1.0, 0.5, 0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["pqv"], r["pnrm"])
+        for r in jl_project(df, k_dim=k_dim, dim=dim).collect()
+    }
+    signs = _jl_signs(k_dim, dim)
+    for vid, vec in rows:
+        q = [int(round(x * 1_000_000)) for x in vec]
+        want = [sum(s * q[d] for d, s in enumerate(row)) for row in signs]
+        assert got[vid][0] == want
+        assert got[vid][1] == pytest.approx(
+            math.sqrt(sum(c * c for c in want)), rel=1e-12
+        )
+
+
+def test_jl_topk_full_rank_identity(vecs):
+    """With k_dim = dim the sparse sign matrix is still a linear map,
+    but recall against brute force is measured, not assumed: on the
+    4-dim fixture the near-dup of the query must surface at rank 1
+    (JL preserves the big gap between cos≈1 and cos≈0 neighbors)."""
+    from bigclam_apachespark_spark.operators.similarity import jl_topk
+
+    q = vecs.where(F.col("vec_id") == 0)
+    top = jl_topk(vecs, q, k=2, k_dim=4, dim=4, vec_col="embedding")
+    rows = sorted((r["rank"], r["vec_id"]) for r in top.collect())
+    assert rows[0] == (1, 1)
+
+
+def test_jl_recall_eval_contract(vecs):
+    """Recall rows cover every truth query, n_hits ≤ n_retrieved ≤ k,
+    recall = n_hits / k."""
+    from bigclam_apachespark_spark.operators.similarity import jl_recall_eval
+
+    q = vecs.where(F.col("vec_id") < 2)
+    got = jl_recall_eval(vecs, q, k=2, k_dim=4, dim=4, vec_col="embedding").collect()
+    assert {r["q"] for r in got} == {0, 1}
+    for r in got:
+        assert 0 <= r["n_hits"] <= r["n_retrieved"] <= 2
+        assert r["recall"] == round(r["n_hits"] / 2.0, 6)
