@@ -885,3 +885,63 @@ def bfs_hops(
         dist = new_dist
         frontier = nxt.select("id")
     return dist
+
+
+def harmonic_centrality_sampled(
+    sym_edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Seed-sampled harmonic centrality → ``(id, n_reached,
+    harmonic)``: for every node, how many of the ``seeds`` reach it
+    within ``max_hops`` and the harmonic sum Σ 1/d(seed, node) over
+    those seeds — the Eppstein-Wang estimation scheme (2001): s =
+    O(log n / ε²) sampled sources estimate every node's centrality
+    within ε·(n-1), turning the hopeless all-pairs BFS into s
+    frontier expansions. Harmonic (not classic closeness) so
+    disconnection contributes zero instead of poisoning the sum.
+
+    Float discipline: per node the sum collapses to Σ_d count_d / d
+    with d ≤ max_hops — ONE fixed-order chain of ≤ max_hops
+    correctly-rounded divisions and adds on exact integer counts,
+    bit-identical cross-engine (never a fold over per-seed floats,
+    whose order Spark and DuckDB disagree on).
+
+    Scale shape: state is (seed, id) labeled distances — |S|·n rows
+    for the sample, NOT n² — and each round joins only the frontier
+    against the edge list partitioned on src (cost Σ deg(frontier)
+    per seed), with the same per-round localCheckpoint cadence and
+    empty-frontier early exit as ``bfs_hops``."""
+    dist = (
+        seeds.select(F.col("id").alias("seed"), F.col("id"), F.lit(0).cast("int").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym_edges, frontier["id"] == sym_edges["src"])
+            .select("seed", F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, ["seed", "id"], "left_anti")
+            .select("seed", "id", F.lit(h).cast("int").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        unpersist_local_checkpoint(dist)
+        dist = new_dist
+        frontier = nxt.select("seed", "id")
+    counts = [
+        F.sum(F.when(F.col("d") == h, 1).otherwise(0)).cast("long")
+        for h in range(1, max_hops + 1)
+    ]
+    harmonic = counts[0].cast("double") / F.lit(1.0)
+    for h in range(2, max_hops + 1):
+        harmonic = harmonic + counts[h - 1].cast("double") / F.lit(float(h))
+    return (
+        dist.where(F.col("d") >= 1)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.round(harmonic, 6).alias("harmonic"),
+        )
+    )

@@ -223,6 +223,22 @@ def q_bfs_hops(spark, sf_dir):
     return G.bfs_hops(sym, sources, max_hops=3)
 
 
+def q_harmonic_sampled(spark, sf_dir):
+    """Eppstein-Wang seed-sampled harmonic centrality, 3 bounded
+    hops. The sample is the 16 SMALLEST ids of the id % 250 = 0
+    cohort — a fixed sample size regardless of graph scale (the
+    estimator needs s = O(log n / ε²) seeds, not a constant
+    FRACTION; a mod-only cohort grows with the graph and turns the
+    sampled estimate back into s× full BFS — measured 33 s vs 7 s
+    at sf0.1). TakeOrdered on the tiny cohort relation, no global
+    window."""
+    sym = _sym(spark, sf_dir)
+    seeds = (
+        G.vertices(sym).where(F.col("id") % 250 == 0).orderBy("id").limit(16)
+    )
+    return G.harmonic_centrality_sampled(sym, seeds, max_hops=3)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities, 3 mean-normalized rounds on the
     directed bipartite customer→supplier graph (buyers ranked by the
@@ -319,6 +335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_degree_hist": q_sql_degree_hist,
     "graph_link_candidates": q_link_candidates,
     "graph_bfs_hops": q_bfs_hops,
+    "graph_harmonic_sampled": q_harmonic_sampled,
     "graph_sssp_weighted": q_sssp_weighted,
     "graph_hits": q_hits,
     "graph_label_prop": q_label_prop,
@@ -376,6 +393,44 @@ d{h} AS MATERIALIZED (
 f{h} AS MATERIALIZED (SELECT id FROM x{h})"""
         )
     return ",\n".join(parts) + f"\nSELECT id, hops FROM d{rounds}"
+
+
+def _mbfs_sql(rounds: int = 3, mod: int = 250) -> str:
+    """Unrolled MULTI-SOURCE labeled-BFS twin: (seed, id, d) state,
+    same MATERIALIZED-round rationale as _bfs_sql. The harmonic sum
+    is a FIXED-ORDER chain of count_d / d terms — exact integers
+    into correctly-rounded divisions, never a float fold."""
+    parts = [
+        f"""md0 AS MATERIALIZED (
+  SELECT seed, seed AS id, CAST(0 AS INT) AS d FROM (
+    SELECT DISTINCT src AS seed FROM sym WHERE src % {mod} = 0
+    ORDER BY seed LIMIT 16
+  )),
+mf0 AS MATERIALIZED (SELECT seed, id FROM md0)"""
+    ]
+    for h in range(1, rounds + 1):
+        parts.append(
+            f"""mn{h} AS MATERIALIZED (
+  SELECT DISTINCT f.seed, e.dst AS id FROM sym e JOIN mf{h - 1} f ON f.id = e.src),
+mx{h} AS MATERIALIZED (
+  SELECT n.seed, n.id, CAST({h} AS INT) AS d
+  FROM mn{h} n LEFT JOIN md{h - 1} p ON p.seed = n.seed AND p.id = n.id
+  WHERE p.id IS NULL),
+md{h} AS MATERIALIZED (
+  SELECT seed, id, d FROM md{h - 1} UNION ALL SELECT seed, id, d FROM mx{h}),
+mf{h} AS MATERIALIZED (SELECT seed, id FROM mx{h})"""
+        )
+    harmonic = " + ".join(
+        f"CAST(SUM(CASE WHEN d = {h} THEN 1 ELSE 0 END) AS DOUBLE) / {float(h)}"
+        for h in range(1, rounds + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       round({harmonic}, 6) AS harmonic
+FROM md{rounds} WHERE d >= 1 GROUP BY id"""
+    )
 
 
 def _hits_sql(rounds: int = 3) -> str:
@@ -671,6 +726,7 @@ ORACLE: dict[str, str] = {
     # the point (see PORTABLE_DEGREE_HIST_SQL).
     "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,
     "graph_bfs_hops": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_bfs_sql(3, 100)}",
+    "graph_harmonic_sampled": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_mbfs_sql(3, 250)}",
     "graph_label_prop": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_lpa_sql(2)}",
     "graph_modularity": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_modularity_sql(2)}",
     "graph_link_candidates": f"""

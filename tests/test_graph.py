@@ -439,3 +439,43 @@ def test_hits_star_bipartite(spark):
     assert auth[101] > auth[102]
     assert round(sum(hubs.values()) / 2, 5) == 1.0
     assert round(sum(auth.values()) / 2, 5) == 1.0
+
+
+def test_harmonic_centrality_sampled_path_graph(spark):
+    """Path 1-2-3-4-5, seed {1}, 3 hops: node 2 at d=1 → 1.0, node 3
+    at d=2 → 0.5, node 4 at d=3 → 1/3, node 5 unreached → absent.
+    The seed itself never scores (d=0 excluded)."""
+    from bigclam_apachespark_spark.operators.graph import (
+        harmonic_centrality_sampled,
+        symmetrize,
+    )
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    sym = symmetrize(
+        edges_from_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r for r in harmonic_centrality_sampled(sym, seeds, 3).collect()}
+    assert set(got) == {2, 3, 4}
+    assert (got[2]["n_reached"], got[2]["harmonic"]) == (1, 1.0)
+    assert (got[3]["n_reached"], got[3]["harmonic"]) == (1, 0.5)
+    assert (got[4]["n_reached"], got[4]["harmonic"]) == (1, round(1 / 3.0, 6))
+
+
+def test_harmonic_centrality_two_seeds_sum(spark):
+    """Seeds {1, 3} on the path 1-2-3: node 2 gets 1/1 from each
+    seed → harmonic 2.0. Each endpoint is reached only by the OTHER
+    seed (d=2, the d=0 self never scores) → n_reached 1, harmonic
+    0.5."""
+    from bigclam_apachespark_spark.operators.graph import (
+        harmonic_centrality_sampled,
+        symmetrize,
+    )
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    sym = symmetrize(edges_from_pairs(spark, [(1, 2), (2, 3)]))
+    seeds = spark.createDataFrame([(1,), (3,)], "id long")
+    got = {r["id"]: r for r in harmonic_centrality_sampled(sym, seeds, 3).collect()}
+    assert (got[2]["n_reached"], got[2]["harmonic"]) == (2, 2.0)
+    assert (got[1]["n_reached"], got[1]["harmonic"]) == (1, 0.5)
+    assert (got[3]["n_reached"], got[3]["harmonic"]) == (1, 0.5)
