@@ -665,3 +665,76 @@ def growth_accounting(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             ),
         )
     )
+
+
+def cohort_ltv(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort lifetime value → ``(cohort_week, week_offset,
+    cohort_size, wk_revenue, cum_ltv_per_user)``: users cohorted by
+    first active epoch-week (same integer week rule as
+    ``cohort_retention``); per cohort and offset, the purchase
+    revenue landed that week and the CUMULATIVE revenue per cohort
+    member so far — the payback-curve query every growth team pairs
+    with retention.
+
+    Money discipline: revenue folds as integer cents (round(v·100)
+    per event — exact cross-engine); the running sum is an integer
+    cumsum; the single per-row division chain (cents → dollars →
+    per-user) runs in one fixed order on exact inputs.
+
+    Scale shape: events collapse once to (user, cwk) — one hash agg
+    over user_id; purchases join that narrow table and aggregate to
+    |cohorts|·|offsets| rows BEFORE the running-sum window, whose
+    partitions are offset-bounded (a window over the aggregate, not
+    the event stream). Offsets with zero purchases don't emit (no
+    spine join — both engines agree)."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    wk = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(604800)).cast(
+        "long"
+    )
+    first = (
+        events.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cwk"))
+    )
+    sizes = first.groupBy("cwk").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            wk.alias("wk"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .join(first, "user_id")
+        .groupBy(
+            F.col("cwk").alias("cohort_week"),
+            (F.col("wk") - F.col("cwk")).alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("wk_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("wk_cents").over(w))
+        .join(sizes.withColumnRenamed("cwk", "cohort_week"), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            F.round(F.col("wk_cents").cast("double") / 100.0, 6).alias(
+                "wk_revenue"
+            ),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / 100.0
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+    )

@@ -693,3 +693,126 @@ def synthetic_ppm_media(spark: SparkSession, n: int = 48) -> DataFrame:
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _ahash64(payload: bytes) -> int:
+    """64-bit average hash of a decoded image: grayscale → 8×8
+    block-mean thumbnail → bit (y·8 + x) set iff the cell is
+    STRICTLY above the thumbnail mean (aHash, the standard
+    perceptual baseline). Returned as signed two's-complement int64
+    so it round-trips a LongType column."""
+    import numpy as np
+
+    img = _ppm_decode(payload).astype(np.float64)
+    gray = img.mean(axis=2)
+    h, w = gray.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"image {h}x{w} too small for an 8x8 thumbnail")
+    bh, bw = h // 8, w // 8
+    thumb = (
+        gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    )
+    bits = thumb > thumb.mean()
+    val = 0
+    for y in range(8):
+        for x in range(8):
+            if bits[y, x]:
+                val |= 1 << (y * 8 + x)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def phash64(media: DataFrame) -> DataFrame:
+    """Perceptual (average) hash per image → ``(media_id, phash,
+    decode_error)``: REAL decode (binary PPM) + 8×8 aHash, Arrow-
+    batched via ``mapInPandas`` — one narrow pass, no shuffle; the
+    64-bit fingerprint is the fixed-width state every downstream
+    dedup step carries instead of pixels."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rows.append(
+                        {"media_id": mid, "phash": _ahash64(bytes(pl)),
+                         "decode_error": None}
+                    )
+                except Exception as ex:
+                    rows.append(
+                        {"media_id": mid, "phash": None,
+                         "decode_error": f"{type(ex).__name__}: {ex}"[:200]}
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    media: DataFrame, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual-hash image near-dup pairs → ``(a, b, hamming)``,
+    a < b: hashes split into ``bands`` 16-bit bands; a pair is a
+    CANDIDATE iff some band matches exactly (one equi-join on
+    (band, key) — never images²), then verified by exact Hamming
+    distance ≤ ``max_hamming``. Pigeonhole guarantee: with 4 bands
+    any pair within Hamming 3 shares at least one intact band, so
+    recall is 1.0 up to the threshold (beyond it, band blocking is
+    a recall<1 heuristic — same contract as the SimHash text path).
+
+    All-integer end to end: band keys are arithmetic-shift+mask
+    (identical on signed int64 in Spark and DuckDB — the mask kills
+    the sign-extension difference), Hamming is bit_count(xor).
+    Scale shape: |bands|·n band rows, hot keys bounded by the band
+    join's group sizes; decode runs once per image, pairs carry two
+    longs."""
+    hashed = phash64(media).where(F.col("decode_error").isNull()).select(
+        "media_id", "phash"
+    )
+    bexpr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    (
+                        F.shiftright(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bk")
+    bk = hashed.select("media_id", "phash", bexpr).select(
+        "media_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = bk.select(
+        F.col("media_id").alias("a"), F.col("phash").alias("ha"), "band", "key"
+    )
+    right = bk.select(
+        F.col("media_id").alias("b"), F.col("phash").alias("hb"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)").cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

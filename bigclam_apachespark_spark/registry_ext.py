@@ -2932,6 +2932,40 @@ EVENT_ORACLE = {
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    # Cohort LTV: integer-cents revenue, integer cumsum, one
+    # fixed-order division chain per output row.
+    "events_cohort_ltv": """
+        WITH uw AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+          FROM events
+        ),
+        first AS (SELECT user_id, MIN(wk) AS cwk FROM uw GROUP BY user_id),
+        sizes AS (
+          SELECT cwk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY cwk
+        ),
+        rev AS (
+          SELECT f.cwk AS cohort_week,
+                 (CAST(floor(epoch(e.ts)) AS BIGINT) // 604800) - f.cwk AS week_offset,
+                 CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS wk_cents
+          FROM events e JOIN first f USING (user_id)
+          WHERE e.event_type = 'purchase'
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT cohort_week, week_offset, wk_cents,
+                 CAST(SUM(wk_cents) OVER (PARTITION BY cohort_week
+                      ORDER BY week_offset
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_cents
+          FROM rev
+        )
+        SELECT cohort_week, week_offset, s.cohort_size,
+               round(CAST(wk_cents AS DOUBLE) / 100.0, 6) AS wk_revenue,
+               round(CAST(cum_cents AS DOUBLE) / 100.0
+                     / CAST(s.cohort_size AS DOUBLE), 6) AS cum_ltv_per_user
+        FROM cum JOIN sizes s ON s.cwk = cum.cohort_week
+    """,
     # Daily DAU decomposition into new vs returning users.
     "events_growth_accounting": """
         WITH ud AS (
@@ -3738,6 +3772,7 @@ EVENT_QUERIES = {
         _events(spark, sf)
     ),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
+    "events_cohort_ltv": lambda spark, sf: E.cohort_ltv(_events(spark, sf)),
     "events_growth_accounting": lambda spark, sf: E.growth_accounting(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_props_variant": lambda spark, sf: E.extract_props_variant(_events(spark, sf)),
@@ -4024,7 +4059,67 @@ def _q_png_features(spark, sf):
     )
 
 
+def _q_phash_pairs(spark, sf):
+    """Perceptual-hash image near-dup, ORACLE-CHECKED end to end:
+    REAL PPM decode → 8×8 aHash → 16-bit band blocking → Hamming
+    verify. The oracle restates the fixture's CLOSED-FORM hashes
+    (split image s has columns x ≥ s above the mean for 1 ≤ s ≤ 7 →
+    hash = colmask(s)·0x0101…01; the all-white s=0 and all-black
+    s=8 images hash to 0 under the strict > threshold) and replays
+    the same band join + bit_count(xor) verify in SQL — one wrong
+    decoded byte flips thumbnail bits and the pair set."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        phash_near_dup,
+        synthetic_ppm_media,
+    )
+
+    return phash_near_dup(
+        synthetic_ppm_media(spark, n=48), bands=4, max_hamming=3
+    )
+
+
+def _phash_oracle_sql(n: int = 48, bands: int = 4, max_hamming: int = 3) -> str:
+    """Closed-form aHash literals per split s, derived from the
+    synthetic_ppm_media construction formula (NOT from the Spark
+    decode path), then the same band-block + Hamming-verify chain.
+    Arithmetic-vs-logical shift is irrelevant under the & 65535
+    mask, so `>>` matches Spark's shiftright bit for bit."""
+    rep = 0x0101010101010101
+    rows = []
+    for s in range(9):
+        if s in (0, 8):
+            h = 0
+        else:
+            h = (((0xFF << s) & 0xFF) * rep)
+            if h >= 1 << 63:
+                h -= 1 << 64
+        rows.append(f"({s}, CAST({h} AS BIGINT))")
+    bandlist = ", ".join(str(b) for b in range(bands))
+    return f"""
+        WITH hs(s, h) AS (VALUES {", ".join(rows)}),
+        img AS (
+          SELECT t.i AS media_id, hs.h
+          FROM generate_series(0, {n - 1}) t(i) JOIN hs ON hs.s = t.i % 9
+        ),
+        bands AS (
+          SELECT media_id, h, bb.b AS band, (h >> (16 * bb.b)) & 65535 AS key
+          FROM img CROSS JOIN (SELECT unnest([{bandlist}]) AS b) bb
+        ),
+        cand AS (
+          SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+                          l.h AS ha, r.h AS hb
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.key = r.key AND l.media_id < r.media_id
+        )
+        SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+MULTIMODAL_ORACLE["multimodal_phash_pairs"] = _phash_oracle_sql(48, 4, 3)
+
 MULTIMODAL_QUERIES = {
+    "multimodal_phash_pairs": _q_phash_pairs,
     "multimodal_caption_join": _q_caption_join,
     "multimodal_media_features": _q_media_features,
     "multimodal_media_stats": _q_media_stats,

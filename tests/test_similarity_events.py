@@ -1345,3 +1345,88 @@ def test_jl_recall_eval_contract(vecs):
     for r in got:
         assert 0 <= r["n_hits"] <= r["n_retrieved"] <= 2
         assert r["recall"] == round(r["n_hits"] / 2.0, 6)
+
+
+def test_cohort_ltv_hand_computed(spark):
+    """Cohort W = {u1, u2} (size 2), cohort W+1 = {u3} (size 1).
+    u1 buys $10 in week W and $5.50 in W+1; u3 buys $2. LTV per
+    user cumulates within each cohort: W → 5.0 then 7.75; W+1 → 2.0.
+    u2 never buys but still counts in the denominator — that's the
+    point of cohorting."""
+    from bigclam_apachespark_spark.operators.events import cohort_ltv
+
+    W = dt.datetime(2024, 1, 4)   # within some epoch-week
+    W1 = W + dt.timedelta(days=7)
+    rows = [
+        (1, W, 1, "signup", 0.0, "{}"),
+        (2, W, 2, "signup", 0.0, "{}"),
+        (3, W, 1, "purchase", 10.0, "{}"),
+        (4, W1, 1, "purchase", 5.50, "{}"),
+        (5, W1, 3, "signup", 0.0, "{}"),
+        (6, W1, 3, "purchase", 2.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r for r in cohort_ltv(ev).collect()
+    }
+    wks = sorted({cw for cw, _ in got})
+    w0, w1 = wks[0], wks[-1]
+    assert w1 == w0 + 1
+    r00 = got[(w0, 0)]
+    assert (r00.cohort_size, r00.wk_revenue, r00.cum_ltv_per_user) == (2, 10.0, 5.0)
+    r01 = got[(w0, 1)]
+    assert (r01.cohort_size, r01.wk_revenue, r01.cum_ltv_per_user) == (2, 5.5, 7.75)
+    r10 = got[(w1, 0)]
+    assert (r10.cohort_size, r10.wk_revenue, r10.cum_ltv_per_user) == (1, 2.0, 2.0)
+    assert len(got) == 3
+
+
+def _ppm_bytes(cols_black: int) -> bytearray:
+    row = bytes([0, 0, 0] * cols_black + [255, 255, 255] * (8 - cols_black))
+    return bytearray(b"P6\n8 8\n255\n" + row * 8)
+
+
+def test_phash64_closed_form(spark):
+    """aHash of a split image equals colmask(s)·0x0101…01 (signed):
+    columns x ≥ s are above the mean for 1 ≤ s ≤ 7; the all-white
+    image hashes to 0 under the strict > threshold."""
+    from bigclam_apachespark_spark.operators.multimodal import phash64
+
+    media = spark.createDataFrame(
+        [(0, "image", _ppm_bytes(0)), (2, "image", _ppm_bytes(2))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r["media_id"]: r for r in phash64(media).collect()}
+    assert got[0]["phash"] == 0
+    want = ((0xFF << 2) & 0xFF) * 0x0101010101010101
+    want = want - (1 << 64) if want >= 1 << 63 else want
+    assert got[2]["phash"] == want
+    assert all(r["decode_error"] is None for r in got.values())
+
+
+def test_phash_near_dup_pairs_and_corrupt_payload(spark):
+    """Identical images pair at hamming 0; a far split (0 vs 4 →
+    hamming 32) never pairs; a corrupt payload reports decode_error
+    and is excluded from pairing instead of failing the job."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        phash64,
+        phash_near_dup,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", _ppm_bytes(4)),
+            (2, "image", _ppm_bytes(4)),
+            (3, "image", _ppm_bytes(0)),
+            (4, "image", bytearray(b"NOT A PPM")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    errs = {r["media_id"]: r["decode_error"] for r in phash64(media).collect()}
+    assert errs[4] is not None and errs[1] is None
+    pairs = phash_near_dup(media, bands=4, max_hamming=3).collect()
+    assert [(r.a, r.b, r.hamming) for r in pairs] == [(1, 2, 0)]
