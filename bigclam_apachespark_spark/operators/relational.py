@@ -1004,3 +1004,35 @@ def idle_rich_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def order_window_suite(orders: DataFrame) -> DataFrame:
+    """Window-function parity sweep → per order within its customer's
+    date-ordered history: ``row_number``, ``lag``/``lead`` of the
+    total, ``ntile(4)``, ``percent_rank`` and ``cume_dist`` — the
+    analytic-function surface a warehouse migration checks off in one
+    query. The order key (o_orderdate, o_orderkey) is unique per
+    partition, so every function is deterministic; percent_rank and
+    cume_dist are single divisions of exact integer ranks (identical
+    definitions in Spark and DuckDB).
+
+    Scale shape: ONE exchange on o_custkey feeds every window (all
+    six functions share the same partition+sort spec — Spark
+    collapses them into a single Window operator over one sort);
+    partition sizes are per-customer order counts, naturally
+    bounded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = _cents("o_totalprice")
+    back = lambda c: F.round(c.cast("double") / 100.0, 6)  # noqa: E731
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        back(F.lag(cents).over(w)).alias("prev_total"),
+        back(F.lead(cents).over(w)).alias("next_total"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

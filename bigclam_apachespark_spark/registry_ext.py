@@ -716,6 +716,14 @@ TEXT_ORACLE["docs_csv_scan"] = f"""
 # aggregate over every column class (count, text length fold, id
 # range) — the oracle computes the same aggregate straight from
 # parquet, so a hash match attests the round-trip is lossless.
+TEXT_ORACLE["docs_partitioned_roundtrip"] = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents WHERE source IN ('src3', 'src7') GROUP BY source
+"""
+
 TEXT_ORACLE["docs_orc_roundtrip"] = """
     SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
@@ -763,6 +771,40 @@ def _q_docs_schema_evolution(spark, sf):
     )
 
 
+def _q_docs_partitioned_roundtrip(spark, sf):
+    """Hive-layout sink + PRUNED serving read, oracle-checked: the
+    corpus writes partitioned by ``source`` (write_corpus_
+    partitioned — the standard training-corpus output layout), and
+    the read-back filters two sources, which Spark satisfies from
+    PartitionFilters alone — directories for the other 18 sources
+    contribute ZERO bytes read (the plan assertion lives in
+    tests/test_plans.py::test_partitioned_roundtrip_prunes). The
+    oracle computes the same per-source aggregate straight from the
+    unpartitioned table: a lost row, a partition-column type flip
+    (partition values round-trip as strings), or a wrong directory
+    split all hash-mismatch."""
+    import os
+
+    from bigclam_apachespark_spark.sources.docs import write_corpus_partitioned
+
+    path = (
+        "/tmp/spark_graft_part_docs_"
+        f"{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
+    )
+    write_corpus_partitioned(
+        spark.read.parquet(f"{sf}/documents.parquet"), path, by="source"
+    )
+    back = spark.read.parquet(path).where(
+        F.col("source").isin("src3", "src7")
+    )
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
 def _q_docs_orc_roundtrip(spark, sf):
     import os
 
@@ -786,6 +828,7 @@ TEXT_QUERIES = {
     "docs_jsonl_scan": lambda spark, sf: read_documents_jsonl(spark, DOCS_JSONL),
     "docs_csv_scan": lambda spark, sf: read_documents_csv(spark, DOCS_CSV),
     "docs_orc_roundtrip": _q_docs_orc_roundtrip,
+    "docs_partitioned_roundtrip": _q_docs_partitioned_roundtrip,
     "docs_schema_evolution": _q_docs_schema_evolution,
     "text_token_stats": lambda spark, sf: X.token_stats(_docs(spark, sf)),
     "text_quality": lambda spark, sf: X.quality_score(_docs(spark, sf)),
@@ -4447,6 +4490,12 @@ def _q_bucketed_join(spark, sf):
     )
 
 
+def _q_window_suite(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import order_window_suite
+
+    return order_window_suite(_rel_tables(spark, sf)[0])
+
+
 def _q_order_priority(spark, sf):
     from bigclam_apachespark_spark.operators.relational import order_priority_check
 
@@ -4489,6 +4538,7 @@ def _q_idle_rich(spark, sf):
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
     "rel_order_priority": _q_order_priority,
+    "rel_window_suite": _q_window_suite,
     "rel_late_priority": _q_late_priority,
     "rel_order_distribution": _q_order_distribution,
     "rel_top_supplier": _q_top_supplier,
@@ -4515,6 +4565,22 @@ REL_QUERIES = {
 }
 
 REL_ORACLE = {
+    # Analytic-function parity: one partition+sort spec shared by all
+    # six functions; percent_rank/cume_dist are single divisions of
+    # exact integer ranks under identical definitions.
+    "rel_window_suite": """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+               round(CAST(LAG(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                     AS DOUBLE) / 100.0, 6) AS prev_total,
+               round(CAST(LEAD(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                     AS DOUBLE) / 100.0, 6) AS next_total,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               round(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
     # Q4-shape: the correlated EXISTS decorrelates to a semi-join;
     # both engines count each qualifying order exactly once.
     "rel_order_priority": """

@@ -53,6 +53,12 @@ SHOWCASE = {
     "rel_order_priority": "Q4 EXISTS decorrelated to a LEFT SEMI join: date window pushed to the orders scan, no match-list materialization",
     "rel_top_supplier": "Q15 scalar subquery: per-supplier agg computed once, 1-row max broadcast back onto it — no self-join-on-aggregate",
     "rel_idle_rich": "Q22: 1-row (sum,n) broadcast, exact integer mean compare, never-ordered via LEFT ANTI (no DISTINCT on the fact side)",
+    "text_pmi_topk": "collocation mining: narrow array-slice pairs (no positional self-join), vocab-bounded aggs, exact-integer ranking products",
+    "text_bpe_pair_counts": "BPE trick: ONE corpus pass collapses to the vocab relation; char pairs + weighted counts run over |V|, not tokens",
+    "sim_jl_topk": "JL search: plan-time sign matrix as plain codegen add-chains (no HOF), 4x smaller pair wire, queries broadcast",
+    "graph_harmonic_sampled": "Eppstein-Wang: fixed 16-seed sample, labeled-BFS state |S|*n (never n^2), per-round frontier joins only",
+    "multimodal_phash_pairs": "image near-dup: decode once to 64-bit aHash, band equi-join candidates (never images^2), integer Hamming verify",
+    "events_cohort_ltv": "payback curve: one user-collapse agg, integer-cents cumsum window over the aggregate (not the event stream)",
 }
 
 

@@ -467,3 +467,20 @@ def test_disjunctive_predicate_factors_reach_scans(spark):
         "struct<l_partkey:bigint,l_quantity:double,"
         "l_extendedprice:double,l_discount:double>" in li_scans[0]
     )
+
+
+def test_partitioned_roundtrip_prunes(spark):
+    """The partitioned-corpus serving read must satisfy the source
+    filter from PartitionFilters on the hive-layout scan — the
+    non-matching source directories contribute zero bytes read (at
+    100 TB: 2/20 of the corpus scanned, before any row filtering)."""
+    plan = _plan(spark, "docs_partitioned_roundtrip")
+    scan = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "spark_graft_part_docs" in ln
+    ]
+    assert scan, plan
+    assert all("PartitionFilters: [" in ln and "source" in ln.split(
+        "PartitionFilters"
+    )[1][:120] for ln in scan), scan

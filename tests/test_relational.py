@@ -531,3 +531,27 @@ def test_idle_rich_strict_mean_and_anti_join(spark):
     # 500 has an order → kept = {cust 1}.
     got = idle_rich_customers(customer, orders, nation_keys=(0, 1)).collect()
     assert [(r.c_nationkey, r.numcust, r.totacctbal) for r in got] == [(0, 1, 300.0)]
+
+
+def test_order_window_suite_hand_computed(spark):
+    """5 orders for one customer: ntile(4) splits 2/1/1/1, lag/lead
+    shift along the date order, percent_rank = (rank-1)/4 in exact
+    quarters, cume_dist = rn/5 in exact fifths."""
+    from bigclam_apachespark_spark.operators.relational import order_window_suite
+
+    d = datetime.datetime
+    rows = [
+        (i, 7, "O", 100.0 + i, d(1997, 1, i + 1), "1-URGENT") for i in range(5)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = sorted(order_window_suite(orders).collect(), key=lambda r: r.rn)
+    assert [r.rn for r in got] == [1, 2, 3, 4, 5]
+    assert [r.quartile for r in got] == [1, 1, 2, 3, 4]
+    assert got[0].prev_total is None and got[0].next_total == 101.0
+    assert got[4].prev_total == 103.0 and got[4].next_total is None
+    assert [r.pct_rank for r in got] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert [r.cume for r in got] == [0.2, 0.4, 0.6, 0.8, 1.0]
