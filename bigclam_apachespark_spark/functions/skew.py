@@ -22,9 +22,12 @@ these helpers handle the cases AQE cannot:
 Salts are derived deterministically from row content (xxhash64), not
 ``rand()`` — a nondeterministic salt recomputed on task retry would
 silently duplicate or drop rows (Spark may re-execute map tasks).
-These helpers are internal physical tools: they change plan shape,
-never results, so they carry no oracle entries; equivalence against
-the unsalted plans is pinned by tests/test_skew.py.
+These helpers are physical tools: they change plan shape, never
+results. Equivalence against the unsalted plans is pinned by
+tests/test_skew.py, and ``salted_count_distinct`` additionally runs
+under the driver's oracle gate (``events_salted_distinct`` — the
+oracle is the PLAIN ``COUNT(DISTINCT)``, which is exactly the
+result-identity claim).
 """
 
 from __future__ import annotations

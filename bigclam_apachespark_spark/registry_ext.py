@@ -2975,6 +2975,13 @@ EVENT_ORACLE = {
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    # Salted-kernel result identity: the oracle is the PLAIN
+    # COUNT(DISTINCT) the skew-safe plan claims to reproduce.
+    "events_salted_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
     # Cohort LTV: integer-cents revenue, integer cumsum, one
     # fixed-order division chain per output row.
     "events_cohort_ltv": """
@@ -3816,6 +3823,10 @@ EVENT_QUERIES = {
     ),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_cohort_ltv": lambda spark, sf: E.cohort_ltv(_events(spark, sf)),
+    # The skew kernel under the gate: 5 event types × ~all users is
+    # the canonical hot-key COUNT(DISTINCT); the oracle is the plain
+    # aggregation — the salted plan's result-identity claim.
+    "events_salted_distinct": lambda spark, sf: _q_salted_distinct(spark, sf),
     "events_growth_accounting": lambda spark, sf: E.growth_accounting(_events(spark, sf)),
     "events_props": lambda spark, sf: E.extract_props(_events(spark, sf)),
     "events_props_variant": lambda spark, sf: E.extract_props_variant(_events(spark, sf)),
@@ -4189,6 +4200,18 @@ def _rel_tables(spark, sf):
         spark.read.parquet(f"{sf}/orders.parquet"),
         spark.read.parquet(f"{sf}/customer.parquet"),
         spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+
+
+def _q_salted_distinct(spark, sf):
+    """salted_count_distinct under the gate: the deterministic
+    content-hash salt splits each hot event_type's distinct-user set
+    across 8 reducers; the two disjoint-by-construction stages must
+    reproduce the plain COUNT(DISTINCT) exactly."""
+    from bigclam_apachespark_spark.functions.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        _events(spark, sf), "event_type", "user_id", n_salts=8
     )
 
 
