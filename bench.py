@@ -100,6 +100,24 @@ HEADLINE = [
     "graph_hits",
     "events_session_window",
     "events_hll_sliding",
+    # round-7 final batch: the Q4/Q13/Q15 decorrelation shapes, the
+    # LM-statistics text suite, JL-projected ANN, fixed-sample
+    # harmonic centrality, cohort LTV, perceptual-hash image dedup,
+    # the partitioned-corpus pruned serving read, the analytic-window
+    # parity sweep, and the salted skew kernel under the gate
+    "rel_order_priority",
+    "rel_order_distribution",
+    "rel_top_supplier",
+    "text_pmi_topk",
+    "text_bpe_pair_counts",
+    "sim_jl_topk",
+    "sim_jl_recall",
+    "graph_harmonic_sampled",
+    "events_cohort_ltv",
+    "multimodal_phash_pairs",
+    "docs_partitioned_roundtrip",
+    "rel_window_suite",
+    "events_salted_distinct",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -166,6 +184,21 @@ EXPECTED = {
     "graph_hits": 12.6,
     "events_session_window": 1.2,
     "events_hll_sliding": 1.1,
+    # round-7 final batch (measured 2026-08-15, healthy window,
+    # in-suite warm values)
+    "rel_order_priority": 0.5,
+    "rel_order_distribution": 0.6,
+    "rel_top_supplier": 0.8,
+    "text_pmi_topk": 1.6,
+    "text_bpe_pair_counts": 0.5,
+    "sim_jl_topk": 3.3,
+    "sim_jl_recall": 2.7,
+    "graph_harmonic_sampled": 10.0,
+    "events_cohort_ltv": 0.7,
+    "multimodal_phash_pairs": 2.6,
+    "docs_partitioned_roundtrip": 0.9,
+    "rel_window_suite": 0.3,
+    "events_salted_distinct": 0.2,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
