@@ -118,6 +118,8 @@ HEADLINE = [
     "docs_partitioned_roundtrip",
     "rel_window_suite",
     "events_salted_distinct",
+    "text_heldout_perplexity",
+    "multimodal_video_near_dup",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -199,6 +201,8 @@ EXPECTED = {
     "docs_partitioned_roundtrip": 0.9,
     "rel_window_suite": 0.3,
     "events_salted_distinct": 0.2,
+    "text_heldout_perplexity": 5.5,
+    "multimodal_video_near_dup": 5.1,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -816,3 +816,117 @@ def phash_near_dup(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def _ahash_of_gray(gray) -> int:
+    """aHash core over an already-decoded grayscale array (float64):
+    8×8 block-mean thumbnail, bit (y·8+x) set iff STRICTLY above the
+    thumbnail mean; signed two's-complement int64."""
+    h, w = gray.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"image {h}x{w} too small for an 8x8 thumbnail")
+    bh, bw = h // 8, w // 8
+    thumb = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = thumb > thumb.mean()
+    val = 0
+    for y in range(8):
+        for x in range(8):
+            if bits[y, x]:
+                val |= 1 << (y * 8 + x)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+VIDEO_MAGIC = b"VID0"
+
+
+def synthetic_video_media(spark: SparkSession, n: int = 24, n_frames: int = 16) -> DataFrame:
+    """Deterministic synthetic-container video fixture with a
+    CLOSED-FORM oracle: the container is ``b"VID0"`` + one count
+    byte + raw 8×8 RGB frames (192 bytes each) — an explicitly
+    synthetic stand-in, since real video codecs need libraries this
+    container lacks (same boundary as ``_decode_payload``); the
+    Spark-side plumbing (binary parse, frame sampling, per-frame
+    hashing, pair join) is the real deliverable. Frame ``f`` of
+    video ``i`` is the split-column pattern with ``s = (i + f) % 9``
+    — a deterministic "pan", so which sampled frames collide across
+    videos is pure modular arithmetic the oracle restates."""
+    rows = []
+    for i in range(n):
+        frames = b""
+        for f in range(n_frames):
+            s = (i + f) % 9
+            row = bytes([0, 0, 0] * s + [255, 255, 255] * (8 - s))
+            frames += row * 8
+        rows.append(
+            (i, "video", bytearray(VIDEO_MAGIC + bytes([n_frames]) + frames))
+        )
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def video_frame_hashes(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Sampled per-frame perceptual hashes → ``(media_id, frame_idx,
+    phash)``: parse the container, keep every ``every_n``-th frame
+    (the keyframe-sampling pattern — hashing every frame of real
+    video is waste; near-dup detection needs a sparse signature),
+    aHash each kept frame. Arrow-batched ``mapInPandas``; one narrow
+    pass, output rows are (long, int, long) — the corpus never
+    carries pixels past this operator."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(pl)
+                if not b.startswith(VIDEO_MAGIC) or len(b) < 5:
+                    continue  # not this container — skip, like kind filters
+                nf = b[4]
+                for f in range(0, nf, every_n):
+                    off = 5 + f * 192
+                    if len(b) < off + 192:
+                        break  # truncated container: keep parsed frames
+                    px = np.frombuffer(b, dtype=np.uint8, count=192, offset=off)
+                    gray = px.reshape(8, 8, 3).astype(np.float64).mean(axis=2)
+                    out.append(
+                        {"media_id": mid, "frame_idx": f,
+                         "phash": _ahash_of_gray(gray)}
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "phash"])
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, schema)
+
+
+def video_near_dup(
+    media: DataFrame, every_n: int = 4, min_matching: int = 2
+) -> DataFrame:
+    """Video near-dup pairs → ``(a, b, n_matching)``, a < b: two
+    videos pair when their SAMPLED frame-hash SETS share at least
+    ``min_matching`` distinct values (signature intersection — the
+    standard first-stage video dedup; temporal alignment is not
+    required, matching the common re-encode/re-cut case, and the
+    set semantics keep a within-video repeated frame from inflating
+    the overlap). The join is on the 64-bit hash value — sparse
+    signatures, never frames² — and the count is an exact
+    integer."""
+    fh = video_frame_hashes(media, every_n)
+    left = fh.select(F.col("media_id").alias("a"), "phash").distinct()
+    right = fh.select(F.col("media_id").alias("b"), "phash").distinct()
+    return (
+        left.join(right, "phash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_matching"))
+        .where(F.col("n_matching") >= min_matching)
+    )

@@ -1237,3 +1237,79 @@ def token_frequency_spectrum(docs: DataFrame, text_col: str = "text") -> DataFra
         )
         .orderBy("freq")
     )
+
+
+def heldout_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Held-out LM scoring with leakage discipline → per VAL doc
+    ``(doc_id, n_bigrams, n_unseen, avg_logprob)``: an interpolated
+    bigram model is fit on the TRAIN split ONLY (the same
+    deterministic hash split as ``hash_split`` — counts never see
+    the scored documents, the discipline every data-quality LM loop
+    needs), then every val doc's transitions are scored under
+    P = 0.9·P_bigram + 0.09·P_unigram + 0.01·P_uniform — the
+    interpolation keeps P > 0 for unseen bigrams, and ``n_unseen``
+    reports how often the backoff fired.
+
+    Float discipline: P is ONE fixed-order expression over exact
+    integer counts (each division correctly rounded, guarded CASE
+    for unseen heads); ln appears only in the rounded OUTPUT mean,
+    the same contract as ``unigram_logprob``/``bigram_logprob``.
+
+    Scale shape: train counts are vocabulary-bounded hash aggs; the
+    val pair relation is built narrowly by array self-slicing; the
+    two scalar totals (T, V) broadcast. The expensive relation —
+    val bigrams ⋈ count tables — is linear in val tokens."""
+    bucket, split = _split_cols("doc_id", train_pct, val_pct)
+    tagged = docs.select("doc_id", F.col(text_col).alias("_t"), split.alias("_sp"))
+    tk = tokens("_t")
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pr = tagged.select("doc_id", "_sp", F.explode(pairs).alias("p")).select(
+        "doc_id", "_sp", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    train_pr = pr.where(F.col("_sp") == "train")
+    bf = train_pr.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    hf = train_pr.groupBy("w1").agg(F.count("*").alias("c1"))
+    uni = (
+        tagged.where(F.col("_sp") == "train")
+        .select(F.explode(tokens("_t")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    totals = uni.agg(
+        F.sum("cu").alias("t1"), F.count("*").alias("v")
+    )
+    val = pr.where(F.col("_sp") == "val")
+    scored = (
+        val.join(bf, ["w1", "w2"], "left")
+        .join(hf, "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), "cu"), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    c2 = F.coalesce("c2", F.lit(0)).cast("double")
+    c1 = F.coalesce("c1", F.lit(0)).cast("double")
+    cu = F.coalesce("cu", F.lit(0)).cast("double")
+    p_bi = F.when(c1 > 0, c2 / c1).otherwise(F.lit(0.0))
+    p = (
+        F.lit(0.9) * p_bi
+        + F.lit(0.09) * (cu / F.col("t1").cast("double"))
+        + F.lit(0.01) / F.col("v").cast("double")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.coalesce("c2", F.lit(0)) == 0).cast("long")).alias(
+                "n_unseen"
+            ),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )

@@ -123,6 +123,61 @@ def _clean_ctes(quality_threshold: float = 0.5, lang: str = "en") -> str:
 
 
 TEXT_ORACLE = {
+    # Held-out LM: train counts from the train split only; P is one
+    # fixed-order expression over exact integer counts; ln only in
+    # the rounded output mean.
+    "text_heldout_perplexity": f"""
+        WITH tagged AS (
+          SELECT doc_id, {TOKENS} AS l,
+                 CASE WHEN CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT) < 80
+                      THEN 'train'
+                      WHEN CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT) < 90
+                      THEN 'val' ELSE 'test' END AS sp
+          FROM documents
+        ),
+        pr AS (
+          SELECT doc_id, sp,
+                 unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+          FROM tagged WHERE len(l) >= 2
+        ),
+        bf AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+          FROM pr WHERE sp = 'train' GROUP BY 1, 2
+        ),
+        hf AS (
+          SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+          FROM pr WHERE sp = 'train' GROUP BY 1
+        ),
+        uni AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+          FROM (SELECT unnest(l) AS w FROM tagged WHERE sp = 'train')
+          GROUP BY w
+        ),
+        totals AS (
+          SELECT CAST(SUM(cu) AS BIGINT) AS t1, CAST(COUNT(*) AS BIGINT) AS v
+          FROM uni
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 COALESCE(bf.c2, 0) AS c2n,
+                 0.9 * (CASE WHEN COALESCE(hf.c1, 0) > 0
+                             THEN CAST(COALESCE(bf.c2, 0) AS DOUBLE)
+                                  / CAST(COALESCE(hf.c1, 0) AS DOUBLE)
+                             ELSE 0.0 END)
+                 + 0.09 * (CAST(COALESCE(u.cu, 0) AS DOUBLE) / CAST(t.t1 AS DOUBLE))
+                 + 0.01 / CAST(t.v AS DOUBLE) AS p
+          FROM pr p
+          LEFT JOIN bf ON bf.w1 = p.w1 AND bf.w2 = p.w2
+          LEFT JOIN hf ON hf.w1 = p.w1
+          LEFT JOIN uni u ON u.w = p.w2
+          CROSS JOIN totals t
+          WHERE p.sp = 'val'
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN c2n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+               round(AVG(ln(p)), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    """,
     # PMI ranking score: one division of two exact-integer products
     # (HUGEINT here, DECIMAL(38,0) on the Spark side) — bit-identical
     # doubles on both engines; ln only in the rounded output column.
@@ -850,6 +905,9 @@ TEXT_QUERIES = {
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
     "text_bigram_logprob": lambda spark, sf: X.bigram_logprob(_docs(spark, sf)),
+    "text_heldout_perplexity": lambda spark, sf: X.heldout_perplexity(
+        _docs(spark, sf)
+    ),
     "text_pmi_topk": lambda spark, sf: X.pmi_topk(
         _docs(spark, sf), window=3, min_count=5, k=20
     ),
@@ -4172,8 +4230,63 @@ def _phash_oracle_sql(n: int = 48, bands: int = 4, max_hamming: int = 3) -> str:
 
 MULTIMODAL_ORACLE["multimodal_phash_pairs"] = _phash_oracle_sql(48, 4, 3)
 
+
+def _q_video_near_dup(spark, sf):
+    """Video near-dup via sampled frame-hash signature overlap,
+    oracle-checked: the container parse, keyframe sampling, per-
+    frame aHash, and the distinct-intersection join all replay in
+    SQL from the fixture's (i + f) % 9 pan formula and the same
+    closed-form hash literals as multimodal_phash_pairs."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        synthetic_video_media,
+        video_near_dup,
+    )
+
+    return video_near_dup(
+        synthetic_video_media(spark, n=24, n_frames=16),
+        every_n=4,
+        min_matching=2,
+    )
+
+
+def _video_near_dup_oracle_sql(
+    n: int = 24, n_frames: int = 16, every_n: int = 4, min_matching: int = 2
+) -> str:
+    """Frame hash per (video, sampled frame) from the pan formula
+    s = (i + f) % 9 and the closed-form split-image aHash (same
+    derivation as _phash_oracle_sql), then distinct signature sets,
+    hash-equality join, intersection count."""
+    rep = 0x0101010101010101
+    rows = []
+    for s in range(9):
+        if s in (0, 8):
+            h = 0
+        else:
+            h = ((0xFF << s) & 0xFF) * rep
+            if h >= 1 << 63:
+                h -= 1 << 64
+        rows.append(f"({s}, CAST({h} AS BIGINT))")
+    frames = ", ".join(str(f) for f in range(0, n_frames, every_n))
+    return f"""
+        WITH hs(s, h) AS (VALUES {", ".join(rows)}),
+        sig AS (
+          SELECT DISTINCT t.i AS media_id, hs.h AS phash
+          FROM generate_series(0, {n - 1}) t(i)
+          CROSS JOIN (SELECT unnest([{frames}]) AS f) fr
+          JOIN hs ON hs.s = (t.i + fr.f) % 9
+        )
+        SELECT l.media_id AS a, r.media_id AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_matching
+        FROM sig l JOIN sig r ON l.phash = r.phash AND l.media_id < r.media_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_matching}
+    """
+
+
+MULTIMODAL_ORACLE["multimodal_video_near_dup"] = _video_near_dup_oracle_sql()
+
 MULTIMODAL_QUERIES = {
     "multimodal_phash_pairs": _q_phash_pairs,
+    "multimodal_video_near_dup": _q_video_near_dup,
     "multimodal_caption_join": _q_caption_join,
     "multimodal_media_features": _q_media_features,
     "multimodal_media_stats": _q_media_stats,

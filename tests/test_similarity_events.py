@@ -1430,3 +1430,39 @@ def test_phash_near_dup_pairs_and_corrupt_payload(spark):
     assert errs[4] is not None and errs[1] is None
     pairs = phash_near_dup(media, bands=4, max_hamming=3).collect()
     assert [(r.a, r.b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_video_frame_hashes_and_near_dup(spark):
+    """Hand-built 2-frame containers: video A and B share frame
+    content (split 2 then 3), video C pans elsewhere (5, 6). With
+    every_n=1 and min_matching=2, only (A, B) pairs; C matches
+    nobody. A truncated container yields no rows instead of
+    failing."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        VIDEO_MAGIC,
+        video_frame_hashes,
+        video_near_dup,
+    )
+
+    def frame(s):
+        return (bytes([0, 0, 0] * s + [255, 255, 255] * (8 - s))) * 8
+
+    def vid(*splits):
+        return bytearray(
+            VIDEO_MAGIC + bytes([len(splits)]) + b"".join(frame(s) for s in splits)
+        )
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", vid(2, 3)),
+            (2, "video", vid(2, 3)),
+            (3, "video", vid(5, 6)),
+            (4, "video", bytearray(b"VID0\x02short")),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    fh = video_frame_hashes(media, every_n=1).collect()
+    assert {r.media_id for r in fh} == {1, 2, 3}
+    assert len([r for r in fh if r.media_id == 1]) == 2
+    pairs = video_near_dup(media, every_n=1, min_matching=2).collect()
+    assert [(r.a, r.b, r.n_matching) for r in pairs] == [(1, 2, 2)]

@@ -1117,3 +1117,42 @@ def test_frequency_spectrum_good_turing(spark):
         (2, 1, 3.0),
         (3, 1, None),
     ]
+
+
+def test_heldout_perplexity_leakage_and_backoff(spark):
+    """Train docs all say 'a b'; one val doc repeats it (seen bigram,
+    P = 0.9 + 0.09·c(b)/T + 0.01/V), one val doc says 'x y' whose
+    tokens never appear in train (full backoff: P = 0.01/V exactly,
+    n_unseen = 1). The val docs' own text must contribute NOTHING to
+    the counts — 'x' stays out-of-vocabulary even though a val doc
+    contains it (the leakage-discipline claim)."""
+    import hashlib
+    import math
+
+    from bigclam_apachespark_spark.operators.text import heldout_perplexity
+
+    def split_of(doc_id: int) -> str:
+        h = int(
+            "0x" + hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
+        ) % 100
+        return "train" if h < 80 else ("val" if h < 90 else "test")
+
+    train_ids = [i for i in range(200) if split_of(i) == "train"][:3]
+    val_ids = [i for i in range(200) if split_of(i) == "val"][:2]
+    rows = [(i, "a b") for i in train_ids]
+    rows.append((val_ids[0], "a b"))
+    rows.append((val_ids[1], "x y"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in heldout_perplexity(docs).collect()}
+    assert set(got) == set(val_ids)
+
+    # train: 3 docs of "a b" → c2(a,b)=3, c1(a)=3, cu: a=3, b=3,
+    # T=6, V=2
+    seen = got[val_ids[0]]
+    p_seen = 0.9 * 1.0 + 0.09 * (3 / 6) + 0.01 / 2
+    assert (seen.n_bigrams, seen.n_unseen) == (1, 0)
+    assert seen.avg_logprob == round(math.log(p_seen), 6)
+
+    oov = got[val_ids[1]]
+    assert (oov.n_bigrams, oov.n_unseen) == (1, 1)
+    assert oov.avg_logprob == round(math.log(0.01 / 2), 6)
