@@ -120,6 +120,8 @@ HEADLINE = [
     "events_salted_distinct",
     "text_heldout_perplexity",
     "multimodal_video_near_dup",
+    "sim_embedding_components",
+    "sql_grouping_sets",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -203,6 +205,8 @@ EXPECTED = {
     "events_salted_distinct": 0.2,
     "text_heldout_perplexity": 5.5,
     "multimodal_video_near_dup": 5.1,
+    "sim_embedding_components": 14.4,
+    "sql_grouping_sets": 2.1,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -1648,3 +1648,37 @@ def jl_recall_eval(
         embeddings, queries, k, k_dim, dim, seed, id_col, vec_col
     )
     return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
+
+
+def embedding_components(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Connected components of the embedding similarity graph →
+    ``(vec_id, component, n_members)``: LSH-blocked near-dup pairs
+    (``cosine_near_dup_pairs``) become edges; components come from
+    the shared O(log n) min-label pointer-jumping kernel; component
+    = member-minimum id. The semantic-cluster collapse step of an
+    embedding dedup: transitive near-dup chains (A≈B≈C with A≉C)
+    land in ONE group, which pair output alone cannot express.
+    Singleton vectors (no qualifying pair) are absent — both
+    engines agree.
+
+    Scale shape: pairs are bucket-blocked (never corpus²); the CC
+    kernel is join-agg rounds with pointer jumping; the member
+    count joins back from a component-sized agg."""
+    from bigclam_apachespark_spark.operators.dedup import near_dup_clusters
+
+    pairs = cosine_near_dup_pairs(
+        embeddings, threshold, n_planes, seed, dim, id_col, vec_col
+    ).select("a", "b")
+    cc = near_dup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("component")
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    return cc.join(sizes, "component").select(id_col, "component", "n_members")

@@ -278,6 +278,36 @@ def q_modularity(spark, sf_dir):
     return G.modularity(sym, G.label_propagation(sym, rounds=2))
 
 
+PORTABLE_GROUPING_SETS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, day,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(day) AS INT) AS g_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+"""
+
+
+def q_sql_grouping_sets(spark, sf_dir):
+    """GROUPING SETS parity, declared once in PORTABLE SQL and run
+    VERBATIM on both engines (the sql_degree_hist pattern): four
+    explicit aggregation grains in one pass with per-column GROUPING
+    flags — the D-surface feature rollup/cube don't pin down (those
+    are fixed lattices; GROUPING SETS is the general form), with
+    NULL-placeholder and flag semantics cross-checked exactly.
+    Money folds as integer cents."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(PORTABLE_GROUPING_SETS_SQL)
+
+
 def q_sql_degree_hist(spark, sf_dir):
     """Degree histogram of the co-purchase graph, declared in pure
     SQL (spark.sql over a temp view; Catalyst plans it exactly like
@@ -333,6 +363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_kcore": q_kcore,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
+    "sql_grouping_sets": q_sql_grouping_sets,
     "graph_link_candidates": q_link_candidates,
     "graph_bfs_hops": q_bfs_hops,
     "graph_harmonic_sampled": q_harmonic_sampled,
@@ -725,6 +756,7 @@ ORACLE: dict[str, str] = {
     # Verbatim the same string spark.sql() executes — portability is
     # the point (see PORTABLE_DEGREE_HIST_SQL).
     "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,
+    "sql_grouping_sets": PORTABLE_GROUPING_SETS_SQL,
     "graph_bfs_hops": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_bfs_sql(3, 100)}",
     "graph_harmonic_sampled": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_mbfs_sql(3, 250)}",
     "graph_label_prop": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_lpa_sql(2)}",

@@ -1961,6 +1961,51 @@ SIM_ORACLE = {
         FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
         WHERE round({_PAIR_COS}, 6) >= 0.35
     """,
+    # Similarity-graph components: same pair derivation as
+    # sim_cosine_near_dups, closure as a recursive fixpoint with
+    # label = MIN reachable id (the Spark side reaches the same
+    # fixpoint via the shared pointer-jumping kernel).
+    "sim_embedding_components": f"""
+        WITH RECURSIVE emb0 AS (
+          SELECT vec_id,
+                 [CAST(round(x * 1000000.0) AS BIGINT) for x in embedding::DOUBLE[]] AS qv
+          FROM embeddings
+        ),
+        emb AS (
+          SELECT vec_id, qv,
+                 sqrt(CAST(list_sum([v * v for v in qv]) AS DOUBLE)) AS nrm
+          FROM emb0
+        ),
+        {_planes_sql(4)},
+        {BUCKETS64_SQL.lstrip()},
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb2
+          FROM vb a JOIN vb b ON a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id
+        ),
+        edges_e AS (
+          SELECT va AS a, vb2 AS b
+          FROM pairs j JOIN emb ea ON ea.vec_id = j.va
+                       JOIN emb eb ON eb.vec_id = j.vb2
+          WHERE round({_PAIR_COS}, 6) >= 0.35
+        ),
+        sym_e AS (
+          SELECT a AS u, b AS v FROM edges_e
+          UNION SELECT b, a FROM edges_e
+        ),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM sym_e)
+          UNION
+          SELECT s.u, reach.r FROM sym_e s JOIN reach ON reach.u = s.v
+        ),
+        cc AS (SELECT u AS vec_id, MIN(r) AS component FROM reach GROUP BY u),
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM cc GROUP BY component
+        )
+        SELECT cc.vec_id, cc.component, s.n_members
+        FROM cc JOIN sizes s USING (component)
+    """,
     # Multi-table LSH top-k (OR-amplification, b=4 planes × L=4
     # tables): per-table bucket join, candidates deduped, scored once.
     "sim_lsh_topk_multi": f"""
@@ -2748,6 +2793,9 @@ SIM_QUERIES = {
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_planes=8
     ),
     "sim_cosine_near_dups": lambda spark, sf: S.cosine_near_dup_pairs(
+        _emb(spark, sf), threshold=0.35, n_planes=4
+    ),
+    "sim_embedding_components": lambda spark, sf: S.embedding_components(
         _emb(spark, sf), threshold=0.35, n_planes=4
     ),
     "sim_dedup_survivors": _q_sim_dedup_survivors,

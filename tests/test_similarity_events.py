@@ -1466,3 +1466,29 @@ def test_video_frame_hashes_and_near_dup(spark):
     assert len([r for r in fh if r.media_id == 1]) == 2
     pairs = video_near_dup(media, every_n=1, min_matching=2).collect()
     assert [(r.a, r.b, r.n_matching) for r in pairs] == [(1, 2, 2)]
+
+
+def test_embedding_components_transitive_merge(vecs):
+    """Transitivity is the point: at threshold 0.9 the two near-dup
+    pairs form two separate components; at 0.5 the diagonal vector 4
+    bridges everything into ONE component labeled by the min id —
+    exactly what pair output alone cannot express."""
+    from bigclam_apachespark_spark.operators.similarity import (
+        embedding_components,
+    )
+
+    tight = embedding_components(
+        vecs, threshold=0.9, n_planes=2, dim=4, vec_col="embedding"
+    ).collect()
+    by_comp = {}
+    for r in tight:
+        by_comp.setdefault(r["component"], set()).add(r["vec_id"])
+    assert by_comp == {0: {0, 1}, 2: {2, 3}}
+    assert all(r["n_members"] == 2 for r in tight)
+
+    loose = embedding_components(
+        vecs, threshold=0.5, n_planes=1, dim=4, vec_col="embedding"
+    ).collect()
+    assert {r["component"] for r in loose} == {0}
+    assert {r["vec_id"] for r in loose} == {0, 1, 2, 3, 4}
+    assert all(r["n_members"] == 5 for r in loose)
