@@ -122,6 +122,9 @@ HEADLINE = [
     "multimodal_video_near_dup",
     "sim_embedding_components",
     "sql_grouping_sets",
+    "sim_ann_ladder",
+    "rel_merge_deletes",
+    "graph_neighborhood_features",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -207,6 +210,9 @@ EXPECTED = {
     "multimodal_video_near_dup": 5.1,
     "sim_embedding_components": 14.4,
     "sql_grouping_sets": 2.1,
+    "sim_ann_ladder": 11.6,
+    "rel_merge_deletes": 1.1,
+    "graph_neighborhood_features": 3.5,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

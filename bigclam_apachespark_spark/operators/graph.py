@@ -945,3 +945,37 @@ def harmonic_centrality_sampled(
             F.round(harmonic, 6).alias("harmonic"),
         )
     )
+
+
+def neighborhood_features(sym_edges: DataFrame) -> DataFrame:
+    """One-hop neighborhood aggregation → ``(id, degree,
+    max_nbr_degree, mean_nbr_degree)`` — the message-passing
+    primitive of every GNN feature pipeline (GraphSAGE's
+    mean-aggregator step, degree-profile features for node
+    classification) expressed as ONE join-agg: edges join the
+    degree table on dst, group by src. Mean is a single division of
+    exact integer sums.
+
+    Scale shape: exactly a PageRank round's cost — edges ⋈ degrees
+    partitioned on the key, one hash agg; no neighbor-list
+    materialization, no windows. Stacking k of these gives k-hop
+    receptive fields at k join-aggs (how distributed GNN feature
+    stores actually precompute)."""
+    deg = degrees(sym_edges)
+    j = sym_edges.join(
+        deg.select(F.col("id").alias("dst"), F.col("degree").alias("nd")),
+        "dst",
+    )
+    agg = j.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree"),
+        F.max("nd").alias("max_nbr_degree"),
+        F.sum("nd").alias("_snd"),
+    )
+    return agg.select(
+        "id",
+        "degree",
+        "max_nbr_degree",
+        F.round(
+            F.col("_snd").cast("double") / F.col("degree").cast("double"), 6
+        ).alias("mean_nbr_degree"),
+    )

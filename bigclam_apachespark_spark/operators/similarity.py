@@ -1682,3 +1682,59 @@ def embedding_components(
     )
     sizes = cc.groupBy("component").agg(F.count("*").alias("n_members"))
     return cc.join(sizes, "component").select(id_col, "component", "n_members")
+
+
+def ann_recall_ladder(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The whole ANN serving ladder scored against ONE shared exact
+    truth → ``(method, n_queries, total_hits, recall_at_k)``, one
+    row per method: JL projection (k_dim=16), hyperplane LSH
+    (8 planes), IVF (16 cells, nprobe 4), and PQ ADC (m=16,
+    ksub=64) — the speed-recall menu a 100-TB deployment actually
+    chooses from, measured side by side instead of per-query.
+    recall_at_k is MICRO recall: Σ hits / (k · |Q|), one division
+    of exact integers.
+
+    Scale note: each method recomputes the shared truth subtree
+    here (Catalyst copies it per branch); a production eval caches
+    the truth relation once — at the gate's fixture scale the
+    4× truth cost is noise and the plan stays cache-free for the
+    plan suite."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    methods = [
+        ("ivf16x4", ivf_topk(embeddings, queries, k, 16, 4, id_col, vec_col)),
+        ("jl16", jl_topk(embeddings, queries, k, 16, 64, 7, id_col, vec_col)),
+        ("lsh8", lsh_topk(embeddings, queries, k, 8, 42, 64, id_col, vec_col)),
+        ("pq16x64", pq_topk(embeddings, queries, k, 16, 64, 64, id_col, vec_col)),
+    ]
+    parts = []
+    for name, approx in methods:
+        r = _recall_combine(
+            truth, approx.select("q", F.col(id_col).alias("nn")), k
+        )
+        parts.append(
+            r.agg(
+                F.count("*").alias("n_queries"),
+                F.sum("n_hits").alias("total_hits"),
+            ).select(
+                F.lit(name).alias("method"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.col("total_hits").cast("long").alias("total_hits"),
+                F.round(
+                    F.col("total_hits").cast("double")
+                    / (F.lit(float(k)) * F.col("n_queries").cast("double")),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -223,6 +223,12 @@ def q_bfs_hops(spark, sf_dir):
     return G.bfs_hops(sym, sources, max_hops=3)
 
 
+def q_neighborhood_features(spark, sf_dir):
+    """One-hop GNN-style neighborhood aggregation (degree profile):
+    one edges-join-degrees join-agg, the message-passing primitive."""
+    return G.neighborhood_features(_sym(spark, sf_dir))
+
+
 def q_harmonic_sampled(spark, sf_dir):
     """Eppstein-Wang seed-sampled harmonic centrality, 3 bounded
     hops. The sample is the 16 SMALLEST ids of the id % 250 = 0
@@ -367,6 +373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_link_candidates": q_link_candidates,
     "graph_bfs_hops": q_bfs_hops,
     "graph_harmonic_sampled": q_harmonic_sampled,
+    "graph_neighborhood_features": q_neighborhood_features,
     "graph_sssp_weighted": q_sssp_weighted,
     "graph_hits": q_hits,
     "graph_label_prop": q_label_prop,
@@ -759,6 +766,22 @@ ORACLE: dict[str, str] = {
     "sql_grouping_sets": PORTABLE_GROUPING_SETS_SQL,
     "graph_bfs_hops": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_bfs_sql(3, 100)}",
     "graph_harmonic_sampled": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_mbfs_sql(3, 250)}",
+    # One-hop neighborhood aggregation: exact integer degree sums,
+    # one fixed division per output row.
+    "graph_neighborhood_features": f"""
+        WITH {EDGES_SQL}, {SYM_SQL},
+        deg AS (
+          SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM sym GROUP BY src
+        )
+        SELECT e.src AS id,
+               CAST(COUNT(*) AS BIGINT) AS degree,
+               CAST(MAX(d.degree) AS BIGINT) AS max_nbr_degree,
+               round(CAST(SUM(d.degree) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_nbr_degree
+        FROM sym e JOIN deg d ON d.id = e.dst
+        GROUP BY e.src
+    """,
     "graph_label_prop": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_lpa_sql(2)}",
     "graph_modularity": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_modularity_sql(2)}",
     "graph_link_candidates": f"""

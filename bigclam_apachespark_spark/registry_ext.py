@@ -1961,6 +1961,95 @@ SIM_ORACLE = {
         FROM joined j JOIN emb ea ON ea.vec_id = j.va JOIN emb eb ON eb.vec_id = j.vb2
         WHERE round({_PAIR_COS}, 6) >= 0.35
     """,
+    # The full serving ladder vs ONE shared brute truth — every
+    # fragment reused verbatim from the per-method oracles; micro
+    # recall is one division of exact integers.
+    "sim_ann_ladder": f"""
+        WITH {EMB_SQL}, {_planes_sql(8)}, {BUCKETS64_SQL}, {IVF_SQL}, {PQ_SQL},
+        {_jl_proj_sql(16, 64, 7)},
+        bscored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        ),
+        bnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM bscored
+          ) WHERE rank <= 5
+        ),
+        lscored AS (
+          SELECT qb.vec_id AS q, cb.vec_id,
+                 round({_PAIR_COS.replace('ea.', 'ec.').replace('eb.', 'eq.')}, 6)
+                   AS cos_sim
+          FROM vb qb
+          JOIN vb cb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+          JOIN emb ec ON ec.vec_id = cb.vec_id
+          JOIN emb eq ON eq.vec_id = qb.vec_id
+          WHERE qb.vec_id < 10
+        ),
+        lnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM lscored
+          ) WHERE rank <= 5
+        ),
+        iscored AS (
+          SELECT p.q, ea.vec_id,
+                 round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) AS cos_sim
+          FROM probes p
+          JOIN assign s ON s.cell = p.cell
+          JOIN emb ea ON ea.vec_id = s.vec_id
+          JOIN emb eb ON eb.vec_id = p.q
+          WHERE ea.vec_id <> p.q
+        ),
+        inn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM iscored
+          ) WHERE rank <= 5
+        ),
+        jscored AS (
+          SELECT pb.vec_id AS q, pa.vec_id,
+                 round(CAST({_dotq_sql('pa.pqv', 'pb.pqv')} AS DOUBLE)
+                       / (pa.pnrm * pb.pnrm), 6) AS cos_sim
+          FROM pembn pa CROSS JOIN pembn pb
+          WHERE pb.vec_id < 10 AND pa.vec_id <> pb.vec_id
+        ),
+        jnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM jscored
+          ) WHERE rank <= 5
+        ),
+        nq AS (SELECT CAST(COUNT(DISTINCT q) AS BIGINT) AS n FROM bnn),
+        per AS (
+          SELECT 'ivf16x4' AS method,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bnn b
+                  JOIN inn m ON m.q = b.q AND m.vec_id = b.vec_id) AS total_hits
+          UNION ALL
+          SELECT 'jl16',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bnn b
+                  JOIN jnn m ON m.q = b.q AND m.vec_id = b.vec_id)
+          UNION ALL
+          SELECT 'lsh8',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bnn b
+                  JOIN lnn m ON m.q = b.q AND m.vec_id = b.vec_id)
+          UNION ALL
+          SELECT 'pq16x64',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM bnn b
+                  JOIN pnn m ON m.q = b.q AND m.vec_id = b.vec_id)
+        )
+        SELECT method, nq.n AS n_queries, total_hits,
+               round(CAST(total_hits AS DOUBLE)
+                     / (5.0 * CAST(nq.n AS DOUBLE)), 6) AS recall_at_k
+        FROM per CROSS JOIN nq
+    """,
     # Similarity-graph components: same pair derivation as
     # sim_cosine_near_dups, closure as a recursive fixpoint with
     # label = MIN reachable id (the Spark side reaches the same
@@ -2797,6 +2886,9 @@ SIM_QUERIES = {
     ),
     "sim_embedding_components": lambda spark, sf: S.embedding_components(
         _emb(spark, sf), threshold=0.35, n_planes=4
+    ),
+    "sim_ann_ladder": lambda spark, sf: S.ann_recall_ladder(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5
     ),
     "sim_dedup_survivors": _q_sim_dedup_survivors,
     "sim_knn_label_eval": lambda spark, sf: S.knn_label_eval(
@@ -4424,6 +4516,39 @@ def _q_upsert(spark, sf):
     return upsert_merge(orders, updated.unionByName(inserted))
 
 
+def _q_merge_deletes(spark, sf):
+    """Full MERGE: the upsert changefeed (%10 updates, %1000
+    re-inserts under shifted keys) plus DELETES for the %7 keys NOT
+    already updated (at-most-one-change-per-key contract). Both
+    engines derive the same feed, so update-precedence, insert, and
+    delete semantics all hash-check."""
+    from bigclam_apachespark_spark.operators.relational import merge_with_deletes
+
+    orders = _rel_tables(spark, sf)[0]
+    cols = orders.columns
+    updated = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        *[
+            (F.col("o_totalprice") + 1.0).alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in cols
+        ]
+    ).withColumn("op", F.lit("U"))
+    inserted = orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        *[
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey")
+            if c == "o_orderkey"
+            else (F.lit("N").alias("o_orderstatus") if c == "o_orderstatus" else F.col(c))
+            for c in cols
+        ]
+    ).withColumn("op", F.lit("I"))
+    deleted = orders.where(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 10 != 0)
+    ).select(*cols).withColumn("op", F.lit("D"))
+    changes = updated.unionByName(inserted).unionByName(deleted)
+    return merge_with_deletes(orders, changes)
+
+
 def _q_upsert_stream(spark, sf):
     """Streaming twin of rel_upsert_merge: the SAME deterministic
     changefeed, staged to parquet and replayed as a file-source
@@ -4740,6 +4865,7 @@ REL_QUERIES = {
     "rel_pricing_summary": _q_pricing,
     "rel_top_orders": _q_top_orders,
     "rel_upsert_merge": _q_upsert,
+    "rel_merge_deletes": _q_merge_deletes,
     "rel_upsert_stream": _q_upsert_stream,
     "rel_zorder_key": _q_zorder_key,
     "rel_incremental_agg": _q_incremental_agg,
@@ -5182,6 +5308,30 @@ REL_ORACLE = {
         UNION ALL
         SELECT o.* FROM orders o
         WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+    """,
+    # Full MERGE: updates replace, inserts add, deletes remove, the
+    # rest carry over — same deterministic feed on both engines.
+    "rel_merge_deletes": """
+        WITH upd AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 900000000, o_custkey, 'N',
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 1000 = 0
+        ),
+        del AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+        ),
+        allkeys AS (
+          SELECT o_orderkey FROM upd UNION ALL SELECT o_orderkey FROM del
+        )
+        SELECT * FROM upd
+        UNION ALL
+        SELECT o.* FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM allkeys k WHERE k.o_orderkey = o.o_orderkey)
     """,
     # Bounded-frame window: trailing-3 rolling average, integer-cents
     # exact inside the frame.

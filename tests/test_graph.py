@@ -479,3 +479,22 @@ def test_harmonic_centrality_two_seeds_sum(spark):
     assert (got[2]["n_reached"], got[2]["harmonic"]) == (2, 2.0)
     assert (got[1]["n_reached"], got[1]["harmonic"]) == (1, 0.5)
     assert (got[3]["n_reached"], got[3]["harmonic"]) == (1, 0.5)
+
+
+def test_neighborhood_features_hand_computed(spark):
+    """Star 1-{2,3,4} plus edge 2-3: degrees 1:3, 2:2, 3:2, 4:1.
+    Node 1's neighbors have degrees {2,2,1} → mean 5/3; node 4's
+    single neighbor has degree 3."""
+    from bigclam_apachespark_spark.operators.graph import (
+        neighborhood_features,
+        symmetrize,
+    )
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    sym = symmetrize(edges_from_pairs(spark, [(1, 2), (1, 3), (1, 4), (2, 3)]))
+    got = {r["id"]: r for r in neighborhood_features(sym).collect()}
+    assert (got[1]["degree"], got[1]["max_nbr_degree"]) == (3, 2)
+    assert got[1]["mean_nbr_degree"] == round(5 / 3, 6)
+    assert (got[4]["degree"], got[4]["max_nbr_degree"], got[4]["mean_nbr_degree"]) == (
+        1, 3, 3.0,
+    )

@@ -555,3 +555,26 @@ def test_order_window_suite_hand_computed(spark):
     assert got[4].prev_total == 103.0 and got[4].next_total is None
     assert [r.pct_rank for r in got] == [0.0, 0.25, 0.5, 0.75, 1.0]
     assert [r.cume for r in got] == [0.2, 0.4, 0.6, 0.8, 1.0]
+
+
+def test_merge_with_deletes_semantics(spark):
+    """Update replaces, insert adds, delete removes, absent-key
+    delete is a silent no-op, untouched rows carry over."""
+    from bigclam_apachespark_spark.operators.relational import merge_with_deletes
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "o_orderkey long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", "U"),    # update
+            (4, "d", "I"),    # insert
+            (3, None, "D"),   # delete
+            (99, None, "D"),  # delete of absent key: no-op
+        ],
+        "o_orderkey long, v string, op string",
+    )
+    got = sorted(
+        (r.o_orderkey, r.v) for r in merge_with_deletes(snap, changes).collect()
+    )
+    assert got == [(1, "a"), (2, "B"), (4, "d")]
