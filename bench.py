@@ -125,6 +125,9 @@ HEADLINE = [
     "sim_ann_ladder",
     "rel_merge_deletes",
     "graph_neighborhood_features",
+    "events_session_funnel",
+    "rel_dq_quarantine",
+    "text_split_repair",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -213,6 +216,9 @@ EXPECTED = {
     "sim_ann_ladder": 11.6,
     "rel_merge_deletes": 1.1,
     "graph_neighborhood_features": 3.5,
+    "events_session_funnel": 4.6,
+    "rel_dq_quarantine": 1.3,
+    "text_split_repair": 3.4,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

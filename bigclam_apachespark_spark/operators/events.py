@@ -738,3 +738,68 @@ def cohort_ltv(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+def session_funnel(
+    events: DataFrame, gap_minutes: int = 30, ts_col: str = "ts"
+) -> DataFrame:
+    """Within-session funnel conversion → per session-start day
+    ``(day, n_sessions, n_with_click, n_converted, conv_rate)``:
+    a session CONVERTS when any purchase happens strictly after its
+    FIRST click — the order-sensitive in-session metric a flat
+    click∧purchase count gets wrong (purchase-then-click sessions
+    must not convert). Session ids are the same lag+cumsum pass as
+    ``sessionize``.
+
+    The order test is exact: events compare by the (floor-seconds,
+    event_id) tuple, and "exists a purchase after the first click"
+    is equivalent to max(purchase key) > min(click key) — ONE hash
+    agg per session, no self-join back onto the event stream.
+    conv_rate = n_converted / n_with_click, a single guarded
+    division of exact integers (NULL when no session clicked)."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    sec = epoch_seconds(F.col(ts_col), ts_type)
+    w = Window.partitionBy("user_id").orderBy(ts_col, "event_id")
+    gap = sec - F.lag(sec).over(w)
+    ev = events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(w))
+    key = F.struct(sec.alias("s"), F.col("event_id").alias("e"))
+    per = ev.groupBy("user_id", "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.min(F.when(F.col("event_type") == "click", key)).alias("ck"),
+        F.max(F.when(F.col("event_type") == "purchase", key)).alias("pk"),
+    )
+    per = per.select(
+        F.col("session_start").cast("date").alias("day"),
+        F.col("ck").isNotNull().cast("long").alias("clicked"),
+        (
+            F.col("ck").isNotNull()
+            & F.col("pk").isNotNull()
+            & (F.col("pk") > F.col("ck"))
+        ).cast("long").alias("converted"),
+    )
+    agg = per.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("clicked").alias("n_with_click"),
+        F.sum("converted").alias("n_converted"),
+    )
+    return agg.select(
+        "day",
+        "n_sessions",
+        "n_with_click",
+        "n_converted",
+        F.when(
+            F.col("n_with_click") > 0,
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_with_click").cast("double"),
+                6,
+            ),
+        ).alias("conv_rate"),
+    )

@@ -1059,3 +1059,44 @@ def merge_with_deletes(
     return upserts.unionByName(
         snapshot.join(changes.select(key), key, "left_anti")
     )
+
+
+def dq_quarantine(orders: DataFrame) -> DataFrame:
+    """Row-level validation bitmask → ``(rule_mask, n_rows,
+    min_orderkey, max_orderkey)``: every row is scored against the
+    rule set in ONE pass (bit 0: NULL custkey, bit 1: non-positive
+    total, bit 2: NULL order date, bit 3: unknown status), and rows
+    aggregate by their exact failure COMBINATION — the quarantine
+    router's split condition (``rule_mask = 0`` is the clean
+    partition) plus the co-occurrence diagnosis ``dq_report``'s
+    per-rule totals can't express (it can't tell whether two rules
+    fire on the same rows or different ones). All integer; the
+    min/max keys give a repair query its probe handles.
+
+    Scale shape: one scan, one map-side-combinable hash agg on a
+    ≤2⁴-cardinality key — the cheapest possible full-table audit."""
+    mask = (
+        F.col("o_custkey").isNull().cast("long")
+        + F.shiftleft(
+            (F.coalesce(F.col("o_totalprice"), F.lit(-1.0)) <= 0).cast("long"), 1
+        )
+        + F.shiftleft(F.col("o_orderdate").isNull().cast("long"), 2)
+        + F.shiftleft(
+            (
+                ~F.coalesce(
+                    F.col("o_orderstatus").isin("O", "F", "P"), F.lit(False)
+                )
+            ).cast("long"),
+            3,
+        )
+    )
+    return (
+        orders.select(mask.alias("rule_mask"), "o_orderkey")
+        .groupBy("rule_mask")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("rule_mask")
+    )

@@ -1313,3 +1313,62 @@ def heldout_perplexity(
             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         )
     )
+
+
+def split_repair(
+    docs: DataFrame,
+    text_col: str = "text",
+    near_dup_threshold: float = 0.35,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Contamination REPAIR → ``(doc_id, bucket, split)``, the full
+    corpus's final assignment: any eval (val/test) document that
+    near-duplicates ANY train document is pulled INTO train — the
+    standard decontamination direction (eval sets must be clean of
+    training look-alikes; moving the training copy out instead
+    would silently shrink the train corpus by the duplication
+    rate). Non-leaked documents keep their ``hash_split``
+    assignment, so the repair is a superset of the original split
+    and deterministic: reassignment depends only on the leak-pair
+    relation, never on iteration order.
+
+    One-step repair by design: pulls resolve against the ORIGINAL
+    split (an eval doc whose only near-dup is another eval doc
+    stays put, even if that counterpart gets pulled) — iterating to
+    the transitive fixpoint would drag whole duplicate clusters
+    into train through chains of pairwise-dissimilar docs; cluster-
+    level policy belongs to ``training_corpus``'s survivor
+    election. Eval↔eval leak pairs are reported by
+    ``split_leakage`` but never repaired here.
+
+    Composition: ``split_leakage``'s pair relation (already
+    cross-split-filtered) → the eval-side ids whose COUNTER-PARTY
+    is train → one left join + CASE onto the split table. The
+    repair join is leak-table-sized, not corpus-sized."""
+    leaks = split_leakage(
+        docs, text_col, near_dup_threshold, train_pct, val_pct,
+        cache_handles=cache_handles,
+    )
+    pulled = (
+        leaks.where(
+            (F.col("split_a") == "train") | (F.col("split_b") == "train")
+        )
+        .select(
+            F.when(F.col("split_a") == "train", F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    base = hash_split(docs, train_pct=train_pct, val_pct=val_pct)
+    return base.join(
+        pulled.withColumn("_pulled", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("_pulled") == 1, F.lit("train"))
+        .otherwise(F.col("split"))
+        .alias("split"),
+    )

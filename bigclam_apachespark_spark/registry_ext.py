@@ -1446,6 +1446,44 @@ TEXT_ORACLE["text_split_leakage"] = f"""
 """
 
 
+# Contamination REPAIR: leaked eval docs pulled INTO train; everyone
+# else keeps the hash-split assignment. Composes the SAME leak-pair
+# chain as text_split_leakage, so the two can't drift apart.
+TEXT_ORACLE["text_split_repair"] = f"""
+    WITH {MINHASH_SQL.strip().lstrip()}, {BUCKETS_SQL.strip()}, {CAND_SQL.strip()},
+    {_lsh_verify_ctes(0.35)},
+    jp AS (
+      SELECT i.a, i.b
+      FROM inter i JOIN sizes za ON za.doc_id = i.a
+                   JOIN sizes zb ON zb.doc_id = i.b
+      WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.35
+    ),
+    sp AS (
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket
+            FROM documents)
+    ),
+    pulled AS (
+      SELECT DISTINCT CASE WHEN pa.split = 'train' THEN jp.b ELSE jp.a END AS doc_id
+      FROM jp JOIN sp pa ON pa.doc_id = jp.a JOIN sp pb ON pb.doc_id = jp.b
+      WHERE pa.split <> pb.split
+        AND (pa.split = 'train' OR pb.split = 'train')
+    )
+    SELECT s.doc_id, s.bucket,
+           CASE WHEN p.doc_id IS NOT NULL THEN 'train' ELSE s.split END AS split
+    FROM sp s LEFT JOIN pulled p USING (doc_id)
+"""
+TEXT_QUERIES["text_split_repair"] = lambda spark, sf: _with_handles(
+    lambda h: X.split_repair(
+        _docs(spark, sf), near_dup_threshold=0.35, cache_handles=h
+    )
+)
+
+
 def _q_dedup_stream(spark, sf):
     from bigclam_apachespark_spark.streaming import (
         dedup_stream,
@@ -3173,6 +3211,55 @@ EVENT_ORACLE = {
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    # In-session funnel: same lag+cumsum session ids as sessionize;
+    # the order test is a (floor-seconds, event_id) tuple compare and
+    # converted ⟺ max(purchase key) > min(click key).
+    "events_session_funnel": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged
+        ),
+        per AS (
+          SELECT user_id, session_id,
+                 CAST(MIN(ts) AS DATE) AS day,
+                 MIN(CASE WHEN event_type = 'click'
+                          THEN ROW(sec, event_id) END) AS ck,
+                 MAX(CASE WHEN event_type = 'purchase'
+                          THEN ROW(sec, event_id) END) AS pk
+          FROM sess GROUP BY user_id, session_id
+        ),
+        cls AS (
+          SELECT day,
+                 CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END AS clicked,
+                 CASE WHEN ck IS NOT NULL AND pk IS NOT NULL AND pk > ck
+                      THEN 1 ELSE 0 END AS converted
+          FROM per
+        ),
+        agg AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                 CAST(SUM(clicked) AS BIGINT) AS n_with_click,
+                 CAST(SUM(converted) AS BIGINT) AS n_converted
+          FROM cls GROUP BY day
+        )
+        SELECT day, n_sessions, n_with_click, n_converted,
+               CASE WHEN n_with_click > 0
+                    THEN round(CAST(n_converted AS DOUBLE)
+                               / CAST(n_with_click AS DOUBLE), 6)
+               END AS conv_rate
+        FROM agg
+    """,
     # Salted-kernel result identity: the oracle is the PLAIN
     # COUNT(DISTINCT) the skew-safe plan claims to reproduce.
     "events_salted_distinct": """
@@ -4021,6 +4108,7 @@ EVENT_QUERIES = {
     ),
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_cohort_ltv": lambda spark, sf: E.cohort_ltv(_events(spark, sf)),
+    "events_session_funnel": lambda spark, sf: E.session_funnel(_events(spark, sf)),
     # The skew kernel under the gate: 5 event types × ~all users is
     # the canonical hot-key COUNT(DISTINCT); the oracle is the plain
     # aggregation — the salted plan's result-identity claim.
@@ -4474,6 +4562,12 @@ def _q_dq_report(spark, sf):
     return dq_report(*_rel_tables(spark, sf))
 
 
+def _q_dq_quarantine(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import dq_quarantine
+
+    return dq_quarantine(_rel_tables(spark, sf)[0])
+
+
 def _q_pricing(spark, sf):
     from bigclam_apachespark_spark.operators.relational import pricing_summary
 
@@ -4846,6 +4940,7 @@ def _q_idle_rich(spark, sf):
 
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
+    "rel_dq_quarantine": _q_dq_quarantine,
     "rel_order_priority": _q_order_priority,
     "rel_window_suite": _q_window_suite,
     "rel_late_priority": _q_late_priority,
@@ -5211,6 +5306,24 @@ REL_ORACLE = {
           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
+    """,
+    # Row-level rule bitmask: failure COMBINATIONS, not per-rule
+    # totals — all integer, one hash agg.
+    "rel_dq_quarantine": """
+        WITH m AS (
+          SELECT o_orderkey,
+                 CAST(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 + CAST(CASE WHEN coalesce(o_totalprice, -1) <= 0 THEN 2 ELSE 0 END AS BIGINT)
+                 + CAST(CASE WHEN o_orderdate IS NULL THEN 4 ELSE 0 END AS BIGINT)
+                 + CAST(CASE WHEN o_orderstatus IS NULL
+                               OR o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 8 ELSE 0 END AS BIGINT) AS rule_mask
+          FROM orders
+        )
+        SELECT rule_mask, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+        FROM m GROUP BY rule_mask ORDER BY rule_mask
     """,
     "rel_dq_report": """
         SELECT 'orders_null_custkey' AS rule,

@@ -578,3 +578,27 @@ def test_merge_with_deletes_semantics(spark):
         (r.o_orderkey, r.v) for r in merge_with_deletes(snap, changes).collect()
     )
     assert got == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_dq_quarantine_bitmask_combinations(spark):
+    """Rows aggregate by their exact failure COMBINATION: a row
+    failing custkey (bit 0) AND total (bit 1) lands in mask 3, not
+    in two per-rule tallies; NULL status counts as unknown (bit 3);
+    a clean row lands in mask 0."""
+    import datetime as dt
+
+    from bigclam_apachespark_spark.operators.relational import dq_quarantine
+
+    d = dt.datetime(1996, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, d, "x"),          # clean -> 0
+            (2, None, "O", -1.0, d, "x"),       # bits 0+1 -> 3
+            (3, 10, "Z", 5.0, None, "x"),       # bits 2+3 -> 12
+            (4, 10, None, 5.0, d, "x"),         # bit 3 -> 8
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {r.rule_mask: r.n_rows for r in dq_quarantine(orders).collect()}
+    assert got == {0: 1, 3: 1, 12: 1, 8: 1}

@@ -1492,3 +1492,33 @@ def test_embedding_components_transitive_merge(vecs):
     assert {r["component"] for r in loose} == {0}
     assert {r["vec_id"] for r in loose} == {0, 1, 2, 3, 4}
     assert all(r["n_members"] == 5 for r in loose)
+
+
+def test_session_funnel_order_sensitivity(spark):
+    """The order test is the point: u1 clicks then purchases →
+    converts; u2 purchases then clicks → counted as clicked but NOT
+    converted; u3 click and purchase in the SAME second resolve by
+    event_id (purchase id greater → converts); u4 never clicks."""
+    from bigclam_apachespark_spark.operators.events import session_funnel
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        (1, s(0), 1, "click", 0.0, "{}"),
+        (2, s(60), 1, "purchase", 5.0, "{}"),
+        (3, s(0), 2, "purchase", 5.0, "{}"),
+        (4, s(60), 2, "click", 0.0, "{}"),
+        (5, s(0), 3, "click", 0.0, "{}"),
+        (6, s(0), 3, "purchase", 1.0, "{}"),
+        (7, s(0), 4, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = session_funnel(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_sessions, r.n_with_click, r.n_converted) == (4, 3, 2)
+    assert r.conv_rate == round(2 / 3, 6)
