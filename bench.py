@@ -128,6 +128,16 @@ HEADLINE = [
     "events_session_funnel",
     "rel_dq_quarantine",
     "text_split_repair",
+    # TPC-H intent completion: all 22 query intents now have a
+    # shape analog; these are the final eight
+    "rel_conditional_revenue",
+    "rel_nation_volume",
+    "rel_product_profit",
+    "rel_returned_items",
+    "rel_important_stock",
+    "rel_promo_pct",
+    "rel_min_cost_supplier",
+    "rel_excess_suppliers",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -219,6 +229,14 @@ EXPECTED = {
     "events_session_funnel": 4.6,
     "rel_dq_quarantine": 1.3,
     "text_split_repair": 3.4,
+    "rel_conditional_revenue": 2.6,
+    "rel_nation_volume": 3.1,
+    "rel_product_profit": 1.8,
+    "rel_returned_items": 1.3,
+    "rel_important_stock": 1.6,
+    "rel_promo_pct": 0.7,
+    "rel_min_cost_supplier": 1.9,
+    "rel_excess_suppliers": 2.2,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

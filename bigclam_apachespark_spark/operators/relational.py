@@ -1100,3 +1100,364 @@ def dq_quarantine(orders: DataFrame) -> DataFrame:
         )
         .orderBy("rule_mask")
     )
+
+
+def conditional_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q6-shape forecast-revenue-change → one row
+    ``(revenue)``: Σ extendedprice·discount over a date window,
+    a discount band (5–7 percent points, INCLUSIVE integer bounds —
+    no float band-edge ambiguity) and a quantity cap. The simplest
+    shape in the suite and the purest pushdown test: every
+    predicate must reach the scan; the agg is one map-side fold of
+    exact cents·pp integers."""
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .where((d >= 5) & (d <= 7) & (q < 2400))
+        .agg(
+            F.round(
+                F.sum(_cents("l_extendedprice") * d).cast("double") / 10000.0,
+                6,
+            ).alias("revenue")
+        )
+    )
+
+
+def nation_volume_shipping(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nations: tuple = (1, 2),
+) -> DataFrame:
+    """TPC-H Q7-shape bilateral trade volume → ``(supp_nation,
+    cust_nation, l_year, revenue)``: revenue shipped between two
+    nations in BOTH directions, by year — the two-sided cohort
+    filter (n1→n2 OR n2→n1) that a naive translation writes as a
+    UNION of two 6-way joins; here it is ONE join tree with the
+    direction pair as a disjunctive filter, and the nation
+    dimension broadcasts twice (customer side, supplier side).
+    Exact cents·bps revenue, year from the ship date."""
+    a, b = nations
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
+                      lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .where(
+            ((F.col("c_nationkey") == a) & (F.col("s_nationkey") == b))
+            | ((F.col("c_nationkey") == b) & (F.col("s_nationkey") == a))
+        )
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double") / 10000.0, 6).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q9-shape product-line profit → ``(nation, o_year,
+    sum_profit)`` for a part cohort. The synthetic schema has no
+    partsupp, so supply cost is ``p_retailprice`` per unit
+    (documented substitution — the SHAPE is Q9's: a 5-table join
+    whose measure mixes revenue and cost columns from different
+    branches, grouped by the supplier's nation and order year).
+    profit = ep·(1−disc) − qty·retailprice, folded entirely in the
+    shared 10⁻⁴-dollar integer domain (cents·pp for revenue,
+    cents·cents/100 ≡ the same scale for cost) — exact, order-free."""
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    cost = (
+        F.round(F.col("l_quantity") * 100).cast("long")
+        * _cents("p_retailprice")
+    )
+    j = (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_type") == p_type).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "s_nationkey",
+        )
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(rev - cost).cast("decimal(38,0)").cast("double")
+                / 10000.0,
+                6,
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-07-01",
+    date_to: str = "1997-10-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shape returned-item losses → top-k ``(c_custkey,
+    c_name, n_name, revenue)``: customers who returned the most
+    revenue in a quarter — agg per customer FIRST (the fact side
+    collapses before touching the customer dimension), then two
+    broadcast dims, then TakeOrdered. Ranking ties break on the
+    EXACT integer revenue then custkey, so the top-k frontier is
+    engine-independent."""
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    per = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(rev).alias("_rc"))
+    )
+    return (
+        per.join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+                 "c_custkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .orderBy(F.col("_rc").desc(), "c_custkey")
+        .limit(k)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("_rc").cast("double") / 10000.0, 6).alias("revenue"),
+        )
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation_key: int = 5,
+    fraction_ppm: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11-shape important stock → ``(p_partkey, value)``:
+    parts whose shipped inventory value through one nation's
+    suppliers exceeds ``fraction_ppm``/1 000 000 of that nation's
+    total — Q11's scalar-subquery HAVING. The threshold compare is
+    an exact integer cross-multiplication (value·10⁶ > total·ppm;
+    both fit DECIMAL(38,0) at any scale), so the row set never
+    depends on a float. Value = qty·retailprice in the shared
+    10⁻⁴-dollar integer domain (no partsupp in the synthetic
+    schema; same documented substitution as product_profit).
+    Deterministic order: exact value desc, partkey."""
+    val = (
+        F.round(F.col("l_quantity") * 100).cast("long")
+        * _cents("p_retailprice")
+    )
+    base = (
+        lineitem.join(
+            F.broadcast(
+                supplier.where(F.col("s_nationkey") == nation_key).select(
+                    "s_suppkey"
+                )
+            ),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+              lineitem.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.sum(val).cast("decimal(38,0)").alias("_v"))
+    )
+    total = base.agg(F.sum("_v").alias("_t"))
+    return (
+        base.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_v") * F.lit(1000000).cast("decimal(38,0)")
+            > F.col("_t") * F.lit(fraction_ppm).cast("decimal(38,0)")
+        )
+        .orderBy(F.col("_v").desc(), "p_partkey")
+        .select(
+            "p_partkey",
+            F.round(F.col("_v").cast("double") / 10000.0, 6).alias("value"),
+        )
+    )
+
+
+def promo_revenue_pct(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1997-06-01",
+    date_to: str = "1997-07-01",
+) -> DataFrame:
+    """TPC-H Q14-shape promotion effect → one row
+    ``(promo_revenue_pct)``: the percentage of one month's revenue
+    that came from PROMO-type parts. Numerator and denominator fold
+    as the SAME exact integer measure (one conditional sum each in
+    ONE agg — never two scans), and the percentage is a single
+    division."""
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).join(F.broadcast(part.select("p_partkey", "p_type")),
+           lineitem.l_partkey == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    p_size: int = 15,
+    region_nations: tuple = (0, 1, 2, 3, 4),
+) -> DataFrame:
+    """TPC-H Q2-shape min-cost supplier → ``(p_partkey, s_suppkey,
+    s_name, n_name, supply_value)``: for each part of a size
+    cohort, the region supplier(s) with the MINIMUM total shipped
+    value for it (no partsupp table: shipped revenue is the supply-
+    cost proxy; the SHAPE — a correlated MIN over a 4-relation dim
+    chain, decorrelated into one agg + a min-equality join-back —
+    is Q2's, and ties all surface like the reference query's
+    multi-row answers). The min-equality compares exact integers."""
+    rev = _cents("l_extendedprice") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    sn = supplier.join(
+        F.broadcast(
+            nation.where(F.col("n_nationkey").isin(*region_nations)).select(
+                F.col("n_nationkey").alias("s_nationkey"), "n_name"
+            )
+        ),
+        "s_nationkey",
+    ).select("s_suppkey", "s_name", "n_name")
+    per = (
+        lineitem.join(
+            F.broadcast(
+                part.where(F.col("p_size") == p_size).select("p_partkey")
+            ),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(sn), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(38,0)").alias("_v"))
+    )
+    mn = per.groupBy("p_partkey").agg(F.min("_v").alias("_mn"))
+    return (
+        per.join(F.broadcast(mn), "p_partkey")
+        .where(F.col("_v") == F.col("_mn"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("_v").cast("double") / 10000.0, 6).alias(
+                "supply_value"
+            ),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def excess_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, threshold_pct: int = 50
+) -> DataFrame:
+    """TPC-H Q20-shape dominant suppliers → ``(s_suppkey, s_name,
+    n_parts_dominated)``: suppliers who shipped MORE than
+    ``threshold_pct``% of some part's total quantity (Q20's
+    excess-inventory intent: availqty > half the shipped volume —
+    inverted to the shipped side since the synthetic schema has no
+    partsupp). The nested aggregate (per part-supplier vs per
+    part) reuses ONE partitioning — the second agg rolls up from
+    the first, no second scan — and the threshold is an exact
+    integer cross-multiplication (qty_ps·100 > qty_p·pct)."""
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(q).alias("_qps")
+    )
+    p = ps.groupBy("l_partkey").agg(F.sum("_qps").alias("_qp"))
+    dom = (
+        ps.join(p, "l_partkey")
+        .where(F.col("_qps") * 100 > F.col("_qp") * threshold_pct)
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").alias("n_parts_dominated"))
+    )
+    return (
+        dom.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                 "s_suppkey")
+        .orderBy(F.col("n_parts_dominated").desc(), "s_suppkey")
+    )

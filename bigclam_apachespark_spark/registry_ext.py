@@ -4899,6 +4899,86 @@ def _q_window_suite(spark, sf):
     return order_window_suite(_rel_tables(spark, sf)[0])
 
 
+def _q_conditional_revenue(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import conditional_revenue
+
+    return conditional_revenue(_rel_tables(spark, sf)[2])
+
+
+def _q_nation_volume(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import (
+        nation_volume_shipping,
+    )
+
+    o, c, li = _rel_tables(spark, sf)
+    return nation_volume_shipping(
+        c, o, li,
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+    )
+
+
+def _q_product_profit(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import product_profit
+
+    o, _, li = _rel_tables(spark, sf)
+    return product_profit(
+        li, o,
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        spark.read.parquet(f"{sf}/part.parquet"),
+    )
+
+
+def _q_returned_items(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import (
+        returned_item_report,
+    )
+
+    o, c, li = _rel_tables(spark, sf)
+    return returned_item_report(
+        c, o, li, spark.read.parquet(f"{sf}/nation.parquet")
+    )
+
+
+def _q_important_stock(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import important_stock
+
+    return important_stock(
+        _rel_tables(spark, sf)[2],
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/part.parquet"),
+    )
+
+
+def _q_promo_pct(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import promo_revenue_pct
+
+    return promo_revenue_pct(
+        _rel_tables(spark, sf)[2], spark.read.parquet(f"{sf}/part.parquet")
+    )
+
+
+def _q_min_cost_supplier(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        spark.read.parquet(f"{sf}/part.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        _rel_tables(spark, sf)[2],
+    )
+
+
+def _q_excess_suppliers(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import excess_suppliers
+
+    return excess_suppliers(
+        _rel_tables(spark, sf)[2],
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+    )
+
+
 def _q_order_priority(spark, sf):
     from bigclam_apachespark_spark.operators.relational import order_priority_check
 
@@ -4943,6 +5023,14 @@ REL_QUERIES = {
     "rel_dq_quarantine": _q_dq_quarantine,
     "rel_order_priority": _q_order_priority,
     "rel_window_suite": _q_window_suite,
+    "rel_conditional_revenue": _q_conditional_revenue,
+    "rel_nation_volume": _q_nation_volume,
+    "rel_product_profit": _q_product_profit,
+    "rel_returned_items": _q_returned_items,
+    "rel_important_stock": _q_important_stock,
+    "rel_promo_pct": _q_promo_pct,
+    "rel_min_cost_supplier": _q_min_cost_supplier,
+    "rel_excess_suppliers": _q_excess_suppliers,
     "rel_late_priority": _q_late_priority,
     "rel_order_distribution": _q_order_distribution,
     "rel_top_supplier": _q_top_supplier,
@@ -4985,6 +5073,143 @@ REL_ORACLE = {
                round(CUME_DIST() OVER w, 6) AS cume
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    # Q6-shape: all-predicate pushdown; exact cents·pp fold.
+    "rel_conditional_revenue": """
+        SELECT round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(l_discount * 100) AS BIGINT))
+                     AS DOUBLE) / 10000.0, 6) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+    """,
+    # Q7-shape: one join tree, direction pair as a disjunction.
+    "rel_nation_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS DOUBLE) / 10000.0, 6) AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE (c_nationkey = 1 AND s_nationkey = 2)
+           OR (c_nationkey = 2 AND s_nationkey = 1)
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    # Q9-shape: revenue and cost folded in the shared 1e-4-dollar
+    # integer domain; retailprice is the documented supplycost
+    # substitute.
+    "rel_product_profit": """
+        SELECT n.n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                              - CAST(round(l_quantity * 100) AS BIGINT)
+                                * CAST(round(p_retailprice * 100) AS BIGINT))
+                     AS DOUBLE) / 10000.0, 6) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n ON n.n_nationkey = s_nationkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    # Q10-shape: fact collapses per customer first; exact-integer
+    # top-k frontier.
+    "rel_returned_items": """
+        WITH per AS (
+          SELECT o_custkey AS c_custkey,
+                 CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) AS rc
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-07-01'
+            AND o_orderdate <  TIMESTAMP '1997-10-01'
+          GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(CAST(rc AS DOUBLE) / 10000.0, 6) AS revenue
+        FROM per JOIN customer c USING (c_custkey)
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY rc DESC, c.c_custkey LIMIT 20
+    """,
+    # Q11-shape: exact integer cross-multiplied HAVING.
+    "rel_important_stock": """
+        WITH base AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)
+                          * CAST(round(p_retailprice * 100) AS BIGINT))
+                      AS HUGEINT) AS v
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = 5
+          JOIN part ON p_partkey = l_partkey
+          GROUP BY l_partkey
+        ),
+        total AS (SELECT CAST(SUM(v) AS HUGEINT) AS t FROM base)
+        SELECT p_partkey, round(CAST(v AS DOUBLE) / 10000.0, 6) AS value
+        FROM base CROSS JOIN total
+        WHERE v * 1000000 > t * 1000
+        ORDER BY v DESC, p_partkey
+    """,
+    # Q14-shape: both sums in ONE agg; one division.
+    "rel_promo_pct": """
+        SELECT round(100.0
+               * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 AS DOUBLE), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+    # Q2-shape: correlated MIN decorrelated; exact-integer
+    # min-equality surfaces all ties.
+    "rel_min_cost_supplier": """
+        WITH per AS (
+          SELECT l_partkey AS p_partkey, s.s_suppkey, s.s_name, n.n_name,
+                 CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS HUGEINT) AS v
+          FROM lineitem
+          JOIN part p ON p.p_partkey = l_partkey AND p.p_size = 15
+          JOIN supplier s ON s.s_suppkey = l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+                       AND n.n_nationkey IN (0, 1, 2, 3, 4)
+          GROUP BY 1, 2, 3, 4
+        ),
+        mn AS (SELECT p_partkey, MIN(v) AS m FROM per GROUP BY p_partkey)
+        SELECT per.p_partkey, s_suppkey, s_name, n_name,
+               round(CAST(v AS DOUBLE) / 10000.0, 6) AS supply_value
+        FROM per JOIN mn ON mn.p_partkey = per.p_partkey AND per.v = mn.m
+        ORDER BY per.p_partkey, s_suppkey
+    """,
+    # Q20-shape: nested agg reusing one partitioning; integer
+    # cross-multiplied dominance threshold.
+    "rel_excess_suppliers": """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qps
+          FROM lineitem GROUP BY 1, 2
+        ),
+        p AS (SELECT l_partkey, CAST(SUM(qps) AS BIGINT) AS qp FROM ps GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+        FROM ps JOIN p USING (l_partkey)
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE qps * 100 > qp * 50
+        GROUP BY 1, 2
+        ORDER BY n_parts_dominated DESC, s.s_suppkey
     """,
     # Q4-shape: the correlated EXISTS decorrelates to a semi-join;
     # both engines count each qualifying order exactly once.

@@ -602,3 +602,50 @@ def test_dq_quarantine_bitmask_combinations(spark):
     )
     got = {r.rule_mask: r.n_rows for r in dq_quarantine(orders).collect()}
     assert got == {0: 1, 3: 1, 12: 1, 8: 1}
+
+
+def test_important_stock_integer_threshold(spark):
+    """The value·10⁶ > total·ppm comparison is strict and exact: a
+    part at EXACTLY the threshold fraction is excluded. Total value
+    1000 (in 1e-4 dollars), ppm=100000 (10%) → part at value 100 is
+    exactly 10%: out; 101: in."""
+    from bigclam_apachespark_spark.operators.relational import important_stock
+
+    li = spark.createDataFrame(
+        [
+            (1, 100, 1.0),   # part 1: qty 1.0
+            (2, 100, 1.01),  # part 2: qty 1.01
+            (3, 100, 7.99),  # part 3: bulk
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double",
+    )
+    supplier = spark.createDataFrame([(100, 5)], "s_suppkey long, s_nationkey int")
+    part = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0)], "p_partkey long, p_retailprice double"
+    )
+    # values: 100, 101, 799 (x100 cents x100 qty-cents /1e4); total 1000
+    got = {r.p_partkey for r in
+           important_stock(li, supplier, part, nation_key=5,
+                           fraction_ppm=100000).collect()}
+    assert got == {2, 3}
+
+
+def test_excess_suppliers_dominance(spark):
+    """Strictly-more-than-half: a 50/50 split part dominates nobody;
+    a 60/40 part credits only the 60% supplier."""
+    from bigclam_apachespark_spark.operators.relational import excess_suppliers
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 11, 5.0),    # part 1: tie, no dominator
+            (2, 10, 6.0), (2, 11, 4.0),    # part 2: 10 dominates
+            (3, 11, 9.0), (3, 10, 1.0),    # part 3: 11 dominates
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "s10"), (11, "s11")], "s_suppkey long, s_name string"
+    )
+    got = {(r.s_suppkey, r.n_parts_dominated)
+           for r in excess_suppliers(li, supplier).collect()}
+    assert got == {(10, 1), (11, 1)}
