@@ -138,6 +138,8 @@ HEADLINE = [
     "rel_promo_pct",
     "rel_min_cost_supplier",
     "rel_excess_suppliers",
+    "events_robust_outliers",
+    "text_dataset_card",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -237,6 +239,8 @@ EXPECTED = {
     "rel_promo_pct": 0.7,
     "rel_min_cost_supplier": 1.9,
     "rel_excess_suppliers": 2.2,
+    "events_robust_outliers": 2.6,
+    "text_dataset_card": 1.3,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -803,3 +803,61 @@ def session_funnel(
             ),
         ).alias("conv_rate"),
     )
+
+
+def robust_outliers(events: DataFrame, k: int = 3) -> DataFrame:
+    """Median/MAD robust outlier census → ``(event_type, med, mad,
+    n_outliers)``: per type, the EXACT median (ceil(p·n) order
+    statistic, same inverse-CDF convention as ``value_quantiles``),
+    the exact median absolute deviation, and how many events sit
+    more than ``k``·MAD from the median — the monitoring rule that
+    survives the heavy-tailed value distributions where mean/stddev
+    z-scores (``window_anomaly_scores``) are themselves dragged by
+    the outliers they're meant to find.
+
+    Exactness: both medians are SELECTED input values (no
+    interpolation); |v − med| is one IEEE subtraction of identical
+    doubles; the k·MAD threshold compare therefore agrees
+    bit-for-bit cross-engine.
+
+    Scale shape: two per-type ranked windows (the exact-order-
+    statistic ground-truth path — same contract note as
+    value_quantiles: at 100 TB production uses a sketch calibrated
+    against this on samples)."""
+    from pyspark.sql import Window
+
+    ev = events.select("event_type", "event_id", "value").where(
+        F.col("value").isNotNull()
+    )
+    n = ev.groupBy("event_type").agg(F.count("*").alias("_n"))
+
+    def _median_of(df, col):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        ranked = df.withColumn("_r", F.row_number().over(w)).join(n, "event_type")
+        return (
+            ranked.where(F.col("_r") >= F.ceil(0.5 * F.col("_n")))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(f"_med_{col}"))
+        )
+
+    med = _median_of(ev, "value").withColumnRenamed("_med_value", "_med")
+    dev = ev.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = _median_of(dev.select("event_type", "event_id", "dev"), "dev")
+    mad = mad.withColumnRenamed("_med_dev", "_mad")
+    flagged = dev.join(mad, "event_type").groupBy("event_type").agg(
+        F.sum(
+            (F.col("dev") > F.lit(float(k)) * F.col("_mad")).cast("long")
+        ).alias("n_outliers")
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(flagged, "event_type")
+        .select(
+            "event_type",
+            F.round("_med", 6).alias("med"),
+            F.round("_mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -1372,3 +1372,40 @@ def split_repair(
         .otherwise(F.col("split"))
         .alias("split"),
     )
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary → the numbers every dataset card
+    leads with: ``(n_docs, n_tokens, n_chars, n_sources, n_langs,
+    n_distinct_texts, dup_pct)`` — sizes, provenance spread, and
+    the exact-duplicate rate (1 − distinct normalized fingerprints
+    / docs). All counts are integers; the one percentage is a
+    single division, rounded.
+
+    Scale shape: ONE scan; tokens/chars fold map-side; the three
+    DISTINCTs are (tiny, tiny, fingerprint-wide) hash aggs —
+    fingerprints are the only corpus-cardinality shuffle, on
+    fixed-width int64."""
+    fp = hash64(normalize_text(text_col))
+    agg = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(fp).alias("n_distinct_texts"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_sources",
+        "n_langs",
+        "n_distinct_texts",
+        F.round(
+            F.lit(100.0)
+            * (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_pct"),
+    )

@@ -123,6 +123,20 @@ def _clean_ctes(quality_threshold: float = 0.5, lang: str = "en") -> str:
 
 
 TEXT_ORACLE = {
+    # Dataset card: all integers + one division.
+    "text_dataset_card": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({TOKENS})) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT {hash64_sql(normalize_text_sql('text'))}) AS BIGINT)
+                 AS n_distinct_texts,
+               round(100.0 * CAST(COUNT(*) - COUNT(DISTINCT
+                       {hash64_sql(normalize_text_sql('text'))}) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS dup_pct
+        FROM documents
+    """,
     # Held-out LM: train counts from the train split only; P is one
     # fixed-order expression over exact integer counts; ln only in
     # the rounded output mean.
@@ -908,6 +922,7 @@ TEXT_QUERIES = {
     "text_heldout_perplexity": lambda spark, sf: X.heldout_perplexity(
         _docs(spark, sf)
     ),
+    "text_dataset_card": lambda spark, sf: X.dataset_card(_docs(spark, sf)),
     "text_pmi_topk": lambda spark, sf: X.pmi_topk(
         _docs(spark, sf), window=3, min_count=5, k=20
     ),
@@ -3211,6 +3226,50 @@ EVENT_ORACLE = {
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    # Median/MAD: both medians are SELECTED values under the shared
+    # ceil(p·n) convention; the k·MAD compare is on identical doubles.
+    "events_robust_outliers": """
+        WITH ev AS (
+          SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL
+        ),
+        n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+        r1 AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS r
+          FROM ev
+        ),
+        med AS (
+          SELECT r1.event_type, MIN(value) AS med
+          FROM r1 JOIN n USING (event_type)
+          WHERE r >= ceil(0.5 * n) GROUP BY r1.event_type
+        ),
+        dev AS (
+          SELECT ev.event_type, ev.event_id, abs(ev.value - med.med) AS dev
+          FROM ev JOIN med USING (event_type)
+        ),
+        r2 AS (
+          SELECT event_type, dev,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY dev, event_id) AS r
+          FROM dev
+        ),
+        mad AS (
+          SELECT r2.event_type, MIN(dev) AS mad
+          FROM r2 JOIN n USING (event_type)
+          WHERE r >= ceil(0.5 * n) GROUP BY r2.event_type
+        ),
+        fl AS (
+          SELECT dev.event_type,
+                 CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+          FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type
+        )
+        SELECT event_type, round(med, 6) AS med, round(mad, 6) AS mad,
+               n_outliers
+        FROM med JOIN mad USING (event_type) JOIN fl USING (event_type)
+    """,
     # In-session funnel: same lag+cumsum session ids as sessionize;
     # the order test is a (floor-seconds, event_id) tuple compare and
     # converted ⟺ max(purchase key) > min(click key).
@@ -4109,6 +4168,7 @@ EVENT_QUERIES = {
     "events_retention": lambda spark, sf: E.cohort_retention(_events(spark, sf)),
     "events_cohort_ltv": lambda spark, sf: E.cohort_ltv(_events(spark, sf)),
     "events_session_funnel": lambda spark, sf: E.session_funnel(_events(spark, sf)),
+    "events_robust_outliers": lambda spark, sf: E.robust_outliers(_events(spark, sf)),
     # The skew kernel under the gate: 5 event types × ~all users is
     # the canonical hot-key COUNT(DISTINCT); the oracle is the plain
     # aggregation — the salted plan's result-identity claim.

@@ -1522,3 +1522,27 @@ def test_session_funnel_order_sensitivity(spark):
     r = got[0]
     assert (r.n_sessions, r.n_with_click, r.n_converted) == (4, 3, 2)
     assert r.conv_rate == round(2 / 3, 6)
+
+
+def test_robust_outliers_hand_computed(spark):
+    """Values [1..7, 1000] for one type, n=8: median = the ceil(4)-th
+    order statistic = 4; deviations sorted [0,1,1,2,2,3,3,996] →
+    MAD = 2 (4th); outliers beyond 3·MAD=6 from median: only 1000.
+    The mean/std z-score would drag the mean to ~128 and flag
+    nothing at z=3 — that's why MAD."""
+    from bigclam_apachespark_spark.operators.events import robust_outliers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "click", float(v), "{}")
+        for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 1000])
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = robust_outliers(ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.med, r.mad, r.n_outliers) == (4.0, 2.0, 1)
