@@ -59,6 +59,15 @@ SHOWCASE = {
     "graph_harmonic_sampled": "Eppstein-Wang: fixed 16-seed sample, labeled-BFS state |S|*n (never n^2), per-round frontier joins only",
     "multimodal_phash_pairs": "image near-dup: decode once to 64-bit aHash, band equi-join candidates (never images^2), integer Hamming verify",
     "events_cohort_ltv": "payback curve: one user-collapse agg, integer-cents cumsum window over the aggregate (not the event stream)",
+    "sim_ann_ladder": "four ANN methods vs ONE shared exact truth; micro recall as a single exact-integer division per method",
+    "rel_nation_volume": "Q7: ONE join tree with the direction pair as a disjunction (not a UNION of two 6-way joins); nation dims broadcast twice",
+    "rel_excess_suppliers": "Q20: nested agg rolls up from the first agg's partitioning - no second lineitem scan; integer dominance threshold",
+    "events_session_funnel": "in-session order test: converted iff max(purchase key) > min(click key) - one hash agg, no self-join on events",
+    "text_split_repair": "decontamination repair: leak-pair relation (not corpus) drives a left join + CASE over the split table",
+    "text_heldout_perplexity": "train-only counts (leakage discipline), val pairs by narrow array slicing, vocab-bounded joins",
+    "multimodal_video_near_dup": "video dedup: frames collapse to sampled 64-bit hashes; signature-intersection join, never frames^2",
+    "events_robust_outliers": "median/MAD: two partitioned order-statistic windows; the k*MAD compare is on identical doubles",
+    "docs_partitioned_roundtrip": "hive-layout sink + serving read pruned by PartitionFilters: 2/20 of the corpus scanned",
 }
 
 
