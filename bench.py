@@ -140,6 +140,7 @@ HEADLINE = [
     "rel_excess_suppliers",
     "events_robust_outliers",
     "text_dataset_card",
+    "graph_ktruss",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -241,6 +242,7 @@ EXPECTED = {
     "rel_excess_suppliers": 2.2,
     "events_robust_outliers": 2.6,
     "text_dataset_card": 1.3,
+    "graph_ktruss": 16.0,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

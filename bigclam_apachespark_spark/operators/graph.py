@@ -979,3 +979,75 @@ def neighborhood_features(sym_edges: DataFrame) -> DataFrame:
             F.col("_snd").cast("double") / F.col("degree").cast("double"), 6
         ).alias("mean_nbr_degree"),
     )
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over an undirected canonical edge
+    set (x < y) → ``(x, y, support)`` for every edge (0-support
+    edges included via the left join). Compact-forward enumeration
+    on the CURRENT subgraph (degrees recomputed — orientation must
+    follow the peeled graph, not the original)."""
+    sym = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionAll(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    o = _oriented(sym)
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    edges3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("x"), F.greatest("b", "c").alias("y")
+                ),
+                F.struct(
+                    F.least("a", "c").alias("x"), F.greatest("a", "c").alias("y")
+                ),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    sup = edges3.groupBy("x", "y").agg(F.count("*").alias("support"))
+    return und.join(sup, ["x", "y"], "left").select(
+        "x", "y", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(sym_edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
+    """k-truss → ``(x, y, support)``: the maximal subgraph whose
+    every edge closes at least k−2 triangles WITHIN the subgraph —
+    the edge-strength analog of k-core (cores bound degrees, trusses
+    bound cohesion; trusses are the standard community-backbone
+    extractor one rung up the hierarchy). Bounded peeling: each
+    round recounts support on the CURRENT subgraph and drops weak
+    edges; at the fixpoint further rounds are identity, so the
+    fixed-round unroll (the DuckDB twin) equals the converged
+    answer whenever convergence happens within ``rounds`` — same
+    early-exit-≡-full-unroll contract as ``kcore``. Output support
+    is recounted once on the final edge set.
+
+    Scale shape: per round one degree agg + the |E|^1.5-bounded
+    compact-forward wedge join + an edge hash agg; the edge set
+    only shrinks. Per-round localCheckpoint cuts lineage like every
+    other bounded-peeling operator here."""
+    und = (
+        sym_edges.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        n_before = und.count()
+        kept = (
+            _edge_support(und)
+            .where(F.col("support") >= k - 2)
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        unpersist_local_checkpoint(und)
+        und = kept
+        if und.count() == n_before:
+            break
+    return _edge_support(und)

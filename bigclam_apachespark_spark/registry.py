@@ -229,6 +229,12 @@ def q_neighborhood_features(spark, sf_dir):
     return G.neighborhood_features(_sym(spark, sf_dir))
 
 
+def q_ktruss(spark, sf_dir):
+    """30-truss of the co-purchase graph via 3 bounded peeling
+    rounds (edge-cohesion backbone, one rung above kcore)."""
+    return G.ktruss(_sym(spark, sf_dir), k=30, rounds=3)
+
+
 def q_harmonic_sampled(spark, sf_dir):
     """Eppstein-Wang seed-sampled harmonic centrality, 3 bounded
     hops. The sample is the 16 SMALLEST ids of the id % 250 = 0
@@ -374,6 +380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs_hops": q_bfs_hops,
     "graph_harmonic_sampled": q_harmonic_sampled,
     "graph_neighborhood_features": q_neighborhood_features,
+    "graph_ktruss": q_ktruss,
     "graph_sssp_weighted": q_sssp_weighted,
     "graph_hits": q_hits,
     "graph_label_prop": q_label_prop,
@@ -468,6 +475,55 @@ mf{h} AS MATERIALIZED (SELECT seed, id FROM mx{h})"""
 SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
        round({harmonic}, 6) AS harmonic
 FROM md{rounds} WHERE d >= 1 GROUP BY id"""
+    )
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled k-truss twin (MATERIALIZED rounds — same rationale
+    as _kcore_sql): per round degrees → degree orientation → wedge
+    join → canonical per-edge support → peel. Requires k ≥ 3 (the
+    inner support join drops 0-support edges, which only matches
+    the Spark filter when k−2 > 0). Final support recounted on the
+    surviving edge set, 0-support rows kept via LEFT JOIN."""
+    assert k >= 3
+
+    def round_ctes(r: int) -> str:
+        return f"""sym{r} AS MATERIALIZED (
+  SELECT x AS src, y AS dst FROM und{r} UNION ALL SELECT y, x FROM und{r}),
+deg{r} AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM sym{r} GROUP BY src),
+ori{r} AS MATERIALIZED (
+  SELECT s.src AS u, s.dst AS v FROM sym{r} s
+  JOIN deg{r} a ON a.id = s.src JOIN deg{r} b ON b.id = s.dst
+  WHERE a.d < b.d OR (a.d = b.d AND s.src < s.dst)),
+tri{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ori{r} e1 JOIN ori{r} e2 ON e2.u = e1.v
+  JOIN ori{r} e3 ON e3.u = e1.u AND e3.v = e2.v),
+sup{r} AS MATERIALIZED (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT least(a, b) AS x, greatest(a, b) AS y FROM tri{r}
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri{r}
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri{r}
+  ) GROUP BY x, y)"""
+
+    parts = [
+        """und0 AS MATERIALIZED (
+  SELECT src AS x, dst AS y FROM sym WHERE src < dst)"""
+    ]
+    for r in range(rounds):
+        parts.append(round_ctes(r))
+        parts.append(
+            f"""und{r + 1} AS MATERIALIZED (
+  SELECT u.x, u.y FROM und{r} u
+  JOIN sup{r} s ON s.x = u.x AND s.y = u.y WHERE s.c >= {k - 2})"""
+        )
+    parts.append(round_ctes(rounds))
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT u.x, u.y, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+FROM und{rounds} u
+LEFT JOIN sup{rounds} s ON s.x = u.x AND s.y = u.y"""
     )
 
 
@@ -760,6 +816,7 @@ ORACLE: dict[str, str] = {
     "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
+    "graph_ktruss": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(30, 3)}",
     # Verbatim the same string spark.sql() executes — portability is
     # the point (see PORTABLE_DEGREE_HIST_SQL).
     "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,

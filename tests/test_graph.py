@@ -498,3 +498,31 @@ def test_neighborhood_features_hand_computed(spark):
     assert (got[4]["degree"], got[4]["max_nbr_degree"], got[4]["mean_nbr_degree"]) == (
         1, 3, 3.0,
     )
+
+
+def test_ktruss_two_cliques_bridge(spark, g1_edges):
+    """4-truss of two 4-cliques + bridge: every clique edge closes
+    2 triangles (kept, support 2); the bridge closes none and peels
+    in round 1; the peel does not weaken the cliques (fixpoint)."""
+    from bigclam_apachespark_spark.operators.graph import ktruss, symmetrize
+
+    out = ktruss(symmetrize(g1_edges), k=4, rounds=3).collect()
+    got = {(r.x, r.y): r.support for r in out}
+    assert len(got) == 12 and (3, 4) not in got
+    assert all(v == 2 for v in got.values())
+
+
+def test_ktruss_peeling_cascade(spark):
+    """A triangle with a pendant triangle sharing one edge: 5-truss
+    (support >= 3) empties the graph in cascading rounds, while
+    3-truss (support >= 1) keeps both triangles."""
+    from bigclam_apachespark_spark.operators.graph import ktruss, symmetrize
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    e = edges_from_pairs(
+        spark, [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]
+    )
+    sym = symmetrize(e)
+    assert ktruss(sym, k=5, rounds=4).count() == 0
+    k3 = {(r.x, r.y) for r in ktruss(sym, k=3, rounds=4).collect()}
+    assert k3 == {(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)}
