@@ -1409,3 +1409,34 @@ def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("dup_pct"),
     )
+
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility by language → ``(lang, n_docs, n_words,
+    n_subtokens, fertility)``: subtokens-per-word under the BPE-ish
+    subtoken regex — THE tokenizer-equity metric (a tokenizer with
+    fertility 1.3 on English and 4.1 on Thai makes Thai documents
+    3× as expensive per word, and multilingual mix weights must
+    correct for it). Counts fold as integers in one scan; fertility
+    is a single division per output row."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(text_col))).cast("long").alias("n_words"),
+            F.sum(
+                F.regexp_count(F.lower(F.col(text_col)), F.lit(SUBTOKEN_RE))
+            ).cast("long").alias("n_subtokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subtokens",
+            F.round(
+                F.col("n_subtokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+    )

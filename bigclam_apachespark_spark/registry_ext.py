@@ -123,6 +123,17 @@ def _clean_ctes(quality_threshold: float = 0.5, lang: str = "en") -> str:
 
 
 TEXT_ORACLE = {
+    # Fertility: integer folds, one division per lang.
+    "text_tokenizer_fertility": f"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({TOKENS})) AS BIGINT) AS n_words,
+               CAST(SUM(len(regexp_extract_all(lower(text), '{SUBTOKEN_RE}')))
+                    AS BIGINT) AS n_subtokens,
+               round(CAST(SUM(len(regexp_extract_all(lower(text), '{SUBTOKEN_RE}')))
+                          AS DOUBLE)
+                     / CAST(SUM(len({TOKENS})) AS DOUBLE), 6) AS fertility
+        FROM documents GROUP BY lang
+    """,
     # Dataset card: all integers + one division.
     "text_dataset_card": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -923,6 +934,9 @@ TEXT_QUERIES = {
         _docs(spark, sf)
     ),
     "text_dataset_card": lambda spark, sf: X.dataset_card(_docs(spark, sf)),
+    "text_tokenizer_fertility": lambda spark, sf: X.tokenizer_fertility(
+        _docs(spark, sf)
+    ),
     "text_pmi_topk": lambda spark, sf: X.pmi_topk(
         _docs(spark, sf), window=3, min_count=5, k=20
     ),
