@@ -3240,6 +3240,37 @@ EVENT_ORACLE = {
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    # KMV: k-th smallest hash is a SELECTED integer; the estimate is
+    # one division — the deterministic-sketch contract, third family.
+    "events_kmv_users": f"""
+        WITH hashed AS (
+          SELECT DISTINCT event_type AS grp,
+                 {hash64_sql('CAST(user_id AS VARCHAR)')} AS h
+          FROM events
+        ),
+        nd AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM hashed GROUP BY grp
+        ),
+        kth AS (
+          SELECT grp, h AS hk FROM (
+            SELECT grp, h,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+            FROM hashed
+          ) WHERE r = 64
+        ),
+        est AS (
+          SELECT nd.grp, n_exact,
+                 CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+                      ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                 END AS e
+          FROM nd LEFT JOIN kth ON kth.grp = nd.grp
+        )
+        SELECT grp AS event_type, n_exact, round(e, 6) AS n_kmv,
+               round(abs(e - CAST(n_exact AS DOUBLE))
+                     / CAST(n_exact AS DOUBLE), 6) AS rel_err
+        FROM est
+    """,
     # Median/MAD: both medians are SELECTED values under the shared
     # ceil(p·n) convention; the k·MAD compare is on identical doubles.
     "events_robust_outliers": """
@@ -4183,6 +4214,9 @@ EVENT_QUERIES = {
     "events_cohort_ltv": lambda spark, sf: E.cohort_ltv(_events(spark, sf)),
     "events_session_funnel": lambda spark, sf: E.session_funnel(_events(spark, sf)),
     "events_robust_outliers": lambda spark, sf: E.robust_outliers(_events(spark, sf)),
+    "events_kmv_users": lambda spark, sf: SK.kmv_count_distinct_by(
+        _events(spark, sf), "event_type", "user_id", k=64
+    ),
     # The skew kernel under the gate: 5 event types × ~all users is
     # the canonical hot-key COUNT(DISTINCT); the oracle is the plain
     # aggregation — the salted plan's result-identity claim.

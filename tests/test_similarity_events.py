@@ -1546,3 +1546,30 @@ def test_robust_outliers_hand_computed(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.med, r.mad, r.n_outliers) == (4.0, 2.0, 1)
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    """A group with fewer than k distinct values reports EXACTLY
+    (the sketch degenerates to the set); a group with >= k distinct
+    values estimates within a loose sanity band (k=8 → ~35% std
+    error; the registry config uses k=64)."""
+    from bigclam_apachespark_spark.operators.sketches import (
+        kmv_count_distinct_by,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i % 3, "small", 0.0, "{}") for i in range(30)]
+    rows += [(100 + i, t0, i, "big", 0.0, "{}") for i in range(200)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_type: r for r in
+           kmv_count_distinct_by(ev, "event_type", "user_id", k=8).collect()}
+    assert (got["small"].n_exact, got["small"].n_kmv, got["small"].rel_err) == (
+        3, 3.0, 0.0,
+    )
+    big = got["big"]
+    assert big.n_exact == 200
+    assert 80 <= big.n_kmv <= 500  # sanity band, not a precision claim
