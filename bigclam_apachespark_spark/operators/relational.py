@@ -1461,3 +1461,25 @@ def excess_suppliers(
                  "s_suppkey")
         .orderBy(F.col("n_parts_dominated").desc(), "s_suppkey")
     )
+
+
+def nullsafe_join_counts(orders: DataFrame) -> DataFrame:
+    """Null-safe equality join parity → ``(k, n_rows)``: the fact
+    side carries a NULLABLE derived key (custkey % 100, 0 mapped to
+    NULL) and joins the distinct key dimension with ``<=>`` — the
+    NULL group survives as a real match group, where plain ``=``
+    silently drops every NULL-keyed fact row (the classic silent-
+    data-loss bug in late-arriving-dimension joins; DuckDB spells
+    the operator IS NOT DISTINCT FROM). One of the last D-surface
+    semantics a warehouse migration must pin."""
+    fact = orders.select(
+        F.expr("nullif(o_custkey % 100, 0)").alias("k")
+    )
+    dim = fact.distinct().select(F.col("k").alias("dk"))
+    return (
+        fact.join(dim, fact["k"].eqNullSafe(dim["dk"]))
+        .groupBy("dk")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("dk").alias("k"), "n_rows")
+        .orderBy(F.col("k").asc_nulls_first())
+    )

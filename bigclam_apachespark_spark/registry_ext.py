@@ -4676,6 +4676,14 @@ def _q_dq_quarantine(spark, sf):
     return dq_quarantine(_rel_tables(spark, sf)[0])
 
 
+def _q_nullsafe_join(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import (
+        nullsafe_join_counts,
+    )
+
+    return nullsafe_join_counts(_rel_tables(spark, sf)[0])
+
+
 def _q_pricing(spark, sf):
     from bigclam_apachespark_spark.operators.relational import pricing_summary
 
@@ -5129,6 +5137,7 @@ def _q_idle_rich(spark, sf):
 REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
     "rel_dq_quarantine": _q_dq_quarantine,
+    "rel_nullsafe_join": _q_nullsafe_join,
     "rel_order_priority": _q_order_priority,
     "rel_window_suite": _q_window_suite,
     "rel_conditional_revenue": _q_conditional_revenue,
@@ -5639,6 +5648,17 @@ REL_ORACLE = {
           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
+    """,
+    # Null-safe equality parity: <=> on the Spark side, IS NOT
+    # DISTINCT FROM here — the NULL key survives as a match group.
+    "rel_nullsafe_join": """
+        WITH fact AS (
+          SELECT nullif(o_custkey % 100, 0) AS k FROM orders
+        ),
+        dim AS (SELECT DISTINCT k AS dk FROM fact)
+        SELECT dk AS k, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.dk
+        GROUP BY dk ORDER BY k NULLS FIRST
     """,
     # Row-level rule bitmask: failure COMBINATIONS, not per-rule
     # totals — all integer, one hash agg.
