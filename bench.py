@@ -141,6 +141,9 @@ HEADLINE = [
     "events_robust_outliers",
     "text_dataset_card",
     "graph_ktruss",
+    "events_kmv_users",
+    "rel_nullsafe_join",
+    "text_tokenizer_fertility",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -243,6 +246,9 @@ EXPECTED = {
     "events_robust_outliers": 2.6,
     "text_dataset_card": 1.3,
     "graph_ktruss": 16.0,
+    "events_kmv_users": 1.0,
+    "rel_nullsafe_join": 0.8,
+    "text_tokenizer_fertility": 0.9,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
