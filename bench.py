@@ -144,6 +144,8 @@ HEADLINE = [
     "events_kmv_users",
     "rel_nullsafe_join",
     "text_tokenizer_fertility",
+    "rel_fk_profile",
+    "graph_structural_similarity",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -249,6 +251,8 @@ EXPECTED = {
     "events_kmv_users": 1.0,
     "rel_nullsafe_join": 0.8,
     "text_tokenizer_fertility": 0.9,
+    "rel_fk_profile": 4.7,
+    "graph_structural_similarity": 3.5,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -1483,3 +1483,66 @@ def nullsafe_join_counts(orders: DataFrame) -> DataFrame:
         .select(F.col("dk").alias("k"), "n_rows")
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+def fk_profile(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Foreign-key discovery profile → one row per candidate
+    (child.col ⊆ parent.col) pair: ``(candidate, n_child_distinct,
+    n_matched, inclusion)`` with inclusion = |child ∩ parent| /
+    |child| over DISTINCT values — the data-profiling statistic
+    schema-discovery tools rank join candidates by (1.0 = a clean
+    foreign key; the reverse direction scoring < 1 tells you which
+    side is the parent). Candidates profiled both ways for the two
+    real FKs plus one deliberate non-key control (custkey vs
+    orderkey).
+
+    Scale shape: each column collapses to its distinct set ONCE and
+    is reused across candidates (Catalyst re-scans per branch at
+    this size; at 100 TB you'd checkpoint the distinct sets —
+    they're the profiling working set); intersections are semi-join
+    counts on fixed-width keys; inclusion is one exact division."""
+    sets = {
+        "orders.o_custkey": orders.select(
+            F.col("o_custkey").alias("v")
+        ).distinct(),
+        "customer.c_custkey": customer.select(
+            F.col("c_custkey").alias("v")
+        ).distinct(),
+        "lineitem.l_orderkey": lineitem.select(
+            F.col("l_orderkey").alias("v")
+        ).distinct(),
+        "orders.o_orderkey": orders.select(
+            F.col("o_orderkey").alias("v")
+        ).distinct(),
+    }
+    candidates = [
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("customer.c_custkey", "orders.o_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("orders.o_orderkey", "lineitem.l_orderkey"),
+        ("orders.o_custkey", "orders.o_orderkey"),
+    ]
+    parts = []
+    for child, parent in candidates:
+        c, p = sets[child], sets[parent]
+        stat = c.join(p, "v", "left_semi").agg(
+            F.count("*").alias("n_matched")
+        ).crossJoin(c.agg(F.count("*").alias("n_child_distinct")))
+        parts.append(
+            stat.select(
+                F.lit(f"{child} -> {parent}").alias("candidate"),
+                "n_child_distinct",
+                "n_matched",
+                F.round(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_child_distinct").cast("double"),
+                    6,
+                ).alias("inclusion"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out

@@ -235,6 +235,12 @@ def q_ktruss(spark, sf_dir):
     return G.ktruss(_sym(spark, sf_dir), k=30, rounds=3)
 
 
+def q_structural_similarity(spark, sf_dir):
+    """SCAN edge structural similarity (closed-neighborhood overlap
+    over the geometric degree mean) — the core/hub/outlier measure."""
+    return G.structural_similarity(_sym(spark, sf_dir))
+
+
 def q_harmonic_sampled(spark, sf_dir):
     """Eppstein-Wang seed-sampled harmonic centrality, 3 bounded
     hops. The sample is the 16 SMALLEST ids of the id % 250 = 0
@@ -381,6 +387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_harmonic_sampled": q_harmonic_sampled,
     "graph_neighborhood_features": q_neighborhood_features,
     "graph_ktruss": q_ktruss,
+    "graph_structural_similarity": q_structural_similarity,
     "graph_sssp_weighted": q_sssp_weighted,
     "graph_hits": q_hits,
     "graph_label_prop": q_label_prop,
@@ -817,6 +824,32 @@ ORACLE: dict[str, str] = {
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
     "graph_ktruss": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(30, 3)}",
+    # SCAN edge similarity: support via the same oriented wedge
+    # join, then integers into one sqrt + divide.
+    "graph_structural_similarity": f"""WITH {EDGES_SQL}, {SYM_SQL},
+und AS (SELECT src AS x, dst AS y FROM sym WHERE src < dst),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+ori AS (
+  SELECT s.src AS u, s.dst AS v FROM sym s
+  JOIN deg a ON a.id = s.src JOIN deg b ON b.id = s.dst
+  WHERE a.d < b.d OR (a.d = b.d AND s.src < s.dst)),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ori e1 JOIN ori e2 ON e2.u = e1.v
+  JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v),
+sup AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT least(a, b) AS x, greatest(a, b) AS y FROM tri
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+  ) GROUP BY x, y)
+SELECT u.x, u.y,
+       CAST(COALESCE(s.c, 0) + 2 AS BIGINT) AS n_common,
+       round(CAST(COALESCE(s.c, 0) + 2 AS DOUBLE)
+             / sqrt(CAST((dx.d + 1) * (dy.d + 1) AS DOUBLE)), 6) AS sigma
+FROM und u
+LEFT JOIN sup s ON s.x = u.x AND s.y = u.y
+JOIN deg dx ON dx.id = u.x JOIN deg dy ON dy.id = u.y""",
     # Verbatim the same string spark.sql() executes — portability is
     # the point (see PORTABLE_DEGREE_HIST_SQL).
     "sql_degree_hist": PORTABLE_DEGREE_HIST_SQL,

@@ -4684,6 +4684,13 @@ def _q_nullsafe_join(spark, sf):
     return nullsafe_join_counts(_rel_tables(spark, sf)[0])
 
 
+def _q_fk_profile(spark, sf):
+    from bigclam_apachespark_spark.operators.relational import fk_profile
+
+    o, c, li = _rel_tables(spark, sf)
+    return fk_profile(o, c, li)
+
+
 def _q_pricing(spark, sf):
     from bigclam_apachespark_spark.operators.relational import pricing_summary
 
@@ -5138,6 +5145,7 @@ REL_QUERIES = {
     "rel_dq_report": _q_dq_report,
     "rel_dq_quarantine": _q_dq_quarantine,
     "rel_nullsafe_join": _q_nullsafe_join,
+    "rel_fk_profile": _q_fk_profile,
     "rel_order_priority": _q_order_priority,
     "rel_window_suite": _q_window_suite,
     "rel_conditional_revenue": _q_conditional_revenue,
@@ -5648,6 +5656,44 @@ REL_ORACLE = {
           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
+    """,
+    # FK discovery: distinct-set inclusion coefficients, one exact
+    # division per candidate.
+    "rel_fk_profile": """
+        WITH oc AS (SELECT DISTINCT o_custkey AS v FROM orders),
+        cc AS (SELECT DISTINCT c_custkey AS v FROM customer),
+        lo AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+        oo AS (SELECT DISTINCT o_orderkey AS v FROM orders),
+        pair AS (
+          SELECT 'orders.o_custkey -> customer.c_custkey' AS candidate,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM oc) AS n_child_distinct,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM oc
+                  WHERE EXISTS (SELECT 1 FROM cc WHERE cc.v = oc.v)) AS n_matched
+          UNION ALL
+          SELECT 'customer.c_custkey -> orders.o_custkey',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cc),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cc
+                  WHERE EXISTS (SELECT 1 FROM oc WHERE oc.v = cc.v))
+          UNION ALL
+          SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lo),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lo
+                  WHERE EXISTS (SELECT 1 FROM oo WHERE oo.v = lo.v))
+          UNION ALL
+          SELECT 'orders.o_orderkey -> lineitem.l_orderkey',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM oo),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM oo
+                  WHERE EXISTS (SELECT 1 FROM lo WHERE lo.v = oo.v))
+          UNION ALL
+          SELECT 'orders.o_custkey -> orders.o_orderkey',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM oc),
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM oc
+                  WHERE EXISTS (SELECT 1 FROM oo WHERE oo.v = oc.v))
+        )
+        SELECT candidate, n_child_distinct, n_matched,
+               round(CAST(n_matched AS DOUBLE)
+                     / CAST(n_child_distinct AS DOUBLE), 6) AS inclusion
+        FROM pair
     """,
     # Null-safe equality parity: <=> on the Spark side, IS NOT
     # DISTINCT FROM here — the NULL key survives as a match group.

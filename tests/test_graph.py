@@ -526,3 +526,20 @@ def test_ktruss_peeling_cascade(spark):
     assert ktruss(sym, k=5, rounds=4).count() == 0
     k3 = {(r.x, r.y) for r in ktruss(sym, k=3, rounds=4).collect()}
     assert k3 == {(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)}
+
+
+def test_structural_similarity_hand_computed(spark, g1_edges):
+    """G1 clique edge (0,1): support 2, closed common 4, degrees
+    3,3 → σ = 4/4 = 1.0 (pure core). Bridge (3,4): support 0,
+    common 2, degrees 4,4 → σ = 2/5 = 0.4 (the hub-ish edge SCAN
+    thresholds away)."""
+    from bigclam_apachespark_spark.operators.graph import (
+        structural_similarity,
+        symmetrize,
+    )
+
+    got = {(r.x, r.y): (r.n_common, r.sigma)
+           for r in structural_similarity(symmetrize(g1_edges)).collect()}
+    assert got[(0, 1)] == (4, 1.0)
+    assert got[(3, 4)] == (2, 0.4)
+    assert got[(0, 3)] == (4, round(4 / (20 ** 0.5), 6))
