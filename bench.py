@@ -146,6 +146,7 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "rel_fk_profile",
     "graph_structural_similarity",
+    "events_time_to_convert",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -253,6 +254,7 @@ EXPECTED = {
     "text_tokenizer_fertility": 0.9,
     "rel_fk_profile": 4.7,
     "graph_structural_similarity": 3.5,
+    "events_time_to_convert": 3.0,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -861,3 +861,70 @@ def robust_outliers(events: DataFrame, k: int = 3) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    ps: tuple = (0.5, 0.9, 0.99),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Click→purchase latency distribution → ``(p, latency_sec,
+    n_converted)``: per user, the seconds from the FIRST click to
+    the FIRST purchase AFTER it (same (floor-seconds, event_id)
+    tuple order as ``session_funnel`` — a purchase preceding every
+    click never converts), then the EXACT ceil(p·n) order
+    statistics of those latencies — the attribution-latency curve
+    that sets streaming watermark widths (the p99 here IS the
+    justified lateness bound for the join state).
+
+    All-integer end to end: latencies are second differences,
+    quantiles are SELECTED values (shared inverse-CDF convention
+    with ``value_quantiles``), no floats anywhere but the p labels.
+
+    Scale shape: two user-keyed hash aggs (first click, first
+    qualifying purchase); the global order statistic uses the
+    bucketed two-stage rank kernel — converters are corpus-scale,
+    so a plain unpartitioned window here is exactly what the
+    registry-wide plan guard exists to forbid."""
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    sec = epoch_seconds(F.col(ts_col), ts_type)
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.struct(sec.alias("s"), F.col("event_id").alias("e")).alias("k"),
+    )
+    first_click = (
+        keyed.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("k").alias("ck"))
+    )
+    conv = (
+        keyed.where(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .where(F.col("k") > F.col("ck"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("pk"), F.first("ck").alias("ck2"))
+        .select(
+            "user_id",
+            (F.col("pk.s") - F.col("ck2.s")).cast("long").alias("lat"),
+        )
+    )
+    n = conv.agg(F.count("*").alias("n"))
+    ranked = bucketed_row_number(conv, ["lat", "user_id"], out="r")
+    probes = n.select(
+        "n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(probes))
+        .where(F.col("r") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(
+            F.min("lat").alias("latency_sec"),
+            F.first("n").alias("n_converted"),
+        )
+        .orderBy("p")
+    )

@@ -3240,6 +3240,38 @@ EVENT_ORACLE = {
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2
     """,
+    # Time-to-convert: all-integer latencies, selected order
+    # statistics under the shared ceil(p·n) convention.
+    "events_time_to_convert": """
+        WITH keyed AS (
+          SELECT user_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id AS e
+          FROM events
+        ),
+        fc AS (
+          SELECT user_id, MIN({'s': s, 'e': e}) AS ck
+          FROM keyed WHERE event_type = 'click' GROUP BY user_id
+        ),
+        conv AS (
+          SELECT k.user_id,
+                 MIN({'s': k.s, 'e': k.e}) AS pk, MIN(fc.ck) AS ck
+          FROM keyed k JOIN fc USING (user_id)
+          WHERE k.event_type = 'purchase' AND {'s': k.s, 'e': k.e} > fc.ck
+          GROUP BY k.user_id
+        ),
+        lat AS (
+          SELECT user_id, CAST(pk.s - ck.s AS BIGINT) AS lat FROM conv
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat),
+        ranked AS (
+          SELECT lat, ROW_NUMBER() OVER (ORDER BY lat, user_id) AS r FROM lat
+        )
+        SELECT p, MIN(lat) AS latency_sec, MIN(n.n) AS n_converted
+        FROM ranked CROSS JOIN n
+        CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p) ps
+        WHERE r >= ceil(p * n.n)
+        GROUP BY p ORDER BY p
+    """,
     # KMV: k-th smallest hash is a SELECTED integer; the estimate is
     # one division — the deterministic-sketch contract, third family.
     "events_kmv_users": f"""
@@ -4216,6 +4248,9 @@ EVENT_QUERIES = {
     "events_robust_outliers": lambda spark, sf: E.robust_outliers(_events(spark, sf)),
     "events_kmv_users": lambda spark, sf: SK.kmv_count_distinct_by(
         _events(spark, sf), "event_type", "user_id", k=64
+    ),
+    "events_time_to_convert": lambda spark, sf: E.time_to_convert(
+        _events(spark, sf)
     ),
     # The skew kernel under the gate: 5 event types × ~all users is
     # the canonical hot-key COUNT(DISTINCT); the oracle is the plain

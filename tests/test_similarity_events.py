@@ -1573,3 +1573,30 @@ def test_kmv_exact_below_k_and_estimate_above(spark):
     big = got["big"]
     assert big.n_exact == 200
     assert 80 <= big.n_kmv <= 500  # sanity band, not a precision claim
+
+
+def test_time_to_convert_first_click_first_purchase_after(spark):
+    """u1: click at t+0, purchases at t+100 and t+10 → latency uses
+    the FIRST qualifying purchase (10 s). u2's only purchase
+    precedes its click → never converts. Quantiles select from
+    {10} → every p returns 10 with n_converted 1."""
+    from bigclam_apachespark_spark.operators.events import time_to_convert
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        (1, s(0), 1, "click", 0.0, "{}"),
+        (2, s(100), 1, "purchase", 1.0, "{}"),
+        (3, s(10), 1, "purchase", 1.0, "{}"),
+        (4, s(50), 2, "purchase", 1.0, "{}"),
+        (5, s(60), 2, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = time_to_convert(ev).collect()
+    assert [(r.p, r.latency_sec, r.n_converted) for r in got] == [
+        (0.5, 10, 1), (0.9, 10, 1), (0.99, 10, 1),
+    ]
