@@ -147,6 +147,7 @@ HEADLINE = [
     "rel_fk_profile",
     "graph_structural_similarity",
     "events_time_to_convert",
+    "graph_scan_clusters",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -255,6 +256,7 @@ EXPECTED = {
     "rel_fk_profile": 4.7,
     "graph_structural_similarity": 3.5,
     "events_time_to_convert": 3.0,
+    "graph_scan_clusters": 16.0,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

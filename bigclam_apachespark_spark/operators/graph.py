@@ -1090,3 +1090,51 @@ def structural_similarity(sym_edges: DataFrame) -> DataFrame:
             ).alias("sigma"),
         )
     )
+
+
+def scan_clusters(
+    sym_edges: DataFrame, eps: float = 0.6, mu: int = 3
+) -> DataFrame:
+    """SCAN clustering (cores only) → ``(id, cluster, n_eps_nbrs)``:
+    a node is a CORE when at least ``mu`` of its edges score
+    structural similarity σ ≥ ``eps``; clusters are the connected
+    components of the core-core ε-edges, labeled by member minimum
+    — SCAN's hub/outlier discrimination as an OPERATOR (hubs touch
+    many communities but none of their edges reach ε; BigCLAM and
+    LPA both assign them anyway, which is exactly what SCAN
+    refuses to do). Border assignment is deliberately omitted: a
+    border node attaches to whichever core reaches it, which is
+    engine-order-dependent for multi-core borders — the core
+    partition is the deterministic (and citable) part of SCAN.
+
+    The ε threshold compares the ROUNDED σ (6 dp) — the same
+    rounded-score threshold contract as the cosine near-dup family.
+
+    Scale shape: one structural-similarity pass (|E|^1.5-bounded),
+    a degree-bounded per-node count, and the shared O(log n)
+    pointer-jumping CC kernel over the sparsified ε-graph."""
+    from bigclam_apachespark_spark.operators.dedup import near_dup_clusters
+
+    sim = structural_similarity(sym_edges).where(F.col("sigma") >= eps)
+    eps_deg = (
+        sim.select(F.col("x").alias("id"))
+        .unionAll(sim.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_eps_nbrs"))
+    )
+    cores = eps_deg.where(F.col("n_eps_nbrs") >= mu)
+    core_edges = (
+        sim.join(cores.select(F.col("id").alias("x")), "x", "left_semi")
+        .join(cores.select(F.col("id").alias("y")), "y", "left_semi")
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    cc = near_dup_clusters(core_edges).select(
+        F.col("doc_id").alias("id"), F.col("cluster_id").alias("cluster")
+    )
+    # A core whose ε-neighbors are all non-core has no core-core
+    # edge: it is its own singleton cluster (label = own id).
+    return cores.join(cc, "id", "left").select(
+        "id",
+        F.coalesce("cluster", F.col("id")).alias("cluster"),
+        "n_eps_nbrs",
+    )

@@ -241,6 +241,14 @@ def q_structural_similarity(spark, sf_dir):
     return G.structural_similarity(_sym(spark, sf_dir))
 
 
+def q_scan_clusters(spark, sf_dir):
+    """SCAN core clustering at (eps=0.16, mu=3) — the co-purchase
+    graph is dense and homogeneous (sigma <= 0.23 everywhere), so
+    the threshold sits at the ~97th percentile of edge similarity:
+    only genuinely cohesive pockets survive as cores."""
+    return G.scan_clusters(_sym(spark, sf_dir), eps=0.16, mu=3)
+
+
 def q_harmonic_sampled(spark, sf_dir):
     """Eppstein-Wang seed-sampled harmonic centrality, 3 bounded
     hops. The sample is the 16 SMALLEST ids of the id % 250 = 0
@@ -388,6 +396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_neighborhood_features": q_neighborhood_features,
     "graph_ktruss": q_ktruss,
     "graph_structural_similarity": q_structural_similarity,
+    "graph_scan_clusters": q_scan_clusters,
     "graph_sssp_weighted": q_sssp_weighted,
     "graph_hits": q_hits,
     "graph_label_prop": q_label_prop,
@@ -824,6 +833,47 @@ ORACLE: dict[str, str] = {
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
     "graph_ktruss": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(30, 3)}",
+    # SCAN clustering: the sigma chain above + recursive CC over
+    # core-core eps-edges; isolated cores self-label.
+    "graph_scan_clusters": f"""WITH RECURSIVE {EDGES_SQL.strip().lstrip()}, {SYM_SQL.strip().lstrip()},
+und AS MATERIALIZED (SELECT src AS x, dst AS y FROM sym WHERE src < dst),
+deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+ori AS MATERIALIZED (
+  SELECT s.src AS u, s.dst AS v FROM sym s
+  JOIN deg a ON a.id = s.src JOIN deg b ON b.id = s.dst
+  WHERE a.d < b.d OR (a.d = b.d AND s.src < s.dst)),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ori e1 JOIN ori e2 ON e2.u = e1.v
+  JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v),
+sup AS MATERIALIZED (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT least(a, b) AS x, greatest(a, b) AS y FROM tri
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+  ) GROUP BY x, y),
+simed AS MATERIALIZED (
+  SELECT u.x, u.y FROM und u
+  LEFT JOIN sup s ON s.x = u.x AND s.y = u.y
+  JOIN deg dx ON dx.id = u.x JOIN deg dy ON dy.id = u.y
+  WHERE round(CAST(COALESCE(s.c, 0) + 2 AS DOUBLE)
+              / sqrt(CAST((dx.d + 1) * (dy.d + 1) AS DOUBLE)), 6) >= 0.16),
+edeg AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_eps_nbrs FROM (
+    SELECT x AS id FROM simed UNION ALL SELECT y FROM simed
+  ) GROUP BY id),
+cores AS MATERIALIZED (SELECT id, n_eps_nbrs FROM edeg WHERE n_eps_nbrs >= 3),
+ce AS MATERIALIZED (
+  SELECT x, y FROM simed
+  WHERE x IN (SELECT id FROM cores) AND y IN (SELECT id FROM cores)),
+symce AS MATERIALIZED (SELECT x AS u, y AS v FROM ce UNION SELECT y, x FROM ce),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM symce)
+  UNION
+  SELECT s.u, reach.r FROM symce s JOIN reach ON reach.u = s.v),
+cc AS (SELECT u AS id, MIN(r) AS cluster FROM reach GROUP BY u)
+SELECT co.id, COALESCE(cc.cluster, co.id) AS cluster, co.n_eps_nbrs
+FROM cores co LEFT JOIN cc ON cc.id = co.id""",
     # SCAN edge similarity: support via the same oriented wedge
     # join, then integers into one sqrt + divide.
     "graph_structural_similarity": f"""WITH {EDGES_SQL}, {SYM_SQL},

@@ -543,3 +543,19 @@ def test_structural_similarity_hand_computed(spark, g1_edges):
     assert got[(0, 1)] == (4, 1.0)
     assert got[(3, 4)] == (2, 0.4)
     assert got[(0, 3)] == (4, round(4 / (20 ** 0.5), 6))
+
+
+def test_scan_clusters_g1_cores_and_hub_exclusion(spark, g1_edges):
+    """G1 at (eps=0.9, mu=2): only corner-corner clique edges reach
+    sigma = 4/4 = 1.0; every edge touching a bridge endpoint tops
+    out at 4/sqrt(4*5) ~ 0.894 < eps, so nodes 3 and 4 have ZERO
+    eps-edges and drop — exactly SCAN's hub discrimination. The
+    corners form two 3-node clusters labeled by their minima."""
+    from bigclam_apachespark_spark.operators.graph import (
+        scan_clusters,
+        symmetrize,
+    )
+
+    got = {r.id: r.cluster for r in
+           scan_clusters(symmetrize(g1_edges), eps=0.9, mu=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 7: 5}
