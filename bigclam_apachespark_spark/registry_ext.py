@@ -4146,6 +4146,61 @@ EVENT_ORACLE["events_stream_session_window"] = """
 """
 
 
+def _q_stream_session_funnel(spark, sf):
+    """Streaming in-session funnel: the batch order test carried by
+    the built-in session_window state store; same pinned inclusive
+    emission boundary as events_stream_session_window."""
+    from bigclam_apachespark_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_funnel_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet")
+    return run_stream_to_memory(
+        session_funnel_stream(stream, "30 minutes", "2 hours"),
+        "stream_session_funnel_oracle",
+        "append",
+        timeout_sec=90.0,
+        strict=True,
+    )
+
+
+EVENT_ORACLE["events_stream_session_funnel"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM flagged
+    ),
+    built AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN ROW(sec, event_id) END) AS ck,
+             MAX(CASE WHEN event_type = 'purchase'
+                      THEN ROW(sec, event_id) END) AS pk
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end,
+           CAST(CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS clicked,
+           CAST(CASE WHEN ck IS NOT NULL AND pk IS NOT NULL AND pk > ck
+                THEN 1 ELSE 0 END AS BIGINT) AS converted
+    FROM built
+    WHERE session_end <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+"""
+
+
 def _q_stream_hll_windows(spark, sf):
     """Streaming sketch replay: watermarked per-window HLL register
     agg (state = m integers per window) → complete-mode sink →
@@ -4271,6 +4326,7 @@ EVENT_QUERIES = {
     "events_stream_interval_left": _q_stream_interval_left,
     "events_stream_hll_windows": _q_stream_hll_windows,
     "events_stream_session_window": _q_stream_session_window,
+    "events_stream_session_funnel": _q_stream_session_funnel,
     "events_stream_cms_windows": _q_stream_cms_windows,
     "events_hll_union": _q_hll_union,
     "events_hll_sliding": _q_hll_sliding,

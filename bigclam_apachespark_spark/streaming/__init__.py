@@ -7,6 +7,7 @@ from bigclam_apachespark_spark.streaming.events_stream import (
     cms_users_windowed_stream,
     hll_users_windowed_stream,
     sessionize_stream,
+    session_funnel_stream,
     session_window_stream,
     run_stream_to_memory,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "cms_users_windowed_stream",
     "hll_users_windowed_stream",
     "sessionize_stream",
+    "session_funnel_stream",
     "session_window_stream",
     "run_stream_to_memory",
     "cdc_upsert_stream",

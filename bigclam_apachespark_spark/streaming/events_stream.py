@@ -680,3 +680,49 @@ def session_window_stream(
         "n_events",
         "sum_value",
     )
+
+
+def session_funnel_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """In-session funnel conversion under Structured Streaming →
+    ``(user_id, session_start, session_end, clicked, converted)``
+    per emitted session: the batch ``session_funnel`` order test
+    (converted ⟺ max purchase (floor-seconds, event_id) key >
+    min click key) carried by the BUILT-IN ``session_window`` state
+    store — MIN/MAX over the key struct merge associatively, so
+    Spark's cross-micro-batch session merging computes exactly the
+    batch aggregate, event arrival order notwithstanding.
+
+    Same pinned append-mode emission rule as
+    ``session_window_stream``: a session emits when the watermark
+    passes its end, boundary INCLUSIVE; still-open sessions never
+    reach the sink (bounded-replay oracle restates both)."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def ntz(c):
+        return F.timestamp_add("MICROSECOND", F.unix_micros(c), epoch)
+
+    sec = F.unix_timestamp("ts")
+    key = F.struct(sec.alias("s"), F.col("event_id").alias("e"))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", key)).alias("ck"),
+            F.max(F.when(F.col("event_type") == "purchase", key)).alias("pk"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        ntz(F.col("w.start")).alias("session_start"),
+        ntz(F.col("w.end")).alias("session_end"),
+        F.col("ck").isNotNull().cast("long").alias("clicked"),
+        (
+            F.col("ck").isNotNull()
+            & F.col("pk").isNotNull()
+            & (F.col("pk") > F.col("ck"))
+        ).cast("long").alias("converted"),
+    )
