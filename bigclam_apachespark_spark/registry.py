@@ -989,16 +989,30 @@ ORACLE.update(EXT_ORACLE)
 # driver's correctness gate samples only the FIRST ~50 entries. To make
 # the sampling window sweep the whole registry over successive rounds,
 # order least-recently-driver-verified first:
-#   (rows_only_smoke, last_hash_green_round, front_rank, stable_index)
-# Never-driver-green queries (LAST_GREEN absent → 0) lead, with former
-# driver hash-FAILs and the streaming/multimodal replays explicitly
-# first inside that cohort; rows-only smokes (which can never
-# hash-match) always run LAST so a driver budget truncation only ever
-# drops them. LAST_GREEN is regenerated each round by
+#   (rows_only_smoke, effective_round, front_rank, stable_index)
+# effective_round = last hash-green round for driver-green queries;
+# for never-driver-green ones it is introduction_round - (cycle - 1):
+# a never-verified query enters the window as if already at the
+# 3-round staleness limit, so it INTERLEAVES with genuinely stale
+# cohorts instead of pre-empting them (VERDICT r7 ask #1 — defaulting
+# unseen queries to 0 let 50 brand-new r7 queries consume the whole
+# window while the r4 cohort went 3 rounds unverified). Former driver
+# hash-FAILs and the streaming/multimodal replays sort first inside a
+# tied cohort; rows-only smokes (which can never hash-match) always
+# run LAST so a driver budget truncation only ever drops them.
+# LAST_GREEN / INTRODUCED / NEWEST_ROUND are regenerated each round by
 # scripts/update_verification_log.py from CORRECTNESS_r*.json.
 # ---------------------------------------------------------------------------
 
-from bigclam_apachespark_spark.verification_log import LAST_GREEN  # noqa: E402
+from bigclam_apachespark_spark.verification_log import (  # noqa: E402
+    INTRODUCED,
+    LAST_GREEN,
+    NEWEST_ROUND,
+)
+
+# Worst-case driver staleness under the documented 4-round rotation
+# cycle (ceil(|ORACLE| / 50) rounds; see update_verification_log.py).
+_STALENESS_LIMIT = 3
 
 _FRONT = {
     name: i
@@ -1027,10 +1041,20 @@ _FRONT = {
 _ORIG = {name: i for i, name in enumerate(QUERIES)}
 
 
+def _effective_round(name: str) -> int:
+    """Rotation priority: last driver-green round, or — for queries the
+    driver has never hash-verified — their introduction round minus the
+    staleness limit, so a never-seen query waits at most one cycle but
+    cannot starve cohorts that are already past the limit."""
+    if name in LAST_GREEN:
+        return LAST_GREEN[name]
+    return INTRODUCED.get(name, NEWEST_ROUND) - _STALENESS_LIMIT
+
+
 def _rotation_key(name: str) -> tuple:
     return (
         name not in ORACLE,  # rows-only smokes last
-        LAST_GREEN.get(name, 0),  # least-recently-verified first
+        _effective_round(name),  # least-recently-verified first
         _FRONT.get(name, len(_FRONT)),
         _ORIG[name],
     )

@@ -8,13 +8,20 @@ each round. To guarantee no oracle query goes more than two rounds
 unverified, ``registry.py`` orders the dict least-recently-verified
 first:
 
-    sort key = (is_rows_only_smoke, last_hash_green_round, front_rank)
+    sort key = (is_rows_only_smoke, effective_round, front_rank)
 
-where ``last_hash_green_round`` is 0 for never-driver-green queries
-(they lead), and ``front_rank`` breaks ties inside a cohort (former
-driver FAILs first, then streaming/multimodal, then stable original
-order). Rows-only smokes always run LAST so a driver budget
-truncation can only ever drop entries that cannot hash-match anyway.
+where ``effective_round`` is the last hash-green round for
+driver-green queries, and ``introduction_round - (cycle - 1)`` for
+never-driver-green ones — a never-verified query enters the window as
+if it were already at the staleness limit (worst-case 3 rounds with
+the 4-round cycle), so it interleaves with genuinely stale cohorts
+instead of pre-empting them wholesale (the r7 starvation failure:
+defaulting unseen queries to 0 let 50 brand-new queries consume the
+whole window while the r4 cohort went 3 rounds unverified).
+``front_rank`` breaks ties inside a cohort (former driver FAILs
+first, then streaming/multimodal, then stable original order).
+Rows-only smokes always run LAST so a driver budget truncation can
+only ever drop entries that cannot hash-match anyway.
 
 Run this once per round after the driver writes CORRECTNESS_r{N}.json:
 
@@ -33,13 +40,20 @@ OUT = ROOT / "bigclam_apachespark_spark" / "verification_log.py"
 
 def main() -> None:
     last_green: dict[str, int] = {}
+    introduced: dict[str, int] = {}
+    newest_round = 0
     for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
         if not m:
             continue
         rnd = int(m.group(1))
+        newest_round = max(newest_round, rnd)
         data = json.loads(path.read_text())
         for name, row in data.items():
+            # First driver row of any kind (green, red, or rows-only)
+            # bounds the query's introduction round from above.
+            introduced.setdefault(name, rnd)
+            introduced[name] = min(introduced[name], rnd)
             if row.get("hash_match"):
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
@@ -48,14 +62,27 @@ def main() -> None:
         "",
         "Regenerate with ``python scripts/update_verification_log.py`` after",
         "each round's CORRECTNESS_r{N}.json lands. ``registry.py`` uses",
-        "LAST_GREEN to order queries least-recently-verified first so the",
-        "driver's first-50 sampling window rotates over the whole registry",
-        '(no query goes >2 rounds without a driver-recorded row)."""',
+        "LAST_GREEN (and, for never-driver-green queries, INTRODUCED with a",
+        "staleness-limit bonus) to order queries least-recently-verified",
+        "first so the driver's first-50 sampling window rotates over the",
+        "whole registry without new registry growth starving stale cohorts",
+        '(VERDICT r7 ask #1)."""',
+        "",
+        f"NEWEST_ROUND: int = {newest_round}",
         "",
         "LAST_GREEN: dict[str, int] = {",
     ]
     for name in sorted(last_green):
         lines.append(f'    "{name}": {last_green[name]},')
+    lines.append("}")
+    lines.append("")
+    lines.append("# First round each query got ANY driver row (green or not).")
+    lines.append("# Queries absent from every CORRECTNESS file default to")
+    lines.append("# NEWEST_ROUND at rotation time (they are part of the newest")
+    lines.append("# registry expansion the driver has not reached yet).")
+    lines.append("INTRODUCED: dict[str, int] = {")
+    for name in sorted(introduced):
+        lines.append(f'    "{name}": {introduced[name]},')
     lines.append("}")
     lines.append("")
     OUT.write_text("\n".join(lines))

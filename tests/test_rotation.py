@@ -48,18 +48,44 @@ def test_verification_log_regenerated_from_newest_round():
 
 
 def test_registry_fronts_least_recently_verified():
-    """The registry ordering contract: every never-driver-green
-    oracle query sorts before every driver-green one, and green
-    queries sort by ascending last-green round — so the driver's
-    first-50 window always samples the stalest cohort."""
-    from bigclam_apachespark_spark.registry import ORACLE, QUERIES
-    from bigclam_apachespark_spark.verification_log import LAST_GREEN
+    """The registry ordering contract (VERDICT r7 ask #1): oracle
+    queries sort by ascending EFFECTIVE round — last driver-green
+    round, or introduction_round - staleness_limit for queries the
+    driver has never hash-verified — so the first-50 window samples
+    the stalest cohort, with never-seen queries interleaved at the
+    staleness limit rather than pre-empting everything at 0."""
+    from bigclam_apachespark_spark.registry import (
+        ORACLE,
+        QUERIES,
+        _effective_round,
+    )
 
     oracle_names = [n for n in QUERIES if n in ORACLE]
-    rounds = [LAST_GREEN.get(n, 0) for n in oracle_names]
-    # rows-only smokes aside, the oracle-bearing prefix must be
-    # non-decreasing in last-green round
+    rounds = [_effective_round(n) for n in oracle_names]
     assert rounds == sorted(rounds), (
         "registry order does not front the least-recently-verified "
         "oracle queries"
     )
+
+
+def test_never_seen_queries_interleave_not_preempt():
+    """A never-driver-green query introduced in round N must sort AS IF
+    last verified in round N-3 (the staleness limit) — ahead of fresher
+    cohorts but not ahead of cohorts that are older than that. This is
+    the anti-starvation fix: r7's window was consumed 50/50 by
+    brand-new queries while the r4 cohort went 3 rounds unverified."""
+    from bigclam_apachespark_spark.registry import _effective_round
+    from bigclam_apachespark_spark.verification_log import (
+        INTRODUCED,
+        LAST_GREEN,
+        NEWEST_ROUND,
+    )
+
+    never_seen = [
+        n for n in INTRODUCED if n not in LAST_GREEN
+    ]
+    for name in never_seen:
+        assert _effective_round(name) == INTRODUCED[name] - 3
+    # A brand-new query with no driver row at all keys off the newest
+    # round on disk, never 0.
+    assert _effective_round("__no_such_query__") == NEWEST_ROUND - 3
