@@ -646,6 +646,67 @@ def q_fit_long_smoke(spark, sf_dir):
     )
 
 
+def q_enron_pipeline(spark, sf_dir):
+    """The reference's HEADLINE demonstrated run (rows-only:
+    iterative): Email-Enron at K=100, dense factors — exactly
+    codes/Bigclamv2.scala:14 (the v2 input path) and v2:22 (K=100) —
+    load → symmetrize → conductance seeding → fit → extract →
+    parquet sink → re-read. 36,692 nodes / 183,831 undirected edges,
+    the largest graph the reference demonstrably processed.
+    Budget-capped like the facebook pipeline (max_iter=2, tol=1e-3:
+    measured ~63 s on local[32], wall dominated by seeding/init fixed
+    costs — the 4,627-seed conductance ranking — not iteration
+    count). Returns per-community member counts from the re-read
+    sink, descending, capped to the top 200 for a bounded row
+    payload."""
+    import tempfile
+
+    inv, _res = B.bigclam_pipeline(
+        spark,
+        "/root/reference/data/Email-Enron.txt",
+        k=100,
+        seed=42,
+        tol=1e-3,
+        max_iter=2,
+        out_path=tempfile.mkdtemp(prefix="bigclam_enron_") + "/communities.parquet",
+    )
+    return (
+        inv.select("community", F.size("members").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(200)
+    )
+
+
+def q_fit_long_highk(spark, sf_dir):
+    """The v3 HIGH-K regime at K ≥ 10³ (rows-only: iterative): long
+    sparse-layout fit at K=1024 on Email-Enron — the closest
+    registry-runnable analogue of codes/bigclamv3-7.scala:15's
+    K=8,385 com-youtube run (that graph is not shipped;
+    .MISSING_LARGE_BLOBS). Proves the long-layout plans hold where
+    dense K-arrays would not: init builds ~2.8k non-zero triples for
+    the 1024 top-seed neighborhoods (nnz ≪ N·K = 37.6M), the
+    SpGEMM-shaped edge-dot join carries |E|=368k rows, and no K-wide
+    row ever materializes. Two capped iterations exercise gradient →
+    Armijo → rewrite → LLH at high K (~30 s measured on local[32];
+    multi-iteration convergence is pinned at low K by
+    tests/test_bigclam_long.py). Returns per-community member counts
+    at the paper's extraction threshold."""
+    from bigclam_apachespark_spark.operators import bigclam_long as BL
+    from bigclam_apachespark_spark.sources.edgelist import read_edge_list
+
+    edges = read_edge_list(spark, "/root/reference/data/Email-Enron.txt")
+    sym = G.symmetrize(edges).cache()
+    res = BL.bigclam_fit_long(sym, k=1024, tol=1e-3, max_iter=2)
+    n_v = G.vertices(sym).count()
+    n_e = sym.count() // 2
+    delta = B.extraction_threshold(n_v, n_e)
+    return (
+        res.factors_long.where(F.col("val") >= delta)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
 def q_model_selection_smoke(spark, sf_dir):
     """F6 end-to-end (rows-only: iterative): K-search over the
     geometric grid (2, 8, 2) → Ks {2, 4, 8} on the co-purchase graph
@@ -657,6 +718,91 @@ def q_model_selection_smoke(spark, sf_dir):
     )
     rows = [(int(k), float(v), bool(k == chosen)) for k, v in sorted(llh_by_k.items())]
     return spark.createDataFrame(rows, "k int, llh double, chosen boolean")
+
+
+def q_gradient_long_k256(spark, sf_dir):
+    """F2 in the long layout at HIGH K with genuinely SPARSE factors —
+    the v3 regime's kernel shape (codes/bigclamv3-7.scala:15 fixes
+    K=8,385 with SparseVector rows; the sparse init is indicator-only
+    so ~all entries are zero). The K=4 dense-fixture twin
+    (``bigclam_gradient_long``) proves layout parity but never
+    exercises what makes the long layout the high-K path: a factor
+    relation where nnz ≪ N·K and the gradient support is the UNION of
+    neighbor-propagated k's and own non-zeros (full outer join in
+    ``gradient_long``), not a dense rectangle.
+
+    Fixture: K=256, f[u][k] non-zero iff (u·31 + 7k) mod 97 < 3
+    (≈3% density, ~7.9 nnz/node) with val = (((u·13 + 11k) mod 9)+1)/10
+    — strictly positive so sparsity is honest. Output filtered to
+    node_id ≡ 0 (mod 5): the kernel runs over the full graph; the
+    projection only bounds the hash-compare payload (~100k rows).
+    Sum-accumulated gvals rounded to 6 dp (fold order)."""
+    from bigclam_apachespark_spark.operators import bigclam_long as BL
+
+    sym = _sym(spark, sf_dir)
+    verts = G.vertices(sym).select(F.col("id").alias("node_id"))
+    ks = F.filter(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda k: (F.col("node_id") * 31 + 7 * k) % 97 < 3,
+    )
+    fx_long = verts.select("node_id", F.explode(ks).alias("k")).select(
+        "node_id",
+        F.col("k").cast("int").alias("k"),
+        (
+            (((F.col("node_id") * 13 + 11 * F.col("k")) % 9) + 1).cast("double")
+            / 10.0
+        ).alias("val"),
+    )
+    sumf = BL.sum_f_long(fx_long)
+    g = BL.gradient_long(sym, fx_long, sumf)
+    return g.where(F.col("node_id") % 5 == 0).select(
+        "node_id", "k", F.round("gval", 6).alias("gval")
+    )
+
+
+BIGCLAM_ORACLE["bigclam_gradient_long_k256"] = f"""
+    WITH {EDGES_SQL}, {SYM_SQL},
+    verts AS (SELECT DISTINCT src AS node_id FROM sym),
+    ks AS (SELECT unnest(generate_series(0, 255)) AS k),
+    fsp AS (
+      SELECT node_id, k,
+             CAST(((node_id * 13 + 11 * k) % 9) + 1 AS DOUBLE) / 10.0 AS val
+      FROM verts CROSS JOIN ks
+      WHERE (node_id * 31 + 7 * k) % 97 < 3
+    ),
+    edot AS (
+      SELECT a.src, a.dst, SUM(fa.val * fb.val) AS dot
+      FROM sym a
+      JOIN fsp fa ON fa.node_id = a.src
+      JOIN fsp fb ON fb.node_id = a.dst AND fb.k = fa.k
+      GROUP BY a.src, a.dst
+    ),
+    -- zero-overlap edges keep dot = 0 (edge_stats_long's left join)
+    ep AS (
+      SELECT s.src, s.dst, COALESCE(e.dot, 0.0) AS dot,
+             least(greatest(exp(-COALESCE(e.dot, 0.0)), 0.0001), 0.9999) AS p
+      FROM sym s LEFT JOIN edot e ON e.src = s.src AND e.dst = s.dst
+    ),
+    sumf AS (SELECT k, SUM(val) AS s FROM fsp GROUP BY k),
+    wsum AS (
+      SELECT e.src AS node_id, fb.k, SUM(fb.val / (1 - e.p)) AS ws
+      FROM ep e JOIN fsp fb ON fb.node_id = e.dst
+      GROUP BY e.src, fb.k
+    ),
+    -- gradient support = wsum ∪ own non-zeros (gradient_long's full join)
+    support AS (
+      SELECT COALESCE(w.node_id, f.node_id) AS node_id,
+             COALESCE(w.k, f.k) AS k,
+             COALESCE(w.ws, 0.0) AS ws,
+             COALESCE(f.val, 0.0) AS fval
+      FROM wsum w
+      FULL OUTER JOIN fsp f ON f.node_id = w.node_id AND f.k = w.k
+    )
+    SELECT s1.node_id, CAST(s1.k AS INT) AS k,
+           round(s1.ws - s2.s + s1.fval, 6) AS gval
+    FROM support s1 JOIN sumf s2 ON s2.k = s1.k
+    WHERE s1.node_id % 5 = 0
+"""
 
 
 def q_k_grid(spark, sf_dir):
@@ -866,6 +1012,7 @@ BIGCLAM_QUERIES = {
     "bigclam_llh": q_llh,
     "bigclam_gradient": q_gradient,
     "bigclam_gradient_long": q_gradient_long,
+    "bigclam_gradient_long_k256": q_gradient_long_k256,
     "bigclam_step": q_step,
     "bigclam_line_search": q_line_search,
     "bigclam_one_iteration": q_one_iteration,
@@ -895,4 +1042,6 @@ BIGCLAM_SMOKES = {
     "bigclam_facebook_pipeline": q_facebook_pipeline,  # rows-only (no oracle)
     "bigclam_model_selection_smoke": q_model_selection_smoke,  # rows-only (no oracle)
     "bigclam_fit_long_smoke": q_fit_long_smoke,  # rows-only (no oracle)
+    "bigclam_enron_pipeline": q_enron_pipeline,  # rows-only (no oracle)
+    "bigclam_fit_long_highk": q_fit_long_highk,  # rows-only (no oracle)
 }
