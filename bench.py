@@ -358,18 +358,27 @@ def main() -> None:
             )
 
     total = sum(timings.values())
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "degraded": degraded,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "degraded": degraded,
+    }
+    print(json.dumps(payload))
+    # Truncation-proof artifact (VERDICT r7 ask #4): the driver keeps
+    # only a stdout TAIL, which at 90+ headline queries silently drops
+    # the "value" field and the first ~25 queries from BENCH_r{N}.json.
+    # The full per-query map is therefore ALSO written to
+    # BENCH_local.json at the repo root and committed at round close —
+    # the durable record the round-over-round comparisons read.
+    try:
+        out = Path(__file__).resolve().parent / "BENCH_local.json"
+        out.write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"# wrote {out}", file=sys.stderr)
+    except OSError as ex:  # read-only checkout etc. — stdout line stands
+        print(f"# BENCH_local.json not written: {ex}", file=sys.stderr)
     spark.stop()
 
 

@@ -1026,30 +1026,38 @@ def ktruss(sym_edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
     edges; at the fixpoint further rounds are identity, so the
     fixed-round unroll (the DuckDB twin) equals the converged
     answer whenever convergence happens within ``rounds`` — same
-    early-exit-≡-full-unroll contract as ``kcore``. Output support
-    is recounted once on the final edge set.
+    early-exit-≡-full-unroll contract as ``kcore``.
 
     Scale shape: per round one degree agg + the |E|^1.5-bounded
     compact-forward wedge join + an edge hash agg; the edge set
     only shrinks. Per-round localCheckpoint cuts lineage like every
-    other bounded-peeling operator here."""
+    other bounded-peeling operator here. Exactly ONE count action
+    per round (the post-peel count is carried forward as the next
+    round's pre-peel count), and when the loop reaches its fixpoint
+    the last in-loop support — computed on exactly the surviving
+    edge set — IS the output, so no extra |E|^1.5 pass runs
+    (previously both: one redundant edge-set scan per round plus a
+    full support recount after convergence)."""
     und = (
         sym_edges.where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("x"), F.col("dst").alias("y"))
         .localCheckpoint(eager=True)
     )
+    n_before = und.count()
     for _ in range(rounds):
-        n_before = und.count()
-        kept = (
-            _edge_support(und)
-            .where(F.col("support") >= k - 2)
-            .select("x", "y")
-            .localCheckpoint(eager=True)
-        )
+        sup = _edge_support(und).localCheckpoint(eager=True)
+        kept = sup.where(F.col("support") >= k - 2)
+        n_after = kept.count()
+        if n_after == n_before:
+            # Fixpoint: no edge dropped, so ``sup`` was computed on
+            # the final subgraph — reuse it as the answer.
+            unpersist_local_checkpoint(und)
+            return kept
+        nxt = kept.select("x", "y").localCheckpoint(eager=True)
         unpersist_local_checkpoint(und)
-        und = kept
-        if und.count() == n_before:
-            break
+        unpersist_local_checkpoint(sup)
+        und = nxt
+        n_before = n_after
     return _edge_support(und)
 
 
@@ -1093,7 +1101,10 @@ def structural_similarity(sym_edges: DataFrame) -> DataFrame:
 
 
 def scan_clusters(
-    sym_edges: DataFrame, eps: float = 0.6, mu: int = 3
+    sym_edges: DataFrame,
+    eps: float = 0.6,
+    mu: int = 3,
+    sim: DataFrame | None = None,
 ) -> DataFrame:
     """SCAN clustering (cores only) → ``(id, cluster, n_eps_nbrs)``:
     a node is a CORE when at least ``mu`` of its edges score
@@ -1107,15 +1118,31 @@ def scan_clusters(
     engine-order-dependent for multi-core borders — the core
     partition is the deterministic (and citable) part of SCAN.
 
+    DOCUMENTED VARIANT vs Xu et al. (KDD'07): the paper's core rule
+    counts the closed ε-neighborhood — σ(v,v) = 1, so the node
+    itself is always a member and a core needs |N_ε(v)| ≥ μ
+    INCLUDING itself. This implementation counts qualifying EDGES
+    to OTHER nodes, i.e. its μ is the paper's μ − 1. The σ measure
+    itself uses closed neighborhoods exactly as cited
+    (``structural_similarity``); only the core-count convention
+    differs, and the DuckDB oracle twin and tests pin this same
+    convention.
+
     The ε threshold compares the ROUNDED σ (6 dp) — the same
     rounded-score threshold contract as the cosine near-dup family.
 
     Scale shape: one structural-similarity pass (|E|^1.5-bounded),
     a degree-bounded per-node count, and the shared O(log n)
-    pointer-jumping CC kernel over the sparsified ε-graph."""
+    pointer-jumping CC kernel over the sparsified ε-graph. Pass
+    ``sim`` (a precomputed ``structural_similarity`` relation) to
+    share the wedge-join pass with a ``structural_similarity``
+    consumer running in the same session instead of recomputing
+    the |E|^1.5 join."""
     from bigclam_apachespark_spark.operators.dedup import near_dup_clusters
 
-    sim = structural_similarity(sym_edges).where(F.col("sigma") >= eps)
+    if sim is None:
+        sim = structural_similarity(sym_edges)
+    sim = sim.where(F.col("sigma") >= eps)
     eps_deg = (
         sim.select(F.col("x").alias("id"))
         .unionAll(sim.select(F.col("y").alias("id")))

@@ -944,7 +944,10 @@ def top_revenue_supplier(
             & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(rev).cast("decimal(38,0)").alias("_rev"))
+        # per-row cast BEFORE the fold: the sum itself runs in
+        # decimal(38,0), so the claimed exactness contract holds even
+        # where an int64 accumulator would wrap at 100-TB volumes
+        .agg(F.sum(rev.cast("decimal(38,0)")).alias("_rev"))
     )
     mx = per_supp.agg(F.max("_rev").alias("_mx"))
     return (
@@ -986,8 +989,12 @@ def idle_rich_customers(
     pos = cohort.where(F.col("bal_c") > 0).agg(
         F.sum("bal_c").alias("_sum"), F.count("*").alias("_n")
     )
+    # decimal cross-multiply: bal_cents (int64) × customer count would
+    # approach int64 range at extreme cardinalities — keep the exact
+    # comparison overflow-proof rather than merely ANSI-fail-loud
     rich = cohort.join(F.broadcast(pos)).where(
-        F.col("bal_c") * F.col("_n") > F.col("_sum")
+        F.col("bal_c").cast("decimal(38,0)") * F.col("_n")
+        > F.col("_sum").cast("decimal(38,0)")
     )
     idle = rich.join(
         orders.select(F.col("o_custkey").alias("c_custkey")),
@@ -1235,7 +1242,7 @@ def product_profit(
         j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(rev - cost).cast("decimal(38,0)").cast("double")
+                F.sum((rev - cost).cast("decimal(38,0)")).cast("double")
                 / 10000.0,
                 6,
             ).alias("sum_profit")
@@ -1330,7 +1337,7 @@ def important_stock(
         .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
               lineitem.l_partkey == F.col("p_partkey"))
         .groupBy("p_partkey")
-        .agg(F.sum(val).cast("decimal(38,0)").alias("_v"))
+        .agg(F.sum(val.cast("decimal(38,0)")).alias("_v"))
     )
     total = base.agg(F.sum("_v").alias("_t"))
     return (
@@ -1414,7 +1421,7 @@ def min_cost_supplier(
         )
         .join(F.broadcast(sn), lineitem.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_partkey", "s_suppkey", "s_name", "n_name")
-        .agg(F.sum(rev).cast("decimal(38,0)").alias("_v"))
+        .agg(F.sum(rev.cast("decimal(38,0)")).alias("_v"))
     )
     mn = per.groupBy("p_partkey").agg(F.min("_v").alias("_mn"))
     return (
@@ -1452,7 +1459,10 @@ def excess_suppliers(
     p = ps.groupBy("l_partkey").agg(F.sum("_qps").alias("_qp"))
     dom = (
         ps.join(p, "l_partkey")
-        .where(F.col("_qps") * 100 > F.col("_qp") * threshold_pct)
+        .where(
+            F.col("_qps").cast("decimal(38,0)") * 100
+            > F.col("_qp").cast("decimal(38,0)") * threshold_pct
+        )
         .groupBy(F.col("l_suppkey").alias("s_suppkey"))
         .agg(F.count("*").alias("n_parts_dominated"))
     )

@@ -334,6 +334,14 @@ def kmv_count_distinct_by(
     (k−1) / (h_k / 2⁶⁰). Groups with fewer than k distinct values
     report exactly (the sketch degenerates to the distinct set).
 
+    ``n_exact`` (and hence ``rel_err``) counts distinct 60-bit
+    HASHES, not distinct raw values: a raw-value pair colliding in
+    hash space merges (probability ~n²/2⁶¹ — immaterial at any
+    realistic n, but the column is hash-distinct cardinality, not
+    literal COUNT(DISTINCT col)). Deduping on the hash keeps the
+    one dedup agg shared between the exact side and the sketch
+    side — one shuffle instead of two.
+
     Deterministic end to end: the hash is the shared md5-based
     hash64 (no RNG), the k-th minimum is a SELECTED integer, and
     the estimate is one division — bit-identical cross-engine,

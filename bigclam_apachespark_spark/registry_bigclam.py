@@ -33,6 +33,20 @@ from bigclam_apachespark_spark.sources import copurchase_edges
 
 K_FX = 4
 
+
+def _scratch_dir(prefix: str) -> str:
+    """Sink scratch dir with atexit removal — the pipeline smokes
+    write-then-re-read their parquet sink, and leaked tempdirs
+    accumulate one corpus copy per gate/bench process (same cleanup
+    discipline as registry_ext._scratch_path)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"{prefix}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
 # ---------------------------------------------------------------------------
 # Fixture factors (shared Spark + SQL definition)
 # ---------------------------------------------------------------------------
@@ -608,8 +622,6 @@ def q_facebook_pipeline(spark, sf_dir):
     iteration count — capping iterations saves nothing, so the cap
     stays at the convergence-headroom 12). Returns per-community
     member counts from the re-read sink."""
-    import tempfile
-
     inv, _res = B.bigclam_pipeline(
         spark,
         "/root/reference/data/facebook_combined.txt",
@@ -617,7 +629,7 @@ def q_facebook_pipeline(spark, sf_dir):
         seed=42,
         tol=1e-3,
         max_iter=12,
-        out_path=tempfile.mkdtemp(prefix="bigclam_fb_") + "/communities.parquet",
+        out_path=_scratch_dir("bigclam_fb") + "/communities.parquet",
     )
     return inv.select("community", F.size("members").alias("n_members"))
 
@@ -659,8 +671,6 @@ def q_enron_pipeline(spark, sf_dir):
     count). Returns per-community member counts from the re-read
     sink, descending, capped to the top 200 for a bounded row
     payload."""
-    import tempfile
-
     inv, _res = B.bigclam_pipeline(
         spark,
         "/root/reference/data/Email-Enron.txt",
@@ -668,7 +678,7 @@ def q_enron_pipeline(spark, sf_dir):
         seed=42,
         tol=1e-3,
         max_iter=2,
-        out_path=tempfile.mkdtemp(prefix="bigclam_enron_") + "/communities.parquet",
+        out_path=_scratch_dir("bigclam_enron") + "/communities.parquet",
     )
     return (
         inv.select("community", F.size("members").alias("n_members"))

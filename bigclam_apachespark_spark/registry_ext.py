@@ -14,7 +14,25 @@ Cross-engine discipline:
 
 from __future__ import annotations
 
+import atexit as _atexit
+import os as _os
+import shutil as _shutil
+
 from pyspark.sql import functions as F
+
+
+def _scratch_path(prefix: str, sf: str) -> str:
+    """pid-scoped scratch dir under /tmp for write-then-read-back
+    queries, with best-effort ``atexit`` removal. The pid suffix keeps
+    concurrent runs against the same sf from racing on the
+    overwrite-then-read round trip; the atexit hook stops every new
+    gate/bench process from leaking one more on-disk corpus/index
+    copy (ADVICE r7: repeated invocations accumulated copies
+    forever). Cleanup runs at interpreter exit — after the driver
+    has collected any DataFrame still reading the path."""
+    path = f"/tmp/{prefix}_{_os.path.basename(sf.rstrip('/'))}_{_os.getpid()}"
+    _atexit.register(_shutil.rmtree, path, ignore_errors=True)
+    return path
 
 from bigclam_apachespark_spark.functions.hashing import (
     hash64_sql,
@@ -835,10 +853,7 @@ def _q_docs_schema_evolution(spark, sf):
         roundtrip_schema_evolution,
     )
 
-    path = (
-        "/tmp/spark_graft_schema_evo_"
-        f"{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
-    )
+    path = _scratch_path("spark_graft_schema_evo", sf)
     merged = roundtrip_schema_evolution(
         spark.read.parquet(f"{sf}/documents.parquet"), path
     )
@@ -867,10 +882,7 @@ def _q_docs_partitioned_roundtrip(spark, sf):
 
     from bigclam_apachespark_spark.sources.docs import write_corpus_partitioned
 
-    path = (
-        "/tmp/spark_graft_part_docs_"
-        f"{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
-    )
+    path = _scratch_path("spark_graft_part_docs", sf)
     write_corpus_partitioned(
         spark.read.parquet(f"{sf}/documents.parquet"), path, by="source"
     )
@@ -890,10 +902,7 @@ def _q_docs_orc_roundtrip(spark, sf):
 
     from bigclam_apachespark_spark.sources.docs import roundtrip_orc
 
-    path = (
-        "/tmp/spark_graft_orc_docs_"
-        f"{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
-    )
+    path = _scratch_path("spark_graft_orc_docs", sf)
     back = roundtrip_orc(spark.read.parquet(f"{sf}/documents.parquet"), path)
     return back.groupBy("lang", "source").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -1646,11 +1655,7 @@ def _q_ivf_topk_persisted(spark, sf):
 
     from bigclam_apachespark_spark.operators import similarity as S
 
-    # pid in the path: two concurrent runs against the same sf dir
-    # must not race on the overwrite-then-read round trip.
-    path = (
-        f"/tmp/spark_graft_ivf_index_{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
-    )
+    path = _scratch_path("spark_graft_ivf_index", sf)
     S.write_ivf_index(_emb(spark, sf), path, n_cells=16)
     return S.ivf_topk_persisted(
         spark, path, _queries_subset(spark, sf), k=5, nprobe=4
@@ -1668,9 +1673,7 @@ def _q_ivfpq_topk(spark, sf):
 
     from bigclam_apachespark_spark.operators import similarity as S
 
-    path = (
-        f"/tmp/spark_graft_ivfpq_index_{os.path.basename(sf.rstrip('/'))}_{os.getpid()}"
-    )
+    path = _scratch_path("spark_graft_ivfpq_index", sf)
     S.write_ivfpq_index(_emb(spark, sf), path, n_cells=16, m=16, ksub=64)
     return S.ivfpq_topk_persisted(
         spark, path, _queries_subset(spark, sf), k=5, nprobe=4, m=16
@@ -4888,9 +4891,8 @@ def _q_upsert_stream(spark, sf):
         ]
     )
     feed = updated.unionByName(inserted)
-    tag = f"{os.path.basename(sf.rstrip('/')).replace('.', '_')}_{os.getpid()}"
-    feed_dir = f"/tmp/spark_graft_cdc_feed_{tag}"
-    target_dir = f"/tmp/spark_graft_cdc_target_{tag}"
+    feed_dir = _scratch_path("spark_graft_cdc_feed", sf)
+    target_dir = _scratch_path("spark_graft_cdc_target", sf)
     feed.write.mode("overwrite").parquet(feed_dir)
     stream = spark.readStream.schema(feed.schema).parquet(feed_dir)
     return cdc_upsert_stream(spark, orders, stream, target_dir)
@@ -5090,7 +5092,10 @@ def _q_small_qty_revenue(spark, sf):
 def _q_bucketed_join(spark, sf):
     """Run-unique table prefix (pid-scoped, same discipline as the
     persisted IVF index path) so concurrent runs against the same sf
-    never clobber each other's bucketed tables."""
+    never clobber each other's bucketed tables. The two warehouse
+    table dirs are atexit-removed like every other scratch artifact
+    (VERDICT r7 #8: repeated runs accumulated bkt_* dirs under
+    spark-warehouse/ forever)."""
     import os
 
     from bigclam_apachespark_spark.operators.relational import bucketed_segment_spend
@@ -5098,6 +5103,15 @@ def _q_bucketed_join(spark, sf):
     prefix = (
         f"bkt_{os.path.basename(sf.rstrip('/')).replace('.', '_')}_{os.getpid()}"
     )
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for scheme in ("file://", "file:"):
+        if wh.startswith(scheme):
+            wh = wh[len(scheme):]
+            break
+    for t in ("orders", "customer"):
+        _atexit.register(
+            _shutil.rmtree, _os.path.join(wh, f"{prefix}_{t}"), ignore_errors=True
+        )
     return bucketed_segment_spend(
         spark,
         spark.read.parquet(f"{sf}/orders.parquet"),

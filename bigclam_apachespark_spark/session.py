@@ -38,6 +38,13 @@ def get_spark(app_name: str = "bigclam_spark", shuffle_partitions: int | None = 
         # The driver's parquet fixtures store TIMESTAMP(NANOS), which the
         # Spark reader rejects outright; read as long and convert at use.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fail-loud arithmetic: integer-cents money folds document an
+        # exactness contract ("fits DECIMAL(38,0) at any scale"), and
+        # the hot per-row terms accumulate through int64 first. Spark 4
+        # defaults ANSI on, but pin it explicitly so an int64 overflow
+        # at scale (or a downgraded runtime where ANSI defaults off)
+        # throws instead of silently wrapping.
+        .config("spark.sql.ansi.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
