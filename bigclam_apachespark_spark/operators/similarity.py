@@ -597,6 +597,33 @@ def write_ivf_index(
     corpus.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
 
 
+def append_ivf_index(
+    spark,
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance — the index-UPSERT path: assign
+    only the NEW vectors to the persisted (frozen) centroids and
+    APPEND their rows to the cell partitions. Existing cell files are
+    untouched and the centroids never move (standard IVF add — FAISS
+    ``add`` semantics), so ingesting a day's worth of new documents
+    costs one scan of the delta, not a rebuild of the corpus index.
+    At 100 TB this is the difference between O(delta) daily
+    maintenance and an O(corpus) nightly rebuild; periodic centroid
+    re-training (a fresh ``write_ivf_index``) remains available when
+    drift accumulates.
+
+    Serving needs no change: ``ivf_topk_persisted`` reads the merged
+    cell partitions and dynamic partition pruning still skips
+    unprobed cells — appended files land INSIDE the existing
+    cell=... directory layout."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(new_embeddings, cent, id_col, vec_col, keep_vec=True)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
 def ivf_topk_persisted(
     spark,
     path: str,

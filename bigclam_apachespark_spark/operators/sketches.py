@@ -379,3 +379,101 @@ def kmv_count_distinct_by(
             ).alias("rel_err"),
         )
     )
+
+
+def histogram_quantile_sketch(
+    events: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_bins: int = 64,
+) -> DataFrame:
+    """Equi-width histogram quantile sketch vs exact ground truth →
+    ``(event_type, p, n, est, exact, abs_err_cents)`` — the fourth
+    mergeable sketch family here (HLL: register max; CMS: counter
+    min; KMV: order statistics; histogram: BIN COUNTS, sum-mergeable
+    like CMS, the state behind every production latency/percentile
+    monitor that cannot afford the exact sort). State per group is
+    ``n_bins`` int64s; shards/windows merge by adding counts.
+
+    Estimate: locate the bin where the cumulative count crosses the
+    inverse-CDF rank ceil(p·n), then interpolate INSIDE the bin with
+    one integer division — bin width, bin index, rank, and offset are
+    all exact integer arithmetic over cents, so the estimate is
+    bit-identical cross-engine (unlike t-digest/approx_percentile,
+    which an oracle can never hash-match). The exact twin runs the
+    same order statistic over the same integer cents, making
+    ``abs_err_cents`` the sketch's measured price — the recall-row
+    discipline of the ANN family applied to quantiles.
+
+    Scale shape: one (type, bin) hash agg with map-side combine for
+    the sketch; the per-type cumulative window runs over ≤ n_bins
+    rows per type. Only the exact twin sorts (the calibration path,
+    same note as ``value_quantiles``)."""
+    from pyspark.sql import Window
+
+    ev = events.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("vc").alias("mn"),
+        F.max("vc").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    # integer width: (mx-mn) div n_bins + 1 guarantees bin <= n_bins-1
+    rw = rng.select(
+        "event_type",
+        "mn",
+        "n",
+        (
+            F.expr(f"(mx - mn) div {n_bins}") + F.lit(1)
+        ).cast("long").alias("width"),
+    )
+    binned = ev.join(F.broadcast(rw), "event_type").select(
+        "event_type", F.expr("(vc - mn) div width").alias("bin")
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    probes = rw.select(
+        "event_type",
+        "mn",
+        "width",
+        "n",
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+    ).withColumn("t", F.ceil(F.col("p") * F.col("n")).cast("long"))
+    pick = (
+        cum.join(probes, "event_type")
+        .where(F.col("cum") >= F.col("t"))
+        .groupBy("event_type", "p", "t", "mn", "width", "n")
+        .agg(
+            F.min_by(F.struct("bin", "cum", "cnt"), F.col("bin")).alias("b")
+        )
+    )
+    est_c = (
+        F.col("mn")
+        + F.col("b.bin") * F.col("width")
+        + F.expr("(t - (b.cum - b.cnt)) * width div b.cnt")
+    )
+    est = pick.select("event_type", "p", "n", est_c.alias("est_c"))
+    # exact twin over the SAME integer cents (ties broken by event_id
+    # on both engines — ranking over raw doubles would let sub-cent
+    # value differences reorder rows the cents domain collapses)
+    wrank = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(wrank))
+    exact = (
+        ranked.join(probes.select("event_type", "p", "t"), "event_type")
+        .where(F.col("r") >= F.col("t"))
+        .groupBy("event_type", "p")
+        .agg(F.min("vc").alias("exact_c"))
+    )
+    return est.join(exact, ["event_type", "p"]).select(
+        "event_type",
+        "p",
+        "n",
+        F.round(F.col("est_c").cast("double") / 100.0, 6).alias("est"),
+        F.round(F.col("exact_c").cast("double") / 100.0, 6).alias("exact"),
+        F.abs(F.col("est_c") - F.col("exact_c")).cast("long").alias(
+            "abs_err_cents"
+        ),
+    )

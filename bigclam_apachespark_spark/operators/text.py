@@ -1196,6 +1196,78 @@ def bpe_pair_counts(
     )
 
 
+def bpe_merge_step(
+    docs: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """One FULL BPE training round → the pair-count table AFTER the
+    best merge is applied: pick the top character pair by ``(count
+    DESC, pair ASC)`` (exact-integer, so the winner is cross-engine
+    stable), rewrite every word's symbol sequence with that pair
+    merged, recount adjacent pairs over the rewritten vocabulary, and
+    return the new top-k ``(left_sym, right_sym, pair_count)`` — the
+    statistic the NEXT merge would maximize. ``bpe_pair_counts`` is
+    the trainer's first statistic; this closes the iterative loop
+    body (count → merge → recount), the part real tokenizer training
+    repeats 30k times.
+
+    The greedy left-to-right non-overlapping merge (BPE's rule —
+    "aaa" + merge "aa" → ["aa", "a"]) IS string ``replace``
+    semantics: the merged pair is substituted with a single
+    out-of-alphabet marker char (\\x01), so the rewritten word's
+    characters are again one symbol each, and the pair slicing from
+    ``bpe_pair_counts`` applies unchanged. Output symbols map the
+    marker back to the merged pair's text.
+
+    Scale shape: same BPE trick as ``bpe_pair_counts`` — everything
+    after the ONE corpus pass runs over the vocabulary-sized
+    word-frequency relation; the 1-row best-pair table broadcasts."""
+    wf = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.length("w") - 1),
+        F.slice(chars, 2, F.length("w") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    counts0 = (
+        wf.select("f", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("c"))
+    )
+    best = counts0.orderBy(F.col("c").desc(), "l", "r").limit(1).select(
+        F.concat("l", "r").alias("_merge")
+    )
+    marker = "\x01"
+    rewritten = wf.crossJoin(F.broadcast(best)).select(
+        "f",
+        "_merge",
+        F.replace(F.col("w"), F.col("_merge"), F.lit(marker)).alias("w"),
+    )
+    disp = lambda c: F.when(c == marker, F.col("_merge")).otherwise(c)  # noqa: E731
+    pairs2 = F.zip_with(
+        F.slice(chars, 1, F.length("w") - 1),
+        F.slice(chars, 2, F.length("w") - 1),
+        lambda a, b: F.struct(disp(a).alias("l"), disp(b).alias("r")),
+    )
+    return (
+        rewritten.where(F.length("w") >= 2)
+        .select("f", F.explode(pairs2).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(k)
+    )
+
+
 def token_frequency_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Frequency-of-frequencies spectrum → ``(freq, n_terms,
     gt_adjusted)``: how many distinct terms occur exactly ``freq``

@@ -277,6 +277,47 @@ TEXT_ORACLE = {
         FROM pr GROUP BY 1, 2
         ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
     """,
+    # One full BPE training round (count -> merge best pair -> recount):
+    # the greedy left-to-right non-overlapping merge is string replace
+    # semantics with an out-of-alphabet marker (chr(1)); output symbols
+    # map the marker back to the merged pair text. All-integer counts,
+    # binary string tie-breaks — winner and ranking cross-engine stable.
+    "text_bpe_merge_step": f"""
+        WITH wf AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT unnest({TOKENS}) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w
+        ),
+        ch0 AS (
+          SELECT f,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM wf
+        ),
+        pr0 AS (
+          SELECT f, unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch0
+        ),
+        c0 AS (SELECT l, r, SUM(f) AS c FROM pr0 GROUP BY 1, 2),
+        best AS (SELECT l || r AS m FROM c0 ORDER BY c DESC, l, r LIMIT 1),
+        rw AS (
+          SELECT wf.f, best.m, replace(wf.w, best.m, chr(1)) AS w
+          FROM wf CROSS JOIN best
+        ),
+        ch AS (
+          SELECT f, m,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM rw WHERE length(w) >= 2
+        ),
+        pr AS (
+          SELECT f, m, unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch
+        )
+        SELECT CASE WHEN l = chr(1) THEN m ELSE l END AS left_sym,
+               CASE WHEN r = chr(1) THEN m ELSE r END AS right_sym,
+               CAST(SUM(f) AS BIGINT) AS pair_count
+        FROM pr GROUP BY 1, 2
+        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+    """,
     # Good-Turing r*: single division on exact integers per output row.
     "text_freq_spectrum": f"""
         WITH tf AS (
@@ -950,6 +991,9 @@ TEXT_QUERIES = {
         _docs(spark, sf), window=3, min_count=5, k=20
     ),
     "text_bpe_pair_counts": lambda spark, sf: X.bpe_pair_counts(
+        _docs(spark, sf), k=20
+    ),
+    "text_bpe_merge_step": lambda spark, sf: X.bpe_merge_step(
         _docs(spark, sf), k=20
     ),
     "text_freq_spectrum": lambda spark, sf: X.token_frequency_spectrum(
@@ -1657,6 +1701,32 @@ def _q_ivf_topk_persisted(spark, sf):
 
     path = _scratch_path("spark_graft_ivf_index", sf)
     S.write_ivf_index(_emb(spark, sf), path, n_cells=16)
+    return S.ivf_topk_persisted(
+        spark, path, _queries_subset(spark, sf), k=5, nprobe=4
+    )
+
+
+def _q_ivf_index_upsert(spark, sf):
+    """Incremental index maintenance, oracle-checked end to end: the
+    index is BUILT from the base corpus (vec_id % 10 != 0 — centroids
+    sampled from base only), then the remaining 10% arrives as a
+    delta and is UPSERTED via ``append_ivf_index`` (assign against
+    the frozen centroids, append into the cell partitions; existing
+    files untouched). Serving then answers the standard query batch
+    from the merged index. The oracle restates exactly that
+    composition — centroids from the base subset, assignment over
+    the FULL corpus — so a wrong append (lost delta rows, moved
+    centroids, re-assigned base vectors) hash-mismatches. This is
+    the O(delta)-not-O(corpus) daily-ingest path an embedding index
+    needs at 100 TB."""
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    emb = _emb(spark, sf)
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    path = _scratch_path("spark_graft_ivf_upsert", sf)
+    S.write_ivf_index(base, path, n_cells=16)
+    S.append_ivf_index(spark, delta, path)
     return S.ivf_topk_persisted(
         spark, path, _queries_subset(spark, sf), k=5, nprobe=4
     )
@@ -2445,6 +2515,56 @@ SIM_ORACLE = {
 # only the storage layout differs), so it shares the oracle.
 SIM_ORACLE["sim_ivf_topk_persisted"] = SIM_ORACLE["sim_ivf_topk"]
 
+# Upsert serving: centroids sampled from the BASE subset only
+# (vec_id % 10 != 0 — the corpus at build time), assignment over the
+# FULL corpus (base written at build + delta appended with frozen
+# centroids; both reduce to nearest-frozen-centroid, which is what
+# makes the incremental add exact). Probe/scoring tail identical to
+# sim_ivf_topk.
+SIM_ORACLE["sim_ivf_index_upsert"] = f"""
+    WITH {EMB_SQL},
+    keyed_base AS (
+      SELECT vec_id, qv, nrm, {hash64_sql('CAST(vec_id AS VARCHAR)')} AS skey
+      FROM emb WHERE vec_id % 10 <> 0
+    ),
+    cent AS (
+      SELECT rn - 1 AS cell, qv AS cqv, nrm AS cnrm FROM (
+        SELECT qv, nrm, ROW_NUMBER() OVER (ORDER BY skey, vec_id) AS rn
+        FROM keyed_base
+      ) WHERE rn <= 16
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS_EC} DESC, c.cell) AS rn
+        FROM emb e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q, cell FROM (
+        SELECT e.vec_id AS q, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_IVF_COS_EC} DESC, c.cell) AS rn
+        FROM emb e CROSS JOIN cent c WHERE e.vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.q, ea.vec_id,
+             round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) AS cos_sim
+      FROM probes p
+      JOIN assign s ON s.cell = p.cell
+      JOIN emb ea ON ea.vec_id = s.vec_id
+      JOIN emb eb ON eb.vec_id = p.q
+      WHERE ea.vec_id <> p.q
+    )
+    SELECT q, vec_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+      SELECT q, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
 def _kmeans_chain_sql(rounds: int) -> str:
     """CTE chain for ``rounds`` Lloyd steps from the sampled seeds
     (expects ``emb`` + IVF_SQL's ``assign`` in scope): per round r,
@@ -2917,6 +3037,7 @@ SIM_QUERIES = {
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),
     "sim_ivf_topk_persisted": lambda spark, sf: _q_ivf_topk_persisted(spark, sf),
+    "sim_ivf_index_upsert": lambda spark, sf: _q_ivf_index_upsert(spark, sf),
     "sim_ivfpq_topk": lambda spark, sf: _q_ivfpq_topk(spark, sf),
     "sim_pq_topk_kmeans": lambda spark, sf: S.pq_topk_kmeans(
         _emb(spark, sf), _queries_subset(spark, sf),
@@ -3277,6 +3398,70 @@ EVENT_ORACLE = {
     """,
     # KMV: k-th smallest hash is a SELECTED integer; the estimate is
     # one division — the deterministic-sketch contract, third family.
+    # Histogram quantile sketch vs exact: all arithmetic (bin width,
+    # bin index, rank threshold, in-bin interpolation) is integer over
+    # cents; the per-type cumulative window runs over <= 64 bins. The
+    # exact twin ranks the SAME cents domain (ties by event_id) so
+    # abs_err_cents is the sketch's true measured price.
+    "events_quantile_sketch": """
+        WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events WHERE value IS NOT NULL
+        ),
+        rng AS (
+          SELECT event_type, MIN(vc) AS mn, MAX(vc) AS mx,
+                 COUNT(*) AS n
+          FROM ev GROUP BY event_type
+        ),
+        rw AS (SELECT event_type, mn, n, (mx - mn) // 64 + 1 AS width FROM rng),
+        hist AS (
+          SELECT e.event_type, (e.vc - r.mn) // r.width AS bin, COUNT(*) AS cnt
+          FROM ev e JOIN rw r USING (event_type) GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+          FROM hist
+        ),
+        probes AS (
+          SELECT r.event_type, r.n, r.mn, r.width, p,
+                 CAST(ceil(p * r.n) AS BIGINT) AS t
+          FROM rw r
+          CROSS JOIN (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p)
+        ),
+        pick AS (
+          SELECT c.event_type, pr.p, pr.n, pr.mn, pr.width, pr.t,
+                 MIN(c.bin) AS bin
+          FROM cum c JOIN probes pr USING (event_type)
+          WHERE c.cum >= pr.t
+          GROUP BY 1, 2, 3, 4, 5, 6
+        ),
+        est AS (
+          SELECT p.event_type, p.p, p.n,
+                 p.mn + p.bin * p.width
+                   + ((p.t - (c.cum - c.cnt)) * p.width) // c.cnt AS est_c
+          FROM pick p
+          JOIN cum c ON c.event_type = p.event_type AND c.bin = p.bin
+        ),
+        ranked AS (
+          SELECT event_type, vc,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY vc, event_id) AS r
+          FROM ev
+        ),
+        ex AS (
+          SELECT rk.event_type, pr.p, MIN(rk.vc) AS exact_c
+          FROM ranked rk JOIN probes pr USING (event_type)
+          WHERE rk.r >= pr.t
+          GROUP BY 1, 2
+        )
+        SELECT e.event_type, e.p, CAST(e.n AS BIGINT) AS n,
+               round(CAST(e.est_c AS DOUBLE) / 100.0, 6) AS est,
+               round(CAST(x.exact_c AS DOUBLE) / 100.0, 6) AS exact,
+               CAST(abs(e.est_c - x.exact_c) AS BIGINT) AS abs_err_cents
+        FROM est e JOIN ex x USING (event_type, p)
+    """,
     "events_kmv_users": f"""
         WITH hashed AS (
           SELECT DISTINCT event_type AS grp,
@@ -4304,6 +4489,9 @@ EVENT_QUERIES = {
     "events_cohort_ltv": lambda spark, sf: E.cohort_ltv(_events(spark, sf)),
     "events_session_funnel": lambda spark, sf: E.session_funnel(_events(spark, sf)),
     "events_robust_outliers": lambda spark, sf: E.robust_outliers(_events(spark, sf)),
+    "events_quantile_sketch": lambda spark, sf: SK.histogram_quantile_sketch(
+        _events(spark, sf)
+    ),
     "events_kmv_users": lambda spark, sf: SK.kmv_count_distinct_by(
         _events(spark, sf), "event_type", "user_id", k=64
     ),

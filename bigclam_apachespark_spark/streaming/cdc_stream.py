@@ -65,6 +65,16 @@ def cdc_upsert_stream(
                 f"cdc_upsert_stream did not finish in {timeout_sec}s"
             )
     finally:
+        try:
+            from bigclam_apachespark_spark.streaming.events_stream import (
+                LAST_STREAM_PLANS,
+            )
+
+            LAST_STREAM_PLANS["cdc_upsert_stream"] = q._jsq.explainInternal(
+                False
+            )
+        except Exception:
+            pass
         if q.isActive:
             q.stop()
     return spark.read.parquet(target_dir)

@@ -394,6 +394,14 @@ def sessionize_stream(
     )
 
 
+# Last executed micro-batch physical plan per replay, captured by
+# run_stream_to_memory / cdc_upsert_stream just before the query
+# stops — scripts/dump_plans.py reads this to give the streaming
+# registry entries the same reviewable plan sections as the batch
+# queries (VERDICT r7 ask #7). Keyed by the sink/query name.
+LAST_STREAM_PLANS: dict[str, str] = {}
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
@@ -453,6 +461,13 @@ def run_stream_to_memory(
             raise
     finally:
         done.set()
+        try:
+            # last micro-batch physical plan (plan capture for
+            # PLANS.md; explainInternal is the string behind
+            # StreamingQuery.explain)
+            LAST_STREAM_PLANS[query_name] = q._jsq.explainInternal(False)
+        except Exception:
+            pass
         try:
             q.stop()
         except Exception:

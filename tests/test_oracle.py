@@ -44,7 +44,48 @@ def _norm(rows, colnames):
     return sorted(out, key=repr)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+# Fast-tier subset: one or two representatives per surface (scan,
+# graph, kernels, dedup, similarity, text, events, streaming,
+# multimodal, relational, sketches) so the default run still
+# rehearses the driver contract end-to-end; the FULL sweep is the
+# slow tier (and scripts/check_correctness.py covers the whole
+# registry against DuckDB every round regardless).
+QUICK = {
+    "graph_conductance",
+    "graph_seeds",
+    "graph_pagerank",
+    "graph_triangles",
+    "bigclam_gradient",
+    "bigclam_line_search",
+    "bigclam_fit_fixture",
+    "bigclam_gradient_long_k256",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_stream_minhash",
+    "sim_topk_brute",
+    "sim_ivf_topk",
+    "text_quality",
+    "text_training_corpus",
+    "events_sessionize",
+    "events_hll_users",
+    "events_asof_attribution",
+    "events_stream_tumbling",
+    "events_stream_sessionize",
+    "multimodal_wav_stats",
+    "rel_pricing_summary",
+    "rel_upsert_merge",
+    "docs_jsonl_scan",
+    "sql_degree_hist",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in QUICK else pytest.param(n, marks=pytest.mark.slow)
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     if name not in ORACLE:
         # rows-only queries (bigclam_fit_smoke, multimodal, …): the
