@@ -1600,3 +1600,91 @@ def test_time_to_convert_first_click_first_purchase_after(spark):
     assert [(r.p, r.latency_sec, r.n_converted) for r in got] == [
         (0.5, 10, 1), (0.9, 10, 1), (0.99, 10, 1),
     ]
+
+
+def test_ivf_upsert_equals_frozen_centroid_serving(spark, tmp_path):
+    """Incremental maintenance contract: building the index on the
+    base corpus and APPENDING the delta (frozen centroids) must serve
+    exactly what a single-shot index over the full corpus with the
+    SAME centroids serves — i.e. the append loses nothing, moves
+    nothing, and re-assigns nothing. Also: the upsert must not
+    rewrite base cells (file count in untouched cells only grows by
+    the delta's own files)."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    q = emb.where("vec_id < 5")
+
+    path = str(tmp_path / "ivf_upsert")
+    S.write_ivf_index(base, path, n_cells=4)
+    S.append_ivf_index(spark, delta, path)
+    got = S.ivf_topk_persisted(spark, path, q, k=5, nprobe=2)
+
+    # reference: same frozen (base-sampled) centroids, full corpus
+    cent = S.ivf_centroids(base, n_cells=4)
+    corpus = S.ivf_assign(emb, cent, keep_vec=True)
+    want = S._ivf_search(cent, corpus, q, 5, 2, "vec_id", "embedding")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bpe_merge_step_tiny_fixture(spark):
+    """Hand-computed BPE round: corpus = 'abab abab ab' per doc.
+    Round-1 pair counts over words {abab: 2n, ab: n}: ('a','b') = 5n,
+    ('b','a') = 2n → best merge = 'ab'. After the merge every word is
+    marker-only, so remaining adjacent pairs are ('ab','ab') from the
+    former 'abab' words — count 2n and nothing else."""
+    from bigclam_apachespark_spark.operators.text import bpe_merge_step
+
+    docs = spark.createDataFrame(
+        [(i, "abab abab ab") for i in range(3)], "doc_id long, text string"
+    )
+    rows = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in bpe_merge_step(docs, k=10).collect()
+    }
+    assert rows == {("ab", "ab"): 6}
+
+
+def test_histogram_quantile_sketch_bounds(spark):
+    """The sketch estimate must land within one bin width of the
+    exact quantile (the histogram error bound), and n must equal the
+    non-null value count per type."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.sketches import (
+        histogram_quantile_sketch,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = histogram_quantile_sketch(ev, ps=(0.5, 0.9), n_bins=32).collect()
+    assert out, "no sketch rows"
+    # bin width per type (same arithmetic as the operator)
+    rng = {
+        r.event_type: (r.mx - r.mn) // 32 + 1
+        for r in ev.where(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+        )
+        .groupBy("event_type")
+        .agg(F.min("vc").alias("mn"), F.max("vc").alias("mx"))
+        .collect()
+    }
+    n_true = {
+        r.event_type: r.n
+        for r in ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert r.n == n_true[r.event_type]
+        assert r.abs_err_cents <= rng[r.event_type], (
+            r.event_type,
+            r.p,
+            r.abs_err_cents,
+            rng[r.event_type],
+        )
