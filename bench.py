@@ -148,6 +148,13 @@ HEADLINE = [
     "graph_structural_similarity",
     "events_time_to_convert",
     "graph_scan_clusters",
+    # round-8 additions: the high-K sparse gradient kernel (v3 regime),
+    # incremental IVF index maintenance (build + delta append + serve),
+    # one full BPE training round, and the histogram quantile sketch
+    "bigclam_gradient_long_k256",
+    "sim_ivf_index_upsert",
+    "text_bpe_merge_step",
+    "events_quantile_sketch",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).

@@ -107,6 +107,7 @@ def test_init_factors_random_completion(g1_edges):
     assert sorted(map(repr, f1.collect())) != sorted(map(repr, f3.collect()))
 
 
+@pytest.mark.slow  # heavy tier (pytest.ini): runs in the round-close sweep
 def test_model_selection_small_grid(g1_edges):
     # F6: grid (2, 4, 1) → Ks {2, 4}; both fit briefly; a chosen K
     # is returned and every grid point records an LLH.
@@ -121,6 +122,7 @@ def test_model_selection_small_grid(g1_edges):
     assert all(isinstance(v, float) for v in llh_by_k.values())
 
 
+@pytest.mark.slow  # heavy tier (pytest.ini): runs in the round-close sweep
 def test_fit_recovers_cliques(g1_edges):
     # End-to-end sanity: K=2 fit on G1 separates the cliques (FIXTURES §2).
     sym = symmetrize(g1_edges)
@@ -144,6 +146,7 @@ def test_fit_recovers_cliques(g1_edges):
     assert {4, 5, 6, 7} in groups.values()
 
 
+@pytest.mark.slow  # heavy tier (pytest.ini): runs in the round-close sweep
 def test_pipeline_end_to_end_with_sink(spark, tmp_path):
     # A1 + full flow + A3: G1 as a text edge list (with comments and a
     # malformed line) -> pipeline -> parquet sink -> re-read.

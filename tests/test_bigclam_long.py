@@ -118,6 +118,7 @@ def test_line_search_parity_disjoint_support(spark):
     assert l_rows == d_rows
 
 
+@pytest.mark.slow  # heavy tier (pytest.ini): runs in the round-close sweep
 def test_fit_trajectory_parity(g1_edges):
     # 3 iterations dense vs long from the same init: identical LLH
     # trajectory to float tolerance.

@@ -387,6 +387,7 @@ _PLAN_SWEEP_SKIP = {
 }
 
 
+@pytest.mark.slow  # heavy tier (pytest.ini): runs in the round-close sweep
 def test_no_unpartitioned_window_over_unbounded_relation(spark):
     """Registry-wide 100-TB guard: no query may sort a corpus-sized
     relation through a single window task (`WindowExec: No Partition
