@@ -1055,6 +1055,12 @@ def _rotation_key(name: str) -> tuple:
     return (
         name not in ORACLE,  # rows-only smokes last
         _effective_round(name),  # least-recently-verified first
+        # brand-new queries (no driver row AND no recorded introduction)
+        # break effective-round ties LAST: a query added this round must
+        # not displace a genuinely stale one from the 50-window — it
+        # gets its first driver row next cycle instead of aging the
+        # stale cohort another round.
+        name not in LAST_GREEN and name not in INTRODUCED,
         _FRONT.get(name, len(_FRONT)),
         _ORIG[name],
     )
