@@ -166,7 +166,10 @@ def main() -> None:
         "",
     ]
     for name in sorted(n for n in QUERIES if "stream" in n):
-        seen = set(LAST_STREAM_PLANS)
+        # snapshot VALUES, not just keys: a sink name re-used by an
+        # earlier run (e.g. a SHOWCASE query) re-captures with a fresh
+        # runId/checkpoint path, so a changed value attributes here too
+        seen = dict(LAST_STREAM_PLANS)
         try:
             df = QUERIES[name](spark, SF_DIR)
             df.count()  # drive the replay to completion
@@ -177,7 +180,9 @@ def main() -> None:
         parts += [f"## {name}", ""]
         if caption:
             parts += [f"*{caption}*", ""]
-        new_plans = [k for k in LAST_STREAM_PLANS if k not in seen]
+        new_plans = [
+            k for k, v in LAST_STREAM_PLANS.items() if seen.get(k) != v
+        ]
         for sink in sorted(new_plans):
             parts += [
                 f"micro-batch plan of sink `{sink}`:",
