@@ -256,7 +256,9 @@ EXPECTED = {
     "rel_excess_suppliers": 2.2,
     "events_robust_outliers": 2.6,
     "text_dataset_card": 1.3,
-    "graph_ktruss": 16.0,
+    # re-measured r8 after the one-count-per-round + fixpoint-support
+    # reuse change (was 16.0 before it)
+    "graph_ktruss": 11.2,
     "events_kmv_users": 1.0,
     "rel_nullsafe_join": 0.8,
     "text_tokenizer_fertility": 0.9,
@@ -264,6 +266,11 @@ EXPECTED = {
     "graph_structural_similarity": 3.5,
     "events_time_to_convert": 3.0,
     "graph_scan_clusters": 16.0,
+    # round-8 additions (measured 2026-08-15, in-suite warm values)
+    "bigclam_gradient_long_k256": 6.8,
+    "sim_ivf_index_upsert": 3.8,
+    "text_bpe_merge_step": 1.0,
+    "events_quantile_sketch": 1.1,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
@@ -380,6 +387,11 @@ def main() -> None:
     # The full per-query map is therefore ALSO written to
     # BENCH_local.json at the repo root and committed at round close —
     # the durable record the round-over-round comparisons read.
+    # BENCH_QUERIES-filtered runs skip the write: a one-query probe
+    # must not clobber the full-suite artifact.
+    if extra:
+        spark.stop()
+        return
     try:
         out = Path(__file__).resolve().parent / "BENCH_local.json"
         out.write_text(json.dumps(payload, indent=1) + "\n")
