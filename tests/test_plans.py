@@ -485,3 +485,20 @@ def test_partitioned_roundtrip_prunes(spark):
     assert all("PartitionFilters: [" in ln and "source" in ln.split(
         "PartitionFilters"
     )[1][:120] for ln in scan), scan
+
+
+def test_ivf_upsert_serving_prunes_cells(spark):
+    """The UPSERTED index (base build + frozen-centroid delta append)
+    must serve with the same dynamic-partition-pruning property as
+    the freshly built one: appended files land inside the cell=...
+    directory layout, so the probe list still prunes the scan to the
+    probed cells — incremental maintenance must not cost the serving
+    path its O(nprobe/n_cells) read."""
+    plan = _plan(spark, "sim_ivf_index_upsert")
+    assert "dynamicpruning" in plan
+    cells_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "/cells" in ln
+    ]
+    assert cells_scans and all(
+        "dynamicpruning" in ln for ln in cells_scans
+    ), cells_scans
