@@ -1165,3 +1165,57 @@ def scan_clusters(
         F.coalesce("cluster", F.col("id")).alias("cluster"),
         "n_eps_nbrs",
     )
+
+
+def louvain_one_move(wedges: DataFrame) -> DataFrame:
+    """One synchronous Louvain phase-1 sweep from singletons →
+    ``(id, label, best_gain)`` over a weighted symmetric edge set
+    ``(src, dst, support)``: every node evaluates moving into each
+    neighbor's (still-singleton) community and takes the best
+    positive modularity gain, all decisions made against the ORIGINAL
+    partition (Blondel et al. 2008, the greedy move that drives
+    phase 1; full Louvain iterates this kernel + community
+    aggregation in a driver loop — same one-iteration-oracle strategy
+    as ``kmeans_iteration`` and BigCLAM's ``one_iteration``).
+
+    Exactness: for isolated-node i joining {j}, ΔQ ∝ 2m·w_ij −
+    k_i·k_j (both sides integer — weighted degrees and the total
+    volume are exact sums of supports), so the argmax and the
+    move/stay decision are bit-stable on any engine; ties break to
+    the smallest neighbor id. ``best_gain`` is the winning
+    numerator (≤ 0 means the node stays put — also reported, so the
+    oracle checks the decision boundary, not just the winners).
+
+    Scale shape: one weighted-degree agg, one edge join against it
+    (both sides partitioned by the vertex key), a broadcast 1-row
+    total, and a ``max_by`` hash agg — no window over the edge
+    relation, no collect."""
+    wdeg = wedges.groupBy("src").agg(F.sum("support").alias("k"))
+    twom = wdeg.agg(F.sum("k").alias("two_m"))
+    ki = wdeg.select(F.col("src"), F.col("k").alias("ki"))
+    kj = wdeg.select(F.col("src").alias("dst"), F.col("k").alias("kj"))
+    scored = (
+        wedges.join(ki, "src")
+        .join(kj, "dst")
+        .crossJoin(F.broadcast(twom))
+        .select(
+            "src",
+            "dst",
+            (
+                F.col("two_m") * F.col("support") - F.col("ki") * F.col("kj")
+            ).alias("gain"),
+        )
+    )
+    best = scored.groupBy("src").agg(
+        F.max_by(
+            F.struct("dst", "gain"),
+            F.struct(F.col("gain"), (-F.col("dst")).alias("_t")),
+        ).alias("b")
+    )
+    return best.select(
+        F.col("src").alias("id"),
+        F.when(F.col("b.gain") > 0, F.col("b.dst"))
+        .otherwise(F.col("src"))
+        .alias("label"),
+        F.col("b.gain").cast("long").alias("best_gain"),
+    )

@@ -171,6 +171,16 @@ def q_pagerank_weighted(spark, sf_dir):
     return G.pagerank_weighted(weighted_copurchase_edges(spark, sf_dir, 2), n_iter=5)
 
 
+def q_louvain_move(spark, sf_dir):
+    """Louvain phase-1 first sweep over the weighted co-purchase
+    graph (one synchronous modularity-gain move from singletons —
+    the greedy kernel full Louvain iterates; exact-integer gain
+    numerators, deterministic ties)."""
+    from bigclam_apachespark_spark.sources import weighted_copurchase_edges
+
+    return G.louvain_one_move(weighted_copurchase_edges(spark, sf_dir, 2))
+
+
 def q_pagerank_personalized(spark, sf_dir):
     """Personalized PageRank: teleport mass on the id%97 seed cohort
     (a stable, hash-free ~1% sample of vertices)."""
@@ -386,6 +396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_personalized": q_pagerank_personalized,
     "graph_components": q_components,
     "graph_pagerank_weighted": q_pagerank_weighted,
+    "graph_louvain_move": q_louvain_move,
     "graph_kcore": q_kcore,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
@@ -829,6 +840,38 @@ ORACLE: dict[str, str] = {
         SELECT u AS id, MIN(r) AS component FROM reach GROUP BY u
     """,
     "graph_pagerank_weighted": f"WITH {_WEDGES_SQL},\n{_pagerank_weighted_sql(5)}",
+    # Louvain phase-1 first sweep: ΔQ for isolated i joining {j} has
+    # sign(2m·w_ij − k_i·k_j) — all-integer numerators (wdeg/total
+    # cast back to BIGINT: DuckDB SUM promotes to HUGEINT), argmax
+    # ties to the smallest neighbor, stay-put decisions (gain ≤ 0)
+    # reported too so the decision boundary itself is hash-checked.
+    "graph_louvain_move": f"""
+        WITH {_WEDGES_SQL},
+        wdeg AS (
+          SELECT src AS id, CAST(SUM(support) AS BIGINT) AS k
+          FROM wedges GROUP BY src
+        ),
+        tm AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM wdeg),
+        scored AS (
+          SELECT w.src, w.dst, t.two_m * w.support - a.k * b.k AS gain
+          FROM wedges w
+          JOIN wdeg a ON a.id = w.src
+          JOIN wdeg b ON b.id = w.dst
+          CROSS JOIN tm t
+        ),
+        best AS (
+          SELECT src, dst, gain FROM (
+            SELECT src, dst, gain,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY gain DESC, dst) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT src AS id,
+               CASE WHEN gain > 0 THEN dst ELSE src END AS label,
+               CAST(gain AS BIGINT) AS best_gain
+        FROM best
+    """,
     "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",

@@ -559,3 +559,20 @@ def test_scan_clusters_g1_cores_and_hub_exclusion(spark, g1_edges):
     got = {r.id: r.cluster for r in
            scan_clusters(symmetrize(g1_edges), eps=0.9, mu=2).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 7: 5}
+
+
+def test_louvain_one_move_hand_computed(spark):
+    """Weighted path fixture, gains by hand (2m·w_ij − k_i·k_j):
+    edges (1,2,w=3), (1,3,w=1), (3,4,w=1) → degrees k=(4,3,2,1),
+    2m=10. Node 1: →2 gain 30−12=18, →3 gain 10−8=2 → joins 2.
+    Node 2: →1 gain 18. Node 3: →1 gain 2, →4 gain 10−2=8 → joins 4.
+    Node 4: →3 gain 8."""
+    from bigclam_apachespark_spark.operators.graph import louvain_one_move
+
+    und = [(1, 2, 3), (1, 3, 1), (3, 4, 1)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    wedges = spark.createDataFrame(rows, "src long, dst long, support long")
+    got = {
+        r.id: (r.label, r.best_gain) for r in louvain_one_move(wedges).collect()
+    }
+    assert got == {1: (2, 18), 2: (1, 18), 3: (4, 8), 4: (3, 8)}
