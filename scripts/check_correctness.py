@@ -110,7 +110,18 @@ def main() -> None:
         print(f"{name}: {'OK' if ok else 'FAIL'} ({entry['sec']}s)", flush=True)
 
     out = Path(__file__).resolve().parent.parent / "CORRECTNESS_local.json"
-    out.write_text(json.dumps(report, indent=1))
+    # A name-filtered run MERGES into the existing report: a one-query
+    # probe must not clobber the full-sweep record (same guard as
+    # bench.py's BENCH_local.json).
+    if len(sys.argv) > 2 and out.exists():
+        try:
+            merged = json.loads(out.read_text())
+        except Exception:
+            merged = {}
+        merged.update(report)
+        out.write_text(json.dumps(merged, indent=1))
+    else:
+        out.write_text(json.dumps(report, indent=1))
     bad = [n for n, e in report.items()
            if e.get("err") not in (None, "no_oracle") or e.get("hash_match") is False
            or e.get("rows_match") is False or e.get("schema_match") is False
