@@ -155,6 +155,7 @@ HEADLINE = [
     "sim_ivf_index_upsert",
     "text_bpe_merge_step",
     "events_quantile_sketch",
+    "graph_louvain_move",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -271,6 +272,7 @@ EXPECTED = {
     "sim_ivf_index_upsert": 3.8,
     "text_bpe_merge_step": 1.0,
     "events_quantile_sketch": 1.1,
+    "graph_louvain_move": 5.2,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
