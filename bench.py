@@ -156,6 +156,7 @@ HEADLINE = [
     "text_bpe_merge_step",
     "events_quantile_sketch",
     "graph_louvain_move",
+    "graph_louvain_coarsen",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -273,6 +274,7 @@ EXPECTED = {
     "text_bpe_merge_step": 1.0,
     "events_quantile_sketch": 1.1,
     "graph_louvain_move": 5.2,
+    "graph_louvain_coarsen": 7.3,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -1219,3 +1219,29 @@ def louvain_one_move(wedges: DataFrame) -> DataFrame:
         .alias("label"),
         F.col("b.gain").cast("long").alias("best_gain"),
     )
+
+
+def community_coarsen(wedges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Louvain phase-2 community aggregation → the coarsened weighted
+    graph ``(src, dst, support)`` over community labels: every edge's
+    endpoints map to their communities and parallel edges merge by
+    weight sum (Blondel et al. 2008 §2 — "a new network whose nodes
+    are the communities"). Self-loops (src = dst) are KEPT: they
+    carry the intra-community weight the next phase-1 sweep's gains
+    need. Full Louvain = driver loop alternating ``louvain_one_move``
+    (phase 1) and this operator (phase 2) until modularity stalls —
+    both kernels are oracle-checked, the loop is the only
+    driver-side part (same split as BigCLAM's fit).
+
+    Scale shape: two vertex-keyed label joins onto the edge list
+    (the same shuffle shape as ``modularity``'s tagging) and one
+    hash agg with map-side combine; output is |community-pair|-sized
+    — each level shrinks the graph, which is why Louvain scales."""
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("_ls"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("_ld"))
+    return (
+        wedges.join(la, "src")
+        .join(lb, "dst")
+        .groupBy(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+        .agg(F.sum("support").alias("support"))
+    )

@@ -181,6 +181,23 @@ def q_louvain_move(spark, sf_dir):
     return G.louvain_one_move(weighted_copurchase_edges(spark, sf_dir, 2))
 
 
+def q_louvain_coarsen(spark, sf_dir):
+    """Louvain phase 2 composed on phase 1: the weighted co-purchase
+    graph coarsened by the first sweep's labels — the level-1
+    super-graph (self-loops carry intra-community weight). Checks the
+    phase-1 → phase-2 composition end to end. ``wedges`` is cached
+    with a release handle: the move consumes it from three subtrees
+    and the coarsen join from two more — uncached, the lineitem →
+    basket → pair derivation re-executes per consumer."""
+    from bigclam_apachespark_spark.sources import weighted_copurchase_edges
+
+    wedges = weighted_copurchase_edges(spark, sf_dir, 2).cache()
+    labels = G.louvain_one_move(wedges).select("id", "label")
+    out = G.community_coarsen(wedges, labels)
+    out._cache_handles = [wedges]
+    return out
+
+
 def q_pagerank_personalized(spark, sf_dir):
     """Personalized PageRank: teleport mass on the id%97 seed cohort
     (a stable, hash-free ~1% sample of vertices)."""
@@ -397,6 +414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_components": q_components,
     "graph_pagerank_weighted": q_pagerank_weighted,
     "graph_louvain_move": q_louvain_move,
+    "graph_louvain_coarsen": q_louvain_coarsen,
     "graph_kcore": q_kcore,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
@@ -871,6 +889,40 @@ ORACLE: dict[str, str] = {
                CASE WHEN gain > 0 THEN dst ELSE src END AS label,
                CAST(gain AS BIGINT) AS best_gain
         FROM best
+    """,
+    # Louvain phase 2 on phase 1's labels: endpoints map to their
+    # communities, parallel edges merge by weight sum, self-loops
+    # kept (intra-community weight for the next level's gains).
+    "graph_louvain_coarsen": f"""
+        WITH {_WEDGES_SQL},
+        wdeg AS (
+          SELECT src AS id, CAST(SUM(support) AS BIGINT) AS k
+          FROM wedges GROUP BY src
+        ),
+        tm AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM wdeg),
+        scored AS (
+          SELECT w.src, w.dst, t.two_m * w.support - a.k * b.k AS gain
+          FROM wedges w
+          JOIN wdeg a ON a.id = w.src
+          JOIN wdeg b ON b.id = w.dst
+          CROSS JOIN tm t
+        ),
+        lbl AS (
+          SELECT src AS id,
+                 CASE WHEN gain > 0 THEN dst ELSE src END AS label
+          FROM (
+            SELECT src, dst, gain,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY gain DESC, dst) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT la.label AS src, lb.label AS dst,
+               CAST(SUM(w.support) AS BIGINT) AS support
+        FROM wedges w
+        JOIN lbl la ON la.id = w.src
+        JOIN lbl lb ON lb.id = w.dst
+        GROUP BY 1, 2
     """,
     "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",

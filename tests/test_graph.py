@@ -576,3 +576,27 @@ def test_louvain_one_move_hand_computed(spark):
         r.id: (r.label, r.best_gain) for r in louvain_one_move(wedges).collect()
     }
     assert got == {1: (2, 18), 2: (1, 18), 3: (4, 8), 4: (3, 8)}
+
+
+def test_community_coarsen_hand_computed(spark):
+    """Phase-2 aggregation on the phase-1 fixture labels (1→2, 2→1,
+    3→4, 4→3 — the synchronous-sweep pair swap): every directed edge
+    maps endpoints to labels and parallel edges merge by weight."""
+    from bigclam_apachespark_spark.operators.graph import (
+        community_coarsen,
+        louvain_one_move,
+    )
+
+    und = [(1, 2, 3), (1, 3, 1), (3, 4, 1)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    wedges = spark.createDataFrame(rows, "src long, dst long, support long")
+    labels = louvain_one_move(wedges).select("id", "label")
+    got = {
+        (r.src, r.dst): r.support
+        for r in community_coarsen(wedges, labels).collect()
+    }
+    assert got == {
+        (2, 1): 3, (1, 2): 3,
+        (2, 4): 1, (4, 2): 1,
+        (4, 3): 1, (3, 4): 1,
+    }
