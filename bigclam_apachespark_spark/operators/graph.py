@@ -1167,7 +1167,7 @@ def scan_clusters(
     )
 
 
-def louvain_one_move(wedges: DataFrame) -> DataFrame:
+def louvain_one_move(wedges: DataFrame, downhill_only: bool = False) -> DataFrame:
     """One synchronous Louvain phase-1 sweep from singletons →
     ``(id, label, best_gain)`` over a weighted symmetric edge set
     ``(src, dst, support)``: every node evaluates moving into each
@@ -1185,24 +1185,58 @@ def louvain_one_move(wedges: DataFrame) -> DataFrame:
     the smallest neighbor id. ``best_gain`` is the winning
     numerator (≤ 0 means the node stays put — also reported, so the
     oracle checks the decision boundary, not just the winners).
+    The cross-multiplies are computed in decimal(38,0) (mirrored as
+    HUGEINT in the DuckDB oracle): at the 100-TB scale the docstring
+    targets, 2m × w_ij can exceed int64 and the ANSI pin would abort
+    an int64 product — same upgrade as the relational money folds.
+    Only the REPORTED diagnostic ``best_gain`` is cast back to long
+    (the decision itself is overflow-proof; the report requires
+    |gain| < 2^63, which holds through every tested scale).
+
+    Self-loops (src = dst — present on every Louvain level ≥ 2, where
+    they carry intra-community weight from ``community_coarsen``) are
+    counted in the weighted degrees and 2m but EXCLUDED from the
+    candidate set: "move into your own community" is not a move, and
+    scoring it with the singleton-gain formula would mask genuinely
+    positive moves whenever 2m·w_cc − k_c² dominates. A node whose
+    only edges are self-loops has no candidate and stays put with
+    reported gain 0.
+
+    ``downhill_only=True`` restricts the candidate set to neighbors
+    with SMALLER id — the deterministic symmetry-breaking the COMPOSED
+    loop needs: under pure synchronous semantics a mutual-best pair
+    (a < b, each other's best move) SWAPS labels instead of merging —
+    community "b" = {a}, community "a" = {b}, an isomorphic relabeling
+    that oscillates forever and never merges the pair. Downhill
+    acceptance breaks the tie by id: a stays (no smaller profitable
+    neighbor), b joins a — merged. Rejected uphill merges are
+    recovered at later levels once the coarsened ids re-rank (the
+    standard half-sweep variant in distributed Louvain). The default
+    (False) is the unrestricted single-sweep kernel the
+    ``graph_louvain_move`` oracle pins.
 
     Scale shape: one weighted-degree agg, one edge join against it
     (both sides partitioned by the vertex key), a broadcast 1-row
     total, and a ``max_by`` hash agg — no window over the edge
     relation, no collect."""
     wdeg = wedges.groupBy("src").agg(F.sum("support").alias("k"))
-    twom = wdeg.agg(F.sum("k").alias("two_m"))
+    twom = wdeg.agg(F.sum("k").cast("decimal(19,0)").alias("two_m"))
     ki = wdeg.select(F.col("src"), F.col("k").alias("ki"))
     kj = wdeg.select(F.col("src").alias("dst"), F.col("k").alias("kj"))
+    cand = wedges.where(F.col("src") != F.col("dst"))
+    if downhill_only:
+        cand = cand.where(F.col("dst") < F.col("src"))
     scored = (
-        wedges.join(ki, "src")
+        cand.join(ki, "src")
         .join(kj, "dst")
         .crossJoin(F.broadcast(twom))
         .select(
             "src",
             "dst",
             (
-                F.col("two_m") * F.col("support") - F.col("ki") * F.col("kj")
+                F.col("two_m") * F.col("support").cast("decimal(19,0)")
+                - F.col("ki").cast("decimal(19,0)")
+                * F.col("kj").cast("decimal(19,0)")
             ).alias("gain"),
         )
     )
@@ -1212,12 +1246,18 @@ def louvain_one_move(wedges: DataFrame) -> DataFrame:
             F.struct(F.col("gain"), (-F.col("dst")).alias("_t")),
         ).alias("b")
     )
-    return best.select(
-        F.col("src").alias("id"),
-        F.when(F.col("b.gain") > 0, F.col("b.dst"))
-        .otherwise(F.col("src"))
-        .alias("label"),
-        F.col("b.gain").cast("long").alias("best_gain"),
+    return (
+        wdeg.select("src")
+        .join(best, "src", "left")
+        .select(
+            F.col("src").alias("id"),
+            F.when(F.col("b.gain") > 0, F.col("b.dst"))
+            .otherwise(F.col("src"))
+            .alias("label"),
+            F.coalesce(F.col("b.gain").cast("long"), F.lit(0)).alias(
+                "best_gain"
+            ),
+        )
     )
 
 
@@ -1245,3 +1285,156 @@ def community_coarsen(wedges: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
         .agg(F.sum("support").alias("support"))
     )
+
+
+def louvain_two_levels(wedges: DataFrame) -> DataFrame:
+    """Unrolled two-level Louvain → node-level final labels
+    ``(id, label, level2_gain)``: phase-1 sweep from singletons
+    (``louvain_one_move``) → phase-2 coarsening (``community_coarsen``)
+    → phase-1 sweep ON THE COARSENED GRAPH, with every node mapped
+    through to its level-2 community. This is the composed-fixture
+    counterpart of the two oracle-checked kernels — the same
+    kernel-oracle + unrolled-composition strategy as BigCLAM's
+    ``bigclam_two_iterations`` and k-means' ``sim_kmeans_refined``:
+    the full ``louvain_fit`` driver loop is this chain iterated.
+
+    ``level2_gain`` is the level-2 move's winning numerator for the
+    node's level-1 community (shared by all its members) — reported so
+    the oracle hash-checks the second sweep's decision boundary, not
+    just the final partition. The level-2 sweep exercises the
+    self-loop-bearing input path: coarsened communities carry their
+    intra-community weight as self-loops, which count toward degrees
+    and 2m but are excluded from candidate moves (see
+    ``louvain_one_move``).
+
+    Both sweeps run ``downhill_only`` (see ``louvain_one_move``): the
+    composition is the fit loop's exact per-level step, so it uses the
+    fit loop's merge-correct acceptance rule — the unrestricted kernel
+    stays separately oracle-pinned as ``graph_louvain_move``.
+
+    Scale shape: level 1 is the move kernel's shape on |E|; the
+    coarsened graph is |community-pair|-sized (strictly smaller), so
+    level 2 and the final label join are cheaper than level 1 — the
+    shrinking-graph property that makes Louvain tractable at 100 TB.
+    The membership join keys on the level-1 label (vertex-keyed
+    shuffle); no window, no collect."""
+    l1 = louvain_one_move(wedges, downhill_only=True).select("id", "label")
+    coarse = community_coarsen(wedges, l1)
+    l2 = louvain_one_move(coarse, downhill_only=True).select(
+        F.col("id").alias("label"),
+        F.col("label").alias("_l2"),
+        F.col("best_gain").alias("level2_gain"),
+    )
+    return l1.join(l2, "label").select(
+        "id", F.col("_l2").alias("label"), "level2_gain"
+    )
+
+
+def louvain_fit(
+    wedges: DataFrame,
+    max_levels: int = 20,
+    score_edges: DataFrame | None = None,
+    tol: float = 1e-6,
+    verbose: bool = False,
+) -> tuple[DataFrame, int]:
+    """Full Louvain (Blondel et al. 2008): alternate the synchronous
+    downhill phase-1 sweep from singletons (``louvain_one_move(
+    downhill_only=True)`` — the merge-correct acceptance rule, see the
+    kernel docstring) with phase-2 coarsening until a level moves no
+    node (or ``max_levels``); returns ``(labels, n_levels)`` with
+    node-level final ``(id, label)``. The loop is the only driver-side
+    part — the same kernel/loop split as ``bigclam_fit`` (SURVEY
+    §2.F5): per-level state is localCheckpointed (``checkpoint_fresh``
+    — lineage and stats reset, the iterative-loop enabler) and
+    superseded generations are unpersisted AFTER their consumers are
+    eagerly materialized.
+
+    Determinism: both kernels are exact-integer with deterministic
+    ties, so the level count and final partition are engine-stable;
+    the smoke scores the result with the shared ``modularity`` kernel
+    for apples-to-apples comparison with the LPA and BigCLAM quality
+    rows. Termination is structural — a level with ≥1 downhill move
+    strictly shrinks the coarsened node count (a label map with
+    label ≤ id and ≥1 strict decrease cannot be a permutation), so a
+    no-move level is a fixpoint and levels are bounded by |V|.
+
+    ``score_edges`` (the UNWEIGHTED symmetric edge list Q is defined
+    on) switches on the modularity-plateau stop the reference-quality
+    rows use: after each level the cumulative partition is scored by
+    the shared ``modularity`` kernel and the loop stops once a level
+    improves Q by < ``tol``, returning the best-scoring labels — one
+    extra |E|-shaped agg job per level, driver traffic one row.
+    Without it the loop runs to the structural fixpoint.
+
+    Scale shape per level: one move (degree agg + edge join + max_by)
+    + one coarsen (two label joins + hash agg) on a graph that shrinks
+    every level; the cumulative membership map stays |V|-sized and its
+    update is one vertex-keyed join. Driver traffic per level is one
+    scalar count."""
+    from bigclam_apachespark_spark.operators.bigclam import (
+        _unpersist_ckpt,
+        checkpoint_fresh,
+    )
+
+    g = checkpoint_fresh(wedges)
+    labels: DataFrame | None = None
+    best_labels: DataFrame | None = None
+    q_best = float("-inf")
+    best_level = 0
+    levels_done = 0
+    for lvl in range(1, max_levels + 1):
+        mv = checkpoint_fresh(
+            louvain_one_move(g, downhill_only=True).select("id", "label")
+        )
+        n_moved = mv.where(F.col("id") != F.col("label")).count()
+        if n_moved == 0:
+            _unpersist_ckpt(mv)
+            break
+        levels_done = lvl
+        # Coarsen BEFORE releasing mv/g: checkpoint_fresh is eager, so
+        # once the next generation is materialized the parents' blocks
+        # can go (unpersisting a localCheckpoint severs recompute).
+        next_g = checkpoint_fresh(community_coarsen(g, mv))
+        if labels is None:
+            new_labels = mv  # level 1: node ids ARE g's ids
+        else:
+            new_labels = checkpoint_fresh(
+                labels.join(
+                    mv.select(
+                        F.col("id").alias("label"), F.col("label").alias("_nl")
+                    ),
+                    "label",
+                ).select("id", F.col("_nl").alias("label"))
+            )
+            if labels is not best_labels:
+                _unpersist_ckpt(labels)
+            _unpersist_ckpt(mv)
+        _unpersist_ckpt(g)
+        g, labels = next_g, new_labels
+        if score_edges is not None:
+            q = modularity(
+                score_edges, labels.select("id", F.col("label").alias("lbl"))
+            ).collect()[0]["q"]
+            if verbose:
+                print(
+                    f"[louvain_fit] level={lvl} moved={n_moved} q={q}",
+                    flush=True,
+                )
+            if q > q_best + tol:
+                if best_labels is not None and best_labels is not labels:
+                    _unpersist_ckpt(best_labels)
+                q_best, best_labels, best_level = q, labels, lvl
+            else:  # plateau: this level didn't improve Q by tol
+                break
+        elif verbose:
+            print(f"[louvain_fit] level={lvl} moved={n_moved}", flush=True)
+    _unpersist_ckpt(g)
+    if score_edges is not None and best_labels is not None:
+        if labels is not None and labels is not best_labels:
+            _unpersist_ckpt(labels)
+        return best_labels, best_level
+    if labels is None:
+        labels = wedges.select(F.col("src").alias("id")).distinct().select(
+            "id", F.col("id").alias("label")
+        )
+    return labels, levels_done

@@ -4,17 +4,26 @@ driver's CORRECTNESS_r*.json files.
 Rotation policy (VERDICT r3 "Next round" #1-#2): the driver's gate
 samples only the FIRST ~50 entries of ``queries()``, so registration
 order decides which queries get a driver-recorded correctness row
-each round. To guarantee no oracle query goes more than two rounds
-unverified, ``registry.py`` orders the dict least-recently-verified
+each round. ``registry.py`` orders the dict least-recently-verified
 first:
 
     sort key = (is_rows_only_smoke, effective_round, front_rank)
 
-where ``effective_round`` is the last hash-green round for
-driver-green queries, and ``introduction_round - (cycle - 1)`` for
+THE CONTRACT (stated to match the arithmetic, VERDICT r8 ask #5): a
+full sweep of the registry takes ceil(|ORACLE| / 50) driver rounds
+and the worst-case staleness is one round less — both DERIVED from
+the registry size in ``registry._STALENESS_LIMIT``, not pinned to a
+constant the registry can outgrow. At 230-250 oracle queries that is
+a ~5-round cycle / 4-round worst-case staleness; every query's
+between-rounds coverage comes from the builder's two-scale
+round-close sweep, and the driver rows are the rolling independent
+confirmation.
+
+``effective_round`` is the last hash-green round for driver-green
+queries, and ``introduction_round - staleness_limit`` for
 never-driver-green ones — a never-verified query enters the window as
-if it were already at the staleness limit (worst-case 3 rounds with
-the 4-round cycle), so it interleaves with genuinely stale cohorts
+if it were already at the staleness limit, so it interleaves with
+genuinely stale cohorts
 instead of pre-empting them wholesale (the r7 starvation failure:
 defaulting unseen queries to 0 let 50 brand-new queries consume the
 whole window while the r4 cohort went 3 rounds unverified).
@@ -88,30 +97,30 @@ def main() -> None:
     OUT.write_text("\n".join(lines))
     print(f"wrote {OUT} ({len(last_green)} hash-green queries)")
 
-    # Staleness-guarantee guard: with a ~50-query driver window the
-    # rotation cycle is ceil(registry / 50) rounds; the README's
-    # "no query >2 rounds unverified" claim needs cycle <= 3, i.e.
-    # <= 150 oracle-bearing queries. Warn loudly when growth breaks
-    # the invariant so the claim (or the window) gets updated, not
-    # silently outgrown.
+    # Report the DERIVED rotation contract (module docstring): cycle =
+    # ceil(|ORACLE| / 50), worst-case staleness = cycle - 1, with
+    # registry._STALENESS_LIMIT computed from the same arithmetic so
+    # the stated invariant can never silently lag registry growth.
     try:
         import sys
 
         sys.path.insert(0, str(ROOT))
-        from bigclam_apachespark_spark.registry import ORACLE
+        from bigclam_apachespark_spark.registry import (
+            ORACLE,
+            _STALENESS_LIMIT,
+        )
 
         n = len(ORACLE)
         cycle = -(-n // 50)
-        if cycle > 4:
+        print(
+            f"rotation contract: {n} oracle queries -> cycle {cycle} "
+            f"rounds, worst-case staleness {cycle - 1} rounds "
+            f"(registry._STALENESS_LIMIT = {_STALENESS_LIMIT})"
+        )
+        if _STALENESS_LIMIT != cycle - 1:
             print(
-                f"WARNING: {n} oracle-bearing queries -> rotation cycle "
-                f"{cycle} rounds; worst-case staleness is now {cycle - 1} "
-                "rounds. Update the README claim or trim/merge queries."
-            )
-        else:
-            print(
-                f"rotation cycle: {cycle} rounds over {n} oracle queries "
-                f"(README documents cycle 4 / worst-case staleness 3)"
+                "WARNING: registry._STALENESS_LIMIT disagrees with the "
+                "derived cycle — the computation in registry.py changed."
             )
     except Exception as ex:  # registry import needs pyspark; best-effort
         print(f"(cycle check skipped: {ex})")

@@ -600,3 +600,93 @@ def test_community_coarsen_hand_computed(spark):
         (2, 4): 1, (4, 2): 1,
         (4, 3): 1, (3, 4): 1,
     }
+
+
+def test_louvain_one_move_downhill_merges_swap_pair(spark):
+    """downhill_only=True is the composed loop's symmetry breaking: on
+    the hand fixture the unrestricted sweep SWAPS the mutual-best pair
+    (1↔2) — downhill acceptance makes 2 join 1 while 1 stays (no
+    smaller profitable neighbor), i.e. the pair actually merges.
+    Gains from the same hand table as the unrestricted test."""
+    from bigclam_apachespark_spark.operators.graph import louvain_one_move
+
+    und = [(1, 2, 3), (1, 3, 1), (3, 4, 1)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    wedges = spark.createDataFrame(rows, "src long, dst long, support long")
+    got = {
+        r.id: (r.label, r.best_gain)
+        for r in louvain_one_move(wedges, downhill_only=True).collect()
+    }
+    # 1: no downhill candidate → stays, reported gain 0;
+    # 2: →1 gain 18; 3: →1 gain 2 (4 is uphill); 4: →3 gain 8.
+    assert got == {1: (1, 0), 2: (1, 18), 3: (1, 2), 4: (3, 8)}
+
+
+def test_louvain_one_move_selfloop_not_a_candidate(spark):
+    """Coarsened-graph input: self-loops feed degrees and 2m but are
+    NOT candidate moves, and a node whose only edges are self-loops
+    stays put via the left-join re-attach (reported gain 0).
+    Fixture: (1,1,w=4) isolated-with-self-loop; (2,3,w=1) pair.
+    Degrees k=(4,1,1), 2m=6. Node 2 → 3: gain 6·1−1·1=5 (swap with 3
+    under the unrestricted sweep — fine, single kernel call)."""
+    from bigclam_apachespark_spark.operators.graph import louvain_one_move
+
+    rows = [(1, 1, 4), (2, 3, 1), (3, 2, 1)]
+    wedges = spark.createDataFrame(rows, "src long, dst long, support long")
+    got = {
+        r.id: (r.label, r.best_gain)
+        for r in louvain_one_move(wedges).collect()
+    }
+    assert got == {1: (1, 0), 2: (3, 5), 3: (2, 5)}
+
+
+def test_louvain_two_levels_hand_computed(spark, g1_edges):
+    """G1 (two 4-cliques + bridge 3-4), every gain by hand. Level-1
+    downhill sweep: 1,2,3→0; 4→3; 5→4; 6,7→5 (2m=26, clique-internal
+    gain 26−9=17, node3's nbrs score 26−12=14, node4→3 26−16=10).
+    Coarsened: 0:{0,1,2,3}, 3:{4}, 4:{5}, 5:{6,7}; level-2 downhill:
+    4→3 (gain 26·1−3·4=14), 5→4 (gain 26·2−6·3=34), 3 stays (bridge
+    gain 26−4·13=−26 ≤ 0). Final: clique 1 = community 0; clique 2
+    collapses to {4,5} and {6,7} tagged by their level-2 targets."""
+    from bigclam_apachespark_spark.operators.graph import (
+        louvain_two_levels,
+        symmetrize,
+    )
+
+    wedges = symmetrize(g1_edges).selectExpr(
+        "src", "dst", "CAST(1 AS LONG) AS support"
+    )
+    got = {
+        r.id: (r.label, r.level2_gain)
+        for r in louvain_two_levels(wedges).collect()
+    }
+    assert got == {
+        0: (0, 0), 1: (0, 0), 2: (0, 0), 3: (0, 0),
+        4: (3, -26), 5: (3, 14), 6: (4, 34), 7: (4, 34),
+    }
+
+
+def test_louvain_fit_recovers_cliques_at_modularity_peak(spark, g1_edges):
+    """Full Louvain on G1 with the modularity-plateau stop recovers
+    the ground-truth two-clique partition at level 3:
+    Q = 12/13 − 2·13²/(4·13²) = 0.423077 (the maximum for G1), after
+    level-1 Q=0.198225 and level-2 Q=0.239645 — monotone ascent, then
+    the structural fixpoint ends the loop."""
+    from bigclam_apachespark_spark.operators.graph import (
+        louvain_fit,
+        modularity,
+        symmetrize,
+    )
+    from pyspark.sql import functions as F
+
+    sym = symmetrize(g1_edges)
+    wedges = sym.selectExpr("src", "dst", "CAST(1 AS LONG) AS support")
+    labels, n_levels = louvain_fit(wedges, max_levels=10, score_edges=sym)
+    assert n_levels == 3
+    part = {r.id: r.label for r in labels.collect()}
+    assert {part[i] for i in (0, 1, 2, 3)} == {0}
+    assert {part[i] for i in (4, 5, 6, 7)} == {3}
+    row = modularity(
+        sym, labels.select("id", F.col("label").alias("lbl"))
+    ).collect()[0]
+    assert (row.n_communities, row.q) == (2, 0.423077)

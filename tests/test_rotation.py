@@ -2,7 +2,8 @@
 #7): ``verification_log.LAST_GREEN`` orders the driver's ~50-query
 sampling window least-recently-verified first, so a log regenerated
 from an OLD round fronts the wrong cohort and queries silently exceed
-the two-round staleness guarantee. This suite fails loudly the moment
+the derived staleness bound (ceil(|ORACLE| / 50) - 1 rounds — see
+scripts/update_verification_log.py). This suite fails loudly the moment
 a new ``CORRECTNESS_r{N}.json`` lands without
 ``scripts/update_verification_log.py`` being re-run. No Spark needed.
 """
@@ -70,11 +71,14 @@ def test_registry_fronts_least_recently_verified():
 
 def test_never_seen_queries_interleave_not_preempt():
     """A never-driver-green query introduced in round N must sort AS IF
-    last verified in round N-3 (the staleness limit) — ahead of fresher
+    last verified in round N - staleness_limit — ahead of fresher
     cohorts but not ahead of cohorts that are older than that. This is
     the anti-starvation fix: r7's window was consumed 50/50 by
     brand-new queries while the r4 cohort went 3 rounds unverified."""
-    from bigclam_apachespark_spark.registry import _effective_round
+    from bigclam_apachespark_spark.registry import (
+        _STALENESS_LIMIT,
+        _effective_round,
+    )
     from bigclam_apachespark_spark.verification_log import (
         INTRODUCED,
         LAST_GREEN,
@@ -85,7 +89,18 @@ def test_never_seen_queries_interleave_not_preempt():
         n for n in INTRODUCED if n not in LAST_GREEN
     ]
     for name in never_seen:
-        assert _effective_round(name) == INTRODUCED[name] - 3
+        assert _effective_round(name) == INTRODUCED[name] - _STALENESS_LIMIT
     # A brand-new query with no driver row at all keys off the newest
     # round on disk, never 0.
-    assert _effective_round("__no_such_query__") == NEWEST_ROUND - 3
+    assert (
+        _effective_round("__no_such_query__") == NEWEST_ROUND - _STALENESS_LIMIT
+    )
+
+
+def test_staleness_limit_tracks_registry_size():
+    """ADVICE r8: the limit must be derived from the oracle-query
+    count (ceil(|ORACLE| / 50) - 1), not a constant that silently lags
+    registry growth."""
+    from bigclam_apachespark_spark.registry import ORACLE, _STALENESS_LIMIT
+
+    assert _STALENESS_LIMIT == max(0, -(-len(ORACLE) // 50) - 1)
