@@ -157,6 +157,9 @@ HEADLINE = [
     "events_quantile_sketch",
     "graph_louvain_move",
     "graph_louvain_coarsen",
+    # round-9 addition: the composed two-level Louvain (move ->
+    # coarsen -> move on the coarsened graph, node-level labels)
+    "graph_louvain_two_levels",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -265,16 +268,25 @@ EXPECTED = {
     "rel_nullsafe_join": 0.8,
     "text_tokenizer_fertility": 0.9,
     "rel_fk_profile": 4.7,
-    "graph_structural_similarity": 3.5,
+    # re-baselined r9 (shared-relation pool, measured 2026-08-15 ×2,
+    # healthy window): structural_similarity now PAYS the persist
+    # materialization of the session-shared |E|^1.5 wedge relation
+    # (3.5 uncached before), and every later consumer reads it warm —
+    # scan_clusters 16.0-stale/23.4-honest → 4.1, louvain_move
+    # 5.2 → 2.9, louvain_coarsen 7.3 → 3.3 (VERDICT r8 asks #3/#6;
+    # suite-level net ≈ −25 s).
+    "graph_structural_similarity": 8.4,
     "events_time_to_convert": 3.0,
-    "graph_scan_clusters": 16.0,
+    "graph_scan_clusters": 4.2,
     # round-8 additions (measured 2026-08-15, in-suite warm values)
     "bigclam_gradient_long_k256": 6.8,
     "sim_ivf_index_upsert": 3.8,
     "text_bpe_merge_step": 1.0,
     "events_quantile_sketch": 1.1,
-    "graph_louvain_move": 5.2,
-    "graph_louvain_coarsen": 7.3,
+    "graph_louvain_move": 2.9,
+    "graph_louvain_coarsen": 3.3,
+    # round-9 addition (measured 2026-08-15 ×2, shared-pool warm)
+    "graph_louvain_two_levels": 3.7,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
@@ -375,6 +387,13 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # Suite teardown: drop the session-shared relations (structural
+    # similarity, weighted wedges) so a longer-lived caller session
+    # doesn't keep them pinned.
+    from bigclam_apachespark_spark.shared import release_all
+
+    release_all()
+
     total = sum(timings.values())
     payload = {
         "metric": "headline_queries_total_wall",
@@ -398,6 +417,39 @@ def main() -> None:
         return
     try:
         out = Path(__file__).resolve().parent / "BENCH_local.json"
+        # Degraded-window clobber guard (VERDICT r8 ask #4): a full
+        # re-run in a throttled host window must not overwrite the
+        # committed healthy round-close references. When THIS run
+        # self-identifies as degraded and a previous artifact exists
+        # at the same sf, merge by per-query MIN — keeping which
+        # queries' values still came from the degraded run — instead
+        # of replacing wholesale. Healthy runs write fresh numbers
+        # (a genuine regression must stay visible, so min-merging is
+        # reserved for runs already known to mismeasure).
+        if degraded and out.exists():
+            try:
+                prev = json.loads(out.read_text())
+            except (OSError, ValueError):
+                prev = {}
+            if prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
+                old = prev["queries"]
+                merged = {
+                    n: min(t, old[n]) if n in old else t
+                    for n, t in timings.items()
+                }
+                payload["queries"] = merged
+                payload["value"] = round(sum(merged.values()), 3)
+                payload["degraded_queries"] = sorted(
+                    n for n, t in timings.items()
+                    if n not in old or t <= old[n]
+                )
+                payload["degraded"] = median_ratio(merged) > DRIFT_MEDIAN_FACTOR
+                print(
+                    "# degraded window: merged per-query mins with the "
+                    f"existing {out.name} ({len(payload['degraded_queries'])} "
+                    "values still from this degraded run)",
+                    file=sys.stderr,
+                )
         out.write_text(json.dumps(payload, indent=1) + "\n")
         print(f"# wrote {out}", file=sys.stderr)
     except OSError as ex:  # read-only checkout etc. — stdout line stands

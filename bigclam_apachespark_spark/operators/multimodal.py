@@ -2,12 +2,16 @@
 video as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` stages.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container — clearly marked below); everything Spark-side is real and
-tested: schemas, batch iteration, partitioning, and the deterministic
-fake feature extractor used by tests to validate the plumbing
-end-to-end. Swapping the stub for PIL/librosa changes ONE function
-body, not the pipeline.
+Decoders for the UNCOMPRESSED/stdlib-decodable formats are REAL (pure
+numpy/stdlib, no external libs): WAV RIFF PCM parsing, PPM (P6), and
+PNG via zlib inflate with all five row filters — each surfacing
+malformed payloads as a row-level ``decode_error`` instead of failing
+the job. Only LOSSY codecs (JPEG/MP3/H.264 …) remain stubbed behind a
+clearly-marked ``NotImplementedError`` (the codec libraries are not in
+this container); swapping that stub for PIL/librosa changes ONE
+function body, not the pipeline. Everything Spark-side — schemas,
+Arrow batch iteration, partitioning, feature extraction — is real and
+tested end-to-end.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so

@@ -986,15 +986,18 @@ def idle_rich_customers(
     cohort = customer.where(
         F.col("c_nationkey").isin(*nation_keys)
     ).select("c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c"))
+    # The FOLD accumulates in decimal too (ADVICE r8): an int64 sum of
+    # cent balances overflows (throwing under ANSI) before the decimal
+    # cross-multiply below ever sees it — decimal end to end is what
+    # makes the comparison overflow-proof rather than ANSI-fail-loud.
     pos = cohort.where(F.col("bal_c") > 0).agg(
-        F.sum("bal_c").alias("_sum"), F.count("*").alias("_n")
+        F.sum(F.col("bal_c").cast("decimal(38,0)")).alias("_sum"),
+        F.count("*").alias("_n"),
     )
     # decimal cross-multiply: bal_cents (int64) × customer count would
-    # approach int64 range at extreme cardinalities — keep the exact
-    # comparison overflow-proof rather than merely ANSI-fail-loud
+    # approach int64 range at extreme cardinalities
     rich = cohort.join(F.broadcast(pos)).where(
-        F.col("bal_c").cast("decimal(38,0)") * F.col("_n")
-        > F.col("_sum").cast("decimal(38,0)")
+        F.col("bal_c").cast("decimal(38,0)") * F.col("_n") > F.col("_sum")
     )
     idle = rich.join(
         orders.select(F.col("o_custkey").alias("c_custkey")),

@@ -651,11 +651,13 @@ def q_fit_long_smoke(spark, sf_dir):
     n_v = G.vertices(sym).count()
     n_e = sym.count() // 2
     delta = B.extraction_threshold(n_v, n_e)
-    return (
+    out = (
         res.factors_long.where(F.col("val") >= delta)
         .groupBy("k")
         .agg(F.count("*").alias("n_members"))
     )
+    out._cache_handles = [sym]  # release discipline (ADVICE r8)
+    return out
 
 
 def q_enron_pipeline(spark, sf_dir):
@@ -710,11 +712,16 @@ def q_fit_long_highk(spark, sf_dir):
     n_v = G.vertices(sym).count()
     n_e = sym.count() // 2
     delta = B.extraction_threshold(n_v, n_e)
-    return (
+    out = (
         res.factors_long.where(F.col("val") >= delta)
         .groupBy("k")
         .agg(F.count("*").alias("n_members"))
     )
+    # ADVICE r8: hand the cached 368k-row sym to the harnesses'
+    # deterministic release loop — without the handle it stayed
+    # pinned for the remainder of a full-registry run.
+    out._cache_handles = [sym]
+    return out
 
 
 def q_model_selection_smoke(spark, sf_dir):
@@ -727,7 +734,9 @@ def q_model_selection_smoke(spark, sf_dir):
         sym, 2, 8, 2, seed=42, tol=1e-3, fit_tol=1e-2, max_iter=3
     )
     rows = [(int(k), float(v), bool(k == chosen)) for k, v in sorted(llh_by_k.items())]
-    return spark.createDataFrame(rows, "k int, llh double, chosen boolean")
+    out = spark.createDataFrame(rows, "k int, llh double, chosen boolean")
+    out._cache_handles = [sym]  # same release discipline as the fits
+    return out
 
 
 def q_gradient_long_k256(spark, sf_dir):

@@ -122,9 +122,23 @@ def main() -> None:
         "one-line caption states the 100-TB property the shape proves.",
         "",
     ]
+    # Streaming SHOWCASE entries drive their bounded replay at build
+    # time; capture the micro-batch plans HERE so the streaming
+    # appendix can reuse them instead of re-running the replay
+    # (ADVICE r8: each replay costs tens of seconds).
+    from bigclam_apachespark_spark.streaming.events_stream import (
+        LAST_STREAM_PLANS,
+    )
+
+    showcase_stream_sinks: dict[str, list[str]] = {}
     for name, caption in SHOWCASE.items():
+        seen = dict(LAST_STREAM_PLANS)
         df = QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        if "stream" in name:
+            showcase_stream_sinks[name] = [
+                k for k, v in LAST_STREAM_PLANS.items() if seen.get(k) != v
+            ]
         parts += [f"## {name}", "", f"*{caption}*", "", "```", tree(plan), "```", ""]
 
     # Complete appendix: the plan skeleton of EVERY other registry
@@ -150,11 +164,9 @@ def main() -> None:
     # and attribute the micro-batch plans the harness captured — each
     # registry query may start several named sinks (e.g. a staging
     # replay plus the scored one); every plan new since the previous
-    # query ran belongs to it.
-    from bigclam_apachespark_spark.streaming.events_stream import (
-        LAST_STREAM_PLANS,
-    )
-
+    # query ran belongs to it. Replays already driven by the SHOWCASE
+    # pass are NOT re-run — their captured plans are attributed from
+    # showcase_stream_sinks (ADVICE r8).
     parts += [
         "# Appendix: streaming micro-batch plans",
         "",
@@ -166,23 +178,26 @@ def main() -> None:
         "",
     ]
     for name in sorted(n for n in QUERIES if "stream" in n):
-        # snapshot VALUES, not just keys: a sink name re-used by an
-        # earlier run (e.g. a SHOWCASE query) re-captures with a fresh
-        # runId/checkpoint path, so a changed value attributes here too
-        seen = dict(LAST_STREAM_PLANS)
-        try:
-            df = QUERIES[name](spark, SF_DIR)
-            df.count()  # drive the replay to completion
-        except Exception as ex:  # pragma: no cover - best-effort dump
-            parts += [f"## {name}", "", f"*replay failed: {ex}*", ""]
-            continue
+        if name in showcase_stream_sinks:
+            new_plans = showcase_stream_sinks[name]
+        else:
+            # snapshot VALUES, not just keys: a sink name re-used by an
+            # earlier run re-captures with a fresh runId/checkpoint
+            # path, so a changed value attributes here too
+            seen = dict(LAST_STREAM_PLANS)
+            try:
+                df = QUERIES[name](spark, SF_DIR)
+                df.count()  # drive the replay to completion
+            except Exception as ex:  # pragma: no cover - best-effort dump
+                parts += [f"## {name}", "", f"*replay failed: {ex}*", ""]
+                continue
+            new_plans = [
+                k for k, v in LAST_STREAM_PLANS.items() if seen.get(k) != v
+            ]
         caption = STREAM_CAPTIONS.get(name, "")
         parts += [f"## {name}", ""]
         if caption:
             parts += [f"*{caption}*", ""]
-        new_plans = [
-            k for k, v in LAST_STREAM_PLANS.items() if seen.get(k) != v
-        ]
         for sink in sorted(new_plans):
             parts += [
                 f"micro-batch plan of sink `{sink}`:",
