@@ -157,9 +157,12 @@ HEADLINE = [
     "events_quantile_sketch",
     "graph_louvain_move",
     "graph_louvain_coarsen",
-    # round-9 addition: the composed two-level Louvain (move ->
-    # coarsen -> move on the coarsened graph, node-level labels)
+    # round-9 additions: the composed two-level Louvain (move ->
+    # coarsen -> move on the coarsened graph, node-level labels) and
+    # the general-partition move (the Sigma_tot gain formula on a
+    # non-singleton partition)
     "graph_louvain_two_levels",
+    "graph_louvain_move_general",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -285,8 +288,9 @@ EXPECTED = {
     "events_quantile_sketch": 1.1,
     "graph_louvain_move": 2.9,
     "graph_louvain_coarsen": 3.3,
-    # round-9 addition (measured 2026-08-15 ×2, shared-pool warm)
+    # round-9 additions (measured 2026-08-15 ×2, shared-pool warm)
     "graph_louvain_two_levels": 3.7,
+    "graph_louvain_move_general": 5.0,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -212,6 +212,23 @@ def q_louvain_two_levels(spark, sf_dir):
     return G.louvain_two_levels(shared_wedges(spark, sf_dir))
 
 
+def q_louvain_move_general(spark, sf_dir):
+    """General-partition Louvain move (VERDICT r8 ask #8): the Σ_tot
+    gain formula evaluated on the level-1 downhill partition of the
+    weighted co-purchase graph — a genuinely non-singleton partition,
+    so the own-community attachment and Σ_tot(D∖{i}) terms are live
+    (on singletons the kernel reduces to ``louvain_one_move``, which
+    tests pin). Completes the kernel family: singleton move, general
+    move, coarsen, each oracle-checked."""
+    from bigclam_apachespark_spark.shared import shared_wedges
+
+    wedges = shared_wedges(spark, sf_dir)
+    labels = G.louvain_one_move(wedges, downhill_only=True).select(
+        "id", "label"
+    )
+    return G.louvain_move_general(wedges, labels)
+
+
 def q_louvain_facebook(spark, sf_dir):
     """Rows-only smoke: FULL Louvain (driver loop of the two
     oracle-checked kernels, downhill acceptance) on the reference's
@@ -460,6 +477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_louvain_move": q_louvain_move,
     "graph_louvain_coarsen": q_louvain_coarsen,
     "graph_louvain_two_levels": q_louvain_two_levels,
+    "graph_louvain_move_general": q_louvain_move_general,
     "graph_louvain_facebook": q_louvain_facebook,
     "graph_kcore": q_kcore,
     "graph_assortativity": q_assortativity,
@@ -718,6 +736,39 @@ wedges AS (
       ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
   ) GROUP BY src, dst HAVING COUNT(*) >= 2
 )"""
+
+
+# Louvain level-1 downhill sweep as a reusable CTE chain (labels in
+# ``l1``): shared by the two-level composition and the general-move
+# oracle so the level-1 semantics cannot fork between them.
+_LOUVAIN_L1_CTES = """wdeg AS (
+          SELECT src AS id, CAST(SUM(support) AS BIGINT) AS k
+          FROM wedges GROUP BY src
+        ),
+        tm AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM wdeg),
+        sc1 AS (
+          SELECT w.src, w.dst,
+                 CAST(t.two_m AS HUGEINT) * w.support
+                   - CAST(a.k AS HUGEINT) * b.k AS gain
+          FROM wedges w
+          JOIN wdeg a ON a.id = w.src
+          JOIN wdeg b ON b.id = w.dst
+          CROSS JOIN tm t
+          WHERE w.dst < w.src
+        ),
+        b1 AS (
+          SELECT src, dst, gain FROM (
+            SELECT src, dst, gain,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY gain DESC, dst) AS rn
+            FROM sc1
+          ) WHERE rn = 1
+        ),
+        l1 AS MATERIALIZED (
+          SELECT d.id,
+                 CASE WHEN b.gain > 0 THEN b.dst ELSE d.id END AS label
+          FROM wdeg d LEFT JOIN b1 b ON b.src = d.id
+        )"""
 
 
 def _pagerank_weighted_sql(n_iter: int = 5, d: float = 0.85) -> str:
@@ -980,34 +1031,7 @@ ORACLE: dict[str, str] = {
     # reported numerator is cast back to BIGINT.
     "graph_louvain_two_levels": f"""
         WITH {_WEDGES_SQL},
-        wdeg AS (
-          SELECT src AS id, CAST(SUM(support) AS BIGINT) AS k
-          FROM wedges GROUP BY src
-        ),
-        tm AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM wdeg),
-        sc1 AS (
-          SELECT w.src, w.dst,
-                 CAST(t.two_m AS HUGEINT) * w.support
-                   - CAST(a.k AS HUGEINT) * b.k AS gain
-          FROM wedges w
-          JOIN wdeg a ON a.id = w.src
-          JOIN wdeg b ON b.id = w.dst
-          CROSS JOIN tm t
-          WHERE w.dst < w.src
-        ),
-        b1 AS (
-          SELECT src, dst, gain FROM (
-            SELECT src, dst, gain,
-                   ROW_NUMBER() OVER (PARTITION BY src
-                                      ORDER BY gain DESC, dst) AS rn
-            FROM sc1
-          ) WHERE rn = 1
-        ),
-        l1 AS MATERIALIZED (
-          SELECT d.id,
-                 CASE WHEN b.gain > 0 THEN b.dst ELSE d.id END AS label
-          FROM wdeg d LEFT JOIN b1 b ON b.src = d.id
-        ),
+        {_LOUVAIN_L1_CTES},
         coarse AS MATERIALIZED (
           SELECT la.label AS src, lb.label AS dst,
                  CAST(SUM(w.support) AS BIGINT) AS support
@@ -1047,6 +1071,57 @@ ORACLE: dict[str, str] = {
         )
         SELECT l1.id AS id, l2.label AS label, l2.level2_gain AS level2_gain
         FROM l1 JOIN l2 ON l2.id = l1.label
+    """,
+    # General-partition Louvain move (Blondel eq. 2 integerized):
+    # score of i in community X is 2m·k_{i,X} − k_i·Σ_tot(X); gain of
+    # moving D → C is s(C) − s(D∖{i}) with Σ_tot(D∖{i}) = Σ_tot(D) −
+    # k_i. Runs on the level-1 downhill partition (shared l1 CTEs) —
+    # a genuinely non-singleton partition, so the Σ_tot term is live.
+    "graph_louvain_move_general": f"""
+        WITH {_WEDGES_SQL},
+        {_LOUVAIN_L1_CTES},
+        sig AS (
+          SELECT l.label AS c, CAST(SUM(d.k) AS BIGINT) AS sig
+          FROM wdeg d JOIN l1 l ON l.id = d.id GROUP BY l.label
+        ),
+        kic AS (
+          SELECT w.src, lj.label AS c, CAST(SUM(w.support) AS BIGINT) AS kix
+          FROM wedges w JOIN l1 lj ON lj.id = w.dst
+          WHERE w.src <> w.dst
+          GROUP BY w.src, lj.label
+        ),
+        node AS (
+          SELECT d.id, li.label AS ci, d.k,
+                 COALESCE(o.kix, 0) AS kid,
+                 s.sig - d.k AS sig_dp
+          FROM wdeg d
+          JOIN l1 li ON li.id = d.id
+          LEFT JOIN kic o ON o.src = d.id AND o.c = li.label
+          JOIN sig s ON s.c = li.label
+        ),
+        cand AS (
+          SELECT n.id, k2.c AS cdst,
+                 (CAST(t.two_m AS HUGEINT) * k2.kix
+                    - CAST(n.k AS HUGEINT) * s.sig)
+               - (CAST(t.two_m AS HUGEINT) * n.kid
+                    - CAST(n.k AS HUGEINT) * n.sig_dp) AS gain
+          FROM node n
+          JOIN kic k2 ON k2.src = n.id AND k2.c <> n.ci
+          JOIN sig s ON s.c = k2.c
+          CROSS JOIN tm t
+        ),
+        bst AS (
+          SELECT id, cdst, gain FROM (
+            SELECT id, cdst, gain,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY gain DESC, cdst) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )
+        SELECT n.id AS id,
+               CASE WHEN b.gain > 0 THEN b.cdst ELSE n.ci END AS label,
+               CAST(COALESCE(b.gain, 0) AS BIGINT) AS best_gain
+        FROM node n LEFT JOIN bst b ON b.id = n.id
     """,
     "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",

@@ -690,3 +690,64 @@ def test_louvain_fit_recovers_cliques_at_modularity_peak(spark, g1_edges):
         sym, labels.select("id", F.col("label").alias("lbl"))
     ).collect()[0]
     assert (row.n_communities, row.q) == (2, 0.423077)
+
+
+def test_louvain_move_general_reduces_to_singleton_kernel(spark):
+    """On an identity (singleton) partition the general kernel's
+    k_{i,{j}} = w_ij, Σ_tot({j}) = k_j and s(D∖{i}) = 0, so it must
+    reproduce louvain_one_move exactly — same labels, same gains."""
+    from bigclam_apachespark_spark.operators.graph import (
+        louvain_move_general,
+        louvain_one_move,
+    )
+    from pyspark.sql import functions as F
+
+    und = [(1, 2, 3), (1, 3, 1), (3, 4, 1)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    wedges = spark.createDataFrame(rows, "src long, dst long, support long")
+    identity = wedges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    got_gen = {
+        r.id: (r.label, r.best_gain)
+        for r in louvain_move_general(wedges, identity).collect()
+    }
+    got_one = {
+        r.id: (r.label, r.best_gain)
+        for r in louvain_one_move(wedges).collect()
+    }
+    assert got_gen == got_one == {
+        1: (2, 18), 2: (1, 18), 3: (4, 8), 4: (3, 8)
+    }
+
+
+def test_louvain_move_general_hand_computed_nonsingleton(spark, g1_edges):
+    """G1 under the partition {0,1,2}=C0, {3}=C3, {4}=C4, {5,6,7}=C5
+    (2m=26, Σ_tot: C0=9, C3=4, C4=4, C5=9), every gain by hand:
+    node 3 joins C0 (s(C0)=26·3−4·9=42 vs s(∅)=0, beating C4's 10);
+    node 4 joins C5 (42 vs C3's 10); the clique members each stay —
+    leaving for the bridge community scores 26·1−3·4=14 against an
+    own-community score s(D∖{i})=26·2−3·6=34, i.e. gain −20. This is
+    exactly the case the singleton kernel gets WRONG (it would score
+    the clique neighbors as if leaving cost nothing)."""
+    from bigclam_apachespark_spark.operators.graph import (
+        louvain_move_general,
+        symmetrize,
+    )
+
+    wedges = symmetrize(g1_edges).selectExpr(
+        "src", "dst", "CAST(1 AS LONG) AS support"
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 5), (6, 5), (7, 5)],
+        "id long, label long",
+    )
+    got = {
+        r.id: (r.label, r.best_gain)
+        for r in louvain_move_general(wedges, labels).collect()
+    }
+    assert got == {
+        0: (0, -20), 1: (0, -20), 2: (0, -20),
+        3: (0, 42), 4: (5, 42),
+        5: (5, -20), 6: (5, -20), 7: (5, -20),
+    }
