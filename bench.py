@@ -163,6 +163,11 @@ HEADLINE = [
     # non-singleton partition)
     "graph_louvain_two_levels",
     "graph_louvain_move_general",
+    # round-9 continued: the weighted-modularity objective (what the
+    # Louvain family maximizes) and the SQ8 scalar-quantization rung
+    # of the ANN serving ladder (8x compression, recall measured)
+    "graph_modularity_weighted",
+    "sim_sq8_topk",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -291,6 +296,8 @@ EXPECTED = {
     # round-9 additions (measured 2026-08-15 ×2, shared-pool warm)
     "graph_louvain_two_levels": 3.7,
     "graph_louvain_move_general": 5.0,
+    "graph_modularity_weighted": 4.0,
+    "sim_sq8_topk": 2.5,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -188,6 +188,86 @@ def modularity(sym_edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def modularity_weighted(wedges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Weighted Newman modularity of a vertex partition over a
+    symmetric weighted edge set ``(src, dst, support)`` → ONE row
+    ``(n_communities, w_within, n_unlabeled, n_dup_labels, q)``:
+
+        Q = Σ_ij [w_ij − k_i·k_j/2m] δ(c_i, c_j) / 2m
+          = W_in/2m − D2/(2m)²
+
+    with 2m = Σ_ij w_ij (ordered pairs), W_in = Σ intra-community
+    ordered-pair weight, D2 = Σ_c (Σ_{i∈c} k_i)² — THE objective the
+    Louvain family maximizes (the unweighted ``modularity`` kernel is
+    this with support ≡ 1). ``w_within`` reports W_in/2 (undirected),
+    mirroring ``e_within``.
+
+    Exactness: W_in, D2, and 2m are integer aggregates; D2 and the
+    final divisions run in decimal/IEEE exactly as the unweighted
+    kernel, so Q is bit-stable cross-engine (two correctly-rounded
+    divisions + one subtraction, rounded to 6 dp). Self-loops (from
+    ``community_coarsen`` levels) count once in W_in and once in each
+    endpoint's degree — consistent with ``louvain_one_move``'s degree
+    convention, so plateau scoring and move gains agree.
+
+    Coverage guards (``n_unlabeled``, ``n_dup_labels``) carry the
+    same contract as the unweighted kernel: Q is a valid partition
+    score only when both are 0.
+
+    Scale shape: two vertex-keyed label joins, one filtered sum, a
+    |C|-sized degree agg, one anti-join count — no window, no
+    collect."""
+    la = labels.select(F.col("id").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("lbl").alias("lb"))
+    tagged = wedges.join(la, "src").join(lb, "dst")
+    w_in = tagged.where(F.col("la") == F.col("lb")).agg(
+        (F.sum("support") / 2).cast("long").alias("w_within")
+    )
+    deg_by_c = (
+        wedges.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("support").alias("deg"))
+        .join(labels, "id")
+        .groupBy("lbl")
+        .agg(F.sum("deg").alias("dc"))
+    )
+    comm = deg_by_c.agg(
+        F.count("*").alias("n_communities"),
+        F.sum(
+            F.col("dc").cast("decimal(19,0)") * F.col("dc").cast("decimal(19,0)")
+        ).alias("d2"),
+    )
+    m = wedges.agg((F.sum("support") / 2).cast("long").alias("m"))
+    verts = wedges.select(F.col("src").alias("id")).distinct()
+    unl = verts.join(labels.select("id"), "id", "left_anti").agg(
+        F.count("*").alias("n_unlabeled")
+    )
+    dup = labels.agg(
+        (F.count("*") - F.count_distinct(F.col("id"))).alias("n_dup_labels")
+    )
+    return (
+        w_in.crossJoin(comm)
+        .crossJoin(m)
+        .crossJoin(unl)
+        .crossJoin(dup)
+        .select(
+            F.col("n_communities").cast("long").alias("n_communities"),
+            "w_within",
+            "n_unlabeled",
+            F.col("n_dup_labels").cast("long").alias("n_dup_labels"),
+            F.round(
+                F.col("w_within").cast("double") / F.col("m").cast("double")
+                - F.col("d2").cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                ),
+                6,
+            ).alias("q"),
+        )
+    )
+
+
 def ego_nets(neighbors: DataFrame) -> DataFrame:
     """B4: node ∪ its neighbors → ``(id, members ARRAY<BIGINT>)``."""
     return neighbors.select(
@@ -1466,13 +1546,15 @@ def louvain_fit(
     label ≤ id and ≥1 strict decrease cannot be a permutation), so a
     no-move level is a fixpoint and levels are bounded by |V|.
 
-    ``score_edges`` (the UNWEIGHTED symmetric edge list Q is defined
-    on) switches on the modularity-plateau stop the reference-quality
-    rows use: after each level the cumulative partition is scored by
-    the shared ``modularity`` kernel and the loop stops once a level
-    improves Q by < ``tol``, returning the best-scoring labels — one
-    extra |E|-shaped agg job per level, driver traffic one row.
-    Without it the loop runs to the structural fixpoint.
+    ``score_edges`` switches on the modularity-plateau stop the
+    reference-quality rows use: after each level the cumulative
+    partition is scored by the shared ``modularity`` kernel (or
+    ``modularity_weighted`` when ``score_edges`` carries a
+    ``support`` column — the objective Louvain actually maximizes on
+    a weighted graph) and the loop stops once a level improves Q by
+    < ``tol``, returning the best-scoring labels — one extra
+    |E|-shaped agg job per level, driver traffic one row. Without it
+    the loop runs to the structural fixpoint.
 
     Scale shape per level: one move (degree agg + edge join + max_by)
     + one coarsen (two label joins + hash agg) on a graph that shrinks
@@ -1520,7 +1602,12 @@ def louvain_fit(
         _unpersist_ckpt(g)
         g, labels = next_g, new_labels
         if score_edges is not None:
-            q = modularity(
+            scorer = (
+                modularity_weighted
+                if "support" in score_edges.columns
+                else modularity
+            )
+            q = scorer(
                 score_edges, labels.select("id", F.col("label").alias("lbl"))
             ).collect()[0]["q"]
             if verbose:

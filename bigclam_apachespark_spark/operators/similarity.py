@@ -1765,3 +1765,155 @@ def ann_recall_ladder(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the FAISS SQ8 rung of the serving ladder:
+# 8× compression — dim bytes instead of dim floats — with near-exact
+# recall; sits between exact floats and PQ's 32× on the
+# compression/recall dial)
+# ---------------------------------------------------------------------------
+
+
+def sq8_params(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """SQ8 trained parameters → ``(d, mn, rng)`` per dimension
+    (0-based): corpus min and range of the micro-unit grid — the
+    "training" pass of scalar quantization (FAISS
+    ScalarQuantizer.train analog). One posexplode + dim-keyed hash
+    agg with map-side combine; output is dim rows (broadcast-sized
+    at any corpus scale)."""
+    q = quantized(embeddings, id_col, vec_col)
+    return (
+        q.select(F.posexplode("qv").alias("d", "v"))
+        .groupBy("d")
+        .agg(
+            F.min("v").alias("mn"),
+            (F.max("v") - F.min("v")).alias("rng"),
+        )
+    )
+
+
+def _sq8_param_arrays(params: DataFrame) -> DataFrame:
+    """(d, mn, rng) rows → ONE row ``(mns, rngs)`` of d-ordered arrays
+    (array_sort on (d, ...) structs — collect_list order is not
+    guaranteed, the sort is what makes the arrays positional)."""
+    return params.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mn", "rng"))).alias("ps")
+    ).select(
+        F.transform("ps", lambda s: s["mn"]).alias("mns"),
+        F.transform("ps", lambda s: s["rng"]).alias("rngs"),
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    params: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 encoding → ``(vec_id, codes ARRAY<INT>)`` with
+    ``code_d = round((v_d − mn_d) · 255 / rng_d)`` computed as the
+    EXACT integer ``(2·255·(v−mn) + rng) div (2·rng)`` (round-half-up
+    on non-negative operands — no float division reaches the code, so
+    the codes are cross-engine bit-stable; a zero-range dimension
+    codes to 0). This is the 8× compression step: the corpus crosses
+    the wire as dim bytes, not dim doubles.
+
+    Scale shape: params collapse to ONE broadcast row of arrays; the
+    encode itself is a narrow projection (transform with index) —
+    zero shuffles beyond the dim-row param agg."""
+    if params is None:
+        params = sq8_params(embeddings, id_col, vec_col)
+    arrs = _sq8_param_arrays(params)
+    q = quantized(embeddings, id_col, vec_col)
+    return q.crossJoin(F.broadcast(arrs)).select(
+        id_col,
+        F.expr(
+            "transform(qv, (x, i) -> CASE WHEN rngs[i] = 0 THEN 0 "
+            "ELSE CAST((2 * 255 * (x - mns[i]) + rngs[i]) DIV (2 * rngs[i]) AS INT) END)"
+        ).alias("codes"),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 reconstructed-cosine top-k → ``(q, vec_id, rank, sq_cos)``:
+    vectors are scored against their SQ8 RECONSTRUCTION
+    ``x̂_d = mn_d + code_d·rng_d/255`` with every product kept integer
+    by scaling through 255: ``y_d = 255·mn_d + code_d·rng_d`` (the
+    255 cancels in the cosine), so dot(q, y) and ‖y‖² are exact
+    int64 folds (|e| ≤ 1 ⇒ |y_d| ≤ 255·10⁶ ⇒ ‖y‖² ≤ 64·6.6·10¹⁶ <
+    2⁶³ — the module's standing bound; ANSI would fail loudly beyond
+    it) and the final cosine is the same correctly-rounded IEEE
+    division on both engines.
+
+    The 100-TB shape: the corpus is served from codes (+ the one
+    broadcast param row); queries broadcast; ranking is the standard
+    per-q window over |Q|·|N| scored rows. Compose with IVF cells to
+    prune the scan exactly as IVF-PQ does."""
+    from pyspark.sql import Window
+
+    params = sq8_params(embeddings, id_col, vec_col)
+    arrs = _sq8_param_arrays(params)
+    codes = sq8_encode(embeddings, params, id_col, vec_col)
+    rec = codes.crossJoin(F.broadcast(arrs)).select(
+        id_col,
+        F.expr(
+            "transform(codes, (c, i) -> 255 * mns[i] + CAST(c AS BIGINT) * rngs[i])"
+        ).alias("y"),
+    )
+    rec = rec.select(
+        id_col,
+        "y",
+        F.sqrt(_dot_long("y", "y").cast("double")).alias("ynrm"),
+    )
+    q = quantized(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        rec.crossJoin(F.broadcast(q))
+        .where(F.col("q") != F.col(id_col))
+        .select(
+            "q",
+            id_col,
+            F.round(
+                _dot_long("qqv", "y").cast("double")
+                / (F.col("qnrm") * F.col("ynrm")),
+                6,
+            ).alias("sq_cos"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sq_cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", id_col, "rank", "sq_cos")
+    )
+
+
+def sq8_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of SQ8 top-k against exact brute force →
+    ``(q, n_retrieved, n_hits, recall)`` — the honesty row for the 8×
+    compression rung, twin of ``pq_recall_eval``: SQ8 should sit far
+    above PQ's recall at far less compression, and this measures
+    where it actually lands."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    approx = sq8_topk(embeddings, queries, k, id_col, vec_col)
+    return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)

@@ -229,6 +229,39 @@ def q_louvain_move_general(spark, sf_dir):
     return G.louvain_move_general(wedges, labels)
 
 
+def q_modularity_weighted(spark, sf_dir):
+    """Weighted Newman modularity of the level-1 downhill Louvain
+    partition on the weighted co-purchase graph — the OBJECTIVE the
+    Louvain family maximizes, scored by the exact-integer-numerator
+    kernel (the unweighted ``graph_modularity`` twin with support
+    weights live)."""
+    from bigclam_apachespark_spark.shared import shared_wedges
+
+    wedges = shared_wedges(spark, sf_dir)
+    labels = G.louvain_one_move(wedges, downhill_only=True).select(
+        "id", F.col("label").alias("lbl")
+    )
+    return G.modularity_weighted(wedges, labels)
+
+
+def q_louvain_copurchase(spark, sf_dir):
+    """Rows-only smoke: FULL Louvain on the weighted co-purchase
+    graph, plateau-stopped on WEIGHTED modularity (the objective the
+    move gains optimize) — the sf-scaled counterpart of the facebook
+    smoke, proving the fit loop on the harness's own weighted graph.
+    Emits ONE row: levels, community count, and final weighted Q."""
+    from bigclam_apachespark_spark.shared import shared_wedges
+
+    wedges = shared_wedges(spark, sf_dir)
+    labels, n_levels = G.louvain_fit(
+        wedges, max_levels=20, score_edges=wedges, tol=1e-4
+    )
+    lab = labels.select("id", F.col("label").alias("lbl"))
+    return G.modularity_weighted(wedges, lab).select(
+        F.lit(n_levels).cast("long").alias("n_levels"), "*"
+    )
+
+
 def q_louvain_facebook(spark, sf_dir):
     """Rows-only smoke: FULL Louvain (driver loop of the two
     oracle-checked kernels, downhill acceptance) on the reference's
@@ -478,6 +511,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_louvain_coarsen": q_louvain_coarsen,
     "graph_louvain_two_levels": q_louvain_two_levels,
     "graph_louvain_move_general": q_louvain_move_general,
+    "graph_modularity_weighted": q_modularity_weighted,
+    "graph_louvain_copurchase": q_louvain_copurchase,
     "graph_louvain_facebook": q_louvain_facebook,
     "graph_kcore": q_kcore,
     "graph_assortativity": q_assortativity,
@@ -1071,6 +1106,44 @@ ORACLE: dict[str, str] = {
         )
         SELECT l1.id AS id, l2.label AS label, l2.level2_gain AS level2_gain
         FROM l1 JOIN l2 ON l2.id = l1.label
+    """,
+    # Weighted Newman modularity of the level-1 downhill partition:
+    # integer numerators (W_in, D2 in HUGEINT, 2m), then the same two
+    # IEEE divisions as the unweighted twin (modularity_tail_sql).
+    "graph_modularity_weighted": f"""
+        WITH {_WEDGES_SQL},
+        {_LOUVAIN_L1_CTES},
+        win AS (
+          SELECT CAST(SUM(w.support) // 2 AS BIGINT) AS w_within
+          FROM wedges w
+          JOIN l1 a ON a.id = w.src
+          JOIN l1 b ON b.id = w.dst
+          WHERE a.label = b.label
+        ),
+        dcs AS (
+          SELECT l.label AS lbl, SUM(d.k) AS dc
+          FROM wdeg d JOIN l1 l ON l.id = d.id GROUP BY l.label
+        ),
+        comm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                 SUM(CAST(dc AS HUGEINT) * dc) AS d2
+          FROM dcs
+        ),
+        mm AS (SELECT CAST(SUM(support) // 2 AS BIGINT) AS m FROM wedges),
+        unl AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_unlabeled
+          FROM (SELECT DISTINCT src AS id FROM wedges) v
+          LEFT JOIN l1 l ON l.id = v.id WHERE l.id IS NULL
+        ),
+        dupl AS (
+          SELECT CAST(COUNT(*) - COUNT(DISTINCT id) AS BIGINT) AS n_dup_labels
+          FROM l1
+        )
+        SELECT n_communities, w_within, n_unlabeled, n_dup_labels,
+               round(CAST(w_within AS DOUBLE) / CAST(m AS DOUBLE)
+                     - CAST(d2 AS DOUBLE)
+                       / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
+        FROM win, comm, mm, unl, dupl
     """,
     # General-partition Louvain move (Blondel eq. 2 integerized):
     # score of i in community X is 2m·k_{i,X} − k_i·Σ_tot(X); gain of

@@ -2783,6 +2783,86 @@ kpnn AS (
   ) WHERE rank <= 5
 )"""
 
+# SQ8 scalar-quantization fragments (twin of similarity.sq8_*): the
+# per-dim min/range "training" pass over the micro-unit grid, exact
+# round-half-up integer codes ((2·255·(v−mn)+rng) // (2·rng) — no
+# float reaches a code), and reconstruction scaled through 255
+# (y_d = 255·mn_d + code_d·rng_d) so dot and norm² stay exact int64
+# and the final cosine is the same correctly-rounded IEEE division.
+SQ8_SQL = """
+sdims AS (SELECT unnest(generate_series(1, 64)) AS d),
+sprm AS MATERIALIZED (
+  SELECT d, MIN(qv[d]) AS mn, MAX(qv[d]) - MIN(qv[d]) AS rng
+  FROM emb CROSS JOIN sdims GROUP BY d
+),
+scodes AS MATERIALIZED (
+  SELECT e.vec_id, p.d,
+         CASE WHEN p.rng = 0 THEN 0
+              ELSE (2 * 255 * (e.qv[p.d] - p.mn) + p.rng) // (2 * p.rng)
+         END AS code
+  FROM emb e CROSS JOIN sprm p
+),
+srec AS MATERIALIZED (
+  SELECT c.vec_id, c.d, 255 * p.mn + c.code * p.rng AS y
+  FROM scodes c JOIN sprm p USING (d)
+),
+srn AS (SELECT vec_id, SUM(y * y) AS rn2 FROM srec GROUP BY vec_id),
+sdot AS (
+  SELECT e.vec_id AS q, r.vec_id, e.nrm AS qnrm, SUM(e.qv[r.d] * r.y) AS dot
+  FROM emb e JOIN srec r ON r.vec_id <> e.vec_id
+  WHERE e.vec_id < 10
+  GROUP BY e.vec_id, r.vec_id, e.nrm
+),
+snn AS (
+  SELECT q, vec_id, sq_cos, rank FROM (
+    SELECT q, vec_id, sq_cos,
+           ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY sq_cos DESC, vec_id) AS rank
+    FROM (
+      SELECT d.q, d.vec_id,
+             round(CAST(d.dot AS DOUBLE)
+                   / (d.qnrm * sqrt(CAST(n.rn2 AS DOUBLE))), 6) AS sq_cos
+      FROM sdot d JOIN srn n ON n.vec_id = d.vec_id
+    )
+  ) WHERE rank <= 5
+)"""
+
+SIM_ORACLE_SQ8 = {
+    "sim_sq8_topk": f"""
+        WITH {EMB_SQL}, {SQ8_SQL}
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, sq_cos FROM snn
+    """,
+    "sim_sq8_recall": f"""
+        WITH {EMB_SQL}, {SQ8_SQL},
+        bscored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        ),
+        bnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM bscored
+          ) WHERE rank <= 5
+        ),
+        hits AS (
+          SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM bnn b JOIN snn i ON i.q = b.q AND i.vec_id = b.vec_id
+          GROUP BY b.q
+        ),
+        ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM snn GROUP BY q),
+        qspine AS (SELECT DISTINCT q FROM bnn)
+        SELECT s.q,
+               CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+        FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
+    """,
+}
+SIM_ORACLE.update(SIM_ORACLE_SQ8)
+
 SIM_ORACLE["sim_pq_topk_kmeans"] = f"""
     WITH {EMB_SQL}, {PQ_SQL}, {_pq_kmeans_chain_sql(2)}, {_KM_PQ_SQL}
     SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM kpnn
@@ -3064,6 +3144,12 @@ SIM_QUERIES = {
     ),
     "sim_pq_recall": lambda spark, sf: S.pq_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, m=16, ksub=64
+    ),
+    "sim_sq8_topk": lambda spark, sf: S.sq8_topk(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5
+    ),
+    "sim_sq8_recall": lambda spark, sf: S.sq8_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5
     ),
     "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5

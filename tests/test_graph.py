@@ -751,3 +751,47 @@ def test_louvain_move_general_hand_computed_nonsingleton(spark, g1_edges):
         3: (0, 42), 4: (5, 42),
         5: (5, -20), 6: (5, -20), 7: (5, -20),
     }
+
+
+def test_modularity_weighted_hand_computed(spark):
+    """Weighted path fixture under partition {1,2} | {3,4}: 2m=10,
+    W_in(ordered)=8 → w_within=4; Σ_tot = (7, 3) → D2=58;
+    Q = 4/5 − 58/100 = 0.22 exactly."""
+    from bigclam_apachespark_spark.operators.graph import modularity_weighted
+    from pyspark.sql import functions as F
+
+    und = [(1, 2, 3), (1, 3, 1), (3, 4, 1)]
+    rows = [(a, b, w) for a, b, w in und] + [(b, a, w) for a, b, w in und]
+    wedges = spark.createDataFrame(rows, "src long, dst long, support long")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "id long, lbl long"
+    )
+    row = modularity_weighted(wedges, labels).collect()[0]
+    assert (
+        row.n_communities, row.w_within, row.n_unlabeled,
+        row.n_dup_labels, row.q,
+    ) == (2, 4, 0, 0, 0.22)
+
+
+def test_modularity_weighted_support1_equals_unweighted(spark, g1_edges):
+    """With support ≡ 1 the weighted kernel must reproduce the
+    unweighted ``modularity`` exactly (same Q, e_within = w_within) —
+    the consistency contract between the two quality scores."""
+    from bigclam_apachespark_spark.operators.graph import (
+        modularity,
+        modularity_weighted,
+        symmetrize,
+    )
+    from pyspark.sql import functions as F
+
+    sym = symmetrize(g1_edges)
+    wedges = sym.selectExpr("src", "dst", "CAST(1 AS LONG) AS support")
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(i, 4) for i in range(4, 8)],
+        "id long, lbl long",
+    )
+    u = modularity(sym, labels).collect()[0]
+    w = modularity_weighted(wedges, labels).collect()[0]
+    assert (w.n_communities, w.w_within, w.q) == (
+        u.n_communities, u.e_within, u.q,
+    )

@@ -1688,3 +1688,44 @@ def test_histogram_quantile_sketch_bounds(spark):
             r.abs_err_cents,
             rng[r.event_type],
         )
+
+
+def test_sq8_encode_round_half_up_and_zero_range(spark):
+    """SQ8 codes by hand: dim 0 spans [0, 1e6] micro-units → codes
+    {0, 128, 255} for x ∈ {0.0, 0.5, 1.0} (0.5 → 127.5 rounds HALF-UP
+    to 128 via the exact (2·255·v + rng) // (2·rng) integer form);
+    dim 1 is constant (rng = 0) → code 0 everywhere."""
+    from bigclam_apachespark_spark.operators.similarity import sq8_encode
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.7]), (2, [0.5, 0.7]), (3, [1.0, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: list(r.codes) for r in sq8_encode(emb).collect()}
+    assert got == {1: [0, 0], 2: [128, 0], 3: [255, 0]}
+
+
+def test_sq8_topk_matches_exact_on_reconstructible_grid(spark):
+    """Vectors whose coordinates sit exactly on the 255-step grid
+    reconstruct losslessly, so SQ8 ranking must equal brute force —
+    the exactness anchor under the recall row (which measures the
+    lossy case)."""
+    from bigclam_apachespark_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 1.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id = 0")
+    exact = [(r.q, r.vec_id, r.rank) for r in
+             brute_force_topk(emb, queries, k=3).collect()]
+    sq8 = [(r.q, r.vec_id, r.rank) for r in
+           sq8_topk(emb, queries, k=3).collect()]
+    assert sq8 == exact
