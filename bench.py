@@ -168,6 +168,7 @@ HEADLINE = [
     # of the ANN serving ladder (8x compression, recall measured)
     "graph_modularity_weighted",
     "sim_sq8_topk",
+    "sim_ivfsq8_topk",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -298,6 +299,7 @@ EXPECTED = {
     "graph_louvain_move_general": 5.0,
     "graph_modularity_weighted": 4.0,
     "sim_sq8_topk": 2.5,
+    "sim_ivfsq8_topk": 3.3,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

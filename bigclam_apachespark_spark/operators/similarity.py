@@ -1917,3 +1917,88 @@ def sq8_recall_eval(
     )
     approx = sq8_topk(embeddings, queries, k, id_col, vec_col)
     return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
+
+
+def ivfsq8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 top-k → ``(q, vec_id, rank, sq_cos)``: IVF probing
+    prunes the candidate set to ~nprobe/n_cells of the corpus and the
+    survivors are scored against their SQ8 reconstruction — the
+    FAISS ``IVF…,SQ8`` serving composition, the middle ground between
+    IVF-flat (full floats per candidate) and IVF-PQ (m codes): dim
+    bytes per candidate with near-exact recall. Candidate volume is
+    |Q|·nprobe/n_cells·|N| code rows; the probe list and the one
+    param row are broadcast; scoring is the same exact-int64
+    reconstructed cosine as ``sq8_topk`` (bit-stable ranking)."""
+    from pyspark.sql import Window
+
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cent, id_col, vec_col)
+    params = sq8_params(embeddings, id_col, vec_col)
+    arrs = _sq8_param_arrays(params)
+    codes = sq8_encode(embeddings, params, id_col, vec_col)
+    rec = (
+        codes.crossJoin(F.broadcast(arrs))
+        .select(
+            id_col,
+            F.expr(
+                "transform(codes, (c, i) -> 255 * mns[i] + CAST(c AS BIGINT) * rngs[i])"
+            ).alias("y"),
+        )
+        .select(
+            id_col,
+            "y",
+            F.sqrt(_dot_long("y", "y").cast("double")).alias("ynrm"),
+        )
+        .join(assign, id_col)
+    )
+    probes = _probe_cells(cent, queries, nprobe, id_col, vec_col)
+    scored = (
+        rec.join(F.broadcast(probes), "cell")
+        .where(F.col("q") != F.col(id_col))
+        .select(
+            "q",
+            id_col,
+            F.round(
+                _dot_long("qqv", "y").cast("double")
+                / (F.col("qnrm") * F.col("ynrm")),
+                6,
+            ).alias("sq_cos"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.col("sq_cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", id_col, "rank", "sq_cos")
+    )
+
+
+def ivfsq8_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of IVF-SQ8 against exact brute force — separates the
+    probe loss (IVF's recall row) from the quantization loss (SQ8's
+    1.00 row): any gap below ``sim_ivf_recall`` here would be SQ8's
+    contribution, and the measured row makes that attribution a
+    number instead of an assumption."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    approx = ivfsq8_topk(
+        embeddings, queries, k, n_cells, nprobe, id_col, vec_col
+    )
+    return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)

@@ -2789,7 +2789,7 @@ kpnn AS (
 # float reaches a code), and reconstruction scaled through 255
 # (y_d = 255·mn_d + code_d·rng_d) so dot and norm² stay exact int64
 # and the final cosine is the same correctly-rounded IEEE division.
-SQ8_SQL = """
+SQ8_CORE_SQL = """
 sdims AS (SELECT unnest(generate_series(1, 64)) AS d),
 sprm AS MATERIALIZED (
   SELECT d, MIN(qv[d]) AS mn, MAX(qv[d]) - MIN(qv[d]) AS rng
@@ -2806,7 +2806,9 @@ srec AS MATERIALIZED (
   SELECT c.vec_id, c.d, 255 * p.mn + c.code * p.rng AS y
   FROM scodes c JOIN sprm p USING (d)
 ),
-srn AS (SELECT vec_id, SUM(y * y) AS rn2 FROM srec GROUP BY vec_id),
+srn AS (SELECT vec_id, SUM(y * y) AS rn2 FROM srec GROUP BY vec_id)"""
+
+SQ8_SQL = SQ8_CORE_SQL + """,
 sdot AS (
   SELECT e.vec_id AS q, r.vec_id, e.nrm AS qnrm, SUM(e.qv[r.d] * r.y) AS dot
   FROM emb e JOIN srec r ON r.vec_id <> e.vec_id
@@ -2853,6 +2855,80 @@ SIM_ORACLE_SQ8 = {
           GROUP BY b.q
         ),
         ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM snn GROUP BY q),
+        qspine AS (SELECT DISTINCT q FROM bnn)
+        SELECT s.q,
+               CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+        FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
+    """,
+    # IVF-SQ8 composition: the IVF fragments' probe list prunes the
+    # SQ8 reconstruction to the probed cells, then the same exact
+    # int64 reconstructed cosine ranks the survivors.
+    "sim_ivfsq8_topk": f"""
+        WITH {EMB_SQL}, {IVF_SQL}, {SQ8_CORE_SQL},
+        ivdot AS (
+          SELECT p.q, r.vec_id, eq.nrm AS qnrm, SUM(eq.qv[r.d] * r.y) AS dot
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN srec r ON r.vec_id = a.vec_id AND r.vec_id <> p.q
+          JOIN emb eq ON eq.vec_id = p.q
+          GROUP BY p.q, r.vec_id, eq.nrm
+        ),
+        ivnn AS (
+          SELECT q, vec_id, sq_cos, rank FROM (
+            SELECT q, vec_id, sq_cos,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY sq_cos DESC, vec_id) AS rank
+            FROM (
+              SELECT d.q, d.vec_id,
+                     round(CAST(d.dot AS DOUBLE)
+                           / (d.qnrm * sqrt(CAST(n.rn2 AS DOUBLE))), 6) AS sq_cos
+              FROM ivdot d JOIN srn n ON n.vec_id = d.vec_id
+            )
+          ) WHERE rank <= 5
+        )
+        SELECT q, vec_id, CAST(rank AS INT) AS rank, sq_cos FROM ivnn
+    """,
+    "sim_ivfsq8_recall": f"""
+        WITH {EMB_SQL}, {IVF_SQL}, {SQ8_CORE_SQL},
+        ivdot AS (
+          SELECT p.q, r.vec_id, eq.nrm AS qnrm, SUM(eq.qv[r.d] * r.y) AS dot
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN srec r ON r.vec_id = a.vec_id AND r.vec_id <> p.q
+          JOIN emb eq ON eq.vec_id = p.q
+          GROUP BY p.q, r.vec_id, eq.nrm
+        ),
+        ivnn AS (
+          SELECT q, vec_id FROM (
+            SELECT d.q, d.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY d.q
+                       ORDER BY round(CAST(d.dot AS DOUBLE)
+                           / (d.qnrm * sqrt(CAST(n.rn2 AS DOUBLE))), 6) DESC,
+                           d.vec_id) AS rank
+            FROM ivdot d JOIN srn n ON n.vec_id = d.vec_id
+          ) WHERE rank <= 5
+        ),
+        bscored AS (
+          SELECT eb.vec_id AS q, ea.vec_id,
+                 round({_PAIR_COS}, 6) AS cos_sim
+          FROM emb ea CROSS JOIN emb eb
+          WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        ),
+        bnn AS (
+          SELECT q, vec_id FROM (
+            SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM bscored
+          ) WHERE rank <= 5
+        ),
+        hits AS (
+          SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM bnn b JOIN ivnn i ON i.q = b.q AND i.vec_id = b.vec_id
+          GROUP BY b.q
+        ),
+        ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM ivnn GROUP BY q),
         qspine AS (SELECT DISTINCT q FROM bnn)
         SELECT s.q,
                CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
@@ -3150,6 +3226,12 @@ SIM_QUERIES = {
     ),
     "sim_sq8_recall": lambda spark, sf: S.sq8_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf), k=5
+    ),
+    "sim_ivfsq8_topk": lambda spark, sf: S.ivfsq8_topk(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
+    ),
+    "sim_ivfsq8_recall": lambda spark, sf: S.ivfsq8_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),
     "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5
