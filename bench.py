@@ -169,6 +169,7 @@ HEADLINE = [
     "graph_modularity_weighted",
     "sim_sq8_topk",
     "sim_ivfsq8_topk",
+    "text_bpe_merge_two_steps",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -300,6 +301,7 @@ EXPECTED = {
     "graph_modularity_weighted": 4.0,
     "sim_sq8_topk": 2.5,
     "sim_ivfsq8_topk": 3.3,
+    "text_bpe_merge_two_steps": 1.6,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

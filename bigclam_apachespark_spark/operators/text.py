@@ -1268,6 +1268,93 @@ def bpe_merge_step(
     )
 
 
+def bpe_merge_two_steps(
+    docs: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """TWO chained BPE training rounds → the pair-count table after
+    the second merge — the composed-fixture counterpart of
+    ``bpe_merge_step`` (the ``bigclam_two_iterations`` /
+    ``graph_louvain_two_levels`` pattern: the single round is
+    oracle-green alone, the chain hash-checks that round 2 consumes
+    round 1's REWRITTEN state, where drift would hide). Round 2's
+    winning pair may itself contain round 1's merged symbol (that is
+    the mechanism by which BPE grows multi-char tokens), so the
+    display mapping expands markers recursively: \\x01 → merge-1
+    text, \\x02 → merge-2's symbols with \\x01 expanded.
+
+    Tie-breaks compare RAW symbol strings (markers sort below all
+    printable chars — identical binary collation on both engines).
+
+    Scale shape: unchanged from the one-round trainer — one corpus
+    pass, then every rewrite/recount runs over the vocab-sized
+    word-frequency relation with 1-row broadcast merge tables."""
+    wf = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    raw_pairs = F.zip_with(
+        F.slice(chars, 1, F.length("w") - 1),
+        F.slice(chars, 2, F.length("w") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    counts0 = (
+        wf.select("f", F.explode(raw_pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("c"))
+    )
+    best1 = counts0.orderBy(F.col("c").desc(), "l", "r").limit(1).select(
+        F.concat("l", "r").alias("_m1")
+    )
+    mk1, mk2 = "\x01", "\x02"
+    rw1 = wf.crossJoin(F.broadcast(best1)).select(
+        "f", "_m1", F.replace(F.col("w"), F.col("_m1"), F.lit(mk1)).alias("w")
+    )
+    counts1 = (
+        rw1.where(F.length("w") >= 2)
+        .select("f", "_m1", F.explode(raw_pairs).alias("p"))
+        .groupBy("_m1", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("c"))
+    )
+    disp1 = lambda c: F.when(c == mk1, F.col("_m1")).otherwise(c)  # noqa: E731
+    best2 = counts1.orderBy(F.col("c").desc(), "l", "r").limit(1).select(
+        "_m1",
+        F.concat("l", "r").alias("_m2raw"),
+        F.concat(disp1(F.col("l")), disp1(F.col("r"))).alias("_m2disp"),
+    )
+    rw2 = rw1.drop("_m1").crossJoin(F.broadcast(best2)).select(
+        "f",
+        "_m1",
+        "_m2disp",
+        F.replace(F.col("w"), F.col("_m2raw"), F.lit(mk2)).alias("w"),
+    )
+    disp = lambda c: (  # noqa: E731
+        F.when(c == mk1, F.col("_m1"))
+        .when(c == mk2, F.col("_m2disp"))
+        .otherwise(c)
+    )
+    pairs2 = F.zip_with(
+        F.slice(chars, 1, F.length("w") - 1),
+        F.slice(chars, 2, F.length("w") - 1),
+        lambda a, b: F.struct(disp(a).alias("l"), disp(b).alias("r")),
+    )
+    return (
+        rw2.where(F.length("w") >= 2)
+        .select("f", F.explode(pairs2).alias("p"))
+        .groupBy(
+            F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+        )
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(k)
+    )
+
+
 def token_frequency_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Frequency-of-frequencies spectrum → ``(freq, n_terms,
     gt_adjusted)``: how many distinct terms occur exactly ``freq``

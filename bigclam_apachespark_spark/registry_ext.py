@@ -318,6 +318,69 @@ TEXT_ORACLE = {
         FROM pr GROUP BY 1, 2
         ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
     """,
+    # TWO chained BPE rounds: round 2 counts/merges over round 1's
+    # REWRITTEN vocabulary (its winner may contain chr(1) — that is
+    # how BPE grows multi-char tokens); display expands markers
+    # recursively (chr(1) -> merge-1 text, chr(2) -> merge-2 display).
+    "text_bpe_merge_two_steps": f"""
+        WITH wf AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT unnest({TOKENS}) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w
+        ),
+        ch0 AS (
+          SELECT f,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM wf
+        ),
+        pr0 AS (
+          SELECT f, unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch0
+        ),
+        c0 AS (SELECT l, r, SUM(f) AS c FROM pr0 GROUP BY 1, 2),
+        best1 AS (SELECT l || r AS m1 FROM c0 ORDER BY c DESC, l, r LIMIT 1),
+        rw1 AS (
+          SELECT wf.f, best1.m1, replace(wf.w, best1.m1, chr(1)) AS w
+          FROM wf CROSS JOIN best1
+        ),
+        ch1 AS (
+          SELECT f, m1,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM rw1 WHERE length(w) >= 2
+        ),
+        pr1 AS (
+          SELECT f, m1, unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch1
+        ),
+        c1 AS (SELECT m1, l, r, SUM(f) AS c FROM pr1 GROUP BY 1, 2, 3),
+        best2 AS (
+          SELECT m1, l || r AS m2raw,
+                 (CASE WHEN l = chr(1) THEN m1 ELSE l END)
+                 || (CASE WHEN r = chr(1) THEN m1 ELSE r END) AS m2disp
+          FROM c1 ORDER BY c DESC, l, r LIMIT 1
+        ),
+        rw2 AS (
+          SELECT r1.f, b2.m1, b2.m2disp, replace(r1.w, b2.m2raw, chr(2)) AS w
+          FROM rw1 r1 CROSS JOIN best2 b2
+        ),
+        ch2 AS (
+          SELECT f, m1, m2disp,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM rw2 WHERE length(w) >= 2
+        ),
+        pr2 AS (
+          SELECT f, m1, m2disp,
+                 unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch2
+        )
+        SELECT CASE WHEN l = chr(1) THEN m1
+                    WHEN l = chr(2) THEN m2disp ELSE l END AS left_sym,
+               CASE WHEN r = chr(1) THEN m1
+                    WHEN r = chr(2) THEN m2disp ELSE r END AS right_sym,
+               CAST(SUM(f) AS BIGINT) AS pair_count
+        FROM pr2 GROUP BY 1, 2
+        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+    """,
     # Good-Turing r*: single division on exact integers per output row.
     "text_freq_spectrum": f"""
         WITH tf AS (
@@ -994,6 +1057,9 @@ TEXT_QUERIES = {
         _docs(spark, sf), k=20
     ),
     "text_bpe_merge_step": lambda spark, sf: X.bpe_merge_step(
+        _docs(spark, sf), k=20
+    ),
+    "text_bpe_merge_two_steps": lambda spark, sf: X.bpe_merge_two_steps(
         _docs(spark, sf), k=20
     ),
     "text_freq_spectrum": lambda spark, sf: X.token_frequency_spectrum(

@@ -1156,3 +1156,22 @@ def test_heldout_perplexity_leakage_and_backoff(spark):
     oov = got[val_ids[1]]
     assert (oov.n_bigrams, oov.n_unseen) == (1, 1)
     assert oov.avg_logprob == round(math.log(0.01 / 2), 6)
+
+
+def test_bpe_merge_two_steps_hand_computed(spark):
+    """Corpus {aaab ×2, ab}: round 1 merges "aa" (count 4 beats
+    "ab"'s 3) → vocab {·ab ×2 (· = merged aa), ab}; round 2's counts
+    are (a,b)=3, (·,a)=2, so it merges "ab" — whose display is plain
+    text, while the surviving pair (·, merge-2) must display as
+    ("aa", "ab"): the recursive marker expansion under test. The
+    word "ab" collapses to a single symbol and exits pair counting."""
+    from bigclam_apachespark_spark.operators.text import bpe_merge_two_steps
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_merge_two_steps(docs, k=10).collect()
+    ]
+    assert got == [("aa", "ab", 2)]
