@@ -1160,6 +1160,63 @@ sig AS MATERIALIZED (
 MINHASH_SQL = _minhash_sql()
 
 
+def _bloom_consts_sql(k: int, sfx: str) -> str:
+    """Bloom affine constants as a VALUES CTE — the SAME md5-salted
+    (j, a, b) triples sketches.bloom_constants emits, injected
+    literally so the two engines hash to identical bit positions."""
+    rows = ", ".join(f"({j}, {a}, {b})" for j, a, b in SK.bloom_constants(k))
+    return f"bc{sfx}(j, a, b) AS (VALUES {rows})"
+
+
+def _bloom_block_sql(m_bits: int, k: int, sfx: str) -> str:
+    """One Bloom config's CTE chain (suffix-namespaced) + its summary
+    SELECT (twin of sketches.bloom_bitmap/bloom_probe/report)."""
+    ctes = f"""{_bloom_consts_sql(k, sfx)},
+        bpos{sfx} AS (
+          SELECT ((c.a * (({hash64_sql('CAST(b.fp AS VARCHAR)')}) % 2147483647)
+                   + c.b) % 2147483647) % {m_bits} AS pos
+          FROM bench b CROSS JOIN bc{sfx} c
+        ),
+        bmap{sfx} AS (
+          SELECT pos // 32 AS word_idx,
+                 CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+          FROM bpos{sfx} GROUP BY 1
+        ),
+        ppos{sfx} AS (
+          SELECT p.doc_id,
+                 ((c.a * (({hash64_sql('CAST(p.fp AS VARCHAR)')}) % 2147483647)
+                   + c.b) % 2147483647) % {m_bits} AS pos
+          FROM probe p CROSS JOIN bc{sfx} c
+        ),
+        pflag{sfx} AS (
+          SELECT pp.doc_id,
+                 bool_and((COALESCE(m.bits, 0)
+                           & (1::BIGINT << CAST(pp.pos % 32 AS INT))) <> 0) AS b
+          FROM ppos{sfx} pp LEFT JOIN bmap{sfx} m ON m.word_idx = pp.pos // 32
+          GROUP BY pp.doc_id
+        ),
+        v{sfx} AS (
+          SELECT COALESCE(f.b, FALSE) AS b, COALESCE(x.e, FALSE) AS e
+          FROM probe p
+          LEFT JOIN pflag{sfx} f USING (doc_id)
+          LEFT JOIN pexact x USING (doc_id)
+        )"""
+    sel = f"""SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+               CAST({k} AS BIGINT) AS k_hashes,
+               CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+               CAST(SUM(CASE WHEN b AND NOT e THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_false_positives,
+               CAST(SUM(CASE WHEN e AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_missed,
+               round(CAST(SUM(CASE WHEN b AND NOT e THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) - SUM(CASE WHEN e THEN 1 ELSE 0 END) AS DOUBLE),
+                     6) AS false_positive_rate
+        FROM v{sfx}"""
+    return ctes, sel
+
+
 def _lsh_verify_ctes(threshold: float) -> str:
     """est → cand2 → sizes → inter → vpairs: the signature-estimate
     prefilter + exact-Jaccard verify chain shared by the pair,
@@ -1390,6 +1447,29 @@ DEDUP_ORACLE = {
           SELECT doc_id, {hash64_sql(normalize_text_sql('text'))} AS content_fp
           FROM documents
         ) GROUP BY content_fp
+    """,
+    # Bloom decontamination twin: same md5-affine bit positions
+    # (salted constants injected literally), 32-bit bit_or words,
+    # ALL-k bool_and probe, compared to exact fingerprint membership.
+    # Two configs (design-sized + deliberately undersized) — see the
+    # operator docstring; n_missed = 0 is the no-false-negatives
+    # proof in both.
+    "dedup_bloom_decontam": f"""
+        WITH fp AS (
+          SELECT doc_id, {hash64_sql(normalize_text_sql('text'))} AS fp
+          FROM documents
+        ),
+        bench AS (SELECT doc_id, fp FROM fp WHERE doc_id % 13 = 0),
+        probe AS (SELECT doc_id, fp FROM fp WHERE doc_id % 13 <> 0),
+        pexact AS (
+          SELECT p.doc_id, TRUE AS e FROM probe p
+          WHERE p.fp IN (SELECT fp FROM bench)
+        ),
+        {_bloom_block_sql(65536, 7, "a")[0]},
+        {_bloom_block_sql(256, 2, "b")[0]}
+        {_bloom_block_sql(65536, 7, "a")[1]}
+        UNION ALL
+        {_bloom_block_sql(256, 2, "b")[1]}
     """,
     "dedup_minhash_signatures": f"WITH {MINHASH_SQL} SELECT doc_id, CAST(perm AS INT) AS perm, minhash FROM sig",
     "dedup_lsh_buckets": f"WITH {MINHASH_SQL}, {BUCKETS_SQL} SELECT doc_id, band, bucket FROM buckets",
@@ -1722,6 +1802,21 @@ DEDUP_QUERIES = {
         _docs(spark, sf), k=8
     ),
     "dedup_exact": lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
+    "dedup_bloom_decontam": lambda spark, sf: (
+        SK.bloom_decontam_report(_docs(spark, sf), m_bits=1 << 16, k=7)
+        .select(
+            F.lit(65536).cast("long").alias("m_bits"),
+            F.lit(7).cast("long").alias("k_hashes"),
+            "*",
+        )
+        .unionByName(
+            SK.bloom_decontam_report(_docs(spark, sf), m_bits=1 << 8, k=2).select(
+                F.lit(256).cast("long").alias("m_bits"),
+                F.lit(2).cast("long").alias("k_hashes"),
+                "*",
+            )
+        )
+    ),
     "dedup_stream_exact": _q_dedup_stream,
     "dedup_stream_minhash": _q_dedup_stream_minhash,
     "dedup_stream_minhash_watermark": _q_dedup_stream_minhash_watermark,

@@ -1729,3 +1729,69 @@ def test_sq8_topk_matches_exact_on_reconstructible_grid(spark):
     sq8 = [(r.q, r.vec_id, r.rank) for r in
            sq8_topk(emb, queries, k=3).collect()]
     assert sq8 == exact
+
+
+def test_bloom_no_false_negatives_and_bit_budget(spark):
+    """Bloom invariants by hand: (a) a bitmap built from a key set
+    flags EVERY member on probe (zero false negatives, the filter's
+    defining guarantee); (b) a 1-key bitmap sets at most k bits;
+    (c) the measured FPR over non-members is 0 at design size
+    (m=2^16, k=7, 50 keys: (1-e^{-kn/m})^k ~ 1e-15)."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(50)], "key string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(500)], "key string"
+    )
+    bitmap = bloom_bitmap(members, "key").cache()
+
+    hits = bloom_probe(members, "key", bitmap, ["key"]).collect()
+    assert len(hits) == 50 and all(r.bloom_hit for r in hits)
+
+    misses = bloom_probe(others, "key", bitmap, ["key"]).collect()
+    assert sum(r.bloom_hit for r in misses) == 0
+    bitmap.unpersist()
+
+    one = bloom_bitmap(
+        spark.createDataFrame([("solo",)], "key string"), "key", k=7
+    ).collect()
+    n_bits = sum(bin(r.bits & 0xFFFFFFFF).count("1") for r in one)
+    assert 1 <= n_bits <= 7
+
+
+def test_bloom_decontam_report_exactness(spark):
+    """The report's exact-membership column is ground truth: on the
+    sf0.001 documents table, n_missed MUST be 0 (no false negatives)
+    in both configs, n_exact_hits must equal an independently
+    computed fingerprint semi-join count, and the undersized config's
+    bloom hits must be a superset count of the exact hits."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.functions.hashing import (
+        hash64,
+        normalize_text,
+    )
+    from bigclam_apachespark_spark.operators.sketches import (
+        bloom_decontam_report,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = docs.select("doc_id", hash64(normalize_text("text")).alias("fp"))
+    bench = fp.where(F.col("doc_id") % 13 == 0).select("fp").distinct()
+    probe = fp.where(F.col("doc_id") % 13 != 0)
+    n_exact = probe.join(bench, "fp", "left_semi").count()
+    n_probe = probe.count()
+
+    for m_bits, k in ((1 << 16, 7), (1 << 8, 2)):
+        row = bloom_decontam_report(docs, m_bits=m_bits, k=k).collect()[0]
+        assert row.n_probed == n_probe
+        assert row.n_exact_hits == n_exact
+        assert row.n_missed == 0, (m_bits, k, row)
+        assert row.n_bloom_hits >= row.n_exact_hits
