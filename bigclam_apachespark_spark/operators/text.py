@@ -1599,3 +1599,120 @@ def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+BM25_QUERY_TERMS: list[tuple[str, list[str]]] = [
+    ("q_spark_window_agg", ["spark", "window", "agg"]),
+    ("q_hash_join", ["hash", "join"]),
+    ("q_stream_batch_merge", ["batch", "merge", "stream"]),
+]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_terms: list[tuple[str, list[str]]] | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus → ``(q, doc_id, rank,
+    n_terms_hit, score)``: top-k documents per keyword query under
+    Robertson/Sparck-Jones BM25 (idf = ln(1 + (N − df + ½)/(df + ½)),
+    tf saturation k1, length normalization b against the exact
+    corpus-average document length).
+
+    Cross-engine-stable ranking: each term's contribution is rounded
+    to integer NANO units (×10⁹) BEFORE summing, so the per-document
+    score is an exact int64 fold — associative, hence identical under
+    any aggregation order on any engine — and the (score DESC,
+    doc_id) order is exact integer comparison. Only idf's ``ln``
+    touches a libm (last-ulp differences vanish in the nano
+    rounding); the reported ``score`` divides the nano sum back once.
+
+    Scale shape: tf is one hash agg over the exploded token table,
+    df a second agg over tf's already-distinct (doc, term) rows; the
+    query-term table and the 1-row (N, Σdl) totals broadcast onto the
+    term join. The top-k head is a per-query ``orderBy().limit(k)``
+    branch over the CACHED scored relation — each compiles to
+    TakeOrderedAndProject (per-partition partial top-k + a k-row
+    driver merge), so no single-partition global sort ever forms even
+    with billions of matched documents; the branches union k rows
+    each and the rank window runs over ≤k·|Q| rows."""
+    from pyspark.sql import Window
+
+    qt = query_terms or BM25_QUERY_TERMS
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts in qt for t in ts], "q string, term string"
+    )
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    contrib = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(totals))
+        .select(
+            "q",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (1.0 + k1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * (F.col("dl") * F.col("n_docs")).cast("double")
+                        / F.col("sum_dl").cast("double")
+                    )
+                )
+            ).alias("c"),
+        )
+        .select(
+            "q",
+            "doc_id",
+            F.round(F.col("c") * 1e9, 0).cast("long").alias("c_nano"),
+        )
+    )
+    scored = contrib.groupBy("q", "doc_id").agg(
+        F.count("*").alias("n_terms_hit"),
+        F.sum("c_nano").alias("score_nano"),
+    )
+    scored = scored.persist()
+    heads = [
+        scored.where(F.col("q") == q)
+        .orderBy(F.col("score_nano").desc(), "doc_id")
+        .limit(k)
+        for q, _ in qt
+    ]
+    head = heads[0]
+    for h in heads[1:]:
+        head = head.unionByName(h)
+    w = Window.partitionBy("q").orderBy(F.col("score_nano").desc(), "doc_id")
+    out = (
+        head.withColumn("rank", F.row_number().over(w))
+        .select(
+            "q",
+            "doc_id",
+            "rank",
+            "n_terms_hit",
+            F.round(F.col("score_nano").cast("double") / 1e9, 6).alias(
+                "score"
+            ),
+        )
+    )
+    out._cache_handles = [scored]
+    return out

@@ -1112,7 +1112,54 @@ TEXT_QUERIES = {
     ),
     "text_cap_per_source": lambda spark, sf: X.cap_per_source(_docs(spark, sf), cap=200),
     "text_global_shuffle": lambda spark, sf: X.global_shuffle_order(_docs(spark, sf)),
+    "text_bm25_topk": lambda spark, sf: X.bm25_topk(_docs(spark, sf), k=10),
 }
+
+# BM25 oracle twin: identical nano-integer contribution rounding
+# (ln only inside the rounded term), exact int64 score fold, same
+# (score DESC, doc_id) integer ranking. Query terms injected from the
+# SAME Python constant the operator defaults to, so the two engines
+# can never rank different queries.
+_BM25_QT = ", ".join(
+    f"('{q}', '{t}')" for q, ts in X.BM25_QUERY_TERMS for t in ts
+)
+TEXT_ORACLE["text_bm25_topk"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    qt(q, term) AS (VALUES {{_BM25_QT}}),
+    contrib AS (
+      SELECT qt.q, tf.doc_id,
+             CAST(round(
+               ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75
+                    * CAST(dl.dl * t.n_docs AS DOUBLE)
+                    / CAST(t.sum_dl AS DOUBLE)))
+               * 1e9) AS BIGINT) AS c_nano
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN totals t
+    ),
+    scored AS (
+      SELECT q, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             CAST(SUM(c_nano) AS BIGINT) AS score_nano
+      FROM contrib GROUP BY q, doc_id
+    )
+    SELECT q, doc_id, CAST(rank AS INT) AS rank, n_terms_hit,
+           round(CAST(score_nano AS DOUBLE) / 1e9, 6) AS score
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY q ORDER BY score_nano DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+""".replace("{_BM25_QT}", _BM25_QT)
 
 # ---------------------------------------------------------------------------
 # Dedup

@@ -1175,3 +1175,58 @@ def test_bpe_merge_two_steps_hand_computed(spark):
         for r in bpe_merge_two_steps(docs, k=10).collect()
     ]
     assert got == [("aa", "ab", 2)]
+
+
+def test_bm25_topk_hand_computed(spark):
+    """4-doc corpus, one query ["spark", "join"]: BM25 computed in
+    pure Python (same nano-integer contribution rounding) must match
+    scores AND ranks exactly. Doc 3 contains neither term and must be
+    absent; doc 0 (both terms, short) must outrank doc 1 (one term,
+    repeated)."""
+    import math
+
+    from bigclam_apachespark_spark.operators.text import bm25_topk
+
+    texts = {
+        0: "spark join",
+        1: "join join join filter",
+        2: "spark scan scan scan scan scan",
+        3: "filter scan",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = bm25_topk(
+        docs, k=10, query_terms=[("q0", ["spark", "join"])]
+    ).collect()
+
+    n, k1, b = 4, 1.2, 0.75
+    dls = {d: len(t.split()) for d, t in texts.items()}
+    avg = sum(dls.values()) / n
+    dfs = {"spark": 2, "join": 2}
+
+    def contrib(term, d):
+        tf = texts[d].split().count(term)
+        if tf == 0:
+            return None
+        idf = math.log(1.0 + (n - dfs[term] + 0.5) / (dfs[term] + 0.5))
+        c = idf * (tf * (1.0 + k1)) / (
+            tf + k1 * (1.0 - b + b * (dls[d] * n) / sum(dls.values()))
+        )
+        return int(round(c * 1e9))
+
+    expect = {}
+    for d in texts:
+        nanos = [
+            c for c in (contrib(t, d) for t in ("spark", "join")) if c is not None
+        ]
+        if nanos:
+            expect[d] = (len(nanos), sum(nanos))
+    order = sorted(expect, key=lambda d: (-expect[d][1], d))
+
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == order
+    for r in out:
+        assert r.n_terms_hit == expect[r.doc_id][0]
+        assert r.score == round(expect[r.doc_id][1] / 1e9, 6)
+    assert 3 not in {r.doc_id for r in out}
+    assert order[0] == 0
