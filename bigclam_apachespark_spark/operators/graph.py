@@ -1633,3 +1633,69 @@ def louvain_fit(
             "id", F.col("id").alias("label")
         )
     return labels, levels_done
+
+
+def random_walks(
+    sym_edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    start_mod: int | None = None,
+) -> DataFrame:
+    """Deterministic random-walk corpus (the DeepWalk/node2vec
+    sampling feed — Perozzi et al. KDD'14's input to skip-gram
+    training) → ``(start, walk, step, node)``: ``n_walks`` walks of
+    ``walk_len`` steps from every start node (optionally the
+    ``id % start_mod = 0`` cohort). The step-s transition from node u
+    picks the neighbor minimizing ``hash64(start:walk:s:v)`` — a
+    fresh near-uniform draw per (walk, step) that is REPLAYABLE:
+    both engines (and any two cluster runs) walk the identical
+    corpus, the property that makes a sampled embedding feed
+    regression-testable at all. Ties broken by (hash, v) struct-min
+    (lexicographic on both engines), so determinism never rests on
+    hash collision absence. A dead-end node (no out-edges after a
+    filter) truncates its walk rather than failing.
+
+    Scale shape: the frontier is exactly |starts|·n_walks rows at
+    every step — each step is ONE join on the current-node key
+    (Σdeg(frontier) candidate rows) plus a degree-bounded hash agg;
+    walk_len joins total, no iteration-growing state. The output
+    corpus is |starts|·n_walks·(walk_len+1) rows — linear, shuffled
+    only by the per-step aggs. Everything is built-in expressions
+    (md5, struct min); no Python touches a row."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    starts = vertices(sym_edges)
+    if start_mod is not None:
+        starts = starts.where(F.col("id") % start_mod == 0)
+    cur = starts.select(
+        F.col("id").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+    ).select("start", "walk", F.lit(0).alias("step"), F.col("start").alias("node"))
+    levels = [cur]
+    for s in range(1, walk_len + 1):
+        h = hash64(
+            F.concat_ws(
+                ":",
+                F.col("start").cast("string"),
+                F.col("walk").cast("string"),
+                F.lit(str(s)),
+                F.col("dst").cast("string"),
+            )
+        )
+        cur = (
+            cur.join(sym_edges, cur["node"] == sym_edges["src"])
+            .select("start", "walk", h.alias("h"), "dst")
+            .groupBy("start", "walk")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select(
+                "start",
+                "walk",
+                F.lit(s).alias("step"),
+                F.col("m.dst").alias("node"),
+            )
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

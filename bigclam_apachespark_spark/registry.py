@@ -487,6 +487,18 @@ def q_components(spark, sf_dir):
     return G.connected_components(shared_wedges(spark, sf_dir))
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk sampling corpus: 2 walks × 4 steps from
+    the id % 23 = 0 start cohort of the co-purchase graph. The hash-
+    argmin transitions replay identically on any engine — the oracle
+    unrolls the same four join+struct-min steps. The edge relation is
+    referenced once per step; no explicit cache — Spark's ReuseExchange
+    dedupes the identical sym subtree across the per-step joins, and
+    measured at sf0.1 an explicit persist was ~1.5× SLOWER (the
+    materialization barrier costs more than the shared shuffle saves)."""
+    return G.random_walks(_sym(spark, sf_dir), walk_len=4, n_walks=2, start_mod=23)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_copurchase_edges": q_copurchase_edges,
     "graph_edge_list_scan": q_edge_list_scan,
@@ -515,6 +527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_louvain_copurchase": q_louvain_copurchase,
     "graph_louvain_facebook": q_louvain_facebook,
     "graph_kcore": q_kcore,
+    "graph_random_walks": q_random_walks,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
     "sql_grouping_sets": q_sql_grouping_sets,
@@ -1331,6 +1344,47 @@ JOIN deg dx ON dx.id = u.x JOIN deg dy ON dy.id = u.y""",
         FROM s
     """,
 }
+
+
+def _walk_steps_sql(walk_len: int, start_mod: int, n_walks: int) -> str:
+    """Unrolled random-walk CTE chain — the same hash-argmin
+    transition per step as operators/graph.random_walks, the
+    (hash, dst) struct-min tie-break included."""
+    from bigclam_apachespark_spark.functions.hashing import hash64_sql
+
+    walks = ", ".join(f"({w})" for w in range(n_walks))
+    ctes = [
+        f"""s0 AS (
+          SELECT v.id AS start, CAST(w.walk AS INT) AS walk,
+                 0 AS step, v.id AS node
+          FROM (SELECT DISTINCT src AS id FROM sym) v
+          CROSS JOIN (VALUES {walks}) w(walk)
+          WHERE v.id % {start_mod} = 0
+        )"""
+    ]
+    for s in range(1, walk_len + 1):
+        h = hash64_sql(
+            "CONCAT(CAST(c.start AS VARCHAR), ':', CAST(c.walk AS VARCHAR), "
+            f"':{s}:', CAST(e.dst AS VARCHAR))"
+        )
+        ctes.append(
+            f"""s{s} AS (
+          SELECT start, walk, {s} AS step,
+                 (min(struct_pack(h := {h}, v := e.dst))).v AS node
+          FROM s{s - 1} c JOIN sym e ON c.node = e.src
+          GROUP BY start, walk
+        )"""
+        )
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT start, walk, step, node FROM s{s}" for s in range(walk_len + 1)
+    )
+    return ",\n        ".join(ctes) + f"\n        {union}"
+
+
+ORACLE["graph_random_walks"] = (
+    f"WITH {EDGES_SQL}, {SYM_SQL},\n        "
+    + _walk_steps_sql(walk_len=4, start_mod=23, n_walks=2)
+)
 
 # ---------------------------------------------------------------------------
 # Merge: extension surface (text/dedup/similarity/events/streaming/

@@ -795,3 +795,48 @@ def test_modularity_weighted_support1_equals_unweighted(spark, g1_edges):
     assert (w.n_communities, w.w_within, w.q) == (
         u.n_communities, u.e_within, u.q,
     )
+
+
+def test_random_walks_hand_computed_and_truncation(spark):
+    """Walks replay the md5 hash-argmin by hand: on the symmetric
+    path 0-1-2, every step from node 1 must pick whichever of {0, 2}
+    minimizes hash64(start:walk:step:v) computed here in pure Python;
+    endpoints have one neighbor so their steps are forced. A node
+    with no out-edges truncates its walk instead of failing."""
+    import hashlib
+
+    from bigclam_apachespark_spark.operators.graph import random_walks
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sym = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    out = {
+        (r.start, r.walk, r.step): r.node
+        for r in random_walks(sym, walk_len=3, n_walks=2).collect()
+    }
+    assert {k[1] for k in out} == {0, 1}  # exactly n_walks walk ids
+    nbrs = {0: [1], 1: [0, 2], 2: [1]}
+    for start in (0, 1, 2):
+        for walk in (0, 1):
+            node = start
+            assert out[(start, walk, 0)] == start
+            for step in (1, 2, 3):
+                node = min(
+                    nbrs[node],
+                    key=lambda v: (h64(f"{start}:{walk}:{step}:{v}"), v),
+                )
+                assert out[(start, walk, step)] == node, (start, walk, step)
+
+    directed = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    )
+    trunc = random_walks(directed, walk_len=5, n_walks=1).collect()
+    per_start = {}
+    for r in trunc:
+        per_start.setdefault(r.start, []).append(r.step)
+    assert max(per_start[0]) == 2  # 0 -> 1 -> 2 then dead end
+    assert max(per_start[1]) == 1
+    assert 2 not in per_start  # no out-edges -> not a start node
