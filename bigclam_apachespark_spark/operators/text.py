@@ -1716,3 +1716,99 @@ def bm25_topk(
     )
     out._cache_handles = [scored]
     return out
+
+
+def bpe_encode_corpus(
+    docs: DataFrame, text_col: str = "text", k: int = 30
+) -> DataFrame:
+    """BPE ENCODE — the inference half of the tokenizer the merge
+    trainers build: train two merges exactly as
+    ``bpe_merge_two_steps`` does, apply them to EVERY corpus word
+    (including the 1-char words the pair trainer never sees), and
+    return the top-k trained-vocabulary token frequencies →
+    ``(token, token_count, rank)``. Multi-char tokens surface with
+    their merged text (round-2 merges expand round-1's marker
+    recursively); the table is what a tokenizer ships as its vocab
+    frequency prior, and Σ token_count is the corpus size in trained
+    tokens — the fertility denominator under THIS vocab rather than
+    the regex proxy.
+
+    Same marker-replace mechanism as the trainers (greedy
+    left-to-right non-overlapping merge ≡ string ``replace``); pair
+    statistics for merge selection come from the length ≥ 2 words
+    only (identical to the trainers — a post-rewrite word shorter
+    than 2 symbols has no pairs, and rewriting never grows a word,
+    so training over the unfiltered relation filtered post-rewrite
+    is the same statistic).
+
+    Scale shape: one corpus pass → vocabulary-sized word-frequency
+    relation; both merge tables are 1-row broadcasts; the final
+    count is a hash agg over exploded symbols of the vocab relation
+    (≤ Σ|w| rows of it, not of the corpus); top-k via
+    ``orderBy().limit`` = TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    wf_all = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    raw_pairs = F.zip_with(
+        F.slice(chars, 1, F.length("w") - 1),
+        F.slice(chars, 2, F.length("w") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    counts0 = (
+        wf_all.where(F.length("w") >= 2)
+        .select("f", F.explode(raw_pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("c"))
+    )
+    best1 = counts0.orderBy(F.col("c").desc(), "l", "r").limit(1).select(
+        F.concat("l", "r").alias("_m1")
+    )
+    mk1, mk2 = "\x01", "\x02"
+    rw1 = wf_all.crossJoin(F.broadcast(best1)).select(
+        "f", "_m1", F.replace(F.col("w"), F.col("_m1"), F.lit(mk1)).alias("w")
+    )
+    counts1 = (
+        rw1.where(F.length("w") >= 2)
+        .select("f", "_m1", F.explode(raw_pairs).alias("p"))
+        .groupBy("_m1", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("c"))
+    )
+    d1 = lambda c: F.when(c == mk1, F.col("_m1")).otherwise(c)  # noqa: E731
+    best2 = counts1.orderBy(F.col("c").desc(), "l", "r").limit(1).select(
+        "_m1",
+        F.concat("l", "r").alias("_m2raw"),
+        F.concat(d1(F.col("l")), d1(F.col("r"))).alias("_m2disp"),
+    )
+    rw2 = rw1.drop("_m1").crossJoin(F.broadcast(best2)).select(
+        "f",
+        "_m1",
+        "_m2disp",
+        F.replace(F.col("w"), F.col("_m2raw"), F.lit(mk2)).alias("w"),
+    )
+    disp = lambda c: (  # noqa: E731
+        F.when(c == mk1, F.col("_m1"))
+        .when(c == mk2, F.col("_m2disp"))
+        .otherwise(c)
+    )
+    syms = rw2.select(
+        "f", F.explode(F.transform(chars, disp)).alias("token")
+    )
+    top = (
+        syms.groupBy("token")
+        .agg(F.sum("f").alias("token_count"))
+        .orderBy(F.col("token_count").desc(), "token")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("token_count").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "token_count", "rank"
+    )

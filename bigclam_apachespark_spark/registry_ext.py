@@ -381,6 +381,69 @@ TEXT_ORACLE = {
         FROM pr2 GROUP BY 1, 2
         ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
     """,
+    # BPE encode: the two-step trainer's CTE chain over the
+    # UNFILTERED word relation (pair stats filtered to length>=2
+    # post-rewrite — same statistic, see operator docstring), then
+    # symbol explode + frequency top-k under the trained vocab.
+    "text_bpe_encode": f"""
+        WITH wf AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT unnest({TOKENS}) AS w FROM documents)
+          WHERE length(w) >= 1 GROUP BY w
+        ),
+        ch0 AS (
+          SELECT f,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM wf WHERE length(w) >= 2
+        ),
+        pr0 AS (
+          SELECT f, unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch0
+        ),
+        c0 AS (SELECT l, r, SUM(f) AS c FROM pr0 GROUP BY 1, 2),
+        best1 AS (SELECT l || r AS m1 FROM c0 ORDER BY c DESC, l, r LIMIT 1),
+        rw1 AS (
+          SELECT wf.f, best1.m1, replace(wf.w, best1.m1, chr(1)) AS w
+          FROM wf CROSS JOIN best1
+        ),
+        ch1 AS (
+          SELECT f, m1,
+                 [substr(w, i, 1) for i in generate_series(1, length(w))] AS cs
+          FROM rw1 WHERE length(w) >= 2
+        ),
+        pr1 AS (
+          SELECT f, m1, unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+          FROM ch1
+        ),
+        c1 AS (SELECT m1, l, r, SUM(f) AS c FROM pr1 GROUP BY 1, 2, 3),
+        best2 AS (
+          SELECT m1, l || r AS m2raw,
+                 (CASE WHEN l = chr(1) THEN m1 ELSE l END)
+                 || (CASE WHEN r = chr(1) THEN m1 ELSE r END) AS m2disp
+          FROM c1 ORDER BY c DESC, l, r LIMIT 1
+        ),
+        rw2 AS (
+          SELECT r1.f, b2.m1, b2.m2disp, replace(r1.w, b2.m2raw, chr(2)) AS w
+          FROM rw1 r1 CROSS JOIN best2 b2
+        ),
+        syms AS (
+          SELECT f,
+                 unnest([CASE WHEN substr(w, i, 1) = chr(1) THEN m1
+                              WHEN substr(w, i, 1) = chr(2) THEN m2disp
+                              ELSE substr(w, i, 1) END
+                         for i in generate_series(1, length(w))]) AS token
+          FROM rw2
+        ),
+        top AS (
+          SELECT token, CAST(SUM(f) AS BIGINT) AS token_count
+          FROM syms GROUP BY token
+          ORDER BY token_count DESC, token LIMIT 30
+        )
+        SELECT token, token_count,
+               CAST(row_number() OVER (
+                 ORDER BY token_count DESC, token) AS INT) AS rank
+        FROM top
+    """,
     # Good-Turing r*: single division on exact integers per output row.
     "text_freq_spectrum": f"""
         WITH tf AS (
@@ -1113,6 +1176,9 @@ TEXT_QUERIES = {
     "text_cap_per_source": lambda spark, sf: X.cap_per_source(_docs(spark, sf), cap=200),
     "text_global_shuffle": lambda spark, sf: X.global_shuffle_order(_docs(spark, sf)),
     "text_bm25_topk": lambda spark, sf: X.bm25_topk(_docs(spark, sf), k=10),
+    "text_bpe_encode": lambda spark, sf: X.bpe_encode_corpus(
+        _docs(spark, sf), k=30
+    ),
 }
 
 # BM25 oracle twin: identical nano-integer contribution rounding

@@ -1230,3 +1230,20 @@ def test_bm25_topk_hand_computed(spark):
         assert r.score == round(expect[r.doc_id][1] / 1e9, 6)
     assert 3 not in {r.doc_id for r in out}
     assert order[0] == 0
+
+
+def test_bpe_encode_corpus_hand_computed(spark):
+    """Corpus {aaab ×2, ab, c}: merge 1 = "aa" (4 > 3), merge 2 =
+    "ab" (3 > 2); encoding yields tokens ab×3, aa×2, c×1 — the
+    1-char word "c" must be encoded even though the pair trainer
+    never sees it."""
+    from bigclam_apachespark_spark.operators.text import bpe_encode_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab c")], "doc_id long, text string"
+    )
+    got = [
+        (r.token, r.token_count, r.rank)
+        for r in bpe_encode_corpus(docs, k=10).collect()
+    ]
+    assert got == [("ab", 3, 1), ("aa", 2, 2), ("c", 1, 3)]
