@@ -35,7 +35,9 @@ def _scratch_path(prefix: str, sf: str) -> str:
     return path
 
 from bigclam_apachespark_spark.functions.hashing import (
+    hash64,
     hash64_sql,
+    normalize_text,
     normalize_text_sql,
     tokens_sql,
     char_shingles_sql,
@@ -1691,6 +1693,43 @@ DEDUP_ORACLE = {
     # iteratively (min-label propagation + pointer jumping,
     # operators/dedup.py near_dup_clusters). keep = (doc_id ==
     # cluster_id) because min-labels make the survivor the label.
+    # Streaming Bloom admission twin: the emitted (admitted) id set
+    # equals the batch Bloom verdict — same md5-affine bit chain as
+    # dedup_bloom_decontam's undersized config, per-doc instead of
+    # summarized. Bounded replay evicts nothing, so stream = batch.
+    "dedup_stream_bloom": f"""
+        WITH fp AS (
+          SELECT doc_id, {hash64_sql(normalize_text_sql('text'))} AS fp
+          FROM documents
+        ),
+        bench AS (SELECT fp FROM fp WHERE doc_id % 13 = 0),
+        probe AS (SELECT doc_id, fp FROM fp WHERE doc_id % 13 <> 0),
+        {_bloom_consts_sql(2, "s")},
+        bpos AS (
+          SELECT ((c.a * (({hash64_sql('CAST(b.fp AS VARCHAR)')}) % 2147483647)
+                   + c.b) % 2147483647) % 256 AS pos
+          FROM bench b CROSS JOIN bcs c
+        ),
+        bmap AS (
+          SELECT pos // 32 AS word_idx,
+                 CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+          FROM bpos GROUP BY 1
+        ),
+        ppos AS (
+          SELECT p.doc_id,
+                 ((c.a * (({hash64_sql('CAST(p.fp AS VARCHAR)')}) % 2147483647)
+                   + c.b) % 2147483647) % 256 AS pos
+          FROM probe p CROSS JOIN bcs c
+        ),
+        verdict AS (
+          SELECT pp.doc_id,
+                 bool_and((COALESCE(m.bits, 0)
+                           & (1::BIGINT << CAST(pp.pos % 32 AS INT))) <> 0) AS allset
+          FROM ppos pp LEFT JOIN bmap m ON m.word_idx = pp.pos // 32
+          GROUP BY pp.doc_id
+        )
+        SELECT doc_id FROM verdict WHERE NOT allset
+    """,
     "dedup_cluster_survivors": f"""
         WITH RECURSIVE {MINHASH_SQL.strip().lstrip()}, {BUCKETS_SQL.strip()}, {CAND_SQL.strip()},
         {_lsh_verify_ctes(0.35)},
@@ -1825,6 +1864,42 @@ TEXT_QUERIES["text_split_repair"] = lambda spark, sf: _with_handles(
 )
 
 
+def _q_dedup_stream_bloom(spark, sf):
+    """Streaming Bloom admission replay: the benchmark cohort
+    (doc_id % 13 = 0) builds the filter batch-side (m/32-word dense
+    collect — bounded by construction); the full stream probes it as
+    a plan-literal narrow filter, and the appended admitted ids must
+    equal the batch Bloom verdict — emitted set = every probed doc
+    with at least one unset bit position, which the oracle computes
+    with the identical md5-affine chain. Deliberately undersized
+    (m=2⁸, k=2) so false-positive REJECTIONS demonstrably occur and
+    the oracle proves the stream reproduces them exactly."""
+    from bigclam_apachespark_spark.operators.sketches import bloom_bitmap
+    from bigclam_apachespark_spark.streaming import (
+        bloom_decontam_stream,
+        dense_bloom_words,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    m_bits, k = 1 << 8, 2
+    bench = (
+        _docs(spark, sf)
+        .where(F.col("doc_id") % 13 == 0)
+        .select(
+            hash64(normalize_text("text")).cast("string").alias("key")
+        )
+    )
+    words = dense_bloom_words(bloom_bitmap(bench, "key", m_bits, k), m_bits)
+    stream = read_documents_stream(spark, f"{sf}/documents.parquet")
+    admitted = bloom_decontam_stream(
+        stream.where(F.col("doc_id") % 13 != 0), words, m_bits=m_bits, k=k
+    )
+    return run_stream_to_memory(
+        admitted, "dedup_stream_bloom_sink", "append", strict=True
+    )
+
+
 def _q_dedup_stream(spark, sf):
     from bigclam_apachespark_spark.streaming import (
         dedup_stream,
@@ -1930,6 +2005,7 @@ DEDUP_QUERIES = {
             )
         )
     ),
+    "dedup_stream_bloom": _q_dedup_stream_bloom,
     "dedup_stream_exact": _q_dedup_stream,
     "dedup_stream_minhash": _q_dedup_stream_minhash,
     "dedup_stream_minhash_watermark": _q_dedup_stream_minhash_watermark,

@@ -16,7 +16,9 @@ from bigclam_apachespark_spark.streaming.cdc_stream import (
 )
 from bigclam_apachespark_spark.streaming.docs_stream import (
     read_documents_stream,
+    bloom_decontam_stream,
     dedup_stream,
+    dense_bloom_words,
     minhash_band_stream,
     minhash_band_stream_watermark,
     with_arrival_time,
@@ -36,7 +38,9 @@ __all__ = [
     "run_stream_to_memory",
     "cdc_upsert_stream",
     "read_documents_stream",
+    "bloom_decontam_stream",
     "dedup_stream",
+    "dense_bloom_words",
     "minhash_band_stream",
     "minhash_band_stream_watermark",
     "with_arrival_time",

@@ -166,3 +166,63 @@ def minhash_band_stream_watermark(
         .dropDuplicatesWithinWatermark(["band", "bucket"])
         .select("band", "bucket")
     )
+
+
+def bloom_decontam_stream(
+    docs: DataFrame,
+    bitmap_words: list[int],
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    k: int = 7,
+) -> DataFrame:
+    """Streaming Bloom decontamination → the ADMITTED document ids:
+    each arriving document probes a STATIC Bloom filter of the
+    benchmark corpus (built batch-side by ``sketches.bloom_bitmap``,
+    densified to ``bitmap_words[i] = bits of word i``) and passes
+    iff at least one of its k bit positions is unset. Bloom's
+    no-false-negative guarantee means an admitted document is
+    PROVABLY not in the benchmark — the admission decision a
+    training-data ingest stream needs, with false positives only
+    costing recall.
+
+    Scale shape: the filter is a plan-literal int64 array (m/32
+    words — 2 KB per 2¹⁶ bits), evaluated per row as k
+    element_at+AND checks: a PURE NARROW projection+filter. No
+    stream-stream or stream-static join, no state store, append mode
+    trivially — the streaming twin of ``events_stream_enrich``'s
+    zero-state broadcast posture, applied to membership instead of
+    enrichment. The bitmap collect is bounded by construction
+    (m/32 words regardless of benchmark size — the same constant-
+    size-aggregate exemption as BigCLAM's K-length sumF)."""
+    from bigclam_apachespark_spark.operators.sketches import (
+        BLOOM_P,
+        bloom_constants,
+    )
+
+    arr = F.lit(bitmap_words)
+    # element_at over a 32-long power-of-two literal stands in for a
+    # column-amount shiftleft (the DataFrame API only shifts by a
+    # literal) — same exact bit, still a narrow codegen expression
+    pow2 = F.lit([1 << i for i in range(32)])
+    h = hash64(normalize_text(text_col)).cast("string")
+    hh = hash64(h) % BLOOM_P
+    checks = []
+    for _, a, b in bloom_constants(k):
+        pos = (F.lit(a) * hh + F.lit(b)) % BLOOM_P % m_bits
+        word = F.element_at(arr, F.floor(pos / 32).cast("int") + 1)
+        bit = F.element_at(pow2, (pos % 32).cast("int") + 1).cast("long")
+        checks.append(word.bitwiseAND(bit) != 0)
+    all_set = checks[0]
+    for c in checks[1:]:
+        all_set = all_set & c
+    return docs.where(~all_set).select("doc_id")
+
+
+def dense_bloom_words(bitmap: DataFrame, m_bits: int = 1 << 16) -> list[int]:
+    """Collect a (word_idx, bits) Bloom bitmap into the dense int64
+    list ``bloom_decontam_stream`` embeds in the plan (missing words
+    are zero). Bounded: m/32 rows by construction."""
+    words = [0] * (m_bits // 32)
+    for r in bitmap.collect():
+        words[r.word_idx] = r.bits
+    return words

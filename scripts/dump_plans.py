@@ -86,6 +86,7 @@ STREAM_CAPTIONS = {
     "events_stream_cms_windows": "per-window count-min counters: state = d*w integers per open window, sum-mergeable",
     "events_stream_session_window": "built-in session_window: state-store session merge + watermark eviction, zero user state code",
     "events_stream_session_funnel": "in-session funnel on session_window state: MIN/MAX key structs merge associatively across batches",
+    "dedup_stream_bloom": "static Bloom filter as a plan-literal array: k element_at+AND checks per doc — pure narrow filter, ZERO state",
     "dedup_stream_exact": "state-store dropDuplicates over pre-hashed fingerprints: one narrow map + one state lookup per doc",
     "dedup_stream_minhash": "band keys as a pure narrow map (zero aggregation), state-store dedup on (band, bucket)",
     "dedup_stream_minhash_watermark": "watermark-bounded near-dup state: retention = arrival horizon, not corpus lifetime",

@@ -1795,3 +1795,49 @@ def test_bloom_decontam_report_exactness(spark):
         assert row.n_exact_hits == n_exact
         assert row.n_missed == 0, (m_bits, k, row)
         assert row.n_bloom_hits >= row.n_exact_hits
+
+
+def test_stream_bloom_admission_matches_batch_and_never_rejects_novel_members(spark):
+    """The streamed Bloom admission set must (a) equal the batch
+    probe verdict computed by bloom_probe on the same filter, and
+    (b) never contain a document whose fingerprint IS in the
+    benchmark (no false negatives ⇒ every true member is rejected)."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.functions.hashing import (
+        hash64,
+        normalize_text,
+    )
+    from bigclam_apachespark_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+    from bigclam_apachespark_spark.registry import QUERIES
+
+    admitted = {
+        r.doc_id
+        for r in QUERIES["dedup_stream_bloom"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = docs.select(
+        "doc_id", hash64(normalize_text("text")).cast("string").alias("key")
+    )
+    bench = fp.where(F.col("doc_id") % 13 == 0)
+    probe = fp.where(F.col("doc_id") % 13 != 0)
+    bitmap = bloom_bitmap(bench.select("key"), "key", m_bits=256, k=2)
+    batch = bloom_probe(probe, "key", bitmap, ["doc_id"], m_bits=256, k=2)
+    batch_admitted = {
+        r.doc_id for r in batch.where(~F.col("bloom_hit")).collect()
+    }
+    assert admitted == batch_admitted
+
+    members = {
+        r.doc_id
+        for r in probe.join(
+            bench.select("key").distinct(), "key", "left_semi"
+        ).collect()
+    }
+    assert not (admitted & members)
