@@ -2002,3 +2002,176 @@ def ivfsq8_recall_eval(
         embeddings, queries, k, n_cells, nprobe, id_col, vec_col
     )
     return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ top-k → ``(q, vec_id, rank,
+    adc_cos)`` — FAISS ``IVFx,PQy``'s actual encoding (Jégou et al.
+    TPAMI'11 §IV.A): PQ codes quantize the residual ``x − c(x)``
+    against the assigned coarse centroid, not the raw vector.
+    On CLUSTERED corpora residuals concentrate near zero, so the same
+    (m, ksub) budget spends its codewords on a tighter distribution —
+    that is why FAISS encodes residuals. The recall row
+    (`ivfpq_residual_recall`) measures the effect against the
+    raw-vector ``ivfpq_topk`` at the identical config, and on the
+    UNCLUSTERED synthetic fixture it honestly shows NO gain
+    (recall@5 0.38 vs raw 0.44 at sf0.01): near-uniform vectors give
+    residuals as spread as the originals, while raw-vector sample
+    codewords at least sit on the data manifold. Measured, not
+    assumed — the attribution row the recall-ladder design exists
+    for. (A salted residual-only codebook sample was tried and
+    measured WORSE, 0.34: the zero codewords of centroid seeds are
+    exact reconstructions of near-centroid vectors.)
+
+    ADC with residuals decomposes exactly over integers:
+    dot(q, ĉ+r̂) = dot(q, c) + Σ_sub dot(q_sub, r̂_sub)  and
+    ‖ĉ+r̂‖² = ‖c‖² + Σ_sub (2·dot(c_sub, r̂_sub) + ‖r̂_sub‖²),
+    so the score is assembled from three broadcast-sized integer
+    tables: the per-(q, cell) base dot, the per-(q, sub, code) query
+    LUT, and the per-(cell, sub, code) cross table (n_cells·m·ksub
+    rows — index metadata, corpus-size-independent). The corpus
+    crosses the wire as m codes per vector; every query- and
+    centroid-dependent relation broadcasts; the fold per (q, vec) is
+    an exact int64 sum — cross-engine bit-stable, hence the oracle.
+
+    Residual codebooks reuse the md5-sample seeding rule (the
+    codewords are the seed vectors' RESIDUALS — the first n_cells
+    seeds are the centroids themselves, so code 0's residual is the
+    zero vector, a useful codeword)."""
+    sub_d = dim // m
+    subs = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cent, id_col, vec_col, keep_vec=True)
+    res = assign.join(F.broadcast(cent), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("qv", "cqv", lambda x, y: x - y).alias("rv"),
+    )
+    seeds = _seed_ranked(embeddings, ksub, "code", id_col, vec_col).select(
+        id_col, "code"
+    )
+    rcb = (
+        seeds.join(res.select(id_col, "rv"), id_col)
+        .select("code", subs, "rv")
+        .select(
+            "sub",
+            "code",
+            F.slice("rv", F.col("sub") * sub_d + 1, sub_d).alias("rcq"),
+        )
+    )
+    rsub = res.select(id_col, "cell", subs, "rv").select(
+        id_col,
+        "cell",
+        "sub",
+        F.slice("rv", F.col("sub") * sub_d + 1, sub_d).alias("sv"),
+    )
+    rd2 = F.aggregate(
+        F.zip_with("sv", "rcq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = rsub.join(F.broadcast(rcb), "sub").select(
+        id_col, "cell", "sub", "code", rd2.alias("d2")
+    )
+    codes = scored.groupBy(id_col, "cell", "sub").agg(
+        F.min_by("code", F.struct("d2", "code")).alias("code")
+    )
+    probes = _probe_cells(cent, queries, nprobe, id_col, vec_col)
+    base = probes.join(F.broadcast(cent), "cell").select(
+        "q",
+        "qnrm",
+        "cell",
+        _dot_long("qqv", "cqv").alias("qc"),
+        _dot_long("cqv", "cqv").alias("cn2"),
+    )
+    qlut = (
+        quantized(queries, id_col, vec_col)
+        .where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("q"), subs, "qv")
+        .select(
+            "q",
+            "sub",
+            F.slice("qv", F.col("sub") * sub_d + 1, sub_d).alias("qsv"),
+        )
+        .join(F.broadcast(rcb), "sub")
+        .select("q", "sub", "code", _dot_long("qsv", "rcq").alias("part"))
+    )
+    ccross = (
+        cent.select("cell", subs, "cqv")
+        .select(
+            "cell",
+            "sub",
+            F.slice("cqv", F.col("sub") * sub_d + 1, sub_d).alias("csv"),
+        )
+        .join(F.broadcast(rcb), "sub")
+        .select(
+            "cell",
+            "sub",
+            "code",
+            (2 * _dot_long("csv", "rcq") + _dot_long("rcq", "rcq")).alias(
+                "rn2part"
+            ),
+        )
+    )
+    adc = (
+        codes.join(base.select("q", "cell", "qnrm", "qc", "cn2"), "cell")
+        .where(F.col("q") != F.col(id_col))
+        .join(F.broadcast(qlut), ["q", "sub", "code"])
+        .join(F.broadcast(ccross), ["cell", "sub", "code"])
+        .groupBy("q", id_col)
+        .agg(
+            (F.min("qc") + F.sum("part")).alias("dot"),
+            (F.min("cn2") + F.sum("rn2part")).alias("rn2"),
+            F.min("qnrm").alias("qnrm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    score = F.round(
+        F.col("dot").cast("double")
+        / (F.col("qnrm") * F.sqrt(F.col("rn2").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("q").orderBy(F.col("adc_cos").desc(), F.col(id_col))
+    return (
+        adc.select("q", id_col, score.alias("adc_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", id_col, "rank", "adc_cos")
+    )
+
+
+def ivfpq_residual_recall_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of residual IVF-PQ against exact brute force →
+    ``(q, n_retrieved, n_hits, recall)``: directly comparable to
+    ``sim_ivfpq_recall`` (raw-vector codes, identical n_cells/
+    nprobe/m/ksub) — the measured value of encoding residuals."""
+    truth = brute_force_topk(embeddings, queries, k, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    approx = ivfpq_residual_topk(
+        embeddings, queries, k, n_cells, nprobe, m, ksub, dim, id_col, vec_col
+    )
+    return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)

@@ -3371,6 +3371,127 @@ SIM_ORACLE["sim_ivfpq_topk"] = f"""
     SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM ppnn
 """
 
+# Residual IVF-PQ twin (operators/similarity.ivfpq_residual_topk):
+# residual = qv − assigned centroid (exact integers), codebooks =
+# seed vectors' residuals, ADC assembled from the base dot +
+# query-residual LUT + centroid-residual cross table — every fold an
+# exact int64 sum, same constants as the raw-vector IVF-PQ chain.
+_RPQ_SQL = f"""
+rsubs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+rres AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         [e.qv[i] - c.cqv[i] for i in generate_series(1, 64)] AS rv
+  FROM assign a JOIN emb e USING (vec_id) JOIN cent c USING (cell)
+),
+rseed AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY {hash64_sql('CAST(vec_id AS VARCHAR)')}, vec_id) AS rn
+  FROM emb
+  QUALIFY rn <= {_PQ_KSUB}
+),
+rcb AS MATERIALIZED (
+  SELECT s.sub, CAST(p.rn - 1 AS INT) AS code,
+         r.rv[s.sub * {_PQ_SUBD} + 1 : s.sub * {_PQ_SUBD} + {_PQ_SUBD}] AS rcq
+  FROM rseed p JOIN rres r USING (vec_id) CROSS JOIN rsubs s
+),
+rdist AS (
+  SELECT r.vec_id, r.cell, s.sub, c.code,
+         list_sum([(r.rv[s.sub * {_PQ_SUBD} + i] - c.rcq[i])
+                   * (r.rv[s.sub * {_PQ_SUBD} + i] - c.rcq[i])
+                   for i in generate_series(1, {_PQ_SUBD})]) AS d2
+  FROM rres r CROSS JOIN rsubs s JOIN rcb c ON c.sub = s.sub
+),
+rcodes AS MATERIALIZED (
+  SELECT vec_id, cell, sub, code FROM (
+    SELECT vec_id, cell, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM rdist
+  ) WHERE rn = 1
+),
+rqlut AS (
+  SELECT e.vec_id AS q, c.sub, c.code,
+         list_sum([e.qv[c.sub * {_PQ_SUBD} + i] * c.rcq[i]
+                   for i in generate_series(1, {_PQ_SUBD})]) AS part
+  FROM emb e CROSS JOIN rcb c
+  WHERE e.vec_id < 10
+),
+rcross AS (
+  SELECT ce.cell, b.sub, b.code,
+         2 * list_sum([ce.cqv[b.sub * {_PQ_SUBD} + i] * b.rcq[i]
+                       for i in generate_series(1, {_PQ_SUBD})])
+         + list_sum([b.rcq[i] * b.rcq[i]
+                     for i in generate_series(1, {_PQ_SUBD})]) AS rn2part
+  FROM cent ce CROSS JOIN rcb b
+),
+rbase AS (
+  SELECT p.q, e.nrm AS qnrm, p.cell,
+         list_sum([e.qv[i] * c.cqv[i]
+                   for i in generate_series(1, 64)]) AS qc,
+         list_sum([c.cqv[i] * c.cqv[i]
+                   for i in generate_series(1, 64)]) AS cn2
+  FROM probes p JOIN cent c USING (cell) JOIN emb e ON e.vec_id = p.q
+),
+radc AS (
+  SELECT b.q, cd.vec_id,
+         MIN(b.qc) + SUM(l.part) AS dot,
+         MIN(b.cn2) + SUM(x.rn2part) AS rn2,
+         MIN(b.qnrm) AS qnrm
+  FROM rcodes cd
+  JOIN rbase b ON b.cell = cd.cell
+  JOIN rqlut l ON l.q = b.q AND l.sub = cd.sub AND l.code = cd.code
+  JOIN rcross x ON x.cell = cd.cell AND x.sub = cd.sub AND x.code = cd.code
+  WHERE b.q <> cd.vec_id
+  GROUP BY b.q, cd.vec_id
+),
+rnn AS (
+  SELECT q, vec_id, adc_cos, rank FROM (
+    SELECT q, vec_id, adc_cos,
+           ROW_NUMBER() OVER (PARTITION BY q
+                              ORDER BY adc_cos DESC, vec_id) AS rank
+    FROM (
+      SELECT q, vec_id,
+             round(CAST(dot AS DOUBLE) / (qnrm * sqrt(CAST(rn2 AS DOUBLE))), 6)
+               AS adc_cos
+      FROM radc
+    )
+  ) WHERE rank <= 5
+)"""
+
+SIM_ORACLE["sim_ivfpq_residual_topk"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL}, {_RPQ_SQL}
+    SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM rnn
+"""
+
+SIM_ORACLE["sim_ivfpq_residual_recall"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL}, {_RPQ_SQL},
+    bscored AS (
+      SELECT eb.vec_id AS q, ea.vec_id,
+             round({_PAIR_COS}, 6) AS cos_sim
+      FROM emb ea CROSS JOIN emb eb
+      WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+    ),
+    bnn AS (
+      SELECT q, vec_id FROM (
+        SELECT q, vec_id, ROW_NUMBER() OVER (PARTITION BY q
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT b.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bnn b JOIN rnn i ON i.q = b.q AND i.vec_id = b.vec_id
+      GROUP BY b.q
+    ),
+    ret AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM rnn GROUP BY q),
+    qspine AS (SELECT DISTINCT q FROM bnn)
+    SELECT s.q,
+           CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS recall
+    FROM qspine s LEFT JOIN ret r USING (q) LEFT JOIN hits h USING (q)
+"""
+
 SIM_ORACLE["sim_ivfpq_recall"] = f"""
     WITH {EMB_SQL}, {IVF_SQL}, {PQ_SQL}, {_IVFPQ_NN_SQL},
     bscored AS (
@@ -3562,6 +3683,14 @@ SIM_QUERIES = {
         k=5, n_cells=16, nprobe=4, rounds=2,
     ),
     "sim_ivfpq_recall": lambda spark, sf: S.ivfpq_recall_eval(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        k=5, n_cells=16, nprobe=4, m=16, ksub=64,
+    ),
+    "sim_ivfpq_residual_topk": lambda spark, sf: S.ivfpq_residual_topk(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        k=5, n_cells=16, nprobe=4, m=16, ksub=64,
+    ),
+    "sim_ivfpq_residual_recall": lambda spark, sf: S.ivfpq_residual_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf),
         k=5, n_cells=16, nprobe=4, m=16, ksub=64,
     ),

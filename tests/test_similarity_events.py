@@ -1841,3 +1841,43 @@ def test_stream_bloom_admission_matches_batch_and_never_rejects_novel_members(sp
         ).collect()
     }
     assert not (admitted & members)
+
+
+def test_ivfpq_residual_exact_when_codebook_covers_corpus(spark):
+    """With ksub >= |corpus| every vector's residual is its own
+    codeword and with nprobe = n_cells nothing is pruned, so the
+    residual-ADC decomposition dot(q,c) + sum(part) over
+    ||c||^2 + sum(2*cross + ||r||^2) must reproduce the EXACT cosine
+    ranking and scores — the arithmetic identity behind the
+    operator, verified end to end."""
+    import hashlib
+
+    from bigclam_apachespark_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+    )
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest()
+        return [((b % 17) - 8) / 10.0 for b in h[:8]]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where("vec_id < 3")
+    exact = {
+        (r.q, r.rank): (r.vec_id, r.cos_sim)
+        for r in brute_force_topk(emb, queries, k=4).collect()
+    }
+    got = {
+        (r.q, r.rank): (r.vec_id, r.adc_cos)
+        for r in ivfpq_residual_topk(
+            emb, queries, k=4, n_cells=4, nprobe=4, m=4, ksub=20, dim=8
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for key, (vid, cos) in exact.items():
+        gvid, gcos = got[key]
+        assert gvid == vid, (key, vid, gvid)
+        assert abs(gcos - cos) < 2e-6, (key, cos, gcos)
