@@ -1082,7 +1082,47 @@ def _q_docs_orc_roundtrip(spark, sf):
     )
 
 
+def _q_docs_compaction(spark, sf):
+    """Small-file compaction round trip: the corpus is deliberately
+    fragmented (repartition(64) → 64 tiny files, the one-file-per-
+    upstream-task pathology), then rewritten through the REBALANCE
+    compacting sink (AQE coalesces and splits shuffle output toward
+    the advisory partition size — the idiomatic small-files fix that
+    needs no row count in advance and still splits skew). The query
+    returns the per-source identity summary read from the COMPACTED
+    copy; the oracle computes it from the source table, so the gate
+    proves compaction is a pure layout change — zero rows, chars, or
+    ids gained or lost. File-count reduction itself is asserted by
+    tests/test_text_dedup.py::test_write_compacted_merges_small_partitions."""
+    from bigclam_apachespark_spark.sources import write_compacted
+
+    path = _scratch_path("spark_graft_compact_docs", sf)
+    src = spark.read.parquet(f"{sf}/documents.parquet")
+    src.repartition(64).write.mode("overwrite").parquet(f"{path}/frag")
+    write_compacted(spark.read.parquet(f"{path}/frag"), f"{path}/compact")
+    back = spark.read.parquet(f"{path}/compact")
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_chars"),
+        F.count_distinct(hash64(normalize_text("text"))).cast("long").alias(
+            "n_distinct_texts"
+        ),
+    )
+
+
+TEXT_ORACLE["docs_compaction"] = f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+           CAST(COUNT(DISTINCT {hash64_sql(normalize_text_sql('text'))}) AS BIGINT)
+             AS n_distinct_texts
+    FROM documents GROUP BY source
+"""
+
+
 TEXT_QUERIES = {
+    "docs_compaction": _q_docs_compaction,
     "docs_jsonl_scan": lambda spark, sf: read_documents_jsonl(spark, DOCS_JSONL),
     "docs_csv_scan": lambda spark, sf: read_documents_csv(spark, DOCS_CSV),
     "docs_orc_roundtrip": _q_docs_orc_roundtrip,
