@@ -1699,3 +1699,92 @@ def random_walks(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def maximal_independent_set(
+    sym_edges: DataFrame, rounds: int = 8
+) -> DataFrame:
+    """Deterministic Luby maximal independent set → ``(id,
+    mis_round)``: in each round every still-active node draws the
+    md5 priority ``hash64(mis:round:id)`` and joins the MIS iff its
+    (priority, id) pair is strictly smaller than every active
+    neighbor's — the classic Luby'86 PRAM step with the random draw
+    replaced by a replayable hash, so both engines (and any two
+    cluster runs) elect the identical set. Winners and their
+    neighbors deactivate; ``rounds`` iterations run unconditionally
+    (a converged round is a no-op, so a fixed unroll is
+    oracle-stable; Luby gives O(log n) expected rounds, and the
+    tests assert genuine maximality at the tested scales).
+
+    Scale shape per round: one |E_active| join against the two
+    priority projections, a distinct on losers, two anti-joins, and
+    a semi-join edge shrink — the active edge set falls geometrically
+    (in expectation ≥ half the EDGES die per Luby round), so total
+    work is O(|E|) across all rounds. Per-round localCheckpoint
+    truncates the 8-deep lineage; superseded generations release
+    their blocks immediately."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    active = (
+        sym_edges.select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
+    mis_parts = []
+    for r in range(1, rounds + 1):
+        pri = active.select(
+            "id",
+            hash64(
+                F.concat(F.lit(f"mis:{r}:"), F.col("id").cast("string"))
+            ).alias("p"),
+        )
+        scored = (
+            edges.join(
+                pri.select(F.col("id").alias("src"), F.col("p").alias("ps")),
+                "src",
+            )
+            .join(
+                pri.select(F.col("id").alias("dst"), F.col("p").alias("pd")),
+                "dst",
+            )
+        )
+        losers = (
+            scored.where(
+                F.struct(F.col("ps"), F.col("src"))
+                > F.struct(F.col("pd"), F.col("dst"))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        winners = active.join(losers, "id", "left_anti").select(
+            "id", F.lit(r).alias("mis_round")
+        ).localCheckpoint(eager=True)
+        mis_parts.append(winners)
+        covered = (
+            edges.join(
+                winners.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .unionByName(winners.select("id"))
+        )
+        new_active = active.join(covered, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        new_edges = (
+            edges.join(
+                new_active.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .join(
+                new_active.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        unpersist_local_checkpoint(active)
+        unpersist_local_checkpoint(edges)
+        active, edges = new_active, new_edges
+    out = mis_parts[0]
+    for part in mis_parts[1:]:
+        out = out.unionByName(part)
+    return out

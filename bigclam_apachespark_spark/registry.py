@@ -487,6 +487,13 @@ def q_components(spark, sf_dir):
     return G.connected_components(shared_wedges(spark, sf_dir))
 
 
+def q_mis(spark, sf_dir):
+    """Deterministic Luby MIS on the co-purchase graph, 8 unrolled
+    rounds (converged rounds are no-ops; tests assert genuine
+    maximality at the tested scales)."""
+    return G.maximal_independent_set(_sym(spark, sf_dir), rounds=8)
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk sampling corpus: 2 walks × 4 steps from
     the id % 23 = 0 start cohort of the co-purchase graph. The hash-
@@ -528,6 +535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_louvain_facebook": q_louvain_facebook,
     "graph_kcore": q_kcore,
     "graph_random_walks": q_random_walks,
+    "graph_mis": q_mis,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
     "sql_grouping_sets": q_sql_grouping_sets,
@@ -1384,6 +1392,59 @@ def _walk_steps_sql(walk_len: int, start_mod: int, n_walks: int) -> str:
 ORACLE["graph_random_walks"] = (
     f"WITH {EDGES_SQL}, {SYM_SQL},\n        "
     + _walk_steps_sql(walk_len=4, start_mod=23, n_walks=2)
+)
+
+
+def _mis_rounds_sql(rounds: int) -> str:
+    """Unrolled Luby MIS CTE chain — identical per-round election to
+    operators/graph.maximal_independent_set, including the
+    (priority, id) tie-break. Active/edge CTEs are MATERIALIZED:
+    each round references its predecessor three times, so inlining
+    would re-derive the whole prefix 3^r times."""
+    from bigclam_apachespark_spark.functions.hashing import hash64_sql
+
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        h = hash64_sql(f"CONCAT('mis:{r}:', CAST(id AS VARCHAR))")
+        ctes += [
+            f"p{r} AS MATERIALIZED (SELECT id, {h} AS p FROM a{r - 1})",
+            f"""l{r} AS (
+          SELECT DISTINCT e.src AS id
+          FROM e{r - 1} e
+          JOIN p{r} ps ON ps.id = e.src
+          JOIN p{r} pd ON pd.id = e.dst
+          WHERE ps.p > pd.p OR (ps.p = pd.p AND e.src > e.dst)
+        )""",
+            f"""w{r} AS MATERIALIZED (
+          SELECT a.id, CAST({r} AS INT) AS mis_round
+          FROM a{r - 1} a ANTI JOIN l{r} l ON l.id = a.id
+        )""",
+            f"""c{r} AS (
+          SELECT DISTINCT e.dst AS id
+          FROM e{r - 1} e SEMI JOIN w{r} w ON w.id = e.src
+          UNION
+          SELECT id FROM w{r}
+        )""",
+            f"""a{r} AS MATERIALIZED (
+          SELECT a.id FROM a{r - 1} a ANTI JOIN c{r} c ON c.id = a.id
+        )""",
+            f"""e{r} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM e{r - 1} e
+          SEMI JOIN a{r} x ON x.id = e.src
+          SEMI JOIN a{r} y ON y.id = e.dst
+        )""",
+        ]
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT id, mis_round FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return ",\n        ".join(ctes) + f"\n        {union}"
+
+
+ORACLE["graph_mis"] = (
+    f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _mis_rounds_sql(8)
 )
 
 # ---------------------------------------------------------------------------
