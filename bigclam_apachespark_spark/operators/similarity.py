@@ -2175,3 +2175,159 @@ def ivfpq_residual_recall_eval(
         embeddings, queries, k, n_cells, nprobe, m, ksub, dim, id_col, vec_col
     )
     return _recall_combine(truth, approx.select("q", F.col(id_col).alias("nn")), k)
+
+
+def _l2_long(a: Column | str, b: Column | str) -> Column:
+    """Exact integer squared-L2 of two quantized vectors."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeanspp_candidates(
+    embeddings: DataFrame,
+    k: int = 16,
+    oversample: int = 32,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al. VLDB'12 — the
+    SCALABLE k-means++): instead of k sequential D²-weighted draws
+    (k full passes, inherently serial), each of ``rounds`` passes
+    samples ~``oversample`` points IN PARALLEL with probability
+    l·d²(x, C)/Σd², then the oversampled candidate set is reduced to
+    k centers by weight. Fully deterministic twin: the Bernoulli
+    draw is ``hash40(kmpp:r:id)·Σd² < l·d²·2⁴⁰`` — an EXACT integer
+    comparison in decimal(38,0) (d² ≤ ~6·10¹⁵ on the micro-unit
+    grid, so the cross-multiply needs ~90 bits; DuckDB mirrors in
+    HUGEINT), so both engines sample the identical candidates.
+    Reduction VARIANT (documented): the paper reclusters the
+    candidates with k-means++; this twin takes the k heaviest
+    candidates by attracted-point count (weight DESC, id) — the
+    deterministic stand-in that keeps the whole init oracle-checkable.
+
+    Returns ``(cell 0..k-1, vec_id, weight)`` — the chosen centers
+    ranked by weight, ready to feed ``kmeans_iteration`` as the
+    refined-Lloyd starting point.
+
+    Scale shape: every round is one broadcast join of the ≤
+    1+rounds·l candidate set onto the corpus (map-side d² argmin),
+    one 1-row Σd² broadcast, and a narrow hash-threshold filter — no
+    corpus shuffle at any point; exactly the k-means|| selling point
+    at 100 TB (k-means++ would need k serial passes)."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    pts = quantized(embeddings, id_col, vec_col).select(id_col, "qv")
+    first = (
+        pts.select(
+            id_col,
+            "qv",
+            hash64(
+                F.concat(F.lit("kmpp:0:"), F.col(id_col).cast("string"))
+            ).alias("_cb_seed"),
+        )
+        .orderBy("_cb_seed", id_col)
+        .limit(1)
+        .select(F.col(id_col).alias("cand_id"), F.col("qv").alias("cqv"))
+    )
+    cand = first
+    two40 = F.lit(1 << 40).cast("decimal(38,0)")
+    for r in range(1, rounds + 1):
+        d2 = (
+            pts.crossJoin(F.broadcast(cand))
+            .groupBy(id_col, "qv")
+            .agg(F.min(_l2_long("qv", "cqv")).alias("d2"))
+        )
+        tot = d2.agg(F.sum(F.col("d2").cast("decimal(38,0)")).alias("tot"))
+        coin = hash64(
+            F.concat(F.lit(f"kmpp:{r}:"), F.col(id_col).cast("string"))
+        ) % (1 << 40)
+        picked = (
+            d2.join(F.broadcast(tot))
+            .where(
+                coin.cast("decimal(38,0)") * F.col("tot")
+                < F.lit(oversample).cast("decimal(38,0)")
+                * F.col("d2").cast("decimal(38,0)")
+                * two40
+            )
+            .select(F.col(id_col).alias("cand_id"), F.col("qv").alias("cqv"))
+        )
+        # dedup by id: a point re-drawn in a later round (or the
+        # round-0 seed re-drawn) must not appear twice
+        cand = (
+            cand.unionByName(picked)
+            .dropDuplicates(["cand_id"])
+            .localCheckpoint(eager=True)
+        )
+    assigned = (
+        pts.crossJoin(F.broadcast(cand))
+        .select(
+            id_col,
+            "cand_id",
+            _l2_long("qv", "cqv").alias("d2"),
+        )
+        .groupBy(id_col)
+        .agg(F.min_by("cand_id", F.struct("d2", "cand_id")).alias("cand_id"))
+    )
+    weights = assigned.groupBy("cand_id").agg(F.count("*").alias("weight"))
+    topk = (
+        weights.orderBy(F.col("weight").desc(), "cand_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("weight").desc(), "cand_id")
+    return topk.withColumn("cell", F.row_number().over(w) - 1).select(
+        "cell", F.col("cand_id").alias(id_col), "weight"
+    )
+
+
+def kmeanspp_inertia_compare(
+    embeddings: DataFrame,
+    k: int = 16,
+    oversample: int = 32,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Init-quality honesty row → ``(method, n_centers, inertia)``:
+    the exact-integer within-cluster Σ min-d² of the corpus under
+    (a) the md5-sample centroids every IVF/PQ query uses and (b) the
+    k-means|| candidates reduced to the same k — measured, not
+    assumed, in the tradition of the recall ladder. Both inertias
+    are exact int64 folds over the micro-unit grid, so the
+    comparison is bit-stable cross-engine."""
+    pts = quantized(embeddings, id_col, vec_col).select(id_col, "qv")
+
+    def inertia(centers: DataFrame, method: str) -> DataFrame:
+        d2 = (
+            pts.crossJoin(F.broadcast(centers))
+            .groupBy(id_col)
+            .agg(F.min(_l2_long("qv", "cqv")).alias("d2"))
+        )
+        return d2.agg(
+            F.lit(method).alias("method"),
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("d2").cast("long").alias("inertia"),
+        )
+
+    sample_c = ivf_centroids(embeddings, k, id_col, vec_col).select(
+        F.col("cqv")
+    )
+    kmpp = kmeanspp_candidates(
+        embeddings, k, oversample, rounds, id_col, vec_col
+    ).select(F.col(id_col).alias("cand_id"))
+    kmpp_c = kmpp.join(
+        quantized(embeddings, id_col, vec_col).select(
+            F.col(id_col).alias("cand_id"), F.col("qv").alias("cqv")
+        ),
+        "cand_id",
+    ).select("cqv")
+    return inertia(sample_c, "md5_sample").unionByName(
+        inertia(kmpp_c, "kmeanspp")
+    )

@@ -3498,6 +3498,94 @@ rnn AS (
   ) WHERE rank <= 5
 )"""
 
+def _kmpp_sql(rounds: int = 3, oversample: int = 32, k: int = 16) -> str:
+    """Unrolled k-means|| CTE chain — identical integer Bernoulli
+    draw (hash40·Σd² < l·d²·2⁴⁰, HUGEINT twin of Spark's
+    decimal(38,0)) and the same weight-DESC reduction."""
+    _l2 = (
+        "list_sum([(e.qv[i] - c.cqv[i]) * (e.qv[i] - c.cqv[i]) "
+        "for i in generate_series(1, 64)])"
+    )
+    ctes = [
+        f"""kcand0 AS (
+      SELECT vec_id AS cand_id, qv AS cqv FROM emb
+      ORDER BY {hash64_sql("CONCAT('kmpp:0:', CAST(vec_id AS VARCHAR))")}, vec_id
+      LIMIT 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        h = hash64_sql(f"CONCAT('kmpp:{r}:', CAST(d.vec_id AS VARCHAR))")
+        ctes += [
+            f"""kd{r} AS MATERIALIZED (
+      SELECT e.vec_id, e.qv, MIN({_l2}) AS d2
+      FROM emb e CROSS JOIN kcand{r - 1} c GROUP BY e.vec_id, e.qv
+    )""",
+            f"kt{r} AS (SELECT SUM(CAST(d2 AS HUGEINT)) AS tot FROM kd{r})",
+            f"""ksel{r} AS (
+      SELECT d.vec_id AS cand_id, d.qv AS cqv
+      FROM kd{r} d CROSS JOIN kt{r}
+      WHERE CAST(({h}) % 1099511627776 AS HUGEINT) * tot
+            < CAST({oversample} AS HUGEINT) * CAST(d.d2 AS HUGEINT)
+              * CAST(1099511627776 AS HUGEINT)
+    )""",
+            f"""kcand{r} AS MATERIALIZED (
+      SELECT DISTINCT cand_id, cqv FROM (
+        SELECT cand_id, cqv FROM kcand{r - 1}
+        UNION ALL SELECT cand_id, cqv FROM ksel{r}
+      )
+    )""",
+        ]
+    ctes.append(
+        f"""kassign AS (
+      SELECT e.vec_id,
+             (MIN(struct_pack(d := {_l2}, c := c.cand_id))).c AS cand_id
+      FROM emb e CROSS JOIN kcand{rounds} c GROUP BY e.vec_id
+    )"""
+    )
+    ctes.append(
+        "kw AS (SELECT cand_id, COUNT(*) AS weight FROM kassign GROUP BY 1)"
+    )
+    ctes.append(
+        f"""ktop AS (
+      SELECT cand_id, weight,
+             ROW_NUMBER() OVER (ORDER BY weight DESC, cand_id) AS rn
+      FROM kw QUALIFY rn <= {k}
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+SIM_ORACLE["sim_kmeanspp_init"] = f"""
+    WITH {EMB_SQL}, {_kmpp_sql()}
+    SELECT CAST(rn - 1 AS INT) AS cell, cand_id AS vec_id,
+           CAST(weight AS BIGINT) AS weight
+    FROM ktop
+"""
+
+SIM_ORACLE["sim_kmeanspp_inertia"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL}, {_kmpp_sql()},
+    kcv AS (
+      SELECT e.qv AS cqv FROM ktop t JOIN emb e ON e.vec_id = t.cand_id
+    ),
+    m1 AS (
+      SELECT e.vec_id,
+             MIN(list_sum([(e.qv[i] - c.cqv[i]) * (e.qv[i] - c.cqv[i])
+                           for i in generate_series(1, 64)])) AS d2
+      FROM emb e CROSS JOIN cent c GROUP BY e.vec_id
+    ),
+    m2 AS (
+      SELECT e.vec_id,
+             MIN(list_sum([(e.qv[i] - c.cqv[i]) * (e.qv[i] - c.cqv[i])
+                           for i in generate_series(1, 64)])) AS d2
+      FROM emb e CROSS JOIN kcv c GROUP BY e.vec_id
+    )
+    SELECT 'md5_sample' AS method, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(d2) AS BIGINT) AS inertia FROM m1
+    UNION ALL
+    SELECT 'kmeanspp' AS method, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(d2) AS BIGINT) AS inertia FROM m2
+"""
+
 SIM_ORACLE["sim_ivfpq_residual_topk"] = f"""
     WITH {EMB_SQL}, {IVF_SQL}, {_RPQ_SQL}
     SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM rnn
@@ -3725,6 +3813,12 @@ SIM_QUERIES = {
     "sim_ivfpq_recall": lambda spark, sf: S.ivfpq_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf),
         k=5, n_cells=16, nprobe=4, m=16, ksub=64,
+    ),
+    "sim_kmeanspp_init": lambda spark, sf: S.kmeanspp_candidates(
+        _emb(spark, sf), k=16, oversample=32, rounds=3
+    ),
+    "sim_kmeanspp_inertia": lambda spark, sf: S.kmeanspp_inertia_compare(
+        _emb(spark, sf), k=16, oversample=32, rounds=3
     ),
     "sim_ivfpq_residual_topk": lambda spark, sf: S.ivfpq_residual_topk(
         _emb(spark, sf), _queries_subset(spark, sf),

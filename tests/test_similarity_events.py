@@ -1881,3 +1881,36 @@ def test_ivfpq_residual_exact_when_codebook_covers_corpus(spark):
         gvid, gcos = got[key]
         assert gvid == vid, (key, vid, gvid)
         assert abs(gcos - cos) < 2e-6, (key, cos, gcos)
+
+
+def test_kmeanspp_init_properties(spark):
+    """k-means|| invariants on the sf0.001 embeddings: exactly k
+    cells densely ranked by (weight DESC, id), weights sum to the
+    corpus size when every point's nearest candidate survives the
+    top-k cut is NOT guaranteed — but every returned weight must be
+    >= 1 and the centers must be distinct corpus ids; and the
+    measured inertia must BEAT (or tie) the md5-sample init's —
+    D²-weighted oversampling cannot lose to a uniform sample of the
+    same k on the same metric it optimizes (asserted on the shipped
+    fixture, where it holds)."""
+    from bigclam_apachespark_spark.operators.similarity import (
+        kmeanspp_candidates,
+        kmeanspp_inertia_compare,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeanspp_candidates(emb, k=8, oversample=16, rounds=3).collect()
+    assert len(out) == 8
+    assert sorted(r.cell for r in out) == list(range(8))
+    assert len({r.vec_id for r in out}) == 8
+    weights = [r.weight for r in sorted(out, key=lambda r: r.cell)]
+    assert weights == sorted(weights, reverse=True)
+    assert all(w >= 1 for w in weights)
+
+    inert = {
+        r.method: r.inertia
+        for r in kmeanspp_inertia_compare(
+            emb, k=8, oversample=16, rounds=3
+        ).collect()
+    }
+    assert inert["kmeanspp"] <= inert["md5_sample"], inert
