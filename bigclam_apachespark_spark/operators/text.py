@@ -1812,3 +1812,46 @@ def bpe_encode_corpus(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "token", "token_count", "rank"
     )
+
+
+def weighted_sample(
+    docs: DataFrame, n: int = 200, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, IPL'06) → the ``n`` winners of ``(doc_id, weight, key_e12,
+    rank)``: each document draws the deterministic md5 uniform
+    u ∈ (0, 1] and competes with key u^(1/w) — one pass, no
+    sequential state, inclusion probability ∝ token-count weight —
+    the importance-sampling primitive a data-mixing pipeline uses to
+    downsample a source while favoring long/high-value documents.
+
+    Determinism contract: ranking uses ln(u)/w (monotone in
+    u^(1/w), far better float spread near the top), rounded to an
+    integer PICO key (×10¹²) so the comparator is exact int64 —
+    cross-engine rank flips would need ln() to differ across libms
+    by ≥ the pico grid, the same accepted boundary as the BM25 nano
+    fold. Ties (same rounded key) break by id.
+
+    Scale shape: a narrow per-row key computation + ONE
+    ``orderBy().limit(n)`` = TakeOrderedAndProject (per-partition
+    top-n, k-row driver merge) — no global sort, no shuffle of the
+    corpus; the A-ES property that the top-n by key IS a weighted
+    sample is what makes weighted sampling distributable in one
+    pass."""
+    from pyspark.sql import Window
+
+    M = 1 << 40
+    w = (F.size(tokens(text_col)) + 1).cast("long")
+    u = (
+        (hash64(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))) % M)
+        + 1
+    ).cast("double") / float(M + 1)
+    key = F.round(F.log(u) / w.cast("double") * 1e12, 0).cast("long")
+    keyed = docs.select(
+        id_col, w.alias("weight"), key.alias("key_e12")
+    )
+    top = keyed.orderBy(F.col("key_e12").desc(), id_col).limit(n)
+    win = Window.orderBy(F.col("key_e12").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        id_col, "weight", "key_e12", "rank"
+    )

@@ -1221,7 +1221,28 @@ TEXT_QUERIES = {
     "text_bpe_encode": lambda spark, sf: X.bpe_encode_corpus(
         _docs(spark, sf), k=30
     ),
+    "text_weighted_sample": lambda spark, sf: X.weighted_sample(
+        _docs(spark, sf), n=100
+    ),
 }
+
+# A-ES twin: same md5 uniform, same pico-integer ln(u)/w key, same
+# (key DESC, id) order.
+TEXT_ORACLE["text_weighted_sample"] = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(len({TOKENS}) + 1 AS BIGINT) AS weight,
+             CAST(round(
+               ln((CAST(({hash64_sql("CONCAT('ws:', CAST(doc_id AS VARCHAR))")})
+                        % 1099511627776 AS DOUBLE) + 1) / 1099511627777.0)
+               / CAST(len({TOKENS}) + 1 AS DOUBLE) * 1e12) AS BIGINT) AS key_e12
+      FROM documents
+    )
+    SELECT doc_id, weight, key_e12,
+           CAST(row_number() OVER (ORDER BY key_e12 DESC, doc_id) AS INT) AS rank
+    FROM keyed
+    ORDER BY key_e12 DESC, doc_id LIMIT 100
+"""
 
 # BM25 oracle twin: identical nano-integer contribution rounding
 # (ln only inside the rounded term), exact int64 score fold, same

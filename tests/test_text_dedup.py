@@ -1247,3 +1247,41 @@ def test_bpe_encode_corpus_hand_computed(spark):
         for r in bpe_encode_corpus(docs, k=10).collect()
     ]
     assert got == [("ab", 3, 1), ("aa", 2, 2), ("c", 1, 3)]
+
+
+def test_weighted_sample_hand_replay_and_bias(spark):
+    """A-ES keys replayed in pure Python (same md5 uniform, same
+    pico rounding) must give the identical winner set and ranks; and
+    on a corpus of 50 long + 50 short docs, the top-20 winners must
+    over-represent the long (10x-weight) docs."""
+    import hashlib
+    import math
+
+    from bigclam_apachespark_spark.operators.text import weighted_sample
+
+    M = 1 << 40
+    texts = {}
+    for i in range(50):
+        texts[i] = "long " * 50
+    for i in range(50, 100):
+        texts[i] = "short word"
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def key(i):
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+        u = ((h % M) + 1) / (M + 1)
+        w = len(texts[i].split()) + 1
+        return int(round(math.log(u) / w * 1e12))
+
+    expect = sorted(texts, key=lambda i: (-key(i), i))[:20]
+    got = [
+        r.doc_id
+        for r in sorted(
+            weighted_sample(docs, n=20).collect(), key=lambda r: r.rank
+        )
+    ]
+    assert got == expect
+    n_long = sum(1 for d in got if d < 50)
+    assert n_long >= 14  # 10x weight -> long docs dominate the sample
