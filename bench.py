@@ -170,6 +170,17 @@ HEADLINE = [
     "sim_sq8_topk",
     "sim_ivfsq8_topk",
     "text_bpe_merge_two_steps",
+    # round-9 late additions: BM25 retrieval, the deterministic
+    # DeepWalk corpus, Luby MIS, residual IVF-PQ, k-means|| init, and
+    # Bloom decontamination — the expensive representatives of the
+    # round's new surface (cheap rows like weighted_sample /
+    # compaction / bpe_encode are oracle-gated but not timed)
+    "text_bm25_topk",
+    "graph_random_walks",
+    "graph_mis",
+    "sim_ivfpq_residual_topk",
+    "sim_kmeanspp_init",
+    "dedup_bloom_decontam",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
