@@ -928,3 +928,62 @@ def time_to_convert(
         )
         .orderBy("p")
     )
+
+
+def equidepth_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Equi-depth (equal-frequency) feature binning → ``(event_type,
+    bin, n_rows, lo_cents, hi_cents)``: per type, the bin boundaries
+    are the exact inverse-CDF order statistics at k/n_bins and every
+    row lands in ``bin = #{boundaries strictly below its cent
+    value}`` — the deterministic tie rule (rows sharing a value share
+    a bin; exact n/k splits under heavy ties would need an arbitrary
+    within-tie order, which is precisely what NTILE does and why
+    NTILE output can never be hash-matched cross-engine). The
+    standard feature-engineering discretization, with counts + the
+    observed [lo, hi] per bin as the bin card.
+
+    Scale shape: boundary extraction shares value_quantiles' exact
+    order-statistic path (per-type window — the ground-truth
+    calibration path; production uses the histogram sketch); the
+    boundary table is n_bins·|types| rows and BROADCASTS onto a
+    single narrow pass over the events, so assignment adds no
+    shuffle beyond the final per-(type, bin) hash agg."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).where(F.col("vc").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    ranked = ev.withColumn("r", F.row_number().over(w))
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(1, n_bins)])
+    ).alias("k")
+    probes = n.select("event_type", "n", ks)
+    bounds = (
+        ranked.join(probes, "event_type")
+        .where(
+            F.col("r")
+            >= F.ceil(F.col("k").cast("double") * F.col("n") / n_bins)
+        )
+        .groupBy("event_type", "k")
+        .agg(F.min("vc").alias("b"))
+    )
+    assigned = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "vc",
+            F.when(F.col("b") < F.col("vc"), 1).otherwise(0).alias("below"),
+        )
+        .groupBy("event_type", "event_id", "vc")
+        .agg(F.sum("below").cast("int").alias("bin"))
+    )
+    return assigned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("vc").alias("lo_cents"),
+        F.max("vc").alias("hi_cents"),
+    )

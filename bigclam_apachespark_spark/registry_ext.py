@@ -4072,6 +4072,44 @@ EVENT_ORACLE = {
         WHERE rk.r >= ceil(pr.p * pr.n)
         GROUP BY rk.event_type, pr.p
     """,
+    # Equi-depth binning twin: exact order-statistic boundaries at
+    # k/10, bin = count of boundaries strictly below the cent value
+    # (the deterministic tie rule — NTILE's within-tie split can
+    # never hash-match).
+    "events_equidepth_bins": """
+        WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events WHERE value IS NOT NULL
+        ),
+        ranked AS (
+          SELECT event_type, vc,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY vc, event_id) AS r
+          FROM ev
+        ),
+        n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ev GROUP BY event_type),
+        probes AS (
+          SELECT event_type, n, unnest(generate_series(1, 9)) AS k FROM n
+        ),
+        bounds AS (
+          SELECT rk.event_type, pr.k, MIN(rk.vc) AS b
+          FROM ranked rk JOIN probes pr USING (event_type)
+          WHERE rk.r >= ceil(CAST(pr.k AS DOUBLE) * pr.n / 10)
+          GROUP BY rk.event_type, pr.k
+        ),
+        assigned AS (
+          SELECT e.event_type, e.event_id, e.vc,
+                 CAST(SUM(CASE WHEN bo.b < e.vc THEN 1 ELSE 0 END) AS INT)
+                   AS bin
+          FROM ev e JOIN bounds bo USING (event_type)
+          GROUP BY e.event_type, e.event_id, e.vc
+        )
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(vc) AS lo_cents, MAX(vc) AS hi_cents
+        FROM assigned GROUP BY event_type, bin
+    """,
     # CUBE: rollup's lattice plus the per-day cross-type slice.
     "events_cube": """
         SELECT event_type,
@@ -5278,6 +5316,9 @@ EVENT_QUERIES = {
     "events_rollup": lambda spark, sf: E.rollup_counts(_events(spark, sf)),
     "events_cube": lambda spark, sf: E.cube_counts(_events(spark, sf)),
     "events_value_quantiles": lambda spark, sf: E.value_quantiles(_events(spark, sf)),
+    "events_equidepth_bins": lambda spark, sf: E.equidepth_bins(
+        _events(spark, sf), n_bins=10
+    ),
     "events_dau_wau": lambda spark, sf: E.dau_wau(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
     "events_transitions": lambda spark, sf: E.type_transitions(_events(spark, sf)),

@@ -1914,3 +1914,31 @@ def test_kmeanspp_init_properties(spark):
         ).collect()
     }
     assert inert["kmeanspp"] <= inert["md5_sample"], inert
+
+
+def test_equidepth_bins_hand_computed(spark):
+    """12 values of one type, 4 bins: boundaries at ceil(k*12/4) =
+    ranks 3/6/9 → values 30/60/90; bin = #{boundaries < vc}, so vc=30
+    lands in bin 0 (not strictly above its own boundary) and each bin
+    holds exactly 3 rows on this tie-free fixture."""
+    from bigclam_apachespark_spark.operators.events import equidepth_bins
+
+    rows = [
+        ("buy", i, "2024-01-01 00:00:00", float(i * 10) / 100)
+        for i in range(1, 13)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts string, value double"
+    ).selectExpr(
+        "event_type", "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    got = {
+        r.bin: (r.n_rows, r.lo_cents, r.hi_cents)
+        for r in equidepth_bins(ev, n_bins=4).collect()
+    }
+    assert got == {
+        0: (3, 10, 30),
+        1: (3, 40, 60),
+        2: (3, 70, 90),
+        3: (3, 100, 120),
+    }
