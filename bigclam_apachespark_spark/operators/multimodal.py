@@ -934,3 +934,115 @@ def video_near_dup(
         .agg(F.count("*").alias("n_matching"))
         .where(F.col("n_matching") >= min_matching)
     )
+
+
+WAV_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("dominant_bin", T.IntegerType(), True),
+        T.StructField("dominant_hz", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def synthetic_sine_media(
+    spark: SparkSession, n: int = 48, rate: int = 8000, n_samples: int = 256
+) -> DataFrame:
+    """Deterministic sine-tone RIFF/WAV fixture with a CLOSED-FORM
+    SPECTRAL oracle for the REAL FFT path (``wav_spectral``): clip
+    ``i`` is one full analysis window of exactly ``k_i = 3 + i % 13``
+    INTEGER cycles of a PCM16 sine (amplitude 8192). An integer
+    number of cycles over the window means the DFT concentrates ALL
+    tone energy in bin k_i (no spectral leakage); int16 quantization
+    adds ~-90 dB broadband noise, so the magnitude argmax over bins
+    1..N/2 is k_i with enormous margin — an exact-integer oracle for
+    a floating-point FFT. ``dominant_hz = k_i · rate / n_samples`` =
+    k_i · 31.25, exact in binary, so round(·, 6) is lossless."""
+    import io
+    import math
+    import struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        k = 3 + i % 13
+        pcm = b"".join(
+            struct.pack(
+                "<h",
+                int(round(8192 * math.sin(2 * math.pi * k * t / n_samples))),
+            )
+            for t in range(n_samples)
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm)
+        rows.append((i, "audio", bytearray(buf.getvalue())))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def _wav_spectral(media_id: int, payload: bytes) -> dict:
+    """REAL spectral analysis: RIFF decode (stdlib wave) → numpy
+    rfft → dominant non-DC bin + its frequency. Malformed payloads
+    report ``decode_error`` row-level, never failing the batch."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out = {
+        "media_id": media_id, "n_frames": None, "sample_rate": None,
+        "dominant_bin": None, "dominant_hz": None, "decode_error": None,
+    }
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            nch, sw, rate, nfr = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+            )
+            raw = w.readframes(nfr)
+        if sw != 2 or nch != 1:
+            raise ValueError(f"spectral path expects mono PCM16, got ch={nch} sw={sw}")
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+        if x.size < 4:
+            raise ValueError("window too short for spectral analysis")
+        mag = np.abs(np.fft.rfft(x))
+        k = int(np.argmax(mag[1:]) + 1)  # exclude DC
+        out.update(
+            n_frames=int(nfr), sample_rate=int(rate),
+            dominant_bin=k,
+            dominant_hz=round(k * rate / x.size, 6),
+        )
+    except Exception as ex:
+        out["decode_error"] = f"{type(ex).__name__}: {ex}"[:200]
+    return out
+
+
+def wav_spectral(media: DataFrame) -> DataFrame:
+    """REAL FFT feature extraction over audio payloads → per-clip
+    dominant frequency via Arrow-batched ``mapInPandas`` — the
+    signal-processing stage of a multimodal ingest (language-ID from
+    pitch contours, music/speech routing, silence detection all
+    start here). Same scale shape as ``wav_stats``: payloads stream
+    through Python in Arrow batches and reduce to a fixed-width
+    feature row immediately; nothing binary ever crosses a join or
+    shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _wav_spectral(mid, pl)
+                    for mid, pl in zip(pdf["media_id"], pdf["payload"])
+                ]
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, WAV_SPECTRAL_SCHEMA)

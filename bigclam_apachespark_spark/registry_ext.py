@@ -5508,6 +5508,16 @@ MULTIMODAL_ORACLE = {
     # n_frames = 64 + 16*i, constant sample 512*(i%9). rms = peak =
     # (i%9)/64 and duration = n_frames/8000 — all terminate within 6
     # decimals, so round(x, 6) is exact on both engines.
+    # FFT closed form: one full window of k = 3 + i%13 integer
+    # cycles -> ALL tone energy in bin k; 8000/256 = 31.25 exact in
+    # binary so the rounded hz is lossless.
+    "multimodal_wav_spectral": """
+        SELECT i AS media_id, CAST(256 AS BIGINT) AS n_frames,
+               8000 AS sample_rate,
+               CAST(3 + i % 13 AS INT) AS dominant_bin,
+               round((3 + i % 13) * CAST(31.25 AS DOUBLE), 6) AS dominant_hz
+        FROM generate_series(0, 47) t(i)
+    """,
     "multimodal_wav_stats": """
         SELECT i AS media_id, 1 AS n_channels, 8000 AS sample_rate,
                CAST(64 + 16 * i AS BIGINT) AS n_frames,
@@ -5571,6 +5581,21 @@ def _q_caption_join(spark, sf):
     from bigclam_apachespark_spark.operators import multimodal as MM
 
     return MM.caption_join(MM.synthetic_media(spark, 64), _docs(spark, sf))
+
+
+def _q_wav_spectral(spark, sf):
+    """REAL FFT path, ORACLE-CHECKED via the integer-cycle sine
+    fixture's closed form: the dominant bin of clip i MUST be
+    3 + i % 13 (all tone energy in one bin, quantization noise
+    ~-90 dB below), and dominant_hz = bin · 31.25 exactly."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        synthetic_sine_media,
+        wav_spectral,
+    )
+
+    return wav_spectral(synthetic_sine_media(spark, n=48)).select(
+        "media_id", "n_frames", "sample_rate", "dominant_bin", "dominant_hz"
+    )
 
 
 def _q_wav_stats(spark, sf):
@@ -5755,6 +5780,7 @@ MULTIMODAL_QUERIES = {
     "multimodal_patch_grid": _q_patch_grid,
     "multimodal_audio_chunks": _q_audio_chunks,
     "multimodal_wav_stats": _q_wav_stats,
+    "multimodal_wav_spectral": _q_wav_spectral,
     "multimodal_ppm_features": _q_ppm_features,
     "multimodal_png_features": _q_png_features,
 }

@@ -1942,3 +1942,27 @@ def test_equidepth_bins_hand_computed(spark):
         2: (3, 70, 90),
         3: (3, 100, 120),
     }
+
+
+def test_wav_spectral_dominant_bin_and_corrupt_payload(spark):
+    """The FFT path must find the integer-cycle sine's exact bin on
+    every fixture clip, and a corrupt payload must surface a
+    row-level decode_error with NULL features instead of failing the
+    batch."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        synthetic_sine_media,
+        wav_spectral,
+    )
+
+    media = synthetic_sine_media(spark, n=16)
+    rows = {r.media_id: r for r in wav_spectral(media).collect()}
+    for i in range(16):
+        assert rows[i].dominant_bin == 3 + i % 13
+        assert rows[i].decode_error is None
+
+    bad = spark.createDataFrame(
+        [(99, "audio", bytearray(b"RIFFgarbage"))],
+        "media_id long, kind string, payload binary",
+    )
+    out = wav_spectral(bad).collect()[0]
+    assert out.decode_error is not None and out.dominant_bin is None
