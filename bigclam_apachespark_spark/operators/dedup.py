@@ -1024,3 +1024,131 @@ def scrub_duplicate_spans(
         ).cast("long").alias("n_tokens_removed"),
         F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact set-similarity join with PREFIX FILTERING (the
+    PPJoin candidate rule, Xiao et al. WWW'08) → every pair with
+    token-set Jaccard ≥ num/den as ``(a, b, inter, sz_a, sz_b,
+    jaccard)``. LOSSLESS pruning — and the oracle PROVES it: the
+    DuckDB twin computes the unpruned all-pairs τ-join, so a hash
+    match certifies that prefix filtering dropped no qualifying pair.
+
+    The rule: order every document's tokens canonically by global
+    (df ASC, token) — rare-first — and keep only the first
+    ``p = sz − ceil(τ·sz) + 1`` as its PREFIX; any pair with
+    J ≥ τ must share a prefix token (pigeonhole: J ≥ τ forces
+    overlap ≥ ceil(τ·sz) on each side, which cannot fit entirely in
+    the sz − p = ceil(τ·sz) − 1 suffix tokens). Candidates are pairs
+    sharing a prefix token; each is verified by an exact integer
+    intersection over the FULL token sets, and the τ test is the
+    integer cross-multiply ``den·inter ≥ num·(sz_a + sz_b − inter)``
+    — no float touches the decision.
+
+    vs ``token_jaccard_pairs``' df cap: the cap is a lossy heuristic
+    (pairs whose every shared token is hot are missed); the prefix
+    filter is the principled replacement — candidate volume is
+    Σ_token df_prefix², and the rare-first order pushes hot tokens
+    OUT of prefixes, so the hot-token blowup never forms while
+    recall stays exactly 1.
+
+    Scale shape: df is vocabulary-sized; the global token rank uses
+    the bucketed two-stage row_number (no single-partition sort);
+    the per-doc prefix selection is a degree-bounded window; verify
+    joins touch only candidate pairs. The exploded token relation
+    feeds prefix + both verify sides and is cached with a release
+    handle.
+
+    ``ngram``: the set universe — 1 = word sets; n > 1 = word n-gram
+    sets. Prefix filtering's pruning power is df-driven, so on a
+    SMALL-VOCABULARY corpus (this repo's synthetic word soup: ~30
+    distinct words, every token hot) unigram prefixes prune nothing
+    — measured 104 s at sf0.1 — while trigram sets (universe ~v³,
+    df ~ 1/v² of corpus) restore the rare-first prefix's whole
+    point. Real corpora are Zipfian: most tokens are rare, unigram
+    prefixes prune fine; the gate config uses n=3 to demonstrate the
+    algorithm under its intended statistics."""
+    from bigclam_apachespark_spark.functions.hashing import word_ngrams_of
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+    from pyspark.sql import Window
+
+    if ngram == 1:
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+        ).cache()
+    else:
+        tok = (
+            docs.select("doc_id", tokens(text_col).alias("tk"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(word_ngrams_of(F.col("tk"), ngram))
+                ).alias("t"),
+            )
+            .cache()
+        )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = tok.groupBy("t").agg(F.count("*").alias("dfr"))
+    ranked = bucketed_row_number(dfreq, ["dfr", "t"], out="rk")
+    # prefix length: p = sz - ceil(num*sz/den) + 1, all integer
+    p = (
+        F.col("sz")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("sz") + threshold_den - 1)
+            / threshold_den
+        )
+        + 1
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("rk")
+    prefix = (
+        tok.join(ranked.select("t", "rk"), "t")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .where(F.col("pos") <= p)
+        .select("doc_id", "t")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "t")
+        .join(prefix.select(F.col("doc_id").alias("b"), "t"), "t")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("doc_id").alias("a"), "t"), "a")
+        .join(tok.select(F.col("doc_id").alias("b"), "t"), ["b", "t"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .where(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num)
+            * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    out._cache_handles = [tok]
+    return out

@@ -1285,3 +1285,43 @@ def test_weighted_sample_hand_replay_and_bias(spark):
     assert got == expect
     n_long = sum(1 for d in got if d < 50)
     assert n_long >= 14  # 10x weight -> long docs dominate the sample
+
+
+def test_ppjoin_exact_vs_brute_force(spark):
+    """PPJoin output must equal the brute-force tau-Jaccard join on
+    a corpus with hand-known overlaps, at two thresholds (integer
+    cross-multiply decisions, no float)."""
+    from itertools import combinations
+
+    from bigclam_apachespark_spark.operators.dedup import ppjoin_pairs
+
+    texts = {
+        1: "a b c d",
+        2: "a b c e",      # J(1,2) = 3/5
+        3: "a b x y",      # J(1,3) = 2/6
+        4: "p q r s",
+        5: "p q r s",      # J(4,5) = 1
+        6: "a",            # 1-token doc: prefix = itself
+        7: "a",            # J(6,7) = 1
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def brute(num, den):
+        out = set()
+        for x, y in combinations(sorted(texts), 2):
+            sx, sy = set(texts[x].split()), set(texts[y].split())
+            i, u = len(sx & sy), len(sx | sy)
+            if den * i >= num * u:
+                out.add((x, y, i))
+        return out
+
+    for num, den in ((1, 2), (7, 10)):
+        got = {
+            (r.a, r.b, r.inter)
+            for r in ppjoin_pairs(
+                docs, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == brute(num, den), (num, den, got)
