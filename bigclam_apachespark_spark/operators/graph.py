@@ -1788,3 +1788,88 @@ def maximal_independent_set(
     for part in mis_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def walk_cooccurrence_pmi(
+    sym_edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    start_mod: int | None = None,
+    window: int = 2,
+    k: int = 30,
+) -> DataFrame:
+    """Co-occurrence PMI over the deterministic walk corpus →
+    ``(a, b, c_ab, c_a, c_b, n_pairs, pmi, rank)``, top-k node pairs
+    by PMI — the skip-gram statistic of DeepWalk's training feed
+    (Levy & Goldberg NIPS'14: SGNS embeddings factor exactly this
+    shifted-PMI matrix, so the top-PMI pairs ARE the strongest
+    embedding neighborhoods, computed without any SGD).
+
+    Pairs are the unordered (least, greatest) node pairs at step
+    distance 1..window inside one walk; c_a/c_b count slot
+    occurrences; the RANKING ratio ``c_ab·N/(c_a·c_b)`` is ONE IEEE
+    division of two exact int64 products (correctly rounded on every
+    engine — the salient_terms exactness argument), ln only touches
+    the reported rounded ``pmi``.
+
+    Scale shape: walk_len joins build the corpus (see
+    ``random_walks``); the pairing self-join keys on (start, walk) —
+    walk-sized groups, ≤ walk_len·window candidate rows each; counts
+    are hash aggs; top-k via orderBy().limit = TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
+    w1 = walks.select("start", "walk", F.col("step").alias("s1"), F.col("node").alias("n1"))
+    w2 = walks.select("start", "walk", F.col("step").alias("s2"), F.col("node").alias("n2"))
+    pairs = (
+        w1.join(w2, ["start", "walk"])
+        .where(
+            (F.col("s2") > F.col("s1"))
+            & (F.col("s2") - F.col("s1") <= window)
+            & (F.col("n1") != F.col("n2"))
+        )
+        .select(
+            F.least("n1", "n2").alias("a"),
+            F.greatest("n1", "n2").alias("b"),
+        )
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    occ = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("c_v"))
+    )
+    n = pairs.agg(F.count("*").alias("n_pairs"))
+    scored = (
+        cab.join(occ.select(F.col("v").alias("a"), F.col("c_v").alias("c_a")), "a")
+        .join(occ.select(F.col("v").alias("b"), F.col("c_v").alias("c_b")), "b")
+        .join(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "n_pairs",
+            (
+                (F.col("c_ab") * F.col("n_pairs")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("ratio"),
+        )
+    )
+    top = scored.orderBy(F.col("ratio").desc(), "a", "b").limit(k)
+    win = Window.orderBy(F.col("ratio").desc(), "a", "b")
+    return (
+        top.withColumn("rank", F.row_number().over(win))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.log("ratio"), 6).alias("pmi"),
+            "rank",
+        )
+    )

@@ -494,6 +494,14 @@ def q_mis(spark, sf_dir):
     return G.maximal_independent_set(_sym(spark, sf_dir), rounds=8)
 
 
+def q_walk_pmi(spark, sf_dir):
+    """Top-30 walk-co-occurrence PMI pairs — the SGNS statistic of
+    the DeepWalk corpus (embedding neighborhoods without SGD)."""
+    return G.walk_cooccurrence_pmi(
+        _sym(spark, sf_dir), walk_len=4, n_walks=2, start_mod=23, window=2, k=30
+    )
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk sampling corpus: 2 walks × 4 steps from
     the id % 23 = 0 start cohort of the co-purchase graph. The hash-
@@ -535,6 +543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_louvain_facebook": q_louvain_facebook,
     "graph_kcore": q_kcore,
     "graph_random_walks": q_random_walks,
+    "graph_walk_pmi": q_walk_pmi,
     "graph_mis": q_mis,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
@@ -1354,10 +1363,12 @@ JOIN deg dx ON dx.id = u.x JOIN deg dy ON dy.id = u.y""",
 }
 
 
-def _walk_steps_sql(walk_len: int, start_mod: int, n_walks: int) -> str:
-    """Unrolled random-walk CTE chain — the same hash-argmin
-    transition per step as operators/graph.random_walks, the
-    (hash, dst) struct-min tie-break included."""
+def _walk_steps_parts(
+    walk_len: int, start_mod: int, n_walks: int
+) -> tuple[str, str]:
+    """(ctes, union) parts of the unrolled random-walk chain —
+    shared by the plain corpus oracle and the co-occurrence/PMI
+    composition, so the two can never drift."""
     from bigclam_apachespark_spark.functions.hashing import hash64_sql
 
     walks = ", ".join(f"({w})" for w in range(n_walks))
@@ -1386,13 +1397,57 @@ def _walk_steps_sql(walk_len: int, start_mod: int, n_walks: int) -> str:
     union = "\n        UNION ALL\n        ".join(
         f"SELECT start, walk, step, node FROM s{s}" for s in range(walk_len + 1)
     )
-    return ",\n        ".join(ctes) + f"\n        {union}"
+    return ",\n        ".join(ctes), union
+
+
+def _walk_steps_sql(walk_len: int, start_mod: int, n_walks: int) -> str:
+    ctes, union = _walk_steps_parts(walk_len, start_mod, n_walks)
+    return f"{ctes}\n        {union}"
 
 
 ORACLE["graph_random_walks"] = (
     f"WITH {EDGES_SQL}, {SYM_SQL},\n        "
     + _walk_steps_sql(walk_len=4, start_mod=23, n_walks=2)
 )
+
+_WALK_CTES, _WALK_UNION = _walk_steps_parts(walk_len=4, start_mod=23, n_walks=2)
+
+ORACLE["graph_walk_pmi"] = f"""
+    WITH {EDGES_SQL}, {SYM_SQL},
+    {_WALK_CTES},
+    walks AS (
+        {_WALK_UNION}
+    ),
+    wpairs AS (
+      SELECT least(w1.node, w2.node) AS a, greatest(w1.node, w2.node) AS b
+      FROM walks w1
+      JOIN walks w2 ON w1.start = w2.start AND w1.walk = w2.walk
+      WHERE w2.step > w1.step AND w2.step - w1.step <= 2
+        AND w1.node <> w2.node
+    ),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM wpairs GROUP BY a, b),
+    occ AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c_v FROM (
+        SELECT a AS v FROM wpairs UNION ALL SELECT b AS v FROM wpairs
+      ) GROUP BY v
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM wpairs),
+    scored AS (
+      SELECT cab.a, cab.b, cab.c_ab, oa.c_v AS c_a, ob.c_v AS c_b, n.n_pairs,
+             CAST(cab.c_ab * n.n_pairs AS DOUBLE)
+               / CAST(oa.c_v * ob.c_v AS DOUBLE) AS ratio
+      FROM cab
+      JOIN occ oa ON oa.v = cab.a
+      JOIN occ ob ON ob.v = cab.b
+      CROSS JOIN n
+    )
+    SELECT a, b, c_ab, c_a, c_b, n_pairs,
+           round(ln(ratio), 6) AS pmi,
+           CAST(row_number() OVER (ORDER BY ratio DESC, a, b) AS INT) AS rank
+    FROM scored
+    ORDER BY ratio DESC, a, b LIMIT 30
+"""
 
 
 def _mis_rounds_sql(rounds: int) -> str:

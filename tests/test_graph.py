@@ -904,3 +904,55 @@ def test_mis_independence_maximality_and_hand_replay(spark):
         expect = {(v, r) for (v, r) in got}  # shape asserted below
         assert {v for v, _ in got} == {0, 2}
     assert got == expect or {v for v, _ in got} == {0, 2}
+
+
+def test_walk_pmi_hand_computed_on_path(spark):
+    """On the 3-path every walk is forced at the endpoints, so the
+    pair corpus is replayable by hand: walks of length 2 from each
+    start, window 2, pairs = unordered co-occurrences; PMI values
+    must match the pure-Python recount exactly."""
+    import hashlib
+    import math
+
+    from bigclam_apachespark_spark.operators.graph import walk_cooccurrence_pmi
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sym = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    nbrs = {0: [1], 1: [0, 2], 2: [1]}
+    # replay the walk corpus
+    walks = {}
+    for start in (0, 1, 2):
+        for walk in (0, 1):
+            seq = [start]
+            for step in (1, 2):
+                seq.append(
+                    min(nbrs[seq[-1]], key=lambda v: (h64(f"{start}:{walk}:{step}:{v}"), v))
+                )
+            walks[(start, walk)] = seq
+    pairs = []
+    for seq in walks.values():
+        for i in range(3):
+            for j in range(i + 1, min(i + 3, 3)):
+                if seq[i] != seq[j]:
+                    pairs.append((min(seq[i], seq[j]), max(seq[i], seq[j])))
+    from collections import Counter
+
+    cab = Counter(pairs)
+    occ = Counter([p[0] for p in pairs] + [p[1] for p in pairs])
+    n = len(pairs)
+    expect = {
+        (a, b): round(math.log(c * n / (occ[a] * occ[b])), 6)
+        for (a, b), c in cab.items()
+    }
+    got = {
+        (r.a, r.b): (r.pmi, r.c_ab)
+        for r in walk_cooccurrence_pmi(sym, walk_len=2, n_walks=2, window=2, k=10).collect()
+    }
+    assert set(got) == set(expect)
+    for key, (pmi, c) in got.items():
+        assert pmi == expect[key], (key, pmi, expect[key])
+        assert c == cab[key]
