@@ -1559,3 +1559,68 @@ def fk_profile(
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out
+
+
+def incremental_agg_retract(
+    base_orders: DataFrame,
+    upsert_orders: DataFrame,
+    delete_keys: DataFrame,
+) -> DataFrame:
+    """Retraction-aware materialized-view maintenance → the
+    per-customer ``(o_custkey, n_orders, total_spend)`` aggregate
+    updated under a delta of UPSERTS (replace by o_orderkey) and
+    DELETES — the general dataflow z-set / differential pattern:
+    every changed key's OLD row contributes a NEGATIVE (retraction)
+    row, every upsert a positive one, and the merge is one
+    vocabulary-sized hash agg over base-agg ∪ retractions ∪
+    insertions. count/sum are self-maintainable under deletes this
+    way (min/max are NOT — they'd need the full group rescanned;
+    that asymmetry is the point of the self-maintainable class).
+
+    Customers whose order count reaches zero drop OUT of the view
+    (a grouped view has no row for an empty group — the detail
+    recompute-vs-merge equivalence hinges on it).
+
+    Scale shape: old-version lookup is ONE join of the fact table
+    against the changed-key set (broadcast when the delta is daily-
+    sized); everything after runs on aggregate-sized relations —
+    the table itself is never rescanned."""
+    changed = upsert_orders.select("o_orderkey").unionByName(
+        delete_keys.select("o_orderkey")
+    ).distinct()
+    old = base_orders.join(F.broadcast(changed), "o_orderkey", "left_semi")
+    # delete wins over upsert for a key in both (the MERGE
+    # WHEN-MATCHED-DELETE precedence): the insertion side drops
+    # deleted keys, while their old rows are still retracted above
+    upsert_orders = upsert_orders.join(
+        F.broadcast(delete_keys.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
+
+    def per_cust(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            (F.lit(sign) * F.count("*")).cast("long").alias("n_orders"),
+            F.sum(
+                F.lit(sign) * _cents("o_totalprice").cast("decimal(38,0)")
+            ).alias("_spend_c"),
+        )
+
+    merged = (
+        per_cust(base_orders, 1)
+        .unionByName(per_cust(old, -1))
+        .unionByName(per_cust(upsert_orders, 1))
+    )
+    return (
+        merged.groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("_spend_c").alias("_spend_c"),
+        )
+        .where(F.col("n_orders") > 0)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("_spend_c").cast("double") / 100.0, 6).alias(
+                "total_spend"
+            ),
+        )
+    )

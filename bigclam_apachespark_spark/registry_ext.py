@@ -5988,6 +5988,24 @@ def _q_zorder_key(spark, sf):
     return zorder_key(spark.read.parquet(f"{sf}/orders.parquet"), bits=16)
 
 
+def _q_incremental_agg_retract(spark, sf):
+    """Deterministic delta: o_orderkey % 37 = 0 rows are UPSERTED
+    with price + 100, % 41 = 0 rows are DELETED (delete wins for
+    keys in both). The retraction merge must equal the oracle's
+    full recompute over the post-delta table — self-maintainability
+    under deletes is what's checked."""
+    from bigclam_apachespark_spark.operators.relational import (
+        incremental_agg_retract,
+    )
+
+    orders = _rel_tables(spark, sf)[0]
+    ups = orders.where(F.col("o_orderkey") % 37 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100.0
+    )
+    dels = orders.where(F.col("o_orderkey") % 41 == 0).select("o_orderkey")
+    return incremental_agg_retract(orders, ups, dels)
+
+
 def _q_incremental_agg(spark, sf):
     """Base/delta split is deterministic (orderkey % 50): the
     incremental merge must equal the oracle's FULL recompute —
@@ -6366,6 +6384,7 @@ REL_QUERIES = {
     "rel_upsert_stream": _q_upsert_stream,
     "rel_zorder_key": _q_zorder_key,
     "rel_incremental_agg": _q_incremental_agg,
+    "rel_incremental_agg_retract": _q_incremental_agg_retract,
     "rel_table_stats": _q_table_stats,
     "rel_running_totals": _q_running_totals,
     "rel_rolling_avg": _q_rolling_avg,
@@ -7066,6 +7085,23 @@ REL_ORACLE["rel_upsert_stream"] = REL_ORACLE["rel_upsert_merge"]
 # against the FULL recompute (the self-maintainability property);
 # ANALYZE stats as one UNION ALL of per-column aggregates.
 REL_ORACLE["rel_zorder_key"] = _zorder_oracle_sql(16)
+REL_ORACLE["rel_incremental_agg_retract"] = """
+    WITH up AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 37 = 0
+    ),
+    survivors AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 37 <> 0 AND o_orderkey % 41 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM up
+      WHERE o_orderkey % 41 <> 0
+    )
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS DOUBLE) / 100.0, 6) AS total_spend
+    FROM survivors GROUP BY 1
+"""
 REL_ORACLE["rel_incremental_agg"] = """
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
            round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))

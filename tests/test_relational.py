@@ -649,3 +649,39 @@ def test_excess_suppliers_dominance(spark):
     got = {(r.s_suppkey, r.n_parts_dominated)
            for r in excess_suppliers(li, supplier).collect()}
     assert got == {(10, 1), (11, 1)}
+
+
+def test_incremental_agg_retract_hand_computed(spark):
+    """4 orders across 2 customers: upsert replaces one order's
+    price, delete removes another (including a key in BOTH delta
+    sides, where delete must win), and a customer whose only order
+    is deleted must drop out of the view entirely."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.relational import (
+        incremental_agg_retract,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, 10, 100.0),
+            (2, 10, 50.0),
+            (3, 20, 70.0),
+            (4, 30, 40.0),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    ups = spark.createDataFrame(
+        [(2, 10, 500.0), (4, 30, 99.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    dels = spark.createDataFrame([(3,), (4,)], "o_orderkey long")
+
+    got = {
+        r.o_custkey: (r.n_orders, r.total_spend)
+        for r in incremental_agg_retract(base, ups, dels).collect()
+    }
+    # cust 10: order 1 (100) + order 2 upserted (500); cust 20's only
+    # order deleted -> absent; cust 30's order both upserted and
+    # deleted -> delete wins -> absent
+    assert got == {10: (2, 600.0)}
