@@ -2331,3 +2331,41 @@ def kmeanspp_inertia_compare(
     return inertia(sample_c, "md5_sample").unionByName(
         inertia(kmpp_c, "kmeanspp")
     )
+
+
+def range_search(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    min_cos: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius retrieval (FAISS ``range_search`` parity) → EVERY
+    corpus vector within the cosine radius of each query, as
+    ``(q, vec_id, cos_sim)`` — unbounded-cardinality retrieval for
+    "give me all near-duplicates of this document", where top-k's
+    fixed cut is the wrong contract. Threshold compares the ROUNDED
+    (6 dp) cosine — the repo-wide rounded-score contract — and the
+    cosine itself is exact fixed-point integer arithmetic.
+
+    Scale shape: identical to ``brute_force_topk`` minus the rank
+    window — the query side broadcasts, the corpus never shuffles,
+    and the output is a pure filter (no agg at all); an IVF-probed
+    variant composes exactly like ``ivf_topk`` if the radius list
+    must avoid the full scan."""
+    q = quantized(queries, id_col, vec_col).select(
+        F.col(id_col).alias("q"),
+        F.col("qv").alias("qqv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    corpus = quantized(embeddings, id_col, vec_col)
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("q") != F.col(id_col))
+        .select(
+            "q",
+            id_col,
+            F.round(_cos_q("qv", "nrm", "qqv", "qnrm"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+    )

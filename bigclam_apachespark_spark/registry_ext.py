@@ -1082,6 +1082,39 @@ def _q_docs_orc_roundtrip(spark, sf):
     )
 
 
+def _q_docs_text_scan(spark, sf):
+    """Plain-text (<doc_id>\\t<text> lines) round trip: write the
+    corpus as splittable raw text, re-read with the bad-line-drop
+    parser, and prove losslessness on identity aggregates — format
+    coverage alongside JSONL/CSV/ORC/parquet."""
+    from bigclam_apachespark_spark.sources.docs import (
+        read_documents_text,
+        write_documents_text,
+    )
+
+    path = _scratch_path("spark_graft_text_docs", sf)
+    write_documents_text(spark.read.parquet(f"{sf}/documents.parquet"), path)
+    back = read_documents_text(spark, path)
+    return back.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_chars"),
+        F.count_distinct(hash64(normalize_text("text"))).cast("long").alias(
+            "n_distinct_texts"
+        ),
+    )
+
+
+TEXT_ORACLE["docs_text_scan"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+           CAST(COUNT(DISTINCT {hash64_sql(normalize_text_sql('text'))}) AS BIGINT)
+             AS n_distinct_texts
+    FROM documents
+"""
+
+
 def _q_docs_compaction(spark, sf):
     """Small-file compaction round trip: the corpus is deliberately
     fragmented (repartition(64) → 64 tiny files, the one-file-per-
@@ -1123,6 +1156,7 @@ TEXT_ORACLE["docs_compaction"] = f"""
 
 TEXT_QUERIES = {
     "docs_compaction": _q_docs_compaction,
+    "docs_text_scan": _q_docs_text_scan,
     "docs_jsonl_scan": lambda spark, sf: read_documents_jsonl(spark, DOCS_JSONL),
     "docs_csv_scan": lambda spark, sf: read_documents_csv(spark, DOCS_CSV),
     "docs_orc_roundtrip": _q_docs_orc_roundtrip,
@@ -3603,6 +3637,15 @@ def _kmpp_sql(rounds: int = 3, oversample: int = 32, k: int = 16) -> str:
     return ",\n    ".join(ctes)
 
 
+SIM_ORACLE["sim_range_search"] = f"""
+    WITH {EMB_SQL}
+    SELECT eb.vec_id AS q, ea.vec_id,
+           round({_PAIR_COS}, 6) AS cos_sim
+    FROM emb ea CROSS JOIN emb eb
+    WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+      AND round({_PAIR_COS}, 6) >= 0.35
+"""
+
 SIM_ORACLE["sim_kmeanspp_init"] = f"""
     WITH {EMB_SQL}, {_kmpp_sql()}
     SELECT CAST(rn - 1 AS INT) AS cell, cand_id AS vec_id,
@@ -3893,6 +3936,9 @@ SIM_QUERIES = {
     ),
     "sim_ivfsq8_recall": lambda spark, sf: S.ivfsq8_recall_eval(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
+    ),
+    "sim_range_search": lambda spark, sf: S.range_search(
+        _emb(spark, sf), _queries_subset(spark, sf), min_cos=0.35
     ),
     "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5

@@ -145,3 +145,35 @@ def roundtrip_schema_evolution(docs: DataFrame, path: str) -> DataFrame:
         docs.sparkSession.read.option("mergeSchema", "true")
         .parquet(f"{path}/gen=legacy", f"{path}/gen=current")
     )
+
+
+def write_documents_text(df: DataFrame, path: str) -> None:
+    """Plain-text corpus sink: one ``<doc_id>\\t<text>`` line per
+    document — the simplest interchange format LLM corpora ship in
+    (splittable like any line-oriented source; no schema, no
+    container). Embedded newlines would break line atomicity, so
+    they are stripped at write (the documents fixture has none —
+    the strip is the contract, not a lossy surprise)."""
+    df.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.regexp_replace(F.col("text"), "[\\n\\r\\t]", " "),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def read_documents_text(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text corpus scan → ``(doc_id, text)``: split each line
+    at the FIRST tab, ``try_cast`` the id (ANSI-safe), drop
+    malformed lines — the same bad-line policy as the edge-list and
+    JSONL readers. Line-oriented → fully splittable; Spark
+    parallelizes the scan like any text source."""
+    raw = spark.read.text(path)
+    parsed = raw.where(F.expr("instr(value, '\t') > 0")).select(
+        F.expr(
+            "try_cast(substring_index(value, '\t', 1) AS BIGINT)"
+        ).alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return parsed.where(F.col("doc_id").isNotNull())

@@ -1325,3 +1325,30 @@ def test_ppjoin_exact_vs_brute_force(spark):
             ).collect()
         }
         assert got == brute(num, den), (num, den, got)
+
+
+def test_text_corpus_roundtrip_and_bad_lines(spark, tmp_path):
+    """The <doc_id>\\t<text> reader must round-trip the corpus and
+    drop malformed lines (no tab, non-numeric id) instead of
+    throwing under ANSI."""
+    from bigclam_apachespark_spark.sources.docs import (
+        read_documents_text,
+        write_documents_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "tab\there"), (3, "x")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "corpus")
+    write_documents_text(docs, path)
+    back = {r.doc_id: r.text for r in read_documents_text(spark, path).collect()}
+    assert back == {1: "hello world", 2: "tab here", 3: "x"}
+
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [("notanid\tsome text",), ("no tab at all",), ("7\tok",)],
+        "value string",
+    ).write.mode("overwrite").text(bad)
+    got = {(r.doc_id, r.text) for r in read_documents_text(spark, bad).collect()}
+    assert got == {(7, "ok")}
