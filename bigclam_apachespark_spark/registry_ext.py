@@ -5990,6 +5990,22 @@ def _q_merge_deletes(spark, sf):
     return merge_with_deletes(orders, changes)
 
 
+def _q_events_stream_topk(spark, sf):
+    """Streaming global heavy hitters: the events feed replays as
+    micro-batches whose counts merge additively into a persisted
+    state table (foreachBatch); count-merge is associative AND
+    commutative, so any batch split yields the identical final top-k
+    — the oracle is the plain batch count head."""
+    from bigclam_apachespark_spark.streaming import read_events_stream
+    from bigclam_apachespark_spark.streaming.cdc_stream import (
+        counting_topk_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet").select("user_id")
+    target = _scratch_path("spark_graft_stream_topk", sf)
+    return counting_topk_stream(spark, stream, "user_id", target, k=20)
+
+
 def _q_upsert_stream(spark, sf):
     """Streaming twin of rel_upsert_merge: the SAME deterministic
     changefeed, staged to parquet and replayed as a file-source
@@ -6428,6 +6444,7 @@ REL_QUERIES = {
     "rel_upsert_merge": _q_upsert,
     "rel_merge_deletes": _q_merge_deletes,
     "rel_upsert_stream": _q_upsert_stream,
+    "events_stream_topk": _q_events_stream_topk,
     "rel_zorder_key": _q_zorder_key,
     "rel_incremental_agg": _q_incremental_agg,
     "rel_incremental_agg_retract": _q_incremental_agg_retract,
@@ -7126,6 +7143,16 @@ REL_ORACLE = {
 # The streamed CDC apply must converge to EXACTLY the batch merge
 # (unique feed keys ⇒ batch splits commute), so the oracle is shared.
 REL_ORACLE["rel_upsert_stream"] = REL_ORACLE["rel_upsert_merge"]
+
+# Streaming top-k twin: additive count merge across any batch split
+# equals the one-shot batch count, so the oracle is the plain head.
+REL_ORACLE["events_stream_topk"] = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(row_number() OVER (
+             ORDER BY COUNT(*) DESC, user_id) AS INT) AS rank
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 20
+"""
 
 # Morton interleave restated bit-by-bit; incremental merge checked
 # against the FULL recompute (the self-maintainability property);

@@ -78,3 +78,77 @@ def cdc_upsert_stream(
         if q.isActive:
             q.stop()
     return spark.read.parquet(target_dir)
+
+
+def counting_topk_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    key_col: str,
+    target_dir: str,
+    k: int = 20,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Streaming global top-k heavy hitters via ``foreachBatch``
+    count-merge → the final ``(key, n, rank)`` head: each micro-batch
+    aggregates its own counts (map-side combined) and ADDS them into
+    a persisted count table; the head is ranked once at the end from
+    the aggregate-sized state. Unlike the CDC merge, the count merge
+    is fully associative AND commutative, so ANY batch split —
+    including a key seen in every batch — yields the identical final
+    table; no upstream collapse precondition at all.
+
+    This is the production shape for "top domains/users/tokens so
+    far" over an unbounded feed: state is one row per DISTINCT key
+    (swap in the CMS sketch when distinct keys outgrow a table), the
+    stream itself stays a stateless per-batch agg, and the expensive
+    global rank runs once over the final aggregate, not per batch."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        counts = batch_df.groupBy(key_col).agg(F.count("*").alias("n"))
+        try:
+            cur = spark.read.parquet(target_dir)
+            merged = (
+                cur.unionByName(counts)
+                .groupBy(key_col)
+                .agg(F.sum("n").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+        except Exception:
+            merged = counts.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"counting_topk_stream did not finish in {timeout_sec}s"
+            )
+    finally:
+        try:
+            from bigclam_apachespark_spark.streaming.events_stream import (
+                LAST_STREAM_PLANS,
+            )
+
+            LAST_STREAM_PLANS["counting_topk_stream"] = q._jsq.explainInternal(
+                False
+            )
+        except Exception:
+            pass
+        if q.isActive:
+            q.stop()
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    final = spark.read.parquet(target_dir)
+    top = final.orderBy(F.col("n").desc(), key_col).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        key_col, F.col("n").cast("long").alias("n"), "rank"
+    )

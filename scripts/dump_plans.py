@@ -91,6 +91,7 @@ STREAM_CAPTIONS = {
     "dedup_stream_minhash": "band keys as a pure narrow map (zero aggregation), state-store dedup on (band, bucket)",
     "dedup_stream_minhash_watermark": "watermark-bounded near-dup state: retention = arrival horizon, not corpus lifetime",
     "rel_upsert_stream": "foreachBatch MERGE: per-batch read-merge-rewrite of the snapshot; the stream side carries no state",
+    "events_stream_topk": "foreachBatch additive count merge: per-batch map-side agg + aggregate-sized state rewrite; rank once at the end",
 }
 
 

@@ -1966,3 +1966,35 @@ def test_wav_spectral_dominant_bin_and_corrupt_payload(spark):
     )
     out = wav_spectral(bad).collect()[0]
     assert out.decode_error is not None and out.dominant_bin is None
+
+
+def test_counting_topk_stream_matches_batch_under_splits(spark, tmp_path):
+    """The foreachBatch count merge must equal the one-shot batch
+    count regardless of how many micro-batches the replay used
+    (maxFilesPerTrigger=1 over a multi-file staging forces real
+    splits)."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.streaming.cdc_stream import (
+        counting_topk_stream,
+    )
+
+    ev = spark.range(300).select(
+        (F.col("id") % 7).alias("user_id")
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(5).write.parquet(src)  # 5 files -> 5 micro-batches
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = {
+        (r.user_id, r.n, r.rank)
+        for r in counting_topk_stream(
+            spark, stream, "user_id", str(tmp_path / "state"), k=3
+        ).collect()
+    }
+    # 300 rows over 7 users: users 0..6 get ceil/floor counts; top-3
+    # deterministic by (n DESC, user_id): users 0,1,2 with 43 each
+    assert got == {(0, 43, 1), (1, 43, 2), (2, 43, 3)}
