@@ -987,3 +987,73 @@ def equidepth_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
         F.min("vc").alias("lo_cents"),
         F.max("vc").alias("hi_cents"),
     )
+
+
+def changepoint_scan(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Changepoint detection on the daily count series →
+    ``(event_type, cp_day, n_days, n_total, dev_num)``: per type, the
+    day maximizing the CUSUM/KS deviation |n·S_i − i·S_n| where S_i
+    is the running count through day i over n days — the standard
+    single-changepoint location statistic (the maximizer of the
+    scaled |empirical CDF − uniform ramp|). EVERYTHING is exact
+    int64: the deviation is the cross-multiplied form (never the
+    float S_i/S_n − i/n), so the argmax is engine-exact; ties break
+    on the earlier day.
+
+    Scale shape: the event stream collapses to per-(type, day)
+    counts first (the only big shuffle); the cumulative sum +
+    argmax run over the day-count relation (|types|·|days| rows —
+    tiny), where a bounded window is the right tool."""
+    from pyspark.sql import Window
+
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast(
+        "long"
+    )
+    daily = (
+        events.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("c").over(w).alias("s_i"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    tot = cum.groupBy("event_type").agg(
+        F.max("i").cast("long").alias("n_days"),
+        F.max("s_i").cast("long").alias("n_total"),
+    )
+    dev = cum.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "n_total",
+        F.abs(
+            F.col("n_days") * F.col("s_i") - F.col("i") * F.col("n_total")
+        ).alias("dev"),
+    )
+    return dev.groupBy("event_type").agg(
+        F.min_by(
+            F.struct(F.col("day"), F.col("dev")),
+            F.struct((-F.col("dev")).alias("d"), F.col("day")),
+        ).alias("_m"),
+        F.min("n_days").alias("n_days"),
+        F.min("n_total").alias("n_total"),
+    ).select(
+        "event_type",
+        F.col("_m.day").alias("cp_day"),
+        "n_days",
+        "n_total",
+        F.col("_m.dev").cast("long").alias("dev_num"),
+    )

@@ -4145,6 +4145,39 @@ EVENT_ORACLE = {
         WHERE rk.r >= ceil(pr.p * pr.n)
         GROUP BY rk.event_type, pr.p
     """,
+    # Changepoint twin: all-integer cross-multiplied CUSUM/KS
+    # deviation, argmax with earlier-day tie-break.
+    "events_changepoint": """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, day,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS s_i,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+          FROM daily
+        ),
+        tot AS (
+          SELECT event_type, CAST(MAX(i) AS BIGINT) AS n_days,
+                 CAST(MAX(s_i) AS BIGINT) AS n_total
+          FROM cum GROUP BY event_type
+        ),
+        dev AS (
+          SELECT c.event_type, c.day, t.n_days, t.n_total,
+                 abs(t.n_days * c.s_i - c.i * t.n_total) AS dev
+          FROM cum c JOIN tot t USING (event_type)
+        )
+        SELECT event_type,
+               (min(struct_pack(d := -dev, day := day, v := dev))).day AS cp_day,
+               CAST(MIN(n_days) AS BIGINT) AS n_days,
+               CAST(MIN(n_total) AS BIGINT) AS n_total,
+               CAST((min(struct_pack(d := -dev, day := day, v := dev))).v
+                    AS BIGINT) AS dev_num
+        FROM dev GROUP BY event_type
+    """,
     # Equi-depth binning twin: exact order-statistic boundaries at
     # k/10, bin = count of boundaries strictly below the cent value
     # (the deterministic tie rule — NTILE's within-tie split can
@@ -5391,6 +5424,9 @@ EVENT_QUERIES = {
     "events_value_quantiles": lambda spark, sf: E.value_quantiles(_events(spark, sf)),
     "events_equidepth_bins": lambda spark, sf: E.equidepth_bins(
         _events(spark, sf), n_bins=10
+    ),
+    "events_changepoint": lambda spark, sf: E.changepoint_scan(
+        _events(spark, sf)
     ),
     "events_dau_wau": lambda spark, sf: E.dau_wau(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),

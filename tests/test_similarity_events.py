@@ -1998,3 +1998,30 @@ def test_counting_topk_stream_matches_batch_under_splits(spark, tmp_path):
     # 300 rows over 7 users: users 0..6 get ceil/floor counts; top-3
     # deterministic by (n DESC, user_id): users 0,1,2 with 43 each
     assert got == {(0, 43, 1), (1, 43, 2), (2, 43, 3)}
+
+
+def test_changepoint_finds_planted_shift(spark):
+    """A series with 5 events/day for days 0..9 and 50/day for days
+    10..19 must locate the changepoint at day 9 (the cumulative-count
+    ramp deviates most at the last pre-shift day), with the
+    hand-computed deviation value."""
+    from bigclam_apachespark_spark.operators.events import changepoint_scan
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        per = 5 if day < 10 else 50
+        for _ in range(per):
+            rows.append(
+                ("buy", eid, day * 86400 + 10, 1.0)
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, sec long, value double"
+    ).selectExpr(
+        "event_type", "event_id", "timestamp_seconds(sec) AS ts", "value"
+    )
+    out = changepoint_scan(ev).collect()[0]
+    # by hand: n_days=20, n_total=550; at day 9 (i=10): s_i=50,
+    # dev = |20*50 - 10*550| = 4500 — the maximum
+    assert (out.cp_day, out.n_days, out.n_total, out.dev_num) == (9, 20, 550, 4500)
