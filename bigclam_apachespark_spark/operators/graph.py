@@ -1873,3 +1873,58 @@ def walk_cooccurrence_pmi(
             "rank",
         )
     )
+
+
+def coreness_hindex(sym_edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Full core decomposition via h-index iteration → ``(id,
+    coreness)``: start every node at its degree and repeatedly
+    replace each value with the H-INDEX of its neighbors' values
+    (the largest h with ≥ h neighbors valued ≥ h). Lü et al. (Nature
+    Communications 2016) prove this converges monotonically DOWN to
+    the core number — the whole k-core onion in one synchronous
+    fixpoint, where the peel formulation (``kcore``) answers only a
+    single k. A converged round is a no-op, so the fixed unroll is
+    oracle-stable; tests cross-check {v : coreness ≥ k} against the
+    peel-based k-core.
+
+    Per-round shape: one join of edges against the value table
+    (Σdeg rows), a DEGREE-BOUNDED per-node sort window for the
+    h-index (h = #{ranks r with value_r ≥ r} over the desc-sorted
+    neighbor values — prefix-closed, so the count IS the max), one
+    hash agg. localCheckpoint truncates the unrolled lineage and
+    superseded value tables release their blocks immediately."""
+    from pyspark.sql import Window
+
+    # every round scans ALL edges (unlike the frontier-driven walks),
+    # so the edge relation is materialized once — 8 re-derivations of
+    # the lineitem self-join measured 25.8 s vs ~14 s at sf0.1
+    sym_edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
+    vals = (
+        sym_edges.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("src").alias("id"), "c")
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cd").desc())
+    for _ in range(rounds):
+        nb = sym_edges.join(
+            vals.select(F.col("id").alias("dst"), F.col("c").alias("cd")),
+            "dst",
+        ).select("src", "cd")
+        new_vals = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .select(
+                "src",
+                F.when(F.col("cd") >= F.col("rn"), 1).otherwise(0).alias("hit"),
+            )
+            .groupBy("src")
+            .agg(F.sum("hit").cast("long").alias("c"))
+            .select(F.col("src").alias("id"), "c")
+            .localCheckpoint(eager=True)
+        )
+        unpersist_local_checkpoint(vals)
+        vals = new_vals
+    # the final value table is already eagerly materialized, so the
+    # edge checkpoint can release before return
+    unpersist_local_checkpoint(sym_edges)
+    return vals.select("id", F.col("c").alias("coreness"))

@@ -487,6 +487,13 @@ def q_components(spark, sf_dir):
     return G.connected_components(shared_wedges(spark, sf_dir))
 
 
+def q_coreness(spark, sf_dir):
+    """Full core decomposition (h-index fixpoint, 8 unrolled rounds;
+    converged rounds are no-ops — tests assert the fixpoint equals
+    the peel-based k-core at every k at the tested scales)."""
+    return G.coreness_hindex(_sym(spark, sf_dir), rounds=8)
+
+
 def q_mis(spark, sf_dir):
     """Deterministic Luby MIS on the co-purchase graph, 8 unrolled
     rounds (converged rounds are no-ops; tests assert genuine
@@ -545,6 +552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_random_walks": q_random_walks,
     "graph_walk_pmi": q_walk_pmi,
     "graph_mis": q_mis,
+    "graph_coreness": q_coreness,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
     "sql_grouping_sets": q_sql_grouping_sets,
@@ -1448,6 +1456,39 @@ ORACLE["graph_walk_pmi"] = f"""
     FROM scored
     ORDER BY ratio DESC, a, b LIMIT 30
 """
+
+
+def _coreness_rounds_sql(rounds: int) -> str:
+    """Unrolled h-index iteration — per-round: neighbor-value join,
+    desc-rank window, prefix-closed indicator count. MATERIALIZED per
+    round (each round reads its predecessor once, but inlining would
+    still chain the whole prefix into one mega-plan)."""
+    ctes = [
+        """v0 AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY src
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT src AS id, CAST(SUM(CASE WHEN cd >= rn THEN 1 ELSE 0 END)
+                             AS BIGINT) AS c
+      FROM (
+        SELECT e.src, x.c AS cd,
+               ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY x.c DESC) AS rn
+        FROM sym e JOIN v{r - 1} x ON x.id = e.dst
+      ) GROUP BY src
+    )"""
+        )
+    return (
+        ",\n        ".join(ctes)
+        + f"\n        SELECT id, c AS coreness FROM v{rounds}"
+    )
+
+
+ORACLE["graph_coreness"] = (
+    f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _coreness_rounds_sql(8)
+)
 
 
 def _mis_rounds_sql(rounds: int) -> str:

@@ -956,3 +956,36 @@ def test_walk_pmi_hand_computed_on_path(spark):
     for key, (pmi, c) in got.items():
         assert pmi == expect[key], (key, pmi, expect[key])
         assert c == cab[key]
+
+
+def test_coreness_hindex_fixture_and_kcore_consistency(spark, g1_edges, g2_edges):
+    """G1 (two 4-cliques + bridge): every node's core number is 3.
+    P4 path: all 1. Clique-5 + pendant: clique 4, pendant 1. And on
+    G1, {v : coreness >= k} must equal the peel-based k-core for
+    every k."""
+    from bigclam_apachespark_spark.operators.graph import (
+        coreness_hindex,
+        kcore,
+        symmetrize,
+    )
+
+    sym1 = symmetrize(g1_edges)
+    got1 = {r.id: r.coreness for r in coreness_hindex(sym1, rounds=6).collect()}
+    assert got1 == {i: 3 for i in range(8)}
+
+    got2 = {
+        r.id: r.coreness
+        for r in coreness_hindex(symmetrize(g2_edges), rounds=6).collect()
+    }
+    assert set(got2.values()) == {1}
+
+    pairs = [(a, b) for a in range(5) for b in range(5) if a < b] + [(0, 9)]
+    clique = symmetrize(
+        spark.createDataFrame(pairs, "src long, dst long")
+    )
+    got3 = {r.id: r.coreness for r in coreness_hindex(clique, rounds=6).collect()}
+    assert got3 == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 9: 1}
+
+    for k in (1, 2, 3, 4):
+        core = {r.id for r in kcore(sym1, k=k, rounds=6).collect()}
+        assert core == {v for v, c in got1.items() if c >= k}, k
