@@ -1057,3 +1057,54 @@ def changepoint_scan(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         "n_total",
         F.col("_m.dev").cast("long").alias("dev_num"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame, ts_col: str = "ts", lag_days: int = 7
+) -> DataFrame:
+    """Forecast-baseline backtest → ``(event_type, n_scored_days,
+    mae_milli, bias_milli)``: the seasonal-naive forecast (predict
+    day d's count = day d−lag's count — THE baseline every real
+    forecasting system must beat before it ships) scored against
+    actuals over every day with a lag partner. MAE and bias are
+    exact integer sums divided once and reported in milli-units, so
+    the row is engine-exact — the honest-measurement pattern applied
+    to forecasting.
+
+    Scale shape: the stream collapses to per-(type, day) counts (the
+    only big shuffle); the lag join + error agg run on the tiny day
+    relation. Days absent from the counts are genuinely absent
+    (count-0 days contribute no row — the backtest scores the
+    OBSERVED day pairs, stated here because gap semantics change MAE)."""
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast(
+        "long"
+    )
+    daily = (
+        events.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    lagged = daily.select(
+        "event_type",
+        (F.col("day") + lag_days).alias("day"),
+        F.col("c").alias("pred"),
+    )
+    scored = daily.join(lagged, ["event_type", "day"])
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored_days"),
+        F.round(
+            F.sum(F.abs(F.col("c") - F.col("pred"))).cast("double")
+            * 1000.0
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mae_milli"),
+        F.round(
+            F.sum(F.col("c") - F.col("pred")).cast("double")
+            * 1000.0
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bias_milli"),
+    )

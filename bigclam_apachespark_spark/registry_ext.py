@@ -4145,6 +4145,27 @@ EVENT_ORACLE = {
         WHERE rk.r >= ceil(pr.p * pr.n)
         GROUP BY rk.event_type, pr.p
     """,
+    # Seasonal-naive backtest twin: lag-7 self-join on the day
+    # relation, exact-integer error sums, one division to milli.
+    "events_forecast_backtest": """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT a.event_type, a.c, p.c AS pred
+          FROM daily a JOIN daily p
+            ON p.event_type = a.event_type AND p.day = a.day - 7
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored_days,
+               round(CAST(SUM(abs(c - pred)) AS DOUBLE) * 1000.0
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mae_milli,
+               round(CAST(SUM(c - pred) AS DOUBLE) * 1000.0
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS bias_milli
+        FROM scored GROUP BY event_type
+    """,
     # Changepoint twin: all-integer cross-multiplied CUSUM/KS
     # deviation, argmax with earlier-day tie-break.
     "events_changepoint": """
@@ -5427,6 +5448,9 @@ EVENT_QUERIES = {
     ),
     "events_changepoint": lambda spark, sf: E.changepoint_scan(
         _events(spark, sf)
+    ),
+    "events_forecast_backtest": lambda spark, sf: E.seasonal_naive_backtest(
+        _events(spark, sf), lag_days=7
     ),
     "events_dau_wau": lambda spark, sf: E.dau_wau(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),

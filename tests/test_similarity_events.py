@@ -2025,3 +2025,26 @@ def test_changepoint_finds_planted_shift(spark):
     # by hand: n_days=20, n_total=550; at day 9 (i=10): s_i=50,
     # dev = |20*50 - 10*550| = 4500 — the maximum
     assert (out.cp_day, out.n_days, out.n_total, out.dev_num) == (9, 20, 550, 4500)
+
+
+def test_seasonal_naive_backtest_hand_computed(spark):
+    """14 days, 10/day in week one and 13/day in week two: every
+    scored day (7..13) has pred = 10, actual = 13 -> MAE = bias =
+    3000 milli over exactly 7 scored days."""
+    from bigclam_apachespark_spark.operators.events import (
+        seasonal_naive_backtest,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(14):
+        for _ in range(10 if day < 7 else 13):
+            rows.append(("buy", eid, day * 86400 + 5, 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, sec long, value double"
+    ).selectExpr(
+        "event_type", "event_id", "timestamp_seconds(sec) AS ts", "value"
+    )
+    out = seasonal_naive_backtest(ev, lag_days=7).collect()[0]
+    assert (out.n_scored_days, out.mae_milli, out.bias_milli) == (7, 3000.0, 3000.0)
