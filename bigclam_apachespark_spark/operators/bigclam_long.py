@@ -420,3 +420,69 @@ def bigclam_fit_long(
     return FitLongResult(
         factors_long=factors, llh=llh_old, iterations=it, history=history
     )
+
+
+def fold_in_long(
+    cross_edges: DataFrame,
+    factors_long: DataFrame,
+    sumf: DataFrame,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """FOLD-IN: score unseen nodes against a FROZEN model → one
+    projected-gradient step from F_u = 0 per new node →
+    ``(node_id, n_model_nbrs, top_k, fu_top)`` — the serving path
+    the fit pipelines lack (a production system must place today's
+    new accounts into yesterday's communities without a refit; same
+    role as ``append_ivf_index``'s frozen-centroid add on the ANN
+    side).
+
+    At F_u = 0 every incident dot is 0, so p clamps to MAX_P and the
+    gradient weight is the CONSTANT 1/(1−MAX_P) (≈10⁴; both engines
+    evaluate the identical IEEE expression) — the fold-in gradient is
+    the closed form ``g[k] = w₀·Σ_{v∈N(u)} F_v[k] −
+    sumF[k]`` (same formula as ``gradient_long`` specialized at
+    zero; no clamp ambiguity, no iteration), and the new membership
+    row is ``clamp(α·g, MIN_F, MAX_F)``. ``top_k`` is the argmax
+    community (ties → lowest k), ``fu_top`` its value — nodes with
+    zero model neighbors have nothing to fold in and emit no row
+    (stated: fold-in is defined by the neighbor term).
+
+    Scale shape: ONE join of the cross-edge list against the frozen
+    factor table per (node, k) — Σ nnz-overlap shuffle volume, the
+    same SpGEMM shape as the high-K gradient; sumF broadcasts; the
+    argmax is a max_by hash agg, never a window over the corpus."""
+    fv = factors_long.select(
+        F.col("node_id").alias("dst"), "k", F.col("val").alias("vv")
+    )
+    w0 = 1.0 / (1.0 - MAX_P)
+    ws = (
+        cross_edges.join(fv, "dst")
+        .groupBy(F.col("src").alias("node_id"), "k")
+        .agg(F.sum("vv").alias("sv"))
+    )
+    nbrs = cross_edges.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("n_model_nbrs")
+    )
+    fu = ws.join(F.broadcast(sumf), "k").select(
+        "node_id",
+        "k",
+        F.least(
+            F.greatest(
+                F.lit(alpha) * (F.lit(w0) * F.col("sv") - F.col("s")),
+                F.lit(MIN_F),
+            ),
+            F.lit(MAX_F),
+        ).alias("fu"),
+    )
+    best = fu.groupBy("node_id").agg(
+        F.max_by(
+            F.struct("k", "fu"),
+            F.struct(F.col("fu"), (-F.col("k")).alias("_t")),
+        ).alias("_b")
+    )
+    return best.join(nbrs, "node_id").select(
+        "node_id",
+        F.col("n_model_nbrs").cast("long").alias("n_model_nbrs"),
+        F.col("_b.k").cast("int").alias("top_k"),
+        F.round(F.col("_b.fu"), 6).alias("fu_top"),
+    )

@@ -1025,6 +1025,65 @@ SELECT node_id, CAST(k AS INT) AS k, val AS fval FROM fnext_r3
 """
 
 
+
+
+def q_fold_in(spark, sf_dir):
+    """FOLD-IN serving path: the id % 29 = 0 cohort plays the unseen
+    nodes, the rest carry the deterministic fixture factors as the
+    frozen model; each held-out node gets one exact gradient step
+    from zero over its cross edges (closed form at F_u = 0 — see
+    operators/bigclam_long.fold_in_long)."""
+    from bigclam_apachespark_spark.operators import bigclam_long as BL
+
+    sym = _sym(spark, sf_dir)
+    model_f = fixture_factors(sym).where(F.col("node_id") % 29 != 0).select(
+        "node_id", F.posexplode("f").alias("k", "val")
+    )
+    sumf = BL.sum_f_long(model_f)
+    cross = sym.where(
+        (F.col("src") % 29 == 0) & (F.col("dst") % 29 != 0)
+    ).select("src", "dst")
+    return BL.fold_in_long(cross, model_f, sumf)
+
+
+
+BIGCLAM_ORACLE["bigclam_fold_in"] = f"""
+    WITH {EDGES_SQL}, {SYM_SQL},
+    verts AS (SELECT DISTINCT src AS node_id FROM sym WHERE src % 29 <> 0),
+    ks AS (SELECT unnest(generate_series(0, {K_FX - 1})) AS k),
+    factors_long AS (
+      SELECT node_id, k, CAST((node_id * 31 + 7 * k) % 10 AS DOUBLE) / 10.0 AS val
+      FROM verts CROSS JOIN ks
+    ),
+    sumf AS (SELECT k, SUM(val) AS s FROM factors_long GROUP BY k),
+    cx AS (
+      SELECT src, dst FROM sym WHERE src % 29 = 0 AND dst % 29 <> 0
+    ),
+    nbrs AS (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM cx GROUP BY src),
+    ws AS (
+      SELECT c.src AS node_id, f.k, SUM(f.val) AS sv
+      FROM cx c JOIN factors_long f ON f.node_id = c.dst
+      GROUP BY c.src, f.k
+    ),
+    fu AS (
+      SELECT w.node_id, w.k,
+             least(greatest(0.05 * ((1.0 / (1.0 - 0.9999)) * w.sv - s.s),
+                            0.0), 1000.0) AS fu
+      FROM ws w JOIN sumf s ON s.k = w.k
+    ),
+    best AS (
+      SELECT node_id,
+             (min(struct_pack(nf := -fu, k := k, v := fu))).k AS top_k,
+             (min(struct_pack(nf := -fu, k := k, v := fu))).v AS fu_top
+      FROM fu GROUP BY node_id
+    )
+    SELECT b.node_id, n.n AS n_model_nbrs, CAST(b.top_k AS INT) AS top_k,
+           round(b.fu_top, 6) AS fu_top
+    FROM best b JOIN nbrs n USING (node_id)
+"""
+
+
 BIGCLAM_QUERIES = {
     "bigclam_sumf": q_sumf,
     "bigclam_edge_prob": q_edge_prob,
@@ -1042,6 +1101,7 @@ BIGCLAM_QUERIES = {
     "bigclam_k_grid": q_k_grid,
     "bigclam_community_quality": q_community_quality,
     "bigclam_fit_fixture": q_fit_fixture,
+    "bigclam_fold_in": q_fold_in,
 }
 
 # bigclam_fit_smoke (a 2-iteration dense fit on the co-purchase

@@ -128,3 +128,33 @@ def test_fit_trajectory_parity(g1_edges):
     assert len(dense.history) == len(longr.history)
     for a, b in zip(dense.history, longr.history):
         assert b == pytest.approx(a, abs=1e-7)
+
+
+def test_fold_in_hand_computed(spark):
+    """2-community model {0: [1,0], 1: [1,0], 2: [0,1]}; new node 9
+    with edges to 0 and 1: ws = [2, 0], sumF = [2, 1], so g =
+    [w0*2 - 2, -1] -> fu = [0.05*(w0*2 - 2), 0] -> top community 0
+    with the hand value; a second new node linked only to 2 must
+    pick community 1."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.bigclam_long import (
+        fold_in_long,
+        sum_f_long,
+    )
+
+    factors = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, 1.0), (2, 1, 1.0)],
+        "node_id long, k int, val double",
+    )
+    sumf = sum_f_long(factors)
+    cross = spark.createDataFrame(
+        [(9, 0), (9, 1), (8, 2)], "src long, dst long"
+    )
+    out = {r.node_id: r for r in fold_in_long(cross, factors, sumf).collect()}
+
+    w0 = 1.0 / (1.0 - 0.9999)
+    assert out[9].top_k == 0 and out[9].n_model_nbrs == 2
+    assert out[9].fu_top == round(min(0.05 * (w0 * 2.0 - 2.0), 1000.0), 6)
+    assert out[8].top_k == 1 and out[8].n_model_nbrs == 1
+    assert out[8].fu_top == round(min(0.05 * (w0 * 1.0 - 1.0), 1000.0), 6)
