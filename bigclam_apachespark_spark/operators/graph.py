@@ -1928,3 +1928,122 @@ def coreness_hindex(sym_edges: DataFrame, rounds: int = 8) -> DataFrame:
     # edge checkpoint can release before return
     unpersist_local_checkpoint(sym_edges)
     return vals.select("id", F.col("c").alias("coreness"))
+
+
+def betweenness_sampled(
+    sym_edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Seed-sampled, hop-bounded Brandes betweenness → ``(id, bc)``
+    for every node reached from the seed set: the forward pass
+    labels each (seed, node) with its BFS depth and shortest-path
+    count σ (exact integers — σ(w) = Σ σ(v) over depth-(d−1)
+    predecessors); the backward pass accumulates Brandes'
+    dependency δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) from the deepest level
+    inward, and bc(v) = Σ_seeds δ_s(v) — the Brandes'01 algorithm
+    with the standard two samplings production uses at scale:
+    pivot SEEDS (Bader et al.) and a HOP BOUND (the same k-hop
+    truncation as ``harmonic_sampled``; dependencies from longer
+    paths are dropped, stated, not hidden).
+
+    Float discipline: σ and depths are exact integers; every δ/bc
+    summation is a FIXED-ORDER fold (collect → sort by the unique
+    successor/seed key → left fold — DuckDB twins via
+    ``list_reduce`` over the same ordered list), so the doubles are
+    bit-identical cross-engine and the rounded output hashes. Seeds
+    contribute δ only for nodes strictly between endpoints (v ≠ s,
+    standard Brandes).
+
+    Scale shape per hop: one frontier-edge join (Σdeg(frontier)),
+    one anti-join against the visited set, one hash agg for σ;
+    backward levels touch only the shortest-path DAG edges at that
+    depth, with per-node folds bounded by out-degree (forward) and
+    |seeds| (final sum). State is |S|·reached rows, never n²."""
+    from pyspark.sql import Window  # noqa: F401 (parity with siblings)
+
+    s0 = seeds.select(F.col("id").alias("s"))
+    visited = s0.select(
+        "s", F.col("s").alias("v"), F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    dag_levels: list[DataFrame] = []
+    for d in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym_edges, frontier["v"] == sym_edges["src"])
+            .select("s", F.col("dst").alias("w"), "sigma")
+            .join(
+                visited.select("s", F.col("v").alias("w")).distinct(),
+                ["s", "w"],
+                "left_anti",
+            )
+        )
+        nxt = (
+            reached.groupBy("s", F.col("w").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("s", "v", F.lit(d).alias("d"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        # the shortest-path DAG edges v(d-1) -> w(d), carrying sigma_v
+        dag = (
+            frontier.select("s", F.col("v"), F.col("sigma").alias("sigma_v"))
+            .join(sym_edges, F.col("v") == F.col("src"))
+            .select("s", "v", F.col("dst").alias("w"), "sigma_v")
+            .join(nxt.select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")), ["s", "w"])
+            .localCheckpoint(eager=True)
+        )
+        dag_levels.append(dag)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        if frontier.isEmpty():
+            break
+    # backward: delta of the deepest level is 0; walk levels inward
+    delta = None  # (s, v, delta) for levels already finalized
+    for dag in reversed(dag_levels):
+        contrib_src = dag
+        if delta is not None:
+            contrib_src = dag.join(
+                delta.select("s", F.col("v").alias("w"), F.col("delta").alias("dw")),
+                ["s", "w"],
+                "left",
+            )
+        else:
+            contrib_src = dag.withColumn("dw", F.lit(None).cast("double"))
+        contrib = contrib_src.select(
+            "s",
+            "v",
+            "w",
+            (
+                (F.col("sigma_v").cast("double") / F.col("sigma_w").cast("double"))
+                * (F.lit(1.0) + F.coalesce(F.col("dw"), F.lit(0.0)))
+            ).alias("c"),
+        )
+        lvl_delta = (
+            contrib.groupBy("s", "v")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("w", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = lvl_delta if delta is None else lvl_delta.unionByName(delta)
+    if delta is None:
+        return s0.select(F.col("s").alias("id"), F.lit(0.0).alias("bc")).limit(0)
+    inner = delta.where(F.col("v") != F.col("s"))
+    return (
+        inner.groupBy("v")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("s", "delta"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["delta"],
+                ),
+                6,
+            ).alias("bc")
+        )
+        .select(F.col("v").alias("id"), "bc")
+    )

@@ -487,6 +487,19 @@ def q_components(spark, sf_dir):
     return G.connected_components(shared_wedges(spark, sf_dir))
 
 
+def q_betweenness(spark, sf_dir):
+    """Seed-sampled hop-bounded Brandes (pivot cohort id % 1997 = 0,
+    2 hops — the Bader-style pivot sampling plus the harmonic
+    family's k-hop truncation; exact-integer σ, fixed-order δ folds.
+    Gate config: the dense co-purchase graph reaches most of V in 3
+    hops, so |S|·|DAG| made the 3-hop row 59 s at sf0.1 — 2 hops
+    exercises the identical forward+backward machinery at honest
+    cost; the hand tests cover depth-4 exactness)."""
+    sym = _sym(spark, sf_dir)
+    seeds = G.vertices(sym).where(F.col("id") % 1997 == 0)
+    return G.betweenness_sampled(sym, seeds, max_hops=2)
+
+
 def q_coreness(spark, sf_dir):
     """Full core decomposition (h-index fixpoint, 8 unrolled rounds;
     converged rounds are no-ops — tests assert the fixpoint equals
@@ -553,6 +566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_walk_pmi": q_walk_pmi,
     "graph_mis": q_mis,
     "graph_coreness": q_coreness,
+    "graph_betweenness": q_betweenness,
     "graph_assortativity": q_assortativity,
     "sql_degree_hist": q_sql_degree_hist,
     "sql_grouping_sets": q_sql_grouping_sets,
@@ -1488,6 +1502,81 @@ def _coreness_rounds_sql(rounds: int) -> str:
 
 ORACLE["graph_coreness"] = (
     f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _coreness_rounds_sql(8)
+)
+
+
+def _betweenness_sql(seed_mod: int = 997, hops: int = 3) -> str:
+    """Unrolled hop-bounded Brandes twin: exact-integer σ per level,
+    backward δ via list_reduce over the (w-ordered, 0.0-seeded) fold
+    — the same left fold Spark's F.aggregate performs, so the
+    doubles are bit-identical."""
+    ctes = [
+        f"""bseed AS (SELECT DISTINCT src AS s FROM sym WHERE src % {seed_mod} = 0)""",
+        """bn0 AS MATERIALIZED (
+      SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM bseed
+    )""",
+        "bvis0 AS (SELECT s, v FROM bn0)",
+    ]
+    for d in range(1, hops + 1):
+        ctes += [
+            f"""bg{d} AS (
+      SELECT f.s, f.v, e.dst AS w, f.sigma AS sv
+      FROM bn{d - 1} f JOIN sym e ON e.src = f.v
+    )""",
+            f"""bn{d} AS MATERIALIZED (
+      SELECT s, w AS v, CAST(SUM(sv) AS BIGINT) AS sigma
+      FROM bg{d} g ANTI JOIN bvis{d - 1} vis
+        ON vis.s = g.s AND vis.v = g.w
+      GROUP BY s, w
+    )""",
+            f"""bdag{d} AS MATERIALIZED (
+      SELECT g.s, g.v, g.w, g.sv AS sigma_v, n.sigma AS sigma_w
+      FROM bg{d} g JOIN bn{d} n ON n.s = g.s AND n.v = g.w
+    )""",
+            f"""bvis{d} AS (
+      SELECT s, v FROM bvis{d - 1} UNION ALL SELECT s, v FROM bn{d}
+    )""",
+        ]
+    # backward: deepest level's delta is 0
+    for d in range(hops, 0, -1):
+        if d == hops:
+            src = f"""SELECT s, v, w,
+                 CAST(sigma_v AS DOUBLE) / CAST(sigma_w AS DOUBLE) AS c
+          FROM bdag{d}"""
+        else:
+            src = f"""SELECT g.s, g.v, g.w,
+                 (CAST(g.sigma_v AS DOUBLE) / CAST(g.sigma_w AS DOUBLE))
+                 * (1.0 + COALESCE(x.delta, 0.0)) AS c
+          FROM bdag{d} g
+          LEFT JOIN bdl{d + 1} x ON x.s = g.s AND x.v = g.w"""
+        ctes.append(
+            f"""bdl{d} AS MATERIALIZED (
+      SELECT s, v,
+             list_reduce(list_prepend(0.0, list(c ORDER BY w)),
+                         (a, b) -> a + b) AS delta
+      FROM ({src}) GROUP BY s, v
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT s, v, delta FROM bdl{d}" for d in range(1, hops + 1)
+    )
+    ctes.append(f"""bdelta AS (
+      SELECT s, v, delta FROM (
+      {union}
+      ) WHERE v <> s
+    )""")
+    return (
+        ",\n        ".join(ctes)
+        + """
+        SELECT v AS id,
+               round(list_reduce(list_prepend(0.0, list(delta ORDER BY s)),
+                                 (a, b) -> a + b), 6) AS bc
+        FROM bdelta GROUP BY v"""
+    )
+
+
+ORACLE["graph_betweenness"] = (
+    f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _betweenness_sql(1997, 2)
 )
 
 

@@ -989,3 +989,37 @@ def test_coreness_hindex_fixture_and_kcore_consistency(spark, g1_edges, g2_edges
     for k in (1, 2, 3, 4):
         core = {r.id for r in kcore(sym1, k=k, rounds=6).collect()}
         assert core == {v for v, c in got1.items() if c >= k}, k
+
+
+def test_betweenness_path_graph_exact(spark):
+    """Path 0-1-2-3-4 with every node a seed and hops covering the
+    diameter: unique shortest paths make Brandes exact by hand —
+    bc(2) = 8, bc(1) = bc(3) = 6 (ordered endpoint pairs through the
+    node); the leaves have no interior role and emit no row. A
+    2-hop truncation must shrink bc(2) to the 2-hop pairs only."""
+    from bigclam_apachespark_spark.operators.graph import (
+        betweenness_sampled,
+        symmetrize,
+        vertices,
+    )
+
+    sym = symmetrize(
+        spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+    )
+    seeds = vertices(sym)
+    got = {
+        r.id: r.bc for r in betweenness_sampled(sym, seeds, max_hops=4).collect()
+    }
+    assert got == {1: 6.0, 2: 8.0, 3: 6.0}
+
+    got2 = {
+        r.id: r.bc for r in betweenness_sampled(sym, seeds, max_hops=2).collect()
+    }
+    # 2-hop pairs through 2: (0,?) none beyond hop2... s=1 -> t=3,
+    # s=3 -> t=1, s=0 -> t within 2 hops ends AT 2; interior pairs:
+    # (1,3),(3,1),(0,2)? endpoints don't count; through 2: s in
+    # {1,0?}: s=0's 2-hop target is 2 itself (endpoint) -> no; so
+    # {(1,3),(3,1)} = 2
+    assert got2[2] == 2.0
