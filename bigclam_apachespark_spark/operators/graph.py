@@ -2047,3 +2047,120 @@ def betweenness_sampled(
         )
         .select(F.col("v").alias("id"), "bc")
     )
+
+
+def node2vec_walks(
+    sym_edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    start_mod: int | None = None,
+    p: float = 4.0,
+    q: float = 0.25,
+) -> DataFrame:
+    """node2vec BIASED walks (Grover & Leskovec KDD'16) →
+    ``(start, walk, step, node)``: the second-order transition from
+    (prev → cur) weights each neighbor v by the p/q scheme — 1/p if
+    v = prev (return), 1 if v is adjacent to prev (triangle-closing
+    BFS move), 1/q otherwise (outward DFS move) — and draws ONE
+    neighbor with probability ∝ weight via the deterministic A-ES
+    trick: v wins iff it maximizes u_v^(1/w_v) for the md5 uniform
+    u_v, ranked through the exact pico-integer ln(u)/w key (the
+    ``weighted_sample`` contract), so the biased draw replays
+    bit-identically on any engine. Step 1 has no prev and draws
+    uniformly (the same A-ES key with w = 1 for every candidate —
+    uniform like ``random_walks``' first step, though through the
+    A-ES key rather than the plain hash-argmin).
+
+    Scale shape: ``random_walks``' frontier discipline (exactly
+    |starts|·n_walks rows per step) plus ONE extra LEFT join per
+    step against the edge list on (prev, candidate) for the
+    adjacency class — Σdeg(frontier) probe rows, no new shuffle
+    shape. The p/q weights touch only the key arithmetic."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    starts = vertices(sym_edges)
+    if start_mod is not None:
+        starts = starts.where(F.col("id") % start_mod == 0)
+    M = 1 << 40
+    cur = starts.select(
+        F.col("id").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+    ).select(
+        "start",
+        "walk",
+        F.lit(0).alias("step"),
+        F.col("start").alias("node"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    levels = [cur.select("start", "walk", "step", "node")]
+    adj = sym_edges.select(
+        F.col("src").alias("prev"), F.col("dst").alias("cand"), F.lit(1).alias("_adj")
+    )
+    for s in range(1, walk_len + 1):
+        cand = cur.join(sym_edges, cur["node"] == sym_edges["src"]).select(
+            "start", "walk", "prev", F.col("node").alias("c_node"), F.col("dst").alias("cand")
+        )
+        u = (
+            (
+                hash64(
+                    F.concat_ws(
+                        ":",
+                        F.col("start").cast("string"),
+                        F.col("walk").cast("string"),
+                        F.lit(str(s)),
+                        F.col("cand").cast("string"),
+                    )
+                )
+                % M
+            )
+            + 1
+        ).cast("double") / float(M + 1)
+        if s == 1:
+            key = F.round(F.log(u) * 1e12, 0).cast("long")
+            scored = cand.select("start", "walk", "cand", key.alias("key"))
+        else:
+            scored = (
+                cand.join(adj, ["prev", "cand"], "left")
+                .select(
+                    "start",
+                    "walk",
+                    "cand",
+                    F.when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+                    .when(F.col("_adj").isNotNull(), F.lit(1.0))
+                    .otherwise(F.lit(1.0 / q))
+                    .alias("w"),
+                )
+                .select(
+                    "start",
+                    "walk",
+                    "cand",
+                    F.round(F.log(u) / F.col("w") * 1e12, 0)
+                    .cast("long")
+                    .alias("key"),
+                )
+            )
+        nxt = (
+            scored.groupBy("start", "walk")
+            .agg(
+                F.max_by(
+                    F.col("cand"), F.struct(F.col("key"), (-F.col("cand")).alias("_t"))
+                ).alias("node")
+            )
+            .join(
+                cur.select("start", "walk", F.col("node").alias("prev_next")),
+                ["start", "walk"],
+            )
+            .select(
+                "start",
+                "walk",
+                F.lit(s).alias("step"),
+                "node",
+                F.col("prev_next").alias("prev"),
+            )
+        )
+        levels.append(nxt.select("start", "walk", "step", "node"))
+        cur = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

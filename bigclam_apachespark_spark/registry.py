@@ -514,6 +514,15 @@ def q_mis(spark, sf_dir):
     return G.maximal_independent_set(_sym(spark, sf_dir), rounds=8)
 
 
+def q_node2vec_walks(spark, sf_dir):
+    """node2vec biased corpus (p=4 discourages returning, q=0.25
+    favors outward DFS moves) — same start cohort and shape as the
+    uniform walks, so the two corpora are directly comparable."""
+    return G.node2vec_walks(
+        _sym(spark, sf_dir), walk_len=4, n_walks=2, start_mod=23, p=4.0, q=0.25
+    )
+
+
 def q_walk_pmi(spark, sf_dir):
     """Top-30 walk-co-occurrence PMI pairs — the SGNS statistic of
     the DeepWalk corpus (embedding neighborhoods without SGD)."""
@@ -564,6 +573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_kcore": q_kcore,
     "graph_random_walks": q_random_walks,
     "graph_walk_pmi": q_walk_pmi,
+    "graph_node2vec_walks": q_node2vec_walks,
     "graph_mis": q_mis,
     "graph_coreness": q_coreness,
     "graph_betweenness": q_betweenness,
@@ -1502,6 +1512,69 @@ def _coreness_rounds_sql(rounds: int) -> str:
 
 ORACLE["graph_coreness"] = (
     f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _coreness_rounds_sql(8)
+)
+
+
+def _n2v_steps_sql(
+    walk_len: int, start_mod: int, n_walks: int, p: float, q: float
+) -> str:
+    """Unrolled node2vec chain — same A-ES pico-integer key, same
+    p/q weight classes, same (key DESC, cand ASC) winner rule as
+    operators/graph.node2vec_walks."""
+    from bigclam_apachespark_spark.functions.hashing import hash64_sql
+
+    M = 1 << 40
+    walks = ", ".join(f"({w})" for w in range(n_walks))
+    ctes = [
+        f"""t0 AS (
+          SELECT v.id AS start, CAST(w.walk AS INT) AS walk,
+                 0 AS step, v.id AS node, CAST(NULL AS BIGINT) AS prev
+          FROM (SELECT DISTINCT src AS id FROM sym) v
+          CROSS JOIN (VALUES {walks}) w(walk)
+          WHERE v.id % {start_mod} = 0
+        )"""
+    ]
+    for s in range(1, walk_len + 1):
+        h = hash64_sql(
+            "CONCAT(CAST(c.start AS VARCHAR), ':', CAST(c.walk AS VARCHAR), "
+            f"':{s}:', CAST(e.dst AS VARCHAR))"
+        )
+        u = f"(CAST(({h}) % {M} AS DOUBLE) + 1) / {float(M + 1)}"
+        if s == 1:
+            key = f"CAST(round(ln({u}) * 1e12) AS BIGINT)"
+            body = f"""
+          SELECT c.start, c.walk, e.dst AS cand, c.node AS cnode,
+                 {key} AS key
+          FROM t{s - 1} c JOIN sym e ON e.src = c.node"""
+        else:
+            w_expr = (
+                f"CASE WHEN e.dst = c.prev THEN {1.0 / p} "
+                f"WHEN a.src IS NOT NULL THEN 1.0 "
+                f"ELSE {1.0 / q} END"
+            )
+            body = f"""
+          SELECT c.start, c.walk, e.dst AS cand, c.node AS cnode,
+                 CAST(round(ln({u}) / ({w_expr}) * 1e12) AS BIGINT) AS key
+          FROM t{s - 1} c
+          JOIN sym e ON e.src = c.node
+          LEFT JOIN sym a ON a.src = c.prev AND a.dst = e.dst"""
+        ctes.append(
+            f"""t{s} AS MATERIALIZED (
+          SELECT start, walk, {s} AS step,
+                 (min(struct_pack(nk := -key, c := cand))).c AS node,
+                 MIN(cnode) AS prev
+          FROM ({body}) GROUP BY start, walk
+        )"""
+        )
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT start, walk, step, node FROM t{s}" for s in range(walk_len + 1)
+    )
+    return ",\n        ".join(ctes) + f"\n        {union}"
+
+
+ORACLE["graph_node2vec_walks"] = (
+    f"WITH {EDGES_SQL}, {SYM_SQL},\n        "
+    + _n2v_steps_sql(walk_len=4, start_mod=23, n_walks=2, p=4.0, q=0.25)
 )
 
 

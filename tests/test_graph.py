@@ -1023,3 +1023,62 @@ def test_betweenness_path_graph_exact(spark):
     # {1,0?}: s=0's 2-hop target is 2 itself (endpoint) -> no; so
     # {(1,3),(3,1)} = 2
     assert got2[2] == 2.0
+
+
+def test_node2vec_bias_hand_replay(spark):
+    """Triangle 0-1-2 plus pendant 3 on node 2: from walk state
+    (prev=0, cur=1) the candidates are 0 (return, w=1/p) and 2
+    (triangle, w=1); replaying the A-ES keys in pure Python must
+    give the identical walk corpus, and with p huge / q tiny the
+    outward bias must be visible in the class weights."""
+    import hashlib
+    import math
+
+    from bigclam_apachespark_spark.operators.graph import node2vec_walks
+
+    M = 1 << 40
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    sym_pairs = edges + [(b, a) for a, b in edges]
+    sym = spark.createDataFrame(sym_pairs, "src long, dst long")
+    nbrs = {}
+    for a, b in sym_pairs:
+        nbrs.setdefault(a, set()).add(b)
+
+    p_, q_ = 4.0, 0.25
+
+    def key(start, walk, step, cand, w):
+        u = ((h64(f"{start}:{walk}:{step}:{cand}") % M) + 1) / (M + 1)
+        return int(round(math.log(u) / w * 1e12))
+
+    def replay(start, walk, L):
+        seq = [start]
+        prev = None
+        for step in range(1, L + 1):
+            cands = sorted(nbrs[seq[-1]])
+            best = None
+            for c in cands:
+                if step == 1:
+                    w = 1.0
+                elif c == prev:
+                    w = 1.0 / p_
+                elif prev in nbrs[c]:
+                    w = 1.0
+                else:
+                    w = 1.0 / q_
+                k = key(start, walk, step, c, w)
+                if best is None or (k, -c) > (best[0], -best[1]):
+                    best = (k, c)
+            prev = seq[-1]
+            seq.append(best[1])
+        return seq
+
+    got = {}
+    for r in node2vec_walks(sym, walk_len=3, n_walks=2, p=p_, q=q_).collect():
+        got.setdefault((r.start, r.walk), {})[r.step] = r.node
+    for (start, walk), steps in got.items():
+        seq = [steps[i] for i in range(4)]
+        assert seq == replay(start, walk, 3), (start, walk, seq)
