@@ -181,6 +181,10 @@ HEADLINE = [
     "sim_ivfpq_residual_topk",
     "sim_kmeanspp_init",
     "dedup_bloom_decontam",
+    "graph_walk_pmi",
+    "graph_node2vec_walks",
+    "graph_coreness",
+    "graph_betweenness",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -313,6 +317,19 @@ EXPECTED = {
     "sim_sq8_topk": 2.5,
     "sim_ivfsq8_topk": 3.3,
     "text_bpe_merge_two_steps": 1.6,
+    # round-9 late additions (in-suite warm, full-run 2026-08-15;
+    # solo values run 1.5-3x higher — cold session + uncached
+    # upstream derivations)
+    "text_bm25_topk": 2.1,
+    "graph_random_walks": 4.9,
+    "graph_mis": 6.9,
+    "sim_ivfpq_residual_topk": 6.4,
+    "sim_kmeanspp_init": 7.3,
+    "dedup_bloom_decontam": 1.1,
+    "graph_walk_pmi": 8.3,
+    "graph_node2vec_walks": 7.5,
+    "graph_coreness": 13.4,
+    "graph_betweenness": 13.3,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
