@@ -1152,3 +1152,107 @@ def ppjoin_pairs(
     )
     out._cache_handles = [tok]
     return out
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    ngram: int = 3,
+) -> DataFrame:
+    """DIRECTED containment join → every ordered pair (a, b), a ≠ b,
+    with ``|A ∩ B| / |A| ≥ num/den`` as ``(a, b, inter, sz_a, sz_b,
+    containment)`` — the subset-duplication detector (a page embedded
+    inside a larger page keeps near-total containment while its
+    JACCARD can be arbitrarily low; boilerplate-wrapped copies are
+    exactly this shape, which is why symmetric near-dup passes miss
+    them). Same lossless-pruning posture as ``ppjoin_pairs``: a's
+    PREFIX (its ``sz_a − ceil(τ·sz_a) + 1`` rarest tokens in the
+    global df-canonical order) must intersect b's FULL token set —
+    pigeonhole on the required overlap ceil(τ·sz_a) — and the oracle
+    computes the UNPRUNED all-pairs containment join, so the hash
+    match certifies zero missed pairs. The τ decision is the integer
+    cross-multiply ``den·inter ≥ num·sz_a``.
+
+    Scale shape: candidate volume is Σ_token df_prefix(t)·df(t) —
+    the rare-first order keeps prefix dfs tiny; the probe side is
+    the full inverted index (one relation, already built for
+    verification). Token sets are word n-grams (gate n=3 — the
+    synthetic corpus's tiny word vocabulary, see ``ppjoin_pairs``)."""
+    from bigclam_apachespark_spark.functions.hashing import word_ngrams_of
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+    from pyspark.sql import Window
+
+    if ngram == 1:
+        tok = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+        ).cache()
+    else:
+        tok = (
+            docs.select("doc_id", tokens(text_col).alias("tk"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(word_ngrams_of(F.col("tk"), ngram))
+                ).alias("t"),
+            )
+            .cache()
+        )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = tok.groupBy("t").agg(F.count("*").alias("dfr"))
+    ranked = bucketed_row_number(dfreq, ["dfr", "t"], out="rk")
+    p = (
+        F.col("sz")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("sz") + threshold_den - 1)
+            / threshold_den
+        )
+        + 1
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("rk")
+    prefix = (
+        tok.join(ranked.select("t", "rk"), "t")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .where(F.col("pos") <= p)
+        .select("doc_id", "t")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "t")
+        .join(tok.select(F.col("doc_id").alias("b"), "t"), "t")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("doc_id").alias("a"), "t"), "a")
+        .join(tok.select(F.col("doc_id").alias("b"), "t"), ["b", "t"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b"
+        )
+        .where(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * F.col("sz_a")
+        )
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            F.round(
+                F.col("inter").cast("double") / F.col("sz_a").cast("double"), 6
+            ).alias("containment"),
+        )
+    )
+    out._cache_handles = [tok]
+    return out

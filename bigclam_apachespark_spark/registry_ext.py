@@ -1859,6 +1859,31 @@ DEDUP_ORACLE = {
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE 2 * i.inter >= 1 * (sa.sz + sb.sz - i.inter)
     """,
+    # Containment oracle = the UNPRUNED all-pairs directed join: the
+    # hash match certifies the one-sided prefix filter lossless.
+    "dedup_containment": f"""
+        WITH tk AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(list_distinct({word_ngrams_sql('tk', 3)})) AS t
+          FROM tk
+        ),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT ta.doc_id AS a, tb.doc_id AS b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM tok ta JOIN tok tb
+            ON ta.t = tb.t AND ta.doc_id <> tb.doc_id
+          GROUP BY ta.doc_id, tb.doc_id
+        )
+        SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+               round(CAST(i.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6)
+                 AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE 5 * i.inter >= 4 * sa.sz
+    """,
     "dedup_token_jaccard": f"""
         WITH tok AS (
           SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS t FROM documents
@@ -2126,6 +2151,9 @@ DEDUP_QUERIES = {
     ),
     "dedup_ppjoin": lambda spark, sf: D.ppjoin_pairs(
         _docs(spark, sf), threshold_num=1, threshold_den=2, ngram=3
+    ),
+    "dedup_containment": lambda spark, sf: D.containment_pairs(
+        _docs(spark, sf), threshold_num=4, threshold_den=5, ngram=3
     ),
     "dedup_stream_bloom": _q_dedup_stream_bloom,
     "dedup_stream_exact": _q_dedup_stream,

@@ -1352,3 +1352,38 @@ def test_text_corpus_roundtrip_and_bad_lines(spark, tmp_path):
     ).write.mode("overwrite").text(bad)
     got = {(r.doc_id, r.text) for r in read_documents_text(spark, bad).collect()}
     assert got == {(7, "ok")}
+
+
+def test_containment_pairs_detects_subset_duplication(spark):
+    """A doc embedded in a larger doc has containment 1 toward the
+    superset while its Jaccard is low — the asymmetric case the
+    symmetric pass misses. Brute-force equality at tau = 4/5 on
+    unigram sets."""
+    from itertools import permutations
+
+    from bigclam_apachespark_spark.operators.dedup import containment_pairs
+
+    texts = {
+        1: "a b c",
+        2: "a b c d e f g h i j",   # 1 inside 2: C(1->2)=1, J=3/10
+        3: "x y z",
+        4: "a b q",                 # C(4->2) = 2/3 < 4/5
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.a, r.b): (r.inter, r.containment)
+        for r in containment_pairs(
+            docs, threshold_num=4, threshold_den=5, ngram=1
+        ).collect()
+    }
+    expect = {}
+    for x, y in permutations(sorted(texts), 2):
+        sx, sy = set(texts[x].split()), set(texts[y].split())
+        i = len(sx & sy)
+        if 5 * i >= 4 * len(sx):
+            expect[(x, y)] = (i, round(i / len(sx), 6))
+    assert got == expect
+    assert (1, 2) in got and got[(1, 2)] == (3, 1.0)
+    assert (2, 1) not in got and (4, 2) not in got
