@@ -1855,3 +1855,90 @@ def weighted_sample(
     return top.withColumn("rank", F.row_number().over(win)).select(
         id_col, "weight", "key_e12", "rank"
     )
+
+
+def distribution_drift(
+    docs: DataFrame, text_col: str = "text", train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Token-distribution drift report → one row per comparison:
+    ``(comparison, n_tokens_a, n_tokens_b, vocab_union, l1_micro)``
+    where l1 = Σ_t |cₐ(t)/Nₐ − c_b(t)/N_b| ∈ [0, 2] — the corpus
+    drift monitor a training pipeline runs between snapshots, splits,
+    or slices (drift ≈ 0 between hash-split halves is the NULL
+    CALIBRATION: the split is content-blind, so a large value there
+    means the split itself is broken; drift between language slices
+    is the positive control). The summand is computed as the exact
+    integer cross-multiply |cₐ·N_b − c_b·Nₐ| in decimal(38,0)
+    (int64-safe at any corpus size), summed associatively, and
+    divided ONCE by Nₐ·N_b — so the reported micro-units are
+    engine-exact, no float ever enters the sum.
+
+    Scale shape: two vocabulary-sized count relations per comparison
+    (one corpus pass each via the shared token explode), a full-outer
+    vocab join, one decimal fold. Nothing row-level survives past
+    the first agg."""
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(text_col)).alias("t"),
+    ).withColumn(
+        "bucket",
+        (hash64(F.col("doc_id").cast("string")) % 100).cast("int"),
+    )
+
+    def counts(flt, side):
+        return (
+            tok.where(flt)
+            .groupBy("t")
+            .agg(F.count("*").alias(f"c_{side}"))
+        )
+
+    # the cross-multiply needs the totals INSIDE the sum — two-pass:
+    # totals first (1-row broadcast), then the decimal fold
+    def compare(name, flt_a, flt_b):
+        ca, cb = counts(flt_a, "a"), counts(flt_b, "b")
+        joined = ca.join(cb, "t", "full").select(
+            F.coalesce("c_a", F.lit(0)).alias("ca"),
+            F.coalesce("c_b", F.lit(0)).alias("cb"),
+        )
+        tot = joined.agg(
+            F.sum("ca").cast("decimal(38,0)").alias("na"),
+            F.sum("cb").cast("decimal(38,0)").alias("nb"),
+            F.count("*").cast("long").alias("vocab_union"),
+        )
+        return (
+            joined.join(F.broadcast(tot))
+            .agg(
+                F.lit(name).alias("comparison"),
+                F.min(F.col("na").cast("long")).alias("n_tokens_a"),
+                F.min(F.col("nb").cast("long")).alias("n_tokens_b"),
+                F.min("vocab_union").alias("vocab_union"),
+                # an EMPTY side has no distribution: l1 is NULL, not
+                # a division-by-zero abort (ANSI) nor a fake maximum
+                F.when(
+                    (F.min("na") > 0) & (F.min("nb") > 0),
+                    F.round(
+                        F.sum(
+                            F.abs(
+                                F.col("ca").cast("decimal(38,0)") * F.col("nb")
+                                - F.col("cb").cast("decimal(38,0)") * F.col("na")
+                            )
+                        ).cast("double")
+                        / (
+                            F.min("na").cast("double")
+                            * F.min("nb").cast("double")
+                        )
+                        * 1e6,
+                        6,
+                    ),
+                ).alias("l1_micro"),
+            )
+        )
+
+    split_a = F.col("bucket") < train_pct
+    split_b = (F.col("bucket") >= train_pct) & (
+        F.col("bucket") < train_pct + val_pct
+    )
+    return compare("train_vs_val", split_a, split_b).unionByName(
+        compare("en_vs_rest", F.col("lang") == "en", F.col("lang") != "en")
+    )

@@ -1258,7 +1258,56 @@ TEXT_QUERIES = {
     "text_weighted_sample": lambda spark, sf: X.weighted_sample(
         _docs(spark, sf), n=100
     ),
+    "text_distribution_drift": lambda spark, sf: X.distribution_drift(
+        _docs(spark, sf)
+    ),
 }
+
+
+def _drift_block_sql(name: str, flt_a: str, flt_b: str, sfx: str) -> str:
+    """One drift comparison's CTE chain + SELECT (decimal/HUGEINT
+    cross-multiplied L1, totals folded once)."""
+    return f"""
+    ca{sfx} AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM dtok
+                WHERE {flt_a} GROUP BY t),
+    cb{sfx} AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM dtok
+                WHERE {flt_b} GROUP BY t),
+    j{sfx} AS (
+      SELECT COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM ca{sfx} a FULL JOIN cb{sfx} b USING (t)
+    ),
+    t{sfx} AS (
+      SELECT CAST(SUM(ca) AS HUGEINT) AS na, CAST(SUM(cb) AS HUGEINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS vocab_union
+      FROM j{sfx}
+    ),
+    r{sfx} AS (
+      SELECT '{name}' AS comparison,
+             CAST(MIN(t.na) AS BIGINT) AS n_tokens_a,
+             CAST(MIN(t.nb) AS BIGINT) AS n_tokens_b,
+             MIN(t.vocab_union) AS vocab_union,
+             CASE WHEN MIN(t.na) > 0 AND MIN(t.nb) > 0 THEN
+               round(CAST(SUM(abs(CAST(j.ca AS HUGEINT) * t.nb
+                                  - CAST(j.cb AS HUGEINT) * t.na)) AS DOUBLE)
+                     / (CAST(MIN(t.na) AS DOUBLE) * CAST(MIN(t.nb) AS DOUBLE))
+                     * 1e6, 6)
+             END AS l1_micro
+      FROM j{sfx} j CROSS JOIN t{sfx} t
+    )"""
+
+
+TEXT_ORACLE["text_distribution_drift"] = f"""
+    WITH dtok AS (
+      SELECT d.doc_id, d.lang, unnest({TOKENS}) AS t,
+             CAST({hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS INT)
+               AS bucket
+      FROM documents d
+    ),
+    {_drift_block_sql("train_vs_val", "bucket < 80",
+                      "bucket >= 80 AND bucket < 90", "s")},
+    {_drift_block_sql("en_vs_rest", "lang = 'en'", "lang <> 'en'", "l")}
+    SELECT * FROM rs UNION ALL SELECT * FROM rl
+"""
 
 # A-ES twin: same md5 uniform, same pico-integer ln(u)/w key, same
 # (key DESC, id) order.

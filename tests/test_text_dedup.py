@@ -1387,3 +1387,33 @@ def test_containment_pairs_detects_subset_duplication(spark):
     assert got == expect
     assert (1, 2) in got and got[(1, 2)] == (3, 1.0)
     assert (2, 1) not in got and (4, 2) not in got
+
+
+def test_distribution_drift_null_and_positive_controls(spark):
+    """Identical distributions drift 0; disjoint vocabularies hit the
+    maximum L1 = 2 (2e6 micro); a hand two-token case matches the
+    closed form."""
+    from bigclam_apachespark_spark.operators.text import distribution_drift
+
+    # lang split is the controlled comparison here: 'en' docs say
+    # "a a b", others say "c d" -> disjoint vocab, l1 = 2
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "a a b", "en"), (3, "c d", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.comparison: r for r in distribution_drift(docs).collect()}
+    en = rows["en_vs_rest"]
+    assert (en.n_tokens_a, en.n_tokens_b, en.vocab_union) == (6, 2, 4)
+    assert en.l1_micro == 2e6
+
+    same = spark.createDataFrame(
+        [(i, "x y z", "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    r2 = {r.comparison: r for r in distribution_drift(same).collect()}
+    tv = r2["train_vs_val"]
+    # hash split of identical docs: every token has ca/Na == cb/Nb
+    assert tv.l1_micro == 0.0
+    # all docs are 'en' -> the rest side is EMPTY -> NULL, not an
+    # ANSI divide-by-zero abort or a fake maximum
+    assert r2["en_vs_rest"].l1_micro is None
