@@ -2369,3 +2369,71 @@ def range_search(
         )
         .where(F.col("cos_sim") >= min_cos)
     )
+
+
+def range_search_ivf_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    min_cos: float = 0.35,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-probed radius retrieval WITH its honesty row →
+    ``(q, n_exact, n_ivf, n_hits, recall)``: the scale path for
+    ``range_search`` (probe nprobe/n_cells of the corpus, then apply
+    the radius filter to the probed cells only) scored per query
+    against the exact full-scan radius set — the recall-ladder
+    discipline applied to unbounded-cardinality retrieval. Queries
+    whose exact radius set is empty report recall = 1 (nothing to
+    miss — stated, since zero-denominator conventions change the
+    row).
+
+    Scale shape: the probed path touches ~nprobe/n_cells of the
+    corpus via the cell equi-join (centroids and probe lists
+    broadcast); the exact side is the brute filter (the calibration
+    cost, run at sample scale exactly like the other recall rows)."""
+    exact = range_search(embeddings, queries, min_cos, id_col, vec_col).select(
+        "q", F.col(id_col).alias("nn")
+    )
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assign = ivf_assign(embeddings, cent, id_col, vec_col, keep_vec=True)
+    probes = _probe_cells(cent, queries, nprobe, id_col, vec_col)
+    ivf = (
+        probes.join(assign, "cell")
+        .where(F.col("q") != F.col(id_col))
+        .select(
+            "q",
+            F.col(id_col).alias("nn"),
+            F.round(_cos_q("qv", "nrm", "qqv", "qnrm"), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cos)
+        .select("q", "nn")
+    )
+    hits = exact.join(ivf, ["q", "nn"], "left_semi").groupBy("q").agg(
+        F.count("*").alias("n_hits")
+    )
+    n_exact = exact.groupBy("q").agg(F.count("*").alias("n_exact"))
+    n_ivf = ivf.groupBy("q").agg(F.count("*").alias("n_ivf"))
+    qs = queries.select(F.col(id_col).alias("q")).distinct()
+    return (
+        qs.join(n_exact, "q", "left")
+        .join(n_ivf, "q", "left")
+        .join(hits, "q", "left")
+        .select(
+            "q",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_ivf", F.lit(0)).cast("long").alias("n_ivf"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.coalesce("n_exact", F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
+        )
+    )

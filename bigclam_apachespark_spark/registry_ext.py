@@ -3723,6 +3723,44 @@ SIM_ORACLE["sim_range_search"] = f"""
       AND round({_PAIR_COS}, 6) >= 0.35
 """
 
+SIM_ORACLE["sim_range_search_ivf"] = f"""
+    WITH {EMB_SQL}, {IVF_SQL},
+    rexact AS (
+      SELECT eb.vec_id AS q, ea.vec_id AS nn
+      FROM emb ea CROSS JOIN emb eb
+      WHERE eb.vec_id < 10 AND ea.vec_id <> eb.vec_id
+        AND round({_PAIR_COS}, 6) >= 0.35
+    ),
+    rivf AS (
+      SELECT p.q, ea.vec_id AS nn
+      FROM probes p
+      JOIN assign s ON s.cell = p.cell
+      JOIN emb ea ON ea.vec_id = s.vec_id
+      JOIN emb eb ON eb.vec_id = p.q
+      WHERE ea.vec_id <> p.q
+        AND round({_cosq_sql('eb.qv', 'eb.nrm', 'ea.qv', 'ea.nrm')}, 6) >= 0.35
+    ),
+    rqs AS (SELECT DISTINCT vec_id AS q FROM emb WHERE vec_id < 10),
+    rne AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_exact FROM rexact GROUP BY q),
+    rni AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_ivf FROM rivf GROUP BY q),
+    rnh AS (
+      SELECT e.q, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM rexact e SEMI JOIN rivf i ON i.q = e.q AND i.nn = e.nn
+      GROUP BY e.q
+    )
+    SELECT s.q,
+           CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(i.n_ivf, 0) AS BIGINT) AS n_ivf,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN COALESCE(e.n_exact, 0) = 0 THEN 1.0
+                ELSE round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                           / CAST(e.n_exact AS DOUBLE), 6) END AS recall
+    FROM rqs s
+    LEFT JOIN rne e USING (q)
+    LEFT JOIN rni i USING (q)
+    LEFT JOIN rnh h USING (q)
+"""
+
 SIM_ORACLE["sim_kmeanspp_init"] = f"""
     WITH {EMB_SQL}, {_kmpp_sql()}
     SELECT CAST(rn - 1 AS INT) AS cell, cand_id AS vec_id,
@@ -4016,6 +4054,10 @@ SIM_QUERIES = {
     ),
     "sim_range_search": lambda spark, sf: S.range_search(
         _emb(spark, sf), _queries_subset(spark, sf), min_cos=0.35
+    ),
+    "sim_range_search_ivf": lambda spark, sf: S.range_search_ivf_eval(
+        _emb(spark, sf), _queries_subset(spark, sf),
+        min_cos=0.35, n_cells=16, nprobe=4,
     ),
     "sim_topk_brute": lambda spark, sf: S.brute_force_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5
