@@ -1046,3 +1046,68 @@ def wav_spectral(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "audio").select(
         "media_id", "payload"
     ).mapInPandas(extract, WAV_SPECTRAL_SCHEMA)
+
+
+VIDEO_SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("shot_frame", T.IntegerType(), True),
+        T.StructField("delta", T.LongType(), True),
+    ]
+)
+
+
+def video_shot_detection(media: DataFrame) -> DataFrame:
+    """Shot-boundary detection → ``(media_id, n_frames, shot_frame,
+    delta)``: the frame maximizing the successive-frame luma-sum
+    change (earliest frame on ties) — the standard cut detector's
+    first stage, run on EXACT integer luma sums (Σ over pixels of
+    r+g+b, never a float mean) so the argmax is engine-exact. The
+    fixture's closed form: the pan pattern wraps 8 → 0 at frame
+    f* = 9 − i%9 (or 9 when i%9 = 0), an 8-column flip whose delta
+    16320·3 dwarfs the 1-column pan steps — and that wrap is
+    precisely the pathology aHash-based detection MISSES (all-black
+    and all-white frames both hash to 0: bit = pixel > mean fails on
+    constant frames), which is why this operator ranks raw luma
+    change instead of hash distance.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, frames reduced to a
+    per-video integer argmax inside the batch — no pixel ever
+    leaves Python, output is 4 scalars per video."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(pl)
+                if not b.startswith(VIDEO_MAGIC) or len(b) < 5:
+                    continue
+                nf = b[4]
+                sums = []
+                for f in range(nf):
+                    off = 5 + f * 192
+                    if len(b) < off + 192:
+                        break
+                    px = np.frombuffer(b, dtype=np.uint8, count=192, offset=off)
+                    sums.append(int(px.astype(np.int64).sum()))
+                if len(sums) < 2:
+                    continue
+                deltas = [abs(sums[f] - sums[f - 1]) for f in range(1, len(sums))]
+                best = max(range(len(deltas)), key=lambda j: (deltas[j], -j))
+                out.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": len(sums),
+                        "shot_frame": best + 1,
+                        "delta": deltas[best],
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_frames", "shot_frame", "delta"]
+            )
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(extract, VIDEO_SHOT_SCHEMA)

@@ -5760,6 +5760,14 @@ MULTIMODAL_ORACLE = {
     # n_frames = 64 + 16*i, constant sample 512*(i%9). rms = peak =
     # (i%9)/64 and duration = n_frames/8000 — all terminate within 6
     # decimals, so round(x, 6) is exact on both engines.
+    # Shot-detection closed form: wrap frame + exact luma delta.
+    "multimodal_video_shots": """
+        SELECT i AS media_id, 16 AS n_frames,
+               CAST(CASE WHEN i % 9 = 0 THEN 9 ELSE 9 - (i % 9) END AS INT)
+                 AS shot_frame,
+               CAST(48960 AS BIGINT) AS delta
+        FROM generate_series(0, 23) t(i)
+    """,
     # FFT closed form: one full window of k = 3 + i%13 integer
     # cycles -> ALL tone energy in bin k; 8000/256 = 31.25 exact in
     # binary so the rounded hz is lossless.
@@ -5833,6 +5841,20 @@ def _q_caption_join(spark, sf):
     from bigclam_apachespark_spark.operators import multimodal as MM
 
     return MM.caption_join(MM.synthetic_media(spark, 64), _docs(spark, sf))
+
+
+def _q_video_shots(spark, sf):
+    """Shot detection, ORACLE-CHECKED via the pan fixture's closed
+    form: the 8→0 wrap at frame 9 − i%9 (9 when i%9 = 0) flips 8
+    columns — integer luma delta 8·8·765 = 48960 vs the 1-column pan
+    step's 6120; ties across the second wrap break to the earlier
+    frame."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        synthetic_video_media,
+        video_shot_detection,
+    )
+
+    return video_shot_detection(synthetic_video_media(spark, n=24))
 
 
 def _q_wav_spectral(spark, sf):
@@ -6033,6 +6055,7 @@ MULTIMODAL_QUERIES = {
     "multimodal_audio_chunks": _q_audio_chunks,
     "multimodal_wav_stats": _q_wav_stats,
     "multimodal_wav_spectral": _q_wav_spectral,
+    "multimodal_video_shots": _q_video_shots,
     "multimodal_ppm_features": _q_ppm_features,
     "multimodal_png_features": _q_png_features,
 }

@@ -2048,3 +2048,29 @@ def test_seasonal_naive_backtest_hand_computed(spark):
     )
     out = seasonal_naive_backtest(ev, lag_days=7).collect()[0]
     assert (out.n_scored_days, out.mae_milli, out.bias_milli) == (7, 3000.0, 3000.0)
+
+
+def test_video_shot_detection_wrap_and_truncation(spark):
+    """The pan wrap is the planted cut: video i's shot frame is
+    9 - i%9 (9 when i%9 = 0) with the exact 8-column luma delta;
+    a truncated container keeps its parsed frames and a sub-2-frame
+    payload emits no row."""
+    from bigclam_apachespark_spark.operators.multimodal import (
+        VIDEO_MAGIC,
+        synthetic_video_media,
+        video_shot_detection,
+    )
+
+    media = synthetic_video_media(spark, n=12)
+    rows = {r.media_id: r for r in video_shot_detection(media).collect()}
+    for i in range(12):
+        expect = 9 if i % 9 == 0 else 9 - (i % 9)
+        assert rows[i].shot_frame == expect, (i, rows[i])
+        assert rows[i].delta == 48960
+        assert rows[i].n_frames == 16
+
+    short = spark.createDataFrame(
+        [(99, "video", bytearray(VIDEO_MAGIC + bytes([16]) + b"\0" * 192))],
+        "media_id long, kind string, payload binary",
+    )
+    assert video_shot_detection(short).count() == 0
