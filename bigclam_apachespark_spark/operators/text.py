@@ -1877,13 +1877,19 @@ def distribution_drift(
     (one corpus pass each via the shared token explode), a full-outer
     vocab join, one decimal fold. Nothing row-level survives past
     the first agg."""
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(tokens(text_col)).alias("t"),
-    ).withColumn(
-        "bucket",
-        (hash64(F.col("doc_id").cast("string")) % 100).cast("int"),
+    # CACHED: four count branches (2 comparisons × 2 sides) would
+    # otherwise re-scan and re-tokenize the corpus four times
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .withColumn(
+            "bucket",
+            (hash64(F.col("doc_id").cast("string")) % 100).cast("int"),
+        )
+        .cache()
     )
 
     def counts(flt, side):
@@ -1939,6 +1945,8 @@ def distribution_drift(
     split_b = (F.col("bucket") >= train_pct) & (
         F.col("bucket") < train_pct + val_pct
     )
-    return compare("train_vs_val", split_a, split_b).unionByName(
+    out = compare("train_vs_val", split_a, split_b).unionByName(
         compare("en_vs_rest", F.col("lang") == "en", F.col("lang") != "en")
     )
+    out._cache_handles = [tok]
+    return out

@@ -104,10 +104,15 @@ def counting_topk_stream(
     global rank runs once over the final aggregate, not per batch."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         import pyspark.sql.functions as F
 
         counts = batch_df.groupBy(key_col).agg(F.count("*").alias("n"))
-        try:
+        # explicit first-batch check — a bare except around the read
+        # would silently restart the count table on a CORRUPT state
+        # file, which must fail loudly instead
+        if os.path.isdir(target_dir):
             cur = spark.read.parquet(target_dir)
             merged = (
                 cur.unionByName(counts)
@@ -115,7 +120,7 @@ def counting_topk_stream(
                 .agg(F.sum("n").alias("n"))
                 .localCheckpoint(eager=True)
             )
-        except Exception:
+        else:
             merged = counts.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(target_dir)
 
