@@ -1404,8 +1404,12 @@ def _walk_steps_parts(
     from bigclam_apachespark_spark.functions.hashing import hash64_sql
 
     walks = ", ".join(f"({w})" for w in range(n_walks))
+    # every step CTE is referenced TWICE (the next step + the final
+    # union): MATERIALIZED, or DuckDB's inlining doubles the work per
+    # level — 2^walk_len chain re-derivations, which at sf0.1 spilled
+    # >80 GB of temp through the pair-join consumer (graph_walk_pmi)
     ctes = [
-        f"""s0 AS (
+        f"""s0 AS MATERIALIZED (
           SELECT v.id AS start, CAST(w.walk AS INT) AS walk,
                  0 AS step, v.id AS node
           FROM (SELECT DISTINCT src AS id FROM sym) v
@@ -1419,7 +1423,7 @@ def _walk_steps_parts(
             f"':{s}:', CAST(e.dst AS VARCHAR))"
         )
         ctes.append(
-            f"""s{s} AS (
+            f"""s{s} AS MATERIALIZED (
           SELECT start, walk, {s} AS step,
                  (min(struct_pack(h := {h}, v := e.dst))).v AS node
           FROM s{s - 1} c JOIN sym e ON c.node = e.src
@@ -1447,7 +1451,7 @@ _WALK_CTES, _WALK_UNION = _walk_steps_parts(walk_len=4, start_mod=23, n_walks=2)
 ORACLE["graph_walk_pmi"] = f"""
     WITH {EDGES_SQL}, {SYM_SQL},
     {_WALK_CTES},
-    walks AS (
+    walks AS MATERIALIZED (
         {_WALK_UNION}
     ),
     wpairs AS (

@@ -374,6 +374,13 @@ _UNPARTITIONED_WINDOW_OK = {
     "text_length_quantiles",
     # ranks k rows AFTER a TakeOrderedAndProject limit
     "text_vocab_topk",
+    # round-9 limit-then-rank shapes: each window runs over <= k rows
+    # selected by a TakeOrderedAndProject head (k = 30 / 16 / 30 /
+    # 100 respectively) — the same bounded contract as vocab_topk
+    "graph_walk_pmi",
+    "sim_kmeanspp_init",
+    "text_bpe_encode",
+    "text_weighted_sample",
 }
 
 # Construction executes multi-minute iterative jobs (rows-only
