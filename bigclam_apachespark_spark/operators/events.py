@@ -1108,3 +1108,113 @@ def seasonal_naive_backtest(
             6,
         ).alias("bias_milli"),
     )
+
+
+def ab_cuped_readout(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction →
+    ``(arm, n_users, mean_y_milli, mean_adj_milli)``: users split
+    into arms by the deterministic md5 coin (hash % 2), the
+    observation window splits at its integer midpoint day into
+    pre-period covariate x (per-user value cents) and post-period
+    metric y, and the CUPED adjustment (Deng et al. WSDM'13)
+    reports ȳ_arm − θ·(x̄_arm − x̄_pool) with the pooled
+    θ = cov(x,y)/var(x) — the industry-standard way to cut
+    experiment variance with pre-experiment data.
+
+    Float discipline: x, y are exact integer cents; the pooled
+    moments (n, Σx, Σy, Σxy, Σx²) are decimal(38,0) folds
+    (associative — engine-exact); θ and the arm means are a FIXED
+    chain of IEEE ops over those exact sums, so the rounded output
+    hashes cross-engine. A zero pre-period variance degenerates
+    θ to 0 (adjusted = raw — stated, not a divide error).
+
+    Scale shape: the event stream collapses to per-(user, period)
+    cent sums (the one big shuffle, map-side combined); moments and
+    arm aggregates run over the user-sized relation; θ is a 1-row
+    broadcast."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast(
+        "long"
+    )
+    ev = events.where(F.col("value").isNotNull()).select(
+        "user_id",
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    span = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    per_user = (
+        ev.join(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), F.col("vc")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("day") > F.col("mid"), F.col("vc")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                hash64(F.col("user_id").cast("string")) % 2 == 0, "control"
+            ).otherwise("treatment"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+    ).select(
+        "n",
+        "sx",
+        F.when(
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            > 0.0,
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(d("x")).alias("ax"),
+        F.sum(d("y")).alias("ay"),
+    )
+    return arms.join(F.broadcast(mom)).select(
+        "arm",
+        "n_users",
+        F.round(
+            F.col("ay").cast("double")
+            / F.col("n_users").cast("double")
+            * 10.0,
+            6,
+        ).alias("mean_y_milli"),
+        F.round(
+            (
+                F.col("ay").cast("double") / F.col("n_users").cast("double")
+                - F.col("theta")
+                * (
+                    F.col("ax").cast("double") / F.col("n_users").cast("double")
+                    - F.col("sx").cast("double") / F.col("n").cast("double")
+                )
+            )
+            * 10.0,
+            6,
+        ).alias("mean_adj_milli"),
+    )

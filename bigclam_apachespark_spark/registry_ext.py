@@ -4264,6 +4264,68 @@ EVENT_ORACLE = {
         WHERE rk.r >= ceil(pr.p * pr.n)
         GROUP BY rk.event_type, pr.p
     """,
+    # CUPED twin: decimal moments, the identical fixed IEEE chain for
+    # theta and the adjusted means, zero-variance degeneracy to 0.
+    "events_ab_cuped": f"""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events WHERE value IS NOT NULL
+        ),
+        span AS (
+          SELECT CAST(floor((MIN(day) + MAX(day)) / 2.0) AS BIGINT) AS mid
+          FROM ev
+        ),
+        pu AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN day <= s.mid THEN vc ELSE 0 END)
+                      AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN day > s.mid THEN vc ELSE 0 END)
+                      AS BIGINT) AS y,
+                 CASE WHEN ({hash64_sql('CAST(user_id AS VARCHAR)')}) % 2 = 0
+                      THEN 'control' ELSE 'treatment' END AS arm
+          FROM ev CROSS JOIN span s
+          GROUP BY user_id, arm
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+                   AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+                   AS sxx
+          FROM pu
+        ),
+        th AS (
+          SELECT n, sx,
+                 CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      ELSE 0.0 END AS theta
+          FROM mom
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS ax,
+                 CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS ay
+          FROM pu GROUP BY arm
+        )
+        SELECT a.arm, a.n_users,
+               round(CAST(a.ay AS DOUBLE) / CAST(a.n_users AS DOUBLE) * 10.0,
+                     6) AS mean_y_milli,
+               round((CAST(a.ay AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+                      - t.theta * (CAST(a.ax AS DOUBLE)
+                                   / CAST(a.n_users AS DOUBLE)
+                                   - CAST(t.sx AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE))) * 10.0,
+                     6) AS mean_adj_milli
+        FROM arms a CROSS JOIN th t
+    """,
     # Seasonal-naive backtest twin: lag-7 self-join on the day
     # relation, exact-integer error sums, one division to milli.
     "events_forecast_backtest": """
@@ -5571,6 +5633,7 @@ EVENT_QUERIES = {
     "events_forecast_backtest": lambda spark, sf: E.seasonal_naive_backtest(
         _events(spark, sf), lag_days=7
     ),
+    "events_ab_cuped": lambda spark, sf: E.ab_cuped_readout(_events(spark, sf)),
     "events_dau_wau": lambda spark, sf: E.dau_wau(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
     "events_transitions": lambda spark, sf: E.type_transitions(_events(spark, sf)),
