@@ -1218,3 +1218,88 @@ def ab_cuped_readout(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             6,
         ).alias("mean_adj_milli"),
     )
+
+
+def ab_power_readout(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Experiment design readout → ONE row ``(n_users, var_y_milli,
+    rho2_milli, vr_factor_milli, mde_milli, mde_cuped_milli)``: from
+    the SAME per-user pre/post moments as ``ab_cuped_readout``,
+    the population metric variance, the squared pre/post correlation
+    ρ² (CUPED removes exactly that fraction of variance), and the
+    two-sample minimum detectable effect at the standard α = .05 /
+    power = .8 operating point (MDE = 2.8·σ·√(2/n_arm), Deng et
+    al.'s rule of thumb) — raw and CUPED-adjusted. This is how the
+    CURRENT experiment's data sizes the NEXT one.
+
+    Determinism: all moments are decimal(38,0) integer folds; the
+    variance/ρ²/MDE chain is a fixed sequence of IEEE ops over those
+    exact sums (2.8 and the milli scales are exact literals), so the
+    row hashes cross-engine. Degenerate variances (constant metric
+    or covariate) report ρ² = 0 and the raw MDE.
+
+    Scale shape: identical to the CUPED readout — one per-user
+    cent-sum shuffle, then 1-row arithmetic."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.functions.timeutil import epoch_seconds
+
+    ts_type = events.schema[ts_col].dataType.typeName()
+    day = F.floor(epoch_seconds(F.col(ts_col), ts_type) / F.lit(86400)).cast(
+        "long"
+    )
+    ev = events.where(F.col("value").isNotNull()).select(
+        "user_id",
+        day.alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    span = ev.agg(
+        F.floor((F.min("day") + F.max("day")) / 2).cast("long").alias("mid")
+    )
+    per_user = (
+        ev.join(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), F.col("vc")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("day") > F.col("mid"), F.col("vc")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("y") * d("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    # explicit multiplies, not ** (pow(x, 2) is not guaranteed ulp-equal
+    # to x*x, and the oracle multiplies)
+    var_y = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nd
+    ) / (nd - 1.0)
+    var_x = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    ) / (nd - 1.0)
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    ) / (nd - 1.0)
+    rho2 = F.when(
+        (var_x > 0.0) & (var_y > 0.0), cov * cov / (var_x * var_y)
+    ).otherwise(F.lit(0.0))
+    mde = F.lit(2.8) * F.sqrt(var_y) * F.sqrt(2.0 / (nd / 2.0))
+    mde_c = F.lit(2.8) * F.sqrt(var_y * (1.0 - rho2)) * F.sqrt(2.0 / (nd / 2.0))
+    return mom.select(
+        "n",
+        F.round(var_y / 100.0, 6).alias("var_y_milli"),
+        F.round(rho2 * 1000.0, 6).alias("rho2_milli"),
+        F.round((1.0 - rho2) * 1000.0, 6).alias("vr_factor_milli"),
+        F.round(mde * 10.0, 6).alias("mde_milli"),
+        F.round(mde_c * 10.0, 6).alias("mde_cuped_milli"),
+    ).withColumnRenamed("n", "n_users")

@@ -4264,6 +4264,65 @@ EVENT_ORACLE = {
         WHERE rk.r >= ceil(pr.p * pr.n)
         GROUP BY rk.event_type, pr.p
     """,
+    # Power/MDE twin: same HUGEINT moments, identical IEEE chain.
+    "events_ab_power": f"""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM events WHERE value IS NOT NULL
+        ),
+        span AS (
+          SELECT CAST(floor((MIN(day) + MAX(day)) / 2.0) AS BIGINT) AS mid
+          FROM ev
+        ),
+        pu AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN day <= s.mid THEN vc ELSE 0 END)
+                      AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN day > s.mid THEN vc ELSE 0 END)
+                      AS BIGINT) AS y
+          FROM ev CROSS JOIN span s GROUP BY user_id
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+                   AS sxy,
+                 CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+                   AS sxx,
+                 CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+                   AS syy
+          FROM pu
+        ),
+        calc AS (
+          SELECT n,
+                 (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_y,
+                 (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_x,
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cov
+          FROM mom
+        ),
+        rho AS (
+          SELECT n, var_y,
+                 CASE WHEN var_x > 0.0 AND var_y > 0.0
+                      THEN cov * cov / (var_x * var_y) ELSE 0.0 END AS rho2
+          FROM calc
+        )
+        SELECT n AS n_users,
+               round(var_y / 100.0, 6) AS var_y_milli,
+               round(rho2 * 1000.0, 6) AS rho2_milli,
+               round((1.0 - rho2) * 1000.0, 6) AS vr_factor_milli,
+               round(2.8 * sqrt(var_y) * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0))
+                     * 10.0, 6) AS mde_milli,
+               round(2.8 * sqrt(var_y * (1.0 - rho2))
+                     * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) * 10.0, 6)
+                 AS mde_cuped_milli
+        FROM rho
+    """,
     # CUPED twin: decimal moments, the identical fixed IEEE chain for
     # theta and the adjusted means, zero-variance degeneracy to 0.
     "events_ab_cuped": f"""
@@ -5634,6 +5693,7 @@ EVENT_QUERIES = {
         _events(spark, sf), lag_days=7
     ),
     "events_ab_cuped": lambda spark, sf: E.ab_cuped_readout(_events(spark, sf)),
+    "events_ab_power": lambda spark, sf: E.ab_power_readout(_events(spark, sf)),
     "events_dau_wau": lambda spark, sf: E.dau_wau(_events(spark, sf)),
     "events_pivot": lambda spark, sf: E.type_pivot(_events(spark, sf)),
     "events_transitions": lambda spark, sf: E.type_transitions(_events(spark, sf)),

@@ -2123,3 +2123,41 @@ def test_ab_cuped_variance_reduction_and_theta(spark):
     # NOT the contract — within 5% is)
     gap = got["treatment"].mean_adj_milli - got["control"].mean_adj_milli
     assert abs(gap - 5000.0) < 250.0, gap
+
+
+def test_ab_power_cuped_reduction_and_degenerate_variance(spark):
+    """With post perfectly correlated to pre (y = 2x), rho2 = 1 and
+    the CUPED MDE collapses to ~0 while the raw MDE matches the
+    hand-computed 2.8*sigma*sqrt(2/(n/2)); a constant covariate
+    degrades rho2 to 0 and the two MDEs coincide."""
+    import math
+
+    from bigclam_apachespark_spark.operators.events import ab_power_readout
+
+    def build(pre_fn):
+        rows = []
+        eid = 0
+        for u in range(1, 31):
+            pre = pre_fn(u)
+            rows.append((u, eid, 5, float(pre))); eid += 1
+            rows.append((u, eid, 9 * 86400 + 5, float(2 * pre))); eid += 1
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, sec long, value double"
+        ).selectExpr(
+            "user_id", "event_id", "timestamp_seconds(sec) AS ts",
+            "value", "'buy' AS event_type"
+        )
+
+    out = ab_power_readout(build(lambda u: 10 + (u % 5))).collect()[0]
+    assert out.n_users == 30
+    assert abs(out.rho2_milli - 1000.0) < 1e-6
+    assert out.mde_cuped_milli == 0.0
+    ys = [2 * (10 + (u % 5)) * 100 for u in range(1, 31)]
+    n = 30
+    var_y = (sum(y * y for y in ys) - sum(ys) ** 2 / n) / (n - 1)
+    mde = 2.8 * math.sqrt(var_y) * math.sqrt(2 / (n / 2)) * 10.0
+    assert abs(out.mde_milli - mde) < 1e-6
+
+    flat = ab_power_readout(build(lambda u: 7)).collect()[0]
+    assert flat.rho2_milli == 0.0
+    assert flat.mde_milli == flat.mde_cuped_milli
