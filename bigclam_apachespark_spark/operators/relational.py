@@ -1624,3 +1624,79 @@ def incremental_agg_retract(
             ),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "o_orderkey",
+    compare_cols: tuple[str, ...] = ("o_totalprice", "o_orderstatus"),
+) -> DataFrame:
+    """Table reconciliation between two snapshots → ``(change_type,
+    n_rows)``: ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    row counts from ONE full-outer join on the key, plus a
+    ``changed:<col>`` row per compared column — the CDC-validation
+    report run after every merge window (counts that don't foot
+    against the upstream changefeed mean the apply dropped or
+    duplicated events). Column comparison is null-safe (``<=>``:
+    NULL = NULL is unchanged, NULL vs value is a change — the
+    eqNullSafe semantics MERGE itself uses).
+
+    Scale shape: one key-partitioned full-outer join (the same
+    shuffle the merge already paid), then a metadata-sized
+    conditional aggregate — counts only, no row ever leaves the
+    join."""
+    o = old.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key).alias("k"),
+        *[F.col(c).alias(f"n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, "k", "full")
+    any_change = None
+    for c in compare_cols:
+        diff = ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+        any_change = diff if any_change is None else (any_change | diff)
+    both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    base = j.agg(
+        F.sum(F.when(F.col("_in_old").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("added"),
+        F.sum(F.when(F.col("_in_new").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("removed"),
+        F.sum(F.when(both & any_change, 1).otherwise(0))
+        .cast("long")
+        .alias("changed"),
+        F.sum(F.when(both & ~any_change, 1).otherwise(0))
+        .cast("long")
+        .alias("unchanged"),
+        *[
+            F.sum(
+                F.when(
+                    both & ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"chg_{c}")
+            for c in compare_cols
+        ],
+    )
+    rows = [
+        base.select(F.lit(t).alias("change_type"), F.col(t).alias("n_rows"))
+        for t in ("added", "removed", "changed", "unchanged")
+    ] + [
+        base.select(
+            F.lit(f"changed:{c}").alias("change_type"),
+            F.col(f"chg_{c}").alias("n_rows"),
+        )
+        for c in compare_cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

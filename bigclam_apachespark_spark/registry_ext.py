@@ -6375,6 +6375,33 @@ def _q_zorder_key(spark, sf):
     return zorder_key(spark.read.parquet(f"{sf}/orders.parquet"), bits=16)
 
 
+def _q_snapshot_diff(spark, sf):
+    """Reconciliation report over the SAME deterministic delta the
+    retraction query applies (%37 upsert with price+100, %41 delete,
+    %1000 insert with shifted keys): the diff counts must foot
+    against the delta's own arithmetic, which the oracle states in
+    closed form."""
+    from bigclam_apachespark_spark.operators.relational import snapshot_diff
+
+    orders = _rel_tables(spark, sf)[0]
+    cols = orders.columns
+    upserted = orders.where(F.col("o_orderkey") % 37 == 0).select(
+        *[
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice")
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    new = (
+        orders.where(
+            (F.col("o_orderkey") % 37 != 0) & (F.col("o_orderkey") % 41 != 0)
+        )
+        .unionByName(upserted.where(F.col("o_orderkey") % 41 != 0))
+    )
+    return snapshot_diff(orders, new)
+
+
 def _q_incremental_agg_retract(spark, sf):
     """Deterministic delta: o_orderkey % 37 = 0 rows are UPSERTED
     with price + 100, % 41 = 0 rows are DELETED (delete wins for
@@ -6773,6 +6800,7 @@ REL_QUERIES = {
     "rel_zorder_key": _q_zorder_key,
     "rel_incremental_agg": _q_incremental_agg,
     "rel_incremental_agg_retract": _q_incremental_agg_retract,
+    "rel_snapshot_diff": _q_snapshot_diff,
     "rel_table_stats": _q_table_stats,
     "rel_running_totals": _q_running_totals,
     "rel_rolling_avg": _q_rolling_avg,
@@ -7483,6 +7511,27 @@ REL_ORACLE["events_stream_topk"] = """
 # against the FULL recompute (the self-maintainability property);
 # ANALYZE stats as one UNION ALL of per-column aggregates.
 REL_ORACLE["rel_zorder_key"] = _zorder_oracle_sql(16)
+# Snapshot-diff closed form over the deterministic delta: removed =
+# the %41 deletes, changed = surviving %37 upserts (price moved),
+# nothing added, the rest unchanged.
+REL_ORACLE["rel_snapshot_diff"] = """
+    WITH c AS (
+      SELECT CAST(SUM(CASE WHEN o_orderkey % 41 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS removed,
+             CAST(SUM(CASE WHEN o_orderkey % 37 = 0 AND o_orderkey % 41 <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+             CAST(SUM(CASE WHEN o_orderkey % 37 <> 0 AND o_orderkey % 41 <> 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+      FROM orders
+    )
+    SELECT 'added' AS change_type, CAST(0 AS BIGINT) AS n_rows FROM c
+    UNION ALL SELECT 'removed', removed FROM c
+    UNION ALL SELECT 'changed', changed FROM c
+    UNION ALL SELECT 'unchanged', unchanged FROM c
+    UNION ALL SELECT 'changed:o_totalprice', changed FROM c
+    UNION ALL SELECT 'changed:o_orderstatus', CAST(0 AS BIGINT) FROM c
+"""
+
 REL_ORACLE["rel_incremental_agg_retract"] = """
     WITH up AS (
       SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice

@@ -685,3 +685,40 @@ def test_incremental_agg_retract_hand_computed(spark):
     # order deleted -> absent; cust 30's order both upserted and
     # deleted -> delete wins -> absent
     assert got == {10: (2, 600.0)}
+
+
+def test_snapshot_diff_hand_computed_with_nulls(spark):
+    """4-key diff covering every class: key 1 unchanged, key 2
+    changed (price), key 3 removed, key 4 added, key 5 NULL-to-NULL
+    unchanged (eqNullSafe), key 6 NULL-to-value changed."""
+    from bigclam_apachespark_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "O"),
+            (2, 20.0, "O"),
+            (3, 30.0, "F"),
+            (5, None, "O"),
+            (6, None, "O"),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "O"),
+            (2, 25.0, "O"),
+            (4, 40.0, "O"),
+            (5, None, "O"),
+            (6, 60.0, "O"),
+        ],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    )
+    got = {r.change_type: r.n_rows for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "added": 1,
+        "removed": 1,
+        "changed": 2,
+        "unchanged": 2,
+        "changed:o_totalprice": 2,
+        "changed:o_orderstatus": 0,
+    }
