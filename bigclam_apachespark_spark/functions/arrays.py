@@ -29,6 +29,32 @@ def arr_dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+# Above this K the unrolled expression tree stops paying for itself
+# (Janino splits oversized codegen methods; the compile cost and the
+# expression-tree bookkeeping grow linearly while the HOF form stays
+# O(1) plan-size). The K≥10³ regime runs the long/sparse layout anyway.
+UNROLL_MAX_K = 128
+
+
+def arr_dot_k(a: Column | str, b: Column | str, k: int) -> Column:
+    """C6 fast path: dot product with driver-known K, unrolled into
+    element arithmetic (``a[0]*b[0] + … + a[k-1]*b[k-1]``) so it stays
+    inside whole-stage codegen. ``arr_dot``'s aggregate/zip_with form
+    evaluates its lambdas interpreted per element — measured ~2× on
+    the 16·E-row line-search fan-out at sf0.1. Falls back to the HOF
+    form above ``UNROLL_MAX_K``."""
+    if k <= 0:
+        return F.lit(0.0)
+    if k > UNROLL_MAX_K:
+        return arr_dot(a, b)
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    out = ac[0] * bc[0]
+    for i in range(1, k):
+        out = out + ac[i] * bc[i]
+    return out
+
+
 def arr_axpy(eta: Column | float, x: Column | str, y: Column | str) -> Column:
     """C7: y + eta * x, element-wise."""
     eta_c = F.lit(eta) if isinstance(eta, (int, float)) else eta

@@ -34,6 +34,7 @@ from bigclam_apachespark_spark.functions.arrays import (
     MIN_F,
     arr_clamp,
     arr_dot,
+    arr_dot_k,
     arr_lit,
     prob_hat,
 )
@@ -234,12 +235,15 @@ def sum_f_and_sq(factors: DataFrame) -> tuple[list[float], float]:
     return [r["s"] for r in rows], float(sum(r["sq"] for r in rows))
 
 
-def edge_llh_term(sym_edges: DataFrame, factors: DataFrame) -> float:
+def edge_llh_term(
+    sym_edges: DataFrame, factors: DataFrame, k: int | None = None
+) -> float:
     """Σ over directed edges of (log(1 − p̂(u,v)) + fu·fv) — the only
     LLH component that needs the edge join; one join pipeline → one
-    global agg → one scalar (no per-node regrouping)."""
+    global agg → one scalar (no per-node regrouping). Pass ``k`` to
+    take the unrolled-codegen dot path."""
     ef = _edge_factors(sym_edges, factors)
-    dot = arr_dot("fu", "fv")
+    dot = arr_dot_k("fu", "fv", k) if k is not None else arr_dot("fu", "fv")
     term = F.log(1.0 - prob_hat(dot)) + dot
     row = ef.agg(F.sum(term).alias("s")).collect()[0]
     return float(row["s"]) if row["s"] is not None else 0.0
@@ -250,28 +254,51 @@ def edge_llh_term(sym_edges: DataFrame, factors: DataFrame) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _edge_factors(sym_edges: DataFrame, factors: DataFrame) -> DataFrame:
+def edge_fv_relation(sym_edges: DataFrame, factors: DataFrame) -> DataFrame:
+    """(src, dst, fv) per directed edge — the edges⋈factors(dst) join
+    that BOTH per-iteration consumers (``gradient_state`` and
+    ``line_search_updates``) re-derive. Build it once per iteration,
+    checkpoint, and pass to both: saves one E-row shuffle join per
+    iteration and, more importantly, keeps the 16-step line-search
+    fan-out from shuffling 16·E K-wide candidate rows through a
+    second (dst) join — the candidates now join the persisted edge
+    relation on src only.
+
+    Memory shape: E×(K+2) doubles. Worth materializing exactly in the
+    dense-path regimes (K ≤ a few hundred, v2's K=100); the K≥10³
+    regime runs the long/sparse path (``bigclam_long``) which never
+    builds it.
+    """
+    fv = factors.select(F.col("node_id").alias("dst"), F.col("f").alias("fv"))
+    return sym_edges.join(fv, "dst").select("src", "dst", "fv")
+
+
+def _edge_factors(
+    sym_edges: DataFrame, factors: DataFrame, edge_fv: DataFrame | None = None
+) -> DataFrame:
     """(u, fu, fv) per directed edge: two joins against factors. At
     scale these are shuffle hash joins on the node id; the factors
-    side is N×K — broadcast only if tiny (Catalyst decides)."""
+    side is N×K — broadcast only if tiny (Catalyst decides). Pass a
+    pre-materialized ``edge_fv_relation`` to skip the dst join."""
     fu = factors.select(F.col("node_id").alias("src"), F.col("f").alias("fu"))
-    fv = factors.select(F.col("node_id").alias("dst"), F.col("f").alias("fv"))
-    return sym_edges.join(fu, "src").join(fv, "dst").select("src", "dst", "fu", "fv")
+    base = edge_fv if edge_fv is not None else edge_fv_relation(sym_edges, factors)
+    return base.join(fu, "src").select("src", "dst", "fu", "fv")
 
 
 def loglikelihood(sym_edges: DataFrame, factors: DataFrame, sumf: list[float]) -> float:
     """F1: total log-likelihood (exact v2:187-200 semantics, incl.
     both clamps). One join pipeline → two hash aggs → one scalar."""
+    k = len(sumf)
     ef = _edge_factors(sym_edges, factors)
-    dot = arr_dot("fu", "fv")
+    dot = arr_dot_k("fu", "fv", k)
     term = F.log(1.0 - prob_hat(dot)) + dot
     per_node_edge = ef.groupBy("src").agg(F.sum(term).alias("nbr_term"))
 
     sf = arr_lit(sumf)
     fu_terms = factors.select(
         F.col("node_id").alias("src"),
-        (arr_dot(F.col("f"), sf)).alias("fusf"),
-        (arr_dot(F.col("f"), F.col("f"))).alias("fufu"),
+        (arr_dot_k(F.col("f"), sf, k)).alias("fusf"),
+        (arr_dot_k(F.col("f"), F.col("f"), k)).alias("fufu"),
     )
     total = (
         per_node_edge.join(fu_terms, "src")
@@ -282,7 +309,12 @@ def loglikelihood(sym_edges: DataFrame, factors: DataFrame, sumf: list[float]) -
     return float(total)
 
 
-def gradient_state(sym_edges: DataFrame, factors: DataFrame, sumf: list[float]) -> DataFrame:
+def gradient_state(
+    sym_edges: DataFrame,
+    factors: DataFrame,
+    sumf: list[float],
+    edge_fv: DataFrame | None = None,
+) -> DataFrame:
     """F2: per-node optimizer state ``(node_id, fu, grad, llh_u)`` —
     the reference's ``result1`` (v2:121-133) without the driver
     round-trip.
@@ -291,9 +323,13 @@ def gradient_state(sym_edges: DataFrame, factors: DataFrame, sumf: list[float]) 
     layout (posexplode → groupBy(node, k)) so no executor ever holds
     a deg(u)×K blob: rows stay K doubles wide, partial aggregation
     happens map-side, and hub nodes parallelize across k.
+
+    ``edge_fv``: optional pre-materialized ``edge_fv_relation`` (the
+    iteration loops build it once and share it with the line search).
     """
-    ef = _edge_factors(sym_edges, factors)
-    dot = arr_dot("fu", "fv")
+    k = len(sumf)
+    ef = _edge_factors(sym_edges, factors, edge_fv=edge_fv)
+    dot = arr_dot_k("fu", "fv", k)
     p = prob_hat(dot)
     per_edge = ef.select(
         "src",
@@ -327,8 +363,8 @@ def gradient_state(sym_edges: DataFrame, factors: DataFrame, sumf: list[float]) 
             ).alias("grad"),
             (
                 F.col("nbr_term")
-                - arr_dot("fu", sf)
-                + arr_dot("fu", "fu")
+                - arr_dot_k("fu", sf, k)
+                + arr_dot_k("fu", "fu", k)
             ).alias("llh_u"),
         )
     )
@@ -348,6 +384,7 @@ def line_search_updates(
     steps: list[float] | None = None,
     checkpoint_state: bool = True,
     quantize: int | None = None,
+    edge_fv: DataFrame | None = None,
 ) -> DataFrame:
     """F3: batched backtracking line search (v2:136-146) →
     ``(node_id, eta, fu_old, f_new)`` for nodes with ≥1 accepted step.
@@ -394,13 +431,16 @@ def line_search_updates(
         )
     )
 
-    fv = factors.select(F.col("node_id").alias("dst"), F.col("f").alias("fv"))
-    cand_edges = (
-        cand.select(F.col("node_id").alias("src"), "eta", "newfu")
-        .join(sym_edges, "src")
-        .join(fv, "dst")
+    # With a pre-materialized edge⋈fv relation the 16·N candidate rows
+    # join it on src ONCE; otherwise the fan-out pays an extra shuffle
+    # of 16·E K-wide rows through the dst join.
+    if edge_fv is None:
+        edge_fv = edge_fv_relation(sym_edges, factors)
+    cand_edges = cand.select(F.col("node_id").alias("src"), "eta", "newfu").join(
+        edge_fv, "src"
     )
-    cdot = arr_dot("newfu", "fv")
+    k = len(sumf)
+    cdot = arr_dot_k("newfu", "fv", k)
     cterm = F.log(1.0 - prob_hat(cdot)) + cdot
     cand_nbr = cand_edges.groupBy("src", "eta").agg(F.sum(cterm).alias("nbr_term"))
 
@@ -419,9 +459,11 @@ def line_search_updates(
             "grad",
             "newfu",
             (
-                F.col("nbr_term") - arr_dot(F.col("newfu"), newsf) + arr_dot("newfu", "newfu")
+                F.col("nbr_term")
+                - arr_dot_k(F.col("newfu"), newsf, k)
+                + arr_dot_k("newfu", "newfu", k)
             ).alias("cand_llh"),
-            (F.col("llh_u") + F.lit(alpha) * F.col("eta") * arr_dot("grad", "grad")).alias(
+            (F.col("llh_u") + F.lit(alpha) * F.col("eta") * arr_dot_k("grad", "grad", k)).alias(
                 "threshold"
             ),
         )
@@ -518,7 +560,12 @@ def bigclam_fit(
     converged = False
     for it in range(1, max_iter + 1):
         t0 = _time.perf_counter()
-        state = checkpoint_fresh(gradient_state(sym_edges, factors, sumf))
+        # Per-iteration shared relation: edges⋈fv, consumed by BOTH the
+        # gradient pipeline and the line-search fan-out (r9 verdict #2).
+        edge_fv = checkpoint_fresh(edge_fv_relation(sym_edges, factors))
+        state = checkpoint_fresh(
+            gradient_state(sym_edges, factors, sumf, edge_fv=edge_fv)
+        )
         row = state.agg(F.sum("llh_u").alias("llh")).collect()[0]
         llh_new = float(row["llh"]) if row["llh"] is not None else 0.0
         history.append(llh_new)
@@ -531,13 +578,17 @@ def bigclam_fit(
             )
         if llh_old is not None and llh_old != 0 and abs(1.0 - llh_new / llh_old) < tol:
             llh_old = llh_new
+            _unpersist_ckpt(edge_fv)
             _unpersist_ckpt(state)
             converged = True
             break
         llh_old = llh_new
         updates = checkpoint_fresh(
-            line_search_updates(sym_edges, factors, state, sumf, checkpoint_state=False)
+            line_search_updates(
+                sym_edges, factors, state, sumf, checkpoint_state=False, edge_fv=edge_fv
+            )
         )
+        _unpersist_ckpt(edge_fv)
         n_updated = updates.count()
         if n_updated == 0:
             _unpersist_ckpt(state)

@@ -544,8 +544,9 @@ def q_one_iteration(spark, sf_dir):
     sym = _sym(spark, sf_dir)
     fx = fixture_factors(sym)
     sumf = B.sum_f(fx)
-    state = B.gradient_state(sym, fx, sumf)
-    upd = B.line_search_updates(sym, fx, state, sumf, quantize=6)
+    edge_fv = B.edge_fv_relation(sym, fx).localCheckpoint()
+    state = B.gradient_state(sym, fx, sumf, edge_fv=edge_fv)
+    upd = B.line_search_updates(sym, fx, state, sumf, quantize=6, edge_fv=edge_fv)
     newf = B.apply_updates(fx, upd)
     return newf.select(
         "node_id", F.posexplode("f").alias("k", "v")
@@ -564,8 +565,13 @@ def q_two_iterations(spark, sf_dir):
     fx = fixture_factors(sym)
     for _ in range(2):
         sumf = B.sum_f(fx)
-        state = B.gradient_state(sym, fx, sumf)
-        upd = B.line_search_updates(sym, fx, state, sumf, quantize=6)
+        # The per-iteration shared edges⋈fv relation (r9 verdict ask
+        # #2): both the gradient pipeline and the 16-step line-search
+        # fan-out consume it; deriving it fresh in each consumer was
+        # ~15% of the sf0.1 suite by itself.
+        edge_fv = B.edge_fv_relation(sym, fx).localCheckpoint()
+        state = B.gradient_state(sym, fx, sumf, edge_fv=edge_fv)
+        upd = B.line_search_updates(sym, fx, state, sumf, quantize=6, edge_fv=edge_fv)
         # localCheckpoint = the production fit loop's per-iteration
         # lineage barrier: iteration 2 consumes iteration 1's factors
         # from 5 places — without it the whole iteration-1 DAG
