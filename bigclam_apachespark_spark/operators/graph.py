@@ -2164,3 +2164,310 @@ def node2vec_walks(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SGNS (skip-gram with negative sampling) — one synchronous step
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for SGNS embeddings and quantized coefficients:
+# values are int64 micro-units (1e-6). Dots of two micro-vectors are
+# exact int64 (unit 1e-12); coefficient×component products are exact
+# int64 sums, so the full-batch gradient accumulates ORDER-FREE — the
+# property that makes a cross-engine hash oracle possible at all.
+SGNS_SCALE = 1_000_000
+SGNS_DIM = 4
+SGNS_LR_DEN = 40  # lr = 1/40 = 0.025 (word2vec's default alpha)
+SGNS_NEG = 2
+
+
+def sgns_init(verts: DataFrame, dim: int = SGNS_DIM) -> DataFrame:
+    """Deterministic small-signed init of input (w) and context (c)
+    embeddings in long layout → ``(node_id, k, wv, cv)``, int64
+    micro-units in [−0.18, 0.18]·1e6. word2vec draws uniform(−0.5,
+    0.5)/dim; we use an affine-mod formula instead of a PRNG so both
+    engines (and any two cluster runs) start from the identical
+    matrix — the same replayability move as ``random_walks``."""
+    ks = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("k")
+    node = F.col("id")
+    k = F.col("k")
+    return verts.select(F.col("id"), ks).select(
+        node.alias("node_id"),
+        "k",
+        (((node * 31 + 7 * k) % 19 - 9) * 20000).cast("long").alias("wv"),
+        (((node * 17 + 5 * k) % 19 - 9) * 20000).cast("long").alias("cv"),
+    )
+
+
+def sgns_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Ordered (center, context) skip-gram pairs with multiplicity →
+    ``(u, v, c_uv)``: every ordered pair of distinct nodes at step
+    distance 1..window inside one walk (both directions — the
+    standard symmetric-window skip-gram feed, unlike the UNORDERED
+    pairs of ``walk_cooccurrence_pmi``). Grouping to distinct pairs
+    up front means σ/gradient work is paid once per distinct pair,
+    weighted by the exact integer count.
+
+    Scale shape: the pairing self-join keys on (start, walk) —
+    walk-sized groups, ≤ walk_len·window rows each — then one hash
+    agg; the output is bounded by the corpus, which is bounded by
+    the start-cohort sampling design."""
+    w1 = walks.select(
+        "start", "walk", F.col("step").alias("s1"), F.col("node").alias("n1")
+    )
+    w2 = walks.select(
+        "start", "walk", F.col("step").alias("s2"), F.col("node").alias("n2")
+    )
+    return (
+        w1.join(w2, ["start", "walk"])
+        .where(
+            (F.col("s2") != F.col("s1"))
+            & (F.abs(F.col("s2") - F.col("s1")) <= window)
+            & (F.col("n1") != F.col("n2"))
+        )
+        .groupBy(F.col("n1").alias("u"), F.col("n2").alias("v"))
+        .agg(F.count("*").cast("long").alias("c_uv"))
+    )
+
+
+def _sgns_sigma_micro(dot_int):
+    """σ(dot) quantized to int64 micro-units: the transcendental is
+    the ONE cross-engine hazard (libm vs JVM exp can differ in the
+    last ulp), so it is floored at 1e-6 granularity immediately — the
+    same quantize-the-accept move as the Armijo oracle twin; every
+    arithmetic step before and after is exact-integer or a single
+    correctly-rounded IEEE op."""
+    dot_real = dot_int.cast("double") / F.lit(1.0e12)
+    sig = 1.0 / (1.0 + F.exp(-dot_real))
+    return sig
+
+
+def sgns_step(
+    sym_edges: DataFrame,
+    emb: DataFrame | None = None,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    start_mod: int | None = 23,
+    window: int = 2,
+    dim: int = SGNS_DIM,
+    neg: int = SGNS_NEG,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """ONE synchronous full-batch SGNS step (Mikolov et al. NIPS'13
+    eq. 4 gradients; Levy & Goldberg NIPS'14 for why its fixpoint is
+    the shifted-PMI factorization the registry's ``graph_walk_pmi``
+    computes directly) over the deterministic DeepWalk corpus →
+    the updated ``(node_id, k, wv, cv)`` table.
+
+    All pair gradients are computed against the FROZEN current
+    parameters and applied as one summed update — the distributed-
+    friendly synchronous variant (exactly the reference's «MBSGD»
+    posture in BigCLAM's fit, v2:209) instead of Hogwild's racy
+    per-pair writes; determinism is the point, since the oracle
+    hash-checks the full post-step matrix.
+
+    Negative draws: ``neg`` per distinct pair, uniform over the
+    vertex set via the replayable hash → vertex-rank lookup
+    (word2vec's unigram^0.75 table is a documented deviation — a
+    degree-weighted A-ES draw is the upgrade path; uniform keeps the
+    oracle one rank join). The update is
+        ΔW_u = Σ_pos c_uv·⌊(1−σ)·1e6⌋·C_v − Σ_neg c_uv·⌊σ·1e6⌋·C_n
+    accumulated in exact int64 and applied as
+        W ← W + ⌊ΔW / (lr_den·1e6)⌋
+    — one correctly-rounded double division + floor per (node, k),
+    from exact integer sums, so any two engines agree bit-for-bit
+    (int64 magnitudes stay < 2^53; headroom noted per join below).
+
+    Scale shape: corpus-sized joins only — dots are (pairs·dim)-row
+    joins in the long layout, updates are two hash aggs keyed on the
+    node; the vertex-rank side is the bucketed two-stage exact rank
+    (no single-partition sort); the ONLY driver scalar is |V| (one
+    count of the vertex dimension, the ``sum_f`` contract)."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
+    verts = vertices(sym_edges)
+    if emb is None:
+        emb = sgns_init(verts, dim)
+    emb = emb.localCheckpoint(eager=True)
+
+    if pairs is None:
+        walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
+        pairs = sgns_pairs(walks, window)
+    pairs = pairs.localCheckpoint(eager=True)
+
+    n_vertices = verts.count()
+    ranked = bucketed_row_number(verts, ["id"], out="rk")
+
+    w_u = emb.select(F.col("node_id").alias("u"), "k", "wv")
+    c_x = emb.select(F.col("node_id").alias("x"), "k", "cv")
+
+    # Positive dots: exact int64 (|dot| ≤ dim·(0.2e6)² ≈ 2e11).
+    pos_dot = (
+        pairs.join(w_u, "u")
+        .join(
+            c_x.select(F.col("x").alias("v"), "k", "cv"),
+            ["v", "k"],
+        )
+        .groupBy("u", "v", "c_uv")
+        .agg(F.sum(F.col("wv") * F.col("cv")).alias("dot_int"))
+    )
+
+    # Negative draws: neg per distinct pair, hash → rank → id.
+    draw = pairs.select(
+        "u",
+        "v",
+        "c_uv",
+        F.explode(F.sequence(F.lit(1), F.lit(neg))).alias("j"),
+    ).withColumn(
+        "nr",
+        hash64(
+            F.concat(
+                F.lit("sgns:"),
+                F.col("u").cast("string"),
+                F.lit(":"),
+                F.col("v").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+        % F.lit(n_vertices),
+    )
+    negdraw = draw.join(
+        ranked.select(F.col("rk").alias("nrk"), F.col("id").alias("n")),
+        draw["nr"] + 1 == F.col("nrk"),
+    ).select("u", "v", "c_uv", "j", "n")
+    neg_dot = (
+        negdraw.join(w_u, "u")
+        .join(c_x.select(F.col("x").alias("n"), "k", "cv"), ["n", "k"])
+        .groupBy("u", "v", "j", "c_uv", "n")
+        .agg(F.sum(F.col("wv") * F.col("cv")).alias("dot_int"))
+    )
+
+    # Quantized coefficients × multiplicity → the (u, x, coef) edge
+    # list of the gradient bipartite graph. Referenced by BOTH update
+    # aggregations — materialized (the unrolled-CTE authoring rule).
+    sig_pos = _sgns_sigma_micro(F.col("dot_int"))
+    assoc = (
+        pos_dot.select(
+            "u",
+            F.col("v").alias("x"),
+            (
+                F.floor((1.0 - sig_pos) * F.lit(float(SGNS_SCALE))).cast("long")
+                * F.col("c_uv")
+            ).alias("coef"),
+        )
+        .unionByName(
+            neg_dot.select(
+                "u",
+                F.col("n").alias("x"),
+                (
+                    -F.floor(
+                        _sgns_sigma_micro(F.col("dot_int"))
+                        * F.lit(float(SGNS_SCALE))
+                    ).cast("long")
+                    * F.col("c_uv")
+                ).alias("coef"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # ΔW[u] = Σ coef·C[x];  ΔC[x] = Σ coef·W[u]  — exact int64 sums
+    # (coef ≤ 1e6·c_uv, component ≤ 2e5: per-term ≤ 2e11·c_uv; a node
+    # would need ~10⁴ occurrences·count to approach 2^53 — 4 orders of
+    # headroom at the corpus design; decimal(38,0) is the upgrade).
+    dw = (
+        assoc.join(c_x, "x")
+        .groupBy(F.col("u").alias("node_id"), F.col("k"))
+        .agg(F.sum(F.col("coef") * F.col("cv")).alias("dsum"))
+    )
+    dc = (
+        assoc.join(w_u, "u")
+        .groupBy(F.col("x").alias("node_id"), F.col("k"))
+        .agg(F.sum(F.col("coef") * F.col("wv")).alias("dsum"))
+    )
+
+    lr_div = F.lit(float(SGNS_LR_DEN * SGNS_SCALE))
+    step_of = lambda col: F.floor(
+        F.coalesce(col, F.lit(0)).cast("double") / lr_div
+    ).cast("long")
+    return (
+        emb.join(dw.withColumnRenamed("dsum", "dws"), ["node_id", "k"], "left")
+        .join(dc.withColumnRenamed("dsum", "dcs"), ["node_id", "k"], "left")
+        .select(
+            "node_id",
+            "k",
+            (F.col("wv") + step_of(F.col("dws"))).cast("long").alias("wv"),
+            (F.col("cv") + step_of(F.col("dcs"))).cast("long").alias("cv"),
+        )
+    )
+
+
+def sgns_pmi_agreement(
+    sym_edges: DataFrame,
+    steps: int = 1,
+    k_top: int = 30,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    start_mod: int | None = 23,
+    window: int = 2,
+) -> DataFrame:
+    """Embedding-quality readout → one row ``(k, n_scored,
+    n_overlap)``: of the top-k walk-PMI pairs (the no-SGD shifted-PMI
+    ground truth, ``walk_cooccurrence_pmi``), how many also rank in
+    the top-k co-occurring pairs by cosine of the SGNS input
+    embeddings after ``steps`` synchronous steps? Levy & Goldberg's
+    equivalence says a converged SGNS factorizes exactly the PMI
+    matrix — this row MEASURES how far one (or two) deterministic
+    steps move toward it; the honest-readout posture of the IVF
+    recall rows.
+
+    Cosine ranking is cross-engine exact: int64 dots → one sqrt
+    product → one division (every op correctly rounded from identical
+    inputs), ties broken by (a, b)."""
+    walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
+    pairs = sgns_pairs(walks, window).localCheckpoint(eager=True)
+    emb = None
+    for _ in range(steps):
+        emb = sgns_step(sym_edges, emb=emb, pairs=pairs)
+        emb = emb.localCheckpoint(eager=True)
+
+    upairs = pairs.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    wa = emb.select(F.col("node_id").alias("a"), "k", F.col("wv").alias("wa"))
+    wb = emb.select(F.col("node_id").alias("b"), "k", F.col("wv").alias("wb"))
+    cosr = (
+        upairs.join(wa, "a")
+        .join(wb, ["b", "k"])
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.sum(F.col("wa") * F.col("wa")).alias("aa"),
+            F.sum(F.col("wb") * F.col("wb")).alias("bb"),
+        )
+        .where((F.col("aa") > 0) & (F.col("bb") > 0))
+        .select(
+            "a",
+            "b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("aa").cast("double")) * F.sqrt(F.col("bb").cast("double")))
+            ).alias("cosv"),
+        )
+    )
+    top_cos = cosr.orderBy(F.col("cosv").desc(), "a", "b").limit(k_top)
+    top_pmi = walk_cooccurrence_pmi(
+        sym_edges, walk_len, n_walks, start_mod, window, k_top
+    ).select("a", "b")
+    scored_cnt = cosr.agg(F.count("*").cast("long").alias("n_scored"))
+    overlap_cnt = (
+        top_cos.select("a", "b")
+        .join(top_pmi, ["a", "b"])
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    # 1-row × 1-row crossJoin — the readout stays declarative.
+    return scored_cnt.crossJoin(overlap_cnt).select(
+        F.lit(int(k_top)).alias("k"), "n_scored", "n_overlap"
+    )

@@ -1709,6 +1709,228 @@ ORACLE["graph_mis"] = (
     f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _mis_rounds_sql(8)
 )
 
+
+# ---------------------------------------------------------------------------
+# SGNS: one/two deterministic synchronous skip-gram steps over the
+# DeepWalk corpus (operators/graph.py sgns_step) — the last missing
+# LLM-pipeline stage between "walk corpus" and "embeddings table"
+# (r9 verdict ask #3). All state is int64 micro-units; σ is floored
+# at 1e-6 immediately (the quantize-the-accept move), so the full
+# post-step matrix hash-matches across engines.
+# ---------------------------------------------------------------------------
+
+
+def q_sgns_step(spark, sf_dir):
+    """One synchronous SGNS step from the deterministic init over the
+    id%23 DeepWalk corpus — the full updated (node_id, k, wv, cv)
+    embedding table, hash-checked."""
+    return G.sgns_step(_sym(spark, sf_dir))
+
+
+def q_sgns_two_steps(spark, sf_dir):
+    """TWO chained SGNS steps (the ``bigclam_two_iterations`` mold:
+    step 2 consumes step 1's checkpointed matrix; recompute-vs-
+    incremental drift in the update accumulation would hash-mismatch
+    here). The walk-pair corpus is built once and shared."""
+    sym = _sym(spark, sf_dir)
+    walks = G.random_walks(sym, walk_len=4, n_walks=2, start_mod=23)
+    pairs = G.sgns_pairs(walks, window=2).localCheckpoint(eager=True)
+    emb = None
+    for _ in range(2):
+        emb = G.sgns_step(sym, emb=emb, pairs=pairs).localCheckpoint(eager=True)
+    return emb
+
+
+def q_sgns_pmi_agreement(spark, sf_dir):
+    """Embedding-quality readout: overlap of the top-30 cosine
+    neighborhoods of the 1-step SGNS embeddings with the top-30
+    walk-PMI pairs (Levy-Goldberg: converged SGNS factorizes the PMI
+    matrix; this row measures one deterministic step's progress)."""
+    return G.sgns_pmi_agreement(_sym(spark, sf_dir), steps=1, k_top=30)
+
+
+_SGNS_SIG = "1.0 / (1.0 + exp(-(CAST({dot} AS DOUBLE) / 1e12)))"
+
+
+def _sgns_prelude_sql() -> str:
+    """Corpus-derived CTEs shared by every SGNS oracle: ordered pair
+    counts, vertex count + rank, and the (emb-independent) negative
+    draws. Every CTE is referenced more than once downstream →
+    MATERIALIZED (the unrolled-CTE authoring rule)."""
+    from bigclam_apachespark_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql(
+        "CONCAT('sgns:', CAST(p.u AS VARCHAR), ':', "
+        "CAST(p.v AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
+    )
+    return f"""spairs AS MATERIALIZED (
+      SELECT w1.node AS u, w2.node AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
+      FROM walks w1
+      JOIN walks w2 ON w1.start = w2.start AND w1.walk = w2.walk
+      WHERE w2.step <> w1.step AND abs(w2.step - w1.step) <= 2
+        AND w1.node <> w2.node
+      GROUP BY 1, 2
+    ),
+    nverts AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT src FROM sym)
+    ),
+    vrank AS MATERIALIZED (
+      SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) AS BIGINT) AS rk
+      FROM (SELECT DISTINCT src AS id FROM sym)
+    ),
+    negdraw AS MATERIALIZED (
+      SELECT p.u, p.v, p.c_uv, j.j, r.id AS n
+      FROM spairs p
+      CROSS JOIN (VALUES (1), (2)) j(j)
+      CROSS JOIN nverts
+      JOIN vrank r ON r.rk = ({h} % nverts.n) + 1
+    ),
+    emb0 AS MATERIALIZED (
+      SELECT v.id AS node_id, CAST(kk.k AS INT) AS k,
+             CAST(((v.id * 31 + 7 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS wv,
+             CAST(((v.id * 17 + 5 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS cv
+      FROM (SELECT DISTINCT src AS id FROM sym) v
+      CROSS JOIN (VALUES (0), (1), (2), (3)) kk(k)
+    )"""
+
+
+def _sgns_step_sql(i: int) -> str:
+    """CTEs computing emb{i} from emb{i-1}: positive/negative dots,
+    quantized coefficient edge list, the two exact-int64 update aggs,
+    and the floored-division apply. ``assoc{i}`` is read by BOTH
+    update aggs and ``emb{i-1}`` by five consumers → MATERIALIZED."""
+    p = f"emb{i - 1}"
+    sig_pos = _SGNS_SIG.format(dot="dot_int")
+    return f"""posdot{i} AS MATERIALIZED (
+      SELECT p.u, p.v, p.c_uv, SUM(w.wv * c.cv) AS dot_int
+      FROM spairs p
+      JOIN {p} w ON w.node_id = p.u
+      JOIN {p} c ON c.node_id = p.v AND c.k = w.k
+      GROUP BY 1, 2, 3
+    ),
+    negdot{i} AS MATERIALIZED (
+      SELECT d.u, d.v, d.j, d.c_uv, d.n, SUM(w.wv * c.cv) AS dot_int
+      FROM negdraw d
+      JOIN {p} w ON w.node_id = d.u
+      JOIN {p} c ON c.node_id = d.n AND c.k = w.k
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    assoc{i} AS MATERIALIZED (
+      SELECT u, v AS x,
+             CAST(FLOOR((1.0 - {sig_pos}) * 1000000.0) AS BIGINT) * c_uv AS coef
+      FROM posdot{i}
+      UNION ALL
+      SELECT u, n AS x,
+             -CAST(FLOOR(({sig_pos}) * 1000000.0) AS BIGINT) * c_uv AS coef
+      FROM negdot{i}
+    ),
+    dw{i} AS MATERIALIZED (
+      SELECT a.u AS node_id, c.k, SUM(a.coef * c.cv) AS dsum
+      FROM assoc{i} a JOIN {p} c ON c.node_id = a.x
+      GROUP BY 1, 2
+    ),
+    dc{i} AS MATERIALIZED (
+      SELECT a.x AS node_id, w.k, SUM(a.coef * w.wv) AS dsum
+      FROM assoc{i} a JOIN {p} w ON w.node_id = a.u
+      GROUP BY 1, 2
+    ),
+    emb{i} AS MATERIALIZED (
+      SELECT e.node_id, e.k,
+             e.wv + CAST(FLOOR(CAST(COALESCE(dw{i}.dsum, 0) AS DOUBLE)
+                               / 40000000.0) AS BIGINT) AS wv,
+             e.cv + CAST(FLOOR(CAST(COALESCE(dc{i}.dsum, 0) AS DOUBLE)
+                               / 40000000.0) AS BIGINT) AS cv
+      FROM emb0 e
+      LEFT JOIN dw{i} ON dw{i}.node_id = e.node_id AND dw{i}.k = e.k
+      LEFT JOIN dc{i} ON dc{i}.node_id = e.node_id AND dc{i}.k = e.k
+    )"""
+
+
+# NOTE: emb{i} applies updates against emb{i-1}, so the step builder
+# must read FROM emb{i-1}, not emb0 — patch the apply CTE per step.
+def _sgns_chain_sql(steps: int) -> str:
+    parts = [
+        f"WITH {EDGES_SQL}, {SYM_SQL},",
+        _WALK_CTES + ",",
+        f"walks AS MATERIALIZED (\n        {_WALK_UNION}\n    ),",
+        _sgns_prelude_sql() + ",",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            _sgns_step_sql(i).replace("FROM emb0 e", f"FROM emb{i - 1} e") + ","
+        )
+    body = "\n    ".join(parts).rstrip(",")
+    return f"{body}\n    SELECT node_id, k, wv, cv FROM emb{steps}"
+
+
+ORACLE["graph_sgns_step"] = _sgns_chain_sql(1)
+ORACLE["graph_sgns_two_steps"] = _sgns_chain_sql(2)
+
+ORACLE["graph_sgns_pmi_agreement"] = f"""
+    WITH {EDGES_SQL}, {SYM_SQL},
+    {_WALK_CTES},
+    walks AS MATERIALIZED (
+        {_WALK_UNION}
+    ),
+    {_sgns_prelude_sql()},
+    {_sgns_step_sql(1)},
+    upairs AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM spairs
+    ),
+    cosr AS MATERIALIZED (
+      SELECT p.a, p.b,
+             CAST(SUM(wa.wv * wb.wv) AS DOUBLE)
+               / (sqrt(CAST(SUM(wa.wv * wa.wv) AS DOUBLE))
+                  * sqrt(CAST(SUM(wb.wv * wb.wv) AS DOUBLE))) AS cosv
+      FROM upairs p
+      JOIN emb1 wa ON wa.node_id = p.a
+      JOIN emb1 wb ON wb.node_id = p.b AND wb.k = wa.k
+      GROUP BY 1, 2
+      HAVING SUM(wa.wv * wa.wv) > 0 AND SUM(wb.wv * wb.wv) > 0
+    ),
+    topcos AS MATERIALIZED (
+      SELECT a, b FROM cosr ORDER BY cosv DESC, a, b LIMIT 30
+    ),
+    wpairs AS MATERIALIZED (
+      SELECT least(w1.node, w2.node) AS a, greatest(w1.node, w2.node) AS b
+      FROM walks w1
+      JOIN walks w2 ON w1.start = w2.start AND w1.walk = w2.walk
+      WHERE w2.step > w1.step AND w2.step - w1.step <= 2
+        AND w1.node <> w2.node
+    ),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM wpairs GROUP BY a, b),
+    occ AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c_v FROM (
+        SELECT a AS v FROM wpairs UNION ALL SELECT b AS v FROM wpairs
+      ) GROUP BY v
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM wpairs),
+    toppmi AS MATERIALIZED (
+      SELECT cab.a, cab.b
+      FROM cab
+      JOIN occ oa ON oa.v = cab.a
+      JOIN occ ob ON ob.v = cab.b
+      CROSS JOIN np
+      ORDER BY CAST(cab.c_ab * np.n_pairs AS DOUBLE)
+               / CAST(oa.c_v * ob.c_v AS DOUBLE) DESC, cab.a, cab.b
+      LIMIT 30
+    )
+    SELECT 30 AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cosr) AS n_scored,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM topcos t JOIN toppmi p ON p.a = t.a AND p.b = t.b) AS n_overlap
+"""
+
+QUERIES.update(
+    {
+        "graph_sgns_step": q_sgns_step,
+        "graph_sgns_two_steps": q_sgns_two_steps,
+        "graph_sgns_pmi_agreement": q_sgns_pmi_agreement,
+    }
+)
+
 # ---------------------------------------------------------------------------
 # Merge: extension surface (text/dedup/similarity/events/streaming/
 # multimodal) and BigCLAM kernel queries. Imported last to keep this

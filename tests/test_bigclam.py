@@ -189,3 +189,37 @@ def test_geometric_k_grid_matches_reference_output():
     assert geometric_k_grid(50, 200, 15) == [
         50, 54, 59, 64, 70, 76, 83, 91, 99, 108, 118, 129, 141, 154, 168, 184, 200,
     ]
+
+
+def test_arr_dot_k_matches_hof_form(spark):
+    """The unrolled codegen dot (arr_dot_k) must equal the HOF fold
+    (arr_dot) bit-for-bit — same left-to-right order, 0.0+x==x — on
+    awkward doubles, and fall back to the HOF form above UNROLL_MAX_K."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.functions.arrays import (
+        UNROLL_MAX_K,
+        arr_dot,
+        arr_dot_k,
+    )
+
+    vals = [0.1, -3.7e5, 1e-9, 2.5, -0.0, 7.77, 123.456, -1e3]
+    df = spark.createDataFrame(
+        [(vals, list(reversed(vals)))], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        arr_dot("a", "b").alias("hof"), arr_dot_k("a", "b", len(vals)).alias("unr")
+    ).collect()[0]
+    assert row.hof == row.unr  # exact, not approx
+    # k=0 -> 0.0; k > UNROLL_MAX_K -> falls back (same value either way)
+    big = list(range(UNROLL_MAX_K + 1))
+    df2 = spark.createDataFrame(
+        [( [float(x) for x in big], [float(x) for x in big] )],
+        "a array<double>, b array<double>",
+    )
+    r2 = df2.select(
+        arr_dot_k("a", "b", 0).alias("z"),
+        arr_dot_k("a", "b", len(big)).alias("fb"),
+        arr_dot("a", "b").alias("hof"),
+    ).collect()[0]
+    assert r2.z == 0.0 and r2.fb == r2.hof

@@ -1082,3 +1082,114 @@ def test_node2vec_bias_hand_replay(spark):
     for (start, walk), steps in got.items():
         seq = [steps[i] for i in range(4)]
         assert seq == replay(start, walk, 3), (start, walk, seq)
+
+
+def test_sgns_step_hand_replayed(spark, g1_edges):
+    """One synchronous SGNS step replayed in pure Python on G1: walks
+    from the (already hand-verified) deterministic corpus, skip-gram
+    pairs with multiplicity, hash->rank negative draws, exact-int64
+    gradient accumulation, floored-division apply — every cell of the
+    post-step (wv, cv) matrix must match bit-for-bit."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from bigclam_apachespark_spark.operators.graph import (
+        SGNS_DIM,
+        SGNS_LR_DEN,
+        SGNS_NEG,
+        SGNS_SCALE,
+        random_walks,
+        sgns_init,
+        sgns_pairs,
+        sgns_step,
+        symmetrize,
+        vertices,
+    )
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sym = symmetrize(g1_edges)
+    walks = random_walks(sym, walk_len=4, n_walks=2, start_mod=None)
+    got = {
+        (r.node_id, r.k): (r.wv, r.cv)
+        for r in sgns_step(sym, start_mod=None).collect()
+    }
+
+    # -- pure-Python replay ------------------------------------------------
+    verts = sorted(r.id for r in vertices(sym).collect())
+    n_v = len(verts)
+    dim, neg = SGNS_DIM, SGNS_NEG
+    w0 = {(v, k): ((v * 31 + 7 * k) % 19 - 9) * 20000 for v in verts for k in range(dim)}
+    c0 = {(v, k): ((v * 17 + 5 * k) % 19 - 9) * 20000 for v in verts for k in range(dim)}
+
+    by_walk = defaultdict(dict)
+    for r in walks.collect():
+        by_walk[(r.start, r.walk)][r.step] = r.node
+    pair_count = defaultdict(int)
+    for steps in by_walk.values():
+        for s1, n1 in steps.items():
+            for s2, n2 in steps.items():
+                if s1 != s2 and abs(s2 - s1) <= 2 and n1 != n2:
+                    pair_count[(n1, n2)] += 1
+    # sanity: Spark's pair relation agrees with the replay
+    spark_pairs = {
+        (r.u, r.v): r.c_uv for r in sgns_pairs(walks, window=2).collect()
+    }
+    assert spark_pairs == dict(pair_count)
+
+    def sig(w_vec, c_vec):
+        dot = sum(w_vec[k] * c_vec[k] for k in range(dim))
+        return 1.0 / (1.0 + math.exp(-(float(dot) / 1e12)))
+
+    d_w = defaultdict(int)
+    d_c = defaultdict(int)
+
+    def contribute(u, x, coef):
+        for k in range(dim):
+            d_w[(u, k)] += coef * c0[(x, k)]
+            d_c[(x, k)] += coef * w0[(u, k)]
+
+    for (u, v), c_uv in pair_count.items():
+        s = sig([w0[(u, k)] for k in range(dim)], [c0[(v, k)] for k in range(dim)])
+        contribute(u, v, math.floor((1.0 - s) * SGNS_SCALE) * c_uv)
+        for j in range(1, neg + 1):
+            n = verts[h64(f"sgns:{u}:{v}:{j}") % n_v]
+            sn = sig(
+                [w0[(u, k)] for k in range(dim)], [c0[(n, k)] for k in range(dim)]
+            )
+            contribute(u, n, -math.floor(sn * SGNS_SCALE) * c_uv)
+
+    div = float(SGNS_LR_DEN * SGNS_SCALE)
+    exp = {
+        (v, k): (
+            w0[(v, k)] + math.floor(float(d_w[(v, k)]) / div),
+            c0[(v, k)] + math.floor(float(d_c[(v, k)]) / div),
+        )
+        for v in verts
+        for k in range(dim)
+    }
+    assert got == exp
+    # the step genuinely moved the matrix
+    assert any(got[key] != (w0[key], c0[key]) for key in got)
+    # init matches its own formula through the Spark path
+    init = {(r.node_id, r.k): (r.wv, r.cv) for r in sgns_init(vertices(sym)).collect()}
+    assert init == {key: (w0[key], c0[key]) for key in w0}
+
+
+def test_sgns_pmi_agreement_shape(spark, g1_edges):
+    """The agreement readout is one row (k, n_scored, n_overlap) with
+    0 <= n_overlap <= min(k, n_scored) and is deterministic."""
+    from bigclam_apachespark_spark.operators.graph import (
+        sgns_pmi_agreement,
+        symmetrize,
+    )
+
+    sym = symmetrize(g1_edges)
+    rows = sgns_pmi_agreement(sym, steps=1, k_top=5, start_mod=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k == 5 and 0 <= r.n_overlap <= min(5, r.n_scored)
+    again = sgns_pmi_agreement(sym, steps=1, k_top=5, start_mod=None).collect()[0]
+    assert (r.k, r.n_scored, r.n_overlap) == (again.k, again.n_scored, again.n_overlap)
