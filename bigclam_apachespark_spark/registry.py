@@ -7,6 +7,16 @@ This is the single source of truth consumed by __spark_entry__.py
 Column-name discipline: the driver sorts columns by name before
 hashing values, so every computed column is aliased identically in
 the Spark plan and the oracle SQL.
+
+Oracle-authoring rule (unrolled-CTE chains): any step CTE of an
+unrolled iteration (s0→s1→…, v0→v1→…, emb0→emb1→…) that is
+referenced more than once MUST be born ``AS MATERIALIZED`` — DuckDB
+inlines plain CTEs per reference, so a chain whose steps are each
+read twice re-derives the whole prefix 2^L times (the
+``graph_walk_pmi`` sweep spilled >80 GB of temp before its steps
+were MATERIALIZED — PERFORMANCE.md round-9 close). Enforced by
+``tests/test_rotation.py::test_unrolled_cte_chains_are_materialized``
+over every entry in ORACLE.
 """
 
 from __future__ import annotations
@@ -1160,7 +1170,7 @@ ORACLE: dict[str, str] = {
             FROM sc2
           ) WHERE rn = 1
         ),
-        l2 AS (
+        l2 AS MATERIALIZED (
           SELECT d.id,
                  CASE WHEN b.gain > 0 THEN b.dst ELSE d.id END AS label,
                  CAST(COALESCE(b.gain, 0) AS BIGINT) AS level2_gain
@@ -1530,7 +1540,7 @@ def _n2v_steps_sql(
     M = 1 << 40
     walks = ", ".join(f"({w})" for w in range(n_walks))
     ctes = [
-        f"""t0 AS (
+        f"""t0 AS MATERIALIZED (
           SELECT v.id AS start, CAST(w.walk AS INT) AS walk,
                  0 AS step, v.id AS node, CAST(NULL AS BIGINT) AS prev
           FROM (SELECT DISTINCT src AS id FROM sym) v
@@ -1592,11 +1602,11 @@ def _betweenness_sql(seed_mod: int = 997, hops: int = 3) -> str:
         """bn0 AS MATERIALIZED (
       SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM bseed
     )""",
-        "bvis0 AS (SELECT s, v FROM bn0)",
+        "bvis0 AS MATERIALIZED (SELECT s, v FROM bn0)",
     ]
     for d in range(1, hops + 1):
         ctes += [
-            f"""bg{d} AS (
+            f"""bg{d} AS MATERIALIZED (
       SELECT f.s, f.v, e.dst AS w, f.sigma AS sv
       FROM bn{d - 1} f JOIN sym e ON e.src = f.v
     )""",
@@ -1610,7 +1620,7 @@ def _betweenness_sql(seed_mod: int = 997, hops: int = 3) -> str:
       SELECT g.s, g.v, g.w, g.sv AS sigma_v, n.sigma AS sigma_w
       FROM bg{d} g JOIN bn{d} n ON n.s = g.s AND n.v = g.w
     )""",
-            f"""bvis{d} AS (
+            f"""bvis{d} AS MATERIALIZED (
       SELECT s, v FROM bvis{d - 1} UNION ALL SELECT s, v FROM bn{d}
     )""",
         ]
@@ -1673,7 +1683,7 @@ def _mis_rounds_sql(rounds: int) -> str:
         h = hash64_sql(f"CONCAT('mis:{r}:', CAST(id AS VARCHAR))")
         ctes += [
             f"p{r} AS MATERIALIZED (SELECT id, {h} AS p FROM a{r - 1})",
-            f"""l{r} AS (
+            f"""l{r} AS MATERIALIZED (
           SELECT DISTINCT e.src AS id
           FROM e{r - 1} e
           JOIN p{r} ps ON ps.id = e.src

@@ -191,6 +191,12 @@ def _iteration_ctes(sfx: str, fin: str) -> str:
         "cand", "cdot", "cnbr", "cself", "scored", "best", "upd", "fnext",
     ):
         body = _re.sub(rf"\b{name}\b", f"{name}{sfx}", body)
+    # Multi-referenced step CTEs MUST be MATERIALIZED (the unrolled-
+    # CTE authoring rule, registry.py module docstring): inlined, the
+    # whole iteration prefix re-derives per reference and the chain
+    # compounds across instantiations.
+    for name in ("ep", "sumf", "grad", "cand"):
+        body = body.replace(f"{name}{sfx} AS (", f"{name}{sfx} AS MATERIALIZED (")
     return _re.sub(r"\bfactors_long\b", fin, body)
 
 

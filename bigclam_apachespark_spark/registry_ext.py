@@ -239,12 +239,12 @@ TEXT_ORACLE = {
           SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
           FROM pr GROUP BY 1, 2
         ),
-        t12 AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t12 FROM c12),
+        t12 AS MATERIALIZED (SELECT CAST(SUM(n_pair) AS BIGINT) AS t12 FROM c12),
         uni AS (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
           FROM (SELECT unnest(l) AS w FROM tk) GROUP BY w
         ),
-        t1 AS (SELECT CAST(SUM(cu) AS BIGINT) AS t1 FROM uni),
+        t1 AS MATERIALIZED (SELECT CAST(SUM(cu) AS BIGINT) AS t1 FROM uni),
         sc AS (
           SELECT w1, w2, n_pair,
                  CAST(CAST(n_pair AS HUGEINT) * t1.t1 * t1.t1 AS DOUBLE)
@@ -340,8 +340,8 @@ TEXT_ORACLE = {
           FROM ch0
         ),
         c0 AS (SELECT l, r, SUM(f) AS c FROM pr0 GROUP BY 1, 2),
-        best1 AS (SELECT l || r AS m1 FROM c0 ORDER BY c DESC, l, r LIMIT 1),
-        rw1 AS (
+        best1 AS MATERIALIZED (SELECT l || r AS m1 FROM c0 ORDER BY c DESC, l, r LIMIT 1),
+        rw1 AS MATERIALIZED (
           SELECT wf.f, best1.m1, replace(wf.w, best1.m1, chr(1)) AS w
           FROM wf CROSS JOIN best1
         ),
@@ -403,8 +403,8 @@ TEXT_ORACLE = {
           FROM ch0
         ),
         c0 AS (SELECT l, r, SUM(f) AS c FROM pr0 GROUP BY 1, 2),
-        best1 AS (SELECT l || r AS m1 FROM c0 ORDER BY c DESC, l, r LIMIT 1),
-        rw1 AS (
+        best1 AS MATERIALIZED (SELECT l || r AS m1 FROM c0 ORDER BY c DESC, l, r LIMIT 1),
+        rw1 AS MATERIALIZED (
           SELECT wf.f, best1.m1, replace(wf.w, best1.m1, chr(1)) AS w
           FROM wf CROSS JOIN best1
         ),
@@ -3140,7 +3140,7 @@ cent{r}a AS (
   SELECT cell, list(CAST(round(mq) AS BIGINT) ORDER BY d) AS cqv
   FROM m{r} GROUP BY cell
 ),
-cent{r} AS (
+cent{r} AS MATERIALIZED (
   SELECT cell, cqv,
          sqrt(CAST(list_sum([v * v for v in cqv]) AS DOUBLE)) AS cnrm
   FROM cent{r}a
@@ -3279,7 +3279,7 @@ kpm{r} AS (
   CROSS JOIN (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS di)
   GROUP BY a.sub, a.code, di
 ),
-pc{r} AS (
+pc{r} AS MATERIALIZED (
   SELECT sub, code, list(CAST(round(mq) AS BIGINT) ORDER BY d) AS cqv
   FROM kpm{r} GROUP BY sub, code
 )""")
@@ -3666,7 +3666,7 @@ def _kmpp_sql(rounds: int = 3, oversample: int = 32, k: int = 16) -> str:
         "for i in generate_series(1, 64)])"
     )
     ctes = [
-        f"""kcand0 AS (
+        f"""kcand0 AS MATERIALIZED (
       SELECT vec_id AS cand_id, qv AS cqv FROM emb
       ORDER BY {hash64_sql("CONCAT('kmpp:0:', CAST(vec_id AS VARCHAR))")}, vec_id
       LIMIT 1
@@ -3943,7 +3943,7 @@ def _mmr_sql(k: int = 4, n_cand: int = 16, lam: float = 0.5) -> str:
             FROM rem{i} r JOIN ms{i} m ON m.q = r.q AND m.c = r.c
           ) WHERE rn = 1
         ),
-        sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
+        sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
         prev = f"sel{i}"
     return f"""
         WITH {EMB_SQL},
@@ -3967,7 +3967,7 @@ def _mmr_sql(k: int = 4, n_cand: int = 16, lam: float = 0.5) -> str:
           JOIN emb ea ON ea.vec_id = ca.c
           JOIN emb eb ON eb.vec_id = cb.c
         ),
-        sel1 AS (
+        sel1 AS MATERIALIZED (
           SELECT q, c, CAST(1 AS INT) AS sel_rank,
                  round(rel, 6) AS mmr_score
           FROM (
@@ -4706,7 +4706,7 @@ EVENT_ORACLE = {
           WHERE value IS NOT NULL
         ),
         n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
-        r1 AS (
+        r1 AS MATERIALIZED (
           SELECT event_type, value,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY value, event_id) AS r
@@ -4721,7 +4721,7 @@ EVENT_ORACLE = {
           SELECT ev.event_type, ev.event_id, abs(ev.value - med.med) AS dev
           FROM ev JOIN med USING (event_type)
         ),
-        r2 AS (
+        r2 AS MATERIALIZED (
           SELECT event_type, dev,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY dev, event_id) AS r

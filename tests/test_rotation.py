@@ -104,3 +104,38 @@ def test_staleness_limit_tracks_registry_size():
     from bigclam_apachespark_spark.registry import ORACLE, _STALENESS_LIMIT
 
     assert _STALENESS_LIMIT == max(0, -(-len(ORACLE) // 50) - 1)
+
+
+def test_unrolled_cte_chains_are_materialized():
+    """The oracle-authoring rule (registry.py module docstring): in an
+    unrolled iteration chain (two or more CTEs sharing an alphabetic
+    prefix with distinct numeric suffixes, e.g. s0..s4, v0..v8,
+    emb0..emb2), any step referenced more than once must be
+    MATERIALIZED — inlining re-derives the whole chain prefix per
+    reference (2^L blowup; the graph_walk_pmi >80 GB spill)."""
+    import re
+    from collections import defaultdict
+
+    from bigclam_apachespark_spark.registry import ORACLE
+
+    header = re.compile(r"\b(\w+?)\s+AS\s+(MATERIALIZED\s+)?\(", re.IGNORECASE)
+    numbered = re.compile(r"^([A-Za-z_]+)(\d+)$")
+    violations = []
+    for name, sql in ORACLE.items():
+        ctes = {}  # cte name -> materialized?
+        for m in header.finditer(sql):
+            ctes[m.group(1)] = bool(m.group(2))
+        families = defaultdict(list)
+        for cte in ctes:
+            nm = numbered.match(cte)
+            if nm:
+                families[nm.group(1)].append(cte)
+        chain_ctes = {c for fam in families.values() if len(fam) >= 2 for c in fam}
+        for cte in chain_ctes:
+            if ctes[cte]:
+                continue
+            # references = word occurrences beyond the definition header
+            n_refs = len(re.findall(rf"\b{re.escape(cte)}\b", sql)) - 1
+            if n_refs >= 2:
+                violations.append(f"{name}: CTE {cte} referenced {n_refs}x, not MATERIALIZED")
+    assert not violations, "\n".join(violations)
