@@ -877,6 +877,47 @@ _LOUVAIN_L1_CTES = """wdeg AS (
           FROM wdeg d LEFT JOIN b1 b ON b.src = d.id
         )"""
 
+# Level-2 sweep on the coarsened graph (reads ``wedges`` + ``l1`` from
+# scope; final labels+gain in ``l2``) — shared by the two-level oracle
+# and the method-comparison readout so the semantics cannot fork.
+_LOUVAIN_L2_CTES = """coarse AS MATERIALIZED (
+          SELECT la.label AS src, lb.label AS dst,
+                 CAST(SUM(w.support) AS BIGINT) AS support
+          FROM wedges w
+          JOIN l1 la ON la.id = w.src
+          JOIN l1 lb ON lb.id = w.dst
+          GROUP BY 1, 2
+        ),
+        wdeg2 AS (
+          SELECT src AS id, CAST(SUM(support) AS BIGINT) AS k
+          FROM coarse GROUP BY src
+        ),
+        tm2 AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM wdeg2),
+        sc2 AS (
+          SELECT c.src, c.dst,
+                 CAST(t.two_m AS HUGEINT) * c.support
+                   - CAST(a.k AS HUGEINT) * b.k AS gain
+          FROM coarse c
+          JOIN wdeg2 a ON a.id = c.src
+          JOIN wdeg2 b ON b.id = c.dst
+          CROSS JOIN tm2 t
+          WHERE c.dst < c.src
+        ),
+        b2 AS (
+          SELECT src, dst, gain FROM (
+            SELECT src, dst, gain,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY gain DESC, dst) AS rn
+            FROM sc2
+          ) WHERE rn = 1
+        ),
+        l2 AS MATERIALIZED (
+          SELECT d.id,
+                 CASE WHEN b.gain > 0 THEN b.dst ELSE d.id END AS label,
+                 CAST(COALESCE(b.gain, 0) AS BIGINT) AS level2_gain
+          FROM wdeg2 d LEFT JOIN b2 b ON b.src = d.id
+        )"""
+
 
 def _pagerank_weighted_sql(n_iter: int = 5, d: float = 0.85) -> str:
     """Unrolled weighted-PageRank twin over wedges."""
@@ -1139,43 +1180,7 @@ ORACLE: dict[str, str] = {
     "graph_louvain_two_levels": f"""
         WITH {_WEDGES_SQL},
         {_LOUVAIN_L1_CTES},
-        coarse AS MATERIALIZED (
-          SELECT la.label AS src, lb.label AS dst,
-                 CAST(SUM(w.support) AS BIGINT) AS support
-          FROM wedges w
-          JOIN l1 la ON la.id = w.src
-          JOIN l1 lb ON lb.id = w.dst
-          GROUP BY 1, 2
-        ),
-        wdeg2 AS (
-          SELECT src AS id, CAST(SUM(support) AS BIGINT) AS k
-          FROM coarse GROUP BY src
-        ),
-        tm2 AS (SELECT CAST(SUM(k) AS BIGINT) AS two_m FROM wdeg2),
-        sc2 AS (
-          SELECT c.src, c.dst,
-                 CAST(t.two_m AS HUGEINT) * c.support
-                   - CAST(a.k AS HUGEINT) * b.k AS gain
-          FROM coarse c
-          JOIN wdeg2 a ON a.id = c.src
-          JOIN wdeg2 b ON b.id = c.dst
-          CROSS JOIN tm2 t
-          WHERE c.dst < c.src
-        ),
-        b2 AS (
-          SELECT src, dst, gain FROM (
-            SELECT src, dst, gain,
-                   ROW_NUMBER() OVER (PARTITION BY src
-                                      ORDER BY gain DESC, dst) AS rn
-            FROM sc2
-          ) WHERE rn = 1
-        ),
-        l2 AS MATERIALIZED (
-          SELECT d.id,
-                 CASE WHEN b.gain > 0 THEN b.dst ELSE d.id END AS label,
-                 CAST(COALESCE(b.gain, 0) AS BIGINT) AS level2_gain
-          FROM wdeg2 d LEFT JOIN b2 b ON b.src = d.id
-        )
+        {_LOUVAIN_L2_CTES}
         SELECT l1.id AS id, l2.label AS label, l2.level2_gain AS level2_gain
         FROM l1 JOIN l2 ON l2.id = l1.label
     """,
@@ -1940,6 +1945,92 @@ QUERIES.update(
         "graph_sgns_pmi_agreement": q_sgns_pmi_agreement,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Community-method comparison (r9 verdict ask #5): ONE readout with
+# the modularity Q of all three community methods on the SAME graph
+# and the SAME scoring kernel (graph.modularity's integer-exact Q):
+# BigCLAM argmax membership, two-level Louvain, and the LPA baseline.
+# ---------------------------------------------------------------------------
+
+
+def q_q_method_compare(spark, sf_dir):
+    """Three rows ``(method, n_communities, e_within, n_unlabeled,
+    n_dup_labels, q)`` on the unweighted co-purchase graph: BigCLAM
+    strongest-community argmax (fixture factors — the
+    ``bigclam_community_quality`` labeling), the composed two-level
+    Louvain sweep (labels optimized on the support-weighted wedges,
+    scored here on the unweighted graph like the others — vertices
+    below the wedge support threshold surface in ``n_unlabeled``),
+    and 2-round LPA. The apples-to-apples table a user choosing a
+    community method would ask for; the facebook-graph analog is the
+    ``graph_louvain_facebook`` smoke + PERFORMANCE.md round-10 notes."""
+    from bigclam_apachespark_spark.registry_bigclam import fixture_factors
+    from bigclam_apachespark_spark.shared import shared_wedges
+
+    sym = _sym(spark, sf_dir)
+    fx = fixture_factors(sym)
+    bc = fx.select(
+        F.col("node_id").alias("id"),
+        (F.array_position(F.col("f"), F.array_max(F.col("f"))) - 1)
+        .cast("long")
+        .alias("lbl"),
+    )
+    lou = G.louvain_two_levels(shared_wedges(spark, sf_dir)).select(
+        "id", F.col("label").alias("lbl")
+    )
+    lpa = G.label_propagation(sym, rounds=2)
+    out = None
+    for method, lab in (
+        ("bigclam_argmax", bc),
+        ("louvain2", lou),
+        ("lpa2", lpa),
+    ):
+        row = G.modularity(sym, lab).select(F.lit(method).alias("method"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _q_method_compare_sql() -> str:
+    import re as _re
+
+    from bigclam_apachespark_spark.registry_bigclam import FACTORS_LONG_SQL
+    from bigclam_apachespark_spark.sqlfrag import modularity_tail_ctes
+
+    # LPA chain renamed l*/n*/c* → lp*/np*/cp* so it coexists with the
+    # Louvain l1/l2 chain in one WITH clause.
+    lpa_ctes = _re.sub(r"\b([lnc])(\d)\b", r"\g<1>p\g<2>", _lpa_cte(2))
+    return f"""
+        WITH {EDGES_SQL}, {SYM_SQL}, {_WEDGES_SQL},
+        {FACTORS_LONG_SQL},
+        bc_labels AS MATERIALIZED (
+          SELECT node_id AS id, CAST(k AS BIGINT) AS lbl FROM (
+            SELECT node_id, k,
+                   ROW_NUMBER() OVER (PARTITION BY node_id
+                                      ORDER BY val DESC, k) AS rn
+            FROM factors_long
+          ) WHERE rn = 1
+        ),
+        {_LOUVAIN_L1_CTES},
+        {_LOUVAIN_L2_CTES},
+        lou_labels AS MATERIALIZED (
+          SELECT l1.id AS id, l2.label AS lbl
+          FROM l1 JOIN l2 ON l2.id = l1.label
+        ),
+        {lpa_ctes},
+        lpa_labels AS (SELECT id, lbl FROM lp2),
+        {modularity_tail_ctes("bc_labels", "_bc")},
+        {modularity_tail_ctes("lou_labels", "_lou")},
+        {modularity_tail_ctes("lpa_labels", "_lpa")}
+        SELECT 'bigclam_argmax' AS method, * FROM qrow_bc
+        UNION ALL SELECT 'louvain2' AS method, * FROM qrow_lou
+        UNION ALL SELECT 'lpa2' AS method, * FROM qrow_lpa
+    """
+
+
+ORACLE["graph_q_method_compare"] = _q_method_compare_sql()
+QUERIES["graph_q_method_compare"] = q_q_method_compare
 
 # ---------------------------------------------------------------------------
 # Merge: extension surface (text/dedup/similarity/events/streaming/

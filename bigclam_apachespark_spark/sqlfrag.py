@@ -114,3 +114,36 @@ SELECT n_communities, e_within, n_unlabeled, n_dup_labels,
              - CAST(d2 AS DOUBLE)
                / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
 FROM e_in, comm, mm, unl, dupl"""
+
+
+def modularity_tail_ctes(labels_cte: str, sfx: str) -> str:
+    """Suffixed variant of ``modularity_tail_sql`` ending in a one-row
+    CTE ``qrow{sfx}`` instead of a bare SELECT — lets several
+    partitions' Q readouts coexist in one WITH clause (the
+    ``graph_q_method_compare`` three-method readout). Same integer
+    numerators, same two IEEE divisions."""
+    lf = labels_cte
+    return f"""tagged{sfx} AS (
+  SELECT la.lbl AS la, lb.lbl AS lb
+  FROM sym e JOIN {lf} la ON la.id = e.src JOIN {lf} lb ON lb.id = e.dst),
+e_in{sfx} AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS e_within
+              FROM tagged{sfx} WHERE la = lb),
+deg{sfx} AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+dcs{sfx} AS (SELECT l.lbl, SUM(d.deg) AS dc
+             FROM deg{sfx} d JOIN {lf} l ON l.id = d.id GROUP BY l.lbl),
+comm{sfx} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                     CAST(SUM(dc * dc) AS BIGINT) AS d2 FROM dcs{sfx}),
+mm{sfx} AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM sym),
+unl{sfx} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_unlabeled
+  FROM (SELECT DISTINCT src AS id FROM sym) v
+  LEFT JOIN {lf} l ON l.id = v.id WHERE l.id IS NULL),
+dupl{sfx} AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT id) AS BIGINT) AS n_dup_labels
+  FROM {lf}),
+qrow{sfx} AS (
+  SELECT n_communities, e_within, n_unlabeled, n_dup_labels,
+         round(CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
+               - CAST(d2 AS DOUBLE)
+                 / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
+  FROM e_in{sfx}, comm{sfx}, mm{sfx}, unl{sfx}, dupl{sfx})"""
