@@ -284,8 +284,36 @@ def q_louvain_facebook(spark, sf_dir):
     wedges = sym.select("src", "dst", F.lit(1).cast("long").alias("support"))
     labels, n_levels = G.louvain_fit(wedges, max_levels=20, score_edges=sym)
     lab = labels.select("id", F.col("label").alias("lbl"))
-    return G.modularity(sym, lab).select(
+    row = G.modularity(sym, lab).select(
         F.lit(n_levels).cast("long").alias("n_levels"), "*"
+    )
+    # Pinned invariant (r9 verdict ask #8): facebook_combined has
+    # strong known community structure (the reference visualizes it;
+    # canonical Louvain reports Q≈0.83 / ~16 communities — our
+    # downhill-only plateau-stopped variant lands at Q≈0.69 / 6
+    # communities over ~11 levels). The smoke now FAILS — via
+    # raise_error inside the filter, which survives column pruning —
+    # if the partition degrades outside a generous band around that,
+    # or if the labeling stops being a valid full partition, instead
+    # of merely returning a non-empty row.
+    ok = (
+        (F.col("q") > 0.55)
+        & (F.col("q") < 0.95)
+        & F.col("n_communities").between(3, 60)
+        & (F.col("n_unlabeled") == 0)
+        & (F.col("n_dup_labels") == 0)
+    )
+    return row.where(
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("facebook louvain invariant violated: q="),
+                    F.col("q").cast("string"),
+                    F.lit(" n_communities="),
+                    F.col("n_communities").cast("string"),
+                )
+            )
+        )
     )
 
 
