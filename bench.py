@@ -185,6 +185,7 @@ HEADLINE = [
     "graph_node2vec_walks",
     "graph_coreness",
     "graph_betweenness",
+    "graph_sgns_two_steps",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -225,7 +226,7 @@ EXPECTED = {
     "graph_bfs_hops": 9.6,
     "text_training_corpus": 16.8,
     # round-4 additions (measured 2026-08-14, healthy window)
-    "bigclam_two_iterations": 66.0,
+    "bigclam_two_iterations": 38.0,  # r10: per-iteration edge_fv sharing + unrolled dots (was 66)
     "graph_conductance_pairs": 2.6,
     "sim_lsh_topk_multi": 6.7,
     # round-5 additions (measured 2026-08-14, healthy window, min of 2)
@@ -328,8 +329,9 @@ EXPECTED = {
     "dedup_bloom_decontam": 1.1,
     "graph_walk_pmi": 8.3,
     "graph_node2vec_walks": 7.5,
-    "graph_coreness": 13.4,
+    "graph_coreness": 26.0,  # r10: convergence-certified fixpoint (38 rounds, was a wrong 8-round unroll at 13.4)
     "graph_betweenness": 13.3,
+    "graph_sgns_two_steps": 14.5,
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

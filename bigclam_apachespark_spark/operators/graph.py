@@ -1702,7 +1702,7 @@ def random_walks(
 
 
 def maximal_independent_set(
-    sym_edges: DataFrame, rounds: int = 8
+    sym_edges: DataFrame, rounds: int = 8, assert_converged: bool = True
 ) -> DataFrame:
     """Deterministic Luby maximal independent set → ``(id,
     mis_round)``: in each round every still-active node draws the
@@ -1722,7 +1722,13 @@ def maximal_independent_set(
     (in expectation ≥ half the EDGES die per Luby round), so total
     work is O(|E|) across all rounds. Per-round localCheckpoint
     truncates the 8-deep lineage; superseded generations release
-    their blocks immediately."""
+    their blocks immediately.
+
+    ``assert_converged`` (ADVICE r9): a fixed unroll on a graph whose
+    Luby run needs more rounds would silently return an independent
+    but NOT maximal set. The guard counts the still-active vertices
+    after the last round (one scan of the final checkpointed
+    generation) and raises instead of returning."""
     from bigclam_apachespark_spark.functions.hashing import hash64
 
     active = (
@@ -1784,6 +1790,15 @@ def maximal_independent_set(
         unpersist_local_checkpoint(active)
         unpersist_local_checkpoint(edges)
         active, edges = new_active, new_edges
+    n_active = active.count() if assert_converged else 0
+    unpersist_local_checkpoint(active)
+    unpersist_local_checkpoint(edges)
+    if n_active:
+        raise RuntimeError(
+            f"maximal_independent_set: {n_active} vertices still active "
+            f"after {rounds} Luby rounds — the set is independent but not "
+            f"maximal; raise `rounds`"
+        )
     out = mis_parts[0]
     for part in mis_parts[1:]:
         out = out.unionByName(part)
@@ -1875,58 +1890,133 @@ def walk_cooccurrence_pmi(
     )
 
 
-def coreness_hindex(sym_edges: DataFrame, rounds: int = 8) -> DataFrame:
-    """Full core decomposition via h-index iteration → ``(id,
-    coreness)``: start every node at its degree and repeatedly
-    replace each value with the H-INDEX of its neighbors' values
-    (the largest h with ≥ h neighbors valued ≥ h). Lü et al. (Nature
-    Communications 2016) prove this converges monotonically DOWN to
-    the core number — the whole k-core onion in one synchronous
-    fixpoint, where the peel formulation (``kcore``) answers only a
-    single k. A converged round is a no-op, so the fixed unroll is
-    oracle-stable; tests cross-check {v : coreness ≥ k} against the
-    peel-based k-core.
+# Above this vertex count the per-round value table stops being
+# broadcastable and coreness_hindex falls back to shuffle joins.
+CORENESS_BCAST_MAX_V = 2_000_000
 
-    Per-round shape: one join of edges against the value table
-    (Σdeg rows), a DEGREE-BOUNDED per-node sort window for the
-    h-index (h = #{ranks r with value_r ≥ r} over the desc-sorted
-    neighbor values — prefix-closed, so the count IS the max), one
-    hash agg. localCheckpoint truncates the unrolled lineage and
-    superseded value tables release their blocks immediately."""
+
+def coreness_hindex(
+    sym_edges: DataFrame, max_rounds: int = 64, frontier: bool = False
+) -> DataFrame:
+    """Full core decomposition via h-index iteration, RUN TO THE
+    FIXPOINT → ``(id, coreness)``: start every node at its degree and
+    repeatedly replace each value with the H-INDEX of its neighbors'
+    values (the largest h with ≥ h neighbors valued ≥ h). Lü et al.
+    (Nature Communications 2016) prove this converges monotonically
+    DOWN to the core number — the whole k-core onion in one
+    synchronous fixpoint, where the peel formulation (``kcore``)
+    answers only a single k. Tests cross-check {v : coreness ≥ k}
+    against the peel-based k-core.
+
+    HISTORY (ADVICE r9 → r10 fix): this was an 8-round fixed unroll,
+    and the new convergence guard immediately exposed it as wrong —
+    773 values were still descending at sf0.01 (fixpoint at round 19;
+    sf0.1 needs 38), so the pinned output was an intermediate h-index
+    table, not the core numbers. Both engines agreed on the same
+    wrong value — exactly the failure class an internal guard must
+    catch because a twin-computation oracle can't. The loop now runs
+    until NO value changes and raises on ``max_rounds`` exhaustion
+    instead of returning a plausible-but-wrong table; the DuckDB twin
+    unrolls a fixed bound ≥ the measured convergence depth (converged
+    rounds are no-ops, so any bound past the fixpoint hashes
+    identically).
+
+    Per-round plan — ZERO shuffles when V is broadcastable: the edge
+    relation is re-partitioned by ``src`` ONCE and checkpointed
+    (LogicalRDD preserves outputPartitioning), and the V-sized value
+    table rides a broadcast hint (its post-checkpoint stats are
+    garbage — SPARK-39834 — so Catalyst would otherwise pick a
+    sort-merge join that re-shuffles all Σdeg rows every round:
+    measured 80 s → 37 s for the 38-round run at sf0.1). The window
+    for the h-index (h = #{ranks r with value_r ≥ r} over the
+    desc-sorted neighbor values — prefix-closed, so the count IS the
+    max) and the following hash agg both reuse the src partitioning.
+    Each round emits ONE checkpointed generation carrying a change
+    flag: the convergence count is a cheap scan and the next round
+    reads its value slice. Above ``CORENESS_BCAST_MAX_V`` vertices
+    the hints drop off and the joins revert to shuffles — the
+    at-scale fallback. ``frontier=True`` additionally restricts each
+    round to ``nbrs(changed)`` via two semi-joins (only nodes with a
+    changed neighbor can change, so per-round values are identical) —
+    the right slice when Σdeg dwarfs memory, at the cost of extra
+    per-round stages."""
     from pyspark.sql import Window
 
-    # every round scans ALL edges (unlike the frontier-driven walks),
-    # so the edge relation is materialized once — 8 re-derivations of
-    # the lineitem self-join measured 25.8 s vs ~14 s at sf0.1
-    sym_edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
+    spark = sym_edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    sym_edges = (
+        sym_edges.select("src", "dst")
+        .repartition(p, "src")
+        .localCheckpoint(eager=True)
+    )
     vals = (
         sym_edges.groupBy("src")
         .agg(F.count("*").alias("c"))
         .select(F.col("src").alias("id"), "c")
         .localCheckpoint(eager=True)
     )
+    n_v = vals.count()
+    hint = F.broadcast if n_v <= CORENESS_BCAST_MAX_V else (lambda df: df)
     w = Window.partitionBy("src").orderBy(F.col("cd").desc())
-    for _ in range(rounds):
-        nb = sym_edges.join(
-            vals.select(F.col("id").alias("dst"), F.col("c").alias("cd")),
+    converged = False
+    first = True
+    changed = None   # (id) slice of the previous generation
+    prev_gen = None  # checkpointed parent to release when superseded
+    for _ in range(max_rounds):
+        if frontier and not first:
+            cands = sym_edges.join(
+                hint(changed.select(F.col("id").alias("dst"))),
+                "dst",
+                "left_semi",
+            ).select(F.col("src").alias("id"))
+            cand_adj = sym_edges.join(
+                cands.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+        else:
+            cand_adj = sym_edges
+        nb = cand_adj.join(
+            hint(vals.select(F.col("id").alias("dst"), F.col("c").alias("cd"))),
             "dst",
         ).select("src", "cd")
-        new_vals = (
+        new_c = (
             nb.withColumn("rn", F.row_number().over(w))
             .select(
                 "src",
                 F.when(F.col("cd") >= F.col("rn"), 1).otherwise(0).alias("hit"),
             )
             .groupBy("src")
-            .agg(F.sum("hit").cast("long").alias("c"))
-            .select(F.col("src").alias("id"), "c")
+            .agg(F.sum("hit").cast("long").alias("c_new"))
+            .select(F.col("src").alias("id"), "c_new")
+        )
+        nv = (
+            vals.join(hint(new_c), "id", "left")
+            .select(
+                "id",
+                F.coalesce("c_new", "c").alias("c"),
+                (
+                    F.col("c_new").isNotNull() & (F.col("c_new") != F.col("c"))
+                ).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        unpersist_local_checkpoint(vals)
-        vals = new_vals
-    # the final value table is already eagerly materialized, so the
-    # edge checkpoint can release before return
+        n_changed = nv.where("chg").count()
+        # release the superseded generation: round 1's parent is the
+        # degree table itself; later rounds' is the previous nv.
+        unpersist_local_checkpoint(prev_gen if not first else vals)
+        prev_gen = nv
+        vals = nv.select("id", "c")
+        changed = nv.where("chg").select("id")
+        first = False
+        if n_changed == 0:
+            converged = True
+            break
     unpersist_local_checkpoint(sym_edges)
+    if not converged:
+        unpersist_local_checkpoint(prev_gen)
+        raise RuntimeError(
+            f"coreness_hindex: h-index fixpoint not reached within "
+            f"{max_rounds} rounds — raise `max_rounds`"
+        )
     return vals.select("id", F.col("c").alias("coreness"))
 
 

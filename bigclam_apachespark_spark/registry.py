@@ -539,10 +539,14 @@ def q_betweenness(spark, sf_dir):
 
 
 def q_coreness(spark, sf_dir):
-    """Full core decomposition (h-index fixpoint, 8 unrolled rounds;
-    converged rounds are no-ops — tests assert the fixpoint equals
-    the peel-based k-core at every k at the tested scales)."""
-    return G.coreness_hindex(_sym(spark, sf_dir), rounds=8)
+    """Full core decomposition: the h-index iteration RUN TO ITS
+    CERTIFIED FIXPOINT (frontier-pruned; raises rather than return a
+    non-converged table — the r10 fix after the convergence guard
+    exposed the old 8-round unroll as an intermediate value at
+    sf0.01). Oracle unrolls 48 rounds, past the measured fixpoint
+    depth at both gate scales; tests assert the fixpoint equals the
+    peel-based k-core at every k."""
+    return G.coreness_hindex(_sym(spark, sf_dir))
 
 
 def q_mis(spark, sf_dir):
@@ -1557,8 +1561,13 @@ def _coreness_rounds_sql(rounds: int) -> str:
     )
 
 
+# 48 unrolled rounds: ≥ the MEASURED h-index fixpoint depth on the
+# co-purchase graph (19 rounds at sf0.01, 38 at sf0.1) with slack —
+# rounds past the fixpoint are no-ops, so any bound ≥ convergence
+# hashes identically to the Spark side's convergence-driven loop,
+# which certifies its own fixpoint (raises on max_rounds exhaustion).
 ORACLE["graph_coreness"] = (
-    f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _coreness_rounds_sql(8)
+    f"WITH {EDGES_SQL}, {SYM_SQL},\n        " + _coreness_rounds_sql(48)
 )
 
 

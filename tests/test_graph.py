@@ -970,12 +970,12 @@ def test_coreness_hindex_fixture_and_kcore_consistency(spark, g1_edges, g2_edges
     )
 
     sym1 = symmetrize(g1_edges)
-    got1 = {r.id: r.coreness for r in coreness_hindex(sym1, rounds=6).collect()}
+    got1 = {r.id: r.coreness for r in coreness_hindex(sym1).collect()}
     assert got1 == {i: 3 for i in range(8)}
 
     got2 = {
         r.id: r.coreness
-        for r in coreness_hindex(symmetrize(g2_edges), rounds=6).collect()
+        for r in coreness_hindex(symmetrize(g2_edges)).collect()
     }
     assert set(got2.values()) == {1}
 
@@ -983,7 +983,7 @@ def test_coreness_hindex_fixture_and_kcore_consistency(spark, g1_edges, g2_edges
     clique = symmetrize(
         spark.createDataFrame(pairs, "src long, dst long")
     )
-    got3 = {r.id: r.coreness for r in coreness_hindex(clique, rounds=6).collect()}
+    got3 = {r.id: r.coreness for r in coreness_hindex(clique).collect()}
     assert got3 == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 9: 1}
 
     for k in (1, 2, 3, 4):
