@@ -445,7 +445,13 @@ def fold_in_long(
     row is ``clamp(α·g, MIN_F, MAX_F)``. ``top_k`` is the argmax
     community (ties → lowest k), ``fu_top`` its value — nodes with
     zero model neighbors have nothing to fold in and emit no row
-    (stated: fold-in is defined by the neighbor term).
+    (stated: fold-in is defined by the neighbor term). "Model
+    neighbor" means a neighbor with AT LEAST ONE stored factor entry
+    (ADVICE r9): ``n_model_nbrs`` semi-joins the cross edges against
+    the factor table's node set, so a dst absent from the sparse
+    layout (no rows — including an all-zero row the layout elides)
+    neither counts nor contributes, and the emit contract is exact —
+    a row appears iff ``n_model_nbrs > 0``.
 
     Scale shape: ONE join of the cross-edge list against the frozen
     factor table per (node, k) — Σ nnz-overlap shuffle volume, the
@@ -460,8 +466,14 @@ def fold_in_long(
         .groupBy(F.col("src").alias("node_id"), "k")
         .agg(F.sum("vv").alias("sv"))
     )
-    nbrs = cross_edges.groupBy(F.col("src").alias("node_id")).agg(
-        F.count("*").alias("n_model_nbrs")
+    nbrs = (
+        cross_edges.join(
+            factors_long.select(F.col("node_id").alias("dst")).distinct(),
+            "dst",
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("node_id"))
+        .agg(F.count("*").alias("n_model_nbrs"))
     )
     fu = ws.join(F.broadcast(sumf), "k").select(
         "node_id",

@@ -1072,7 +1072,9 @@ BIGCLAM_ORACLE["bigclam_fold_in"] = f"""
       SELECT src, dst FROM sym WHERE src % 29 = 0 AND dst % 29 <> 0
     ),
     nbrs AS (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS n
-             FROM cx GROUP BY src),
+             FROM cx
+             WHERE dst IN (SELECT DISTINCT node_id FROM factors_long)
+             GROUP BY src),
     ws AS (
       SELECT c.src AS node_id, f.k, SUM(f.val) AS sv
       FROM cx c JOIN factors_long f ON f.node_id = c.dst

@@ -101,19 +101,37 @@ def counting_topk_stream(
     far" over an unbounded feed: state is one row per DISTINCT key
     (swap in the CMS sketch when distinct keys outgrow a table), the
     stream itself stays a stateless per-batch agg, and the expensive
-    global rank runs once over the final aggregate, not per batch."""
+    global rank runs once over the final aggregate, not per batch.
+
+    State durability (ADVICE r9): the count table is kept in
+    VERSIONED generation dirs under ``target_dir`` with an atomically
+    replaced ``_CURRENT`` pointer file (``os.replace``), so a crash
+    mid-write leaves the previous generation intact for a rerun
+    instead of a half-written overwrite; and a source that yields
+    ZERO batches returns an empty (key, n, rank) frame instead of
+    throwing on a never-created directory."""
+    import os
+
+    current_file = os.path.join(target_dir, "_CURRENT")
+
+    def _read_state():
+        if not os.path.isfile(current_file):
+            return None
+        # explicit pointer check — a bare except around the read
+        # would silently restart the count table on a CORRUPT state
+        # file, which must fail loudly instead
+        with open(current_file) as fh:
+            gen = fh.read().strip()
+        return spark.read.parquet(os.path.join(target_dir, gen))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        import shutil
 
         import pyspark.sql.functions as F
 
         counts = batch_df.groupBy(key_col).agg(F.count("*").alias("n"))
-        # explicit first-batch check — a bare except around the read
-        # would silently restart the count table on a CORRUPT state
-        # file, which must fail loudly instead
-        if os.path.isdir(target_dir):
-            cur = spark.read.parquet(target_dir)
+        cur = _read_state()
+        if cur is not None:
             merged = (
                 cur.unionByName(counts)
                 .groupBy(key_col)
@@ -122,7 +140,21 @@ def counting_topk_stream(
             )
         else:
             merged = counts.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(target_dir)
+        old_gen = None
+        if os.path.isfile(current_file):
+            with open(current_file) as fh:
+                old_gen = fh.read().strip()
+        new_gen = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(os.path.join(target_dir, new_gen))
+        # atomic pointer swap: the new generation becomes visible in
+        # one os.replace; a crash before it leaves the old pointer
+        # (and its intact generation) in place
+        tmp = current_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_gen)
+        os.replace(tmp, current_file)
+        if old_gen and old_gen != new_gen:
+            shutil.rmtree(os.path.join(target_dir, old_gen), ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(_apply)
@@ -151,7 +183,13 @@ def counting_topk_stream(
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    final = spark.read.parquet(target_dir)
+    final = _read_state()
+    if final is None:
+        # zero batches produced: empty head, not an AnalysisException
+        key_type = dict(stream.dtypes)[key_col]
+        return spark.createDataFrame(
+            [], f"{key_col} {key_type}, n long, rank int"
+        )
     top = final.orderBy(F.col("n").desc(), key_col).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col(key_col))
     return top.withColumn("rank", F.row_number().over(w)).select(

@@ -158,3 +158,29 @@ def test_fold_in_hand_computed(spark):
     assert out[9].fu_top == round(min(0.05 * (w0 * 2.0 - 2.0), 1000.0), 6)
     assert out[8].top_k == 1 and out[8].n_model_nbrs == 1
     assert out[8].fu_top == round(min(0.05 * (w0 * 1.0 - 1.0), 1000.0), 6)
+
+
+def test_fold_in_model_neighbor_contract(spark):
+    """ADVICE r9: "model neighbor" = a neighbor with >=1 stored factor
+    entry. A held-out node whose only neighbors are absent from the
+    sparse factor table emits NO row; a node with a mix counts only
+    the modeled neighbors — so a row appears iff n_model_nbrs > 0."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators import bigclam_long as BL
+
+    # model: nodes 10 (k0=0.5, k1=0.2) and 11 (k0=0.1); node 12 has
+    # NO rows (the sparse layout's elided all-zero row)
+    factors = spark.createDataFrame(
+        [(10, 0, 0.5), (10, 1, 0.2), (11, 0, 0.1)],
+        "node_id long, k int, val double",
+    )
+    sumf = BL.sum_f_long(factors)
+    # held-out 1: neighbors 10 (modeled) and 12 (unmodeled) -> counts 1
+    # held-out 2: only neighbor 12 (unmodeled) -> no row
+    cross = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 12)], "src long, dst long"
+    )
+    rows = {r.node_id: r for r in BL.fold_in_long(cross, factors, sumf).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_model_nbrs == 1
