@@ -2373,21 +2373,43 @@ def sgns_step(
     node; the vertex-rank side is the bucketed two-stage exact rank
     (no single-partition sort); the ONLY driver scalar is |V| (one
     count of the vertex dimension, the ``sum_f`` contract)."""
-    from bigclam_apachespark_spark.functions.hashing import hash64
     from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
 
     verts = vertices(sym_edges)
     if emb is None:
         emb = sgns_init(verts, dim)
-    emb = emb.localCheckpoint(eager=True)
 
     if pairs is None:
         walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
         pairs = sgns_pairs(walks, window)
-    pairs = pairs.localCheckpoint(eager=True)
 
     n_vertices = verts.count()
     ranked = bucketed_row_number(verts, ["id"], out="rk")
+    return sgns_apply(pairs, emb, ranked, n_vertices, dim=dim, neg=neg)
+
+
+def sgns_apply(
+    pairs: DataFrame,
+    emb: DataFrame,
+    id_rank: DataFrame,
+    n_ids: int,
+    dim: int = SGNS_DIM,
+    neg: int = SGNS_NEG,
+    tag: str = "sgns",
+) -> DataFrame:
+    """The corpus-agnostic SGNS update: apply one synchronous step of
+    the quantized gradient (see ``sgns_step``) to ``emb`` given the
+    ``(u, v, c_uv)`` pair counts, an ``(id, rk)`` 1-based dense rank
+    over the id universe for negative draws, and its size. Shared by
+    the graph walks corpus (``sgns_step``) and the documents token
+    corpus (``text.word2vec_step``) so the arithmetic cannot fork;
+    ``tag`` keys the negative-draw hash stream per corpus."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    emb = emb.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
+    n_vertices = n_ids
+    ranked = id_rank
 
     w_u = emb.select(F.col("node_id").alias("u"), "k", "wv")
     c_x = emb.select(F.col("node_id").alias("x"), "k", "cv")
@@ -2413,7 +2435,7 @@ def sgns_step(
         "nr",
         hash64(
             F.concat(
-                F.lit("sgns:"),
+                F.lit(f"{tag}:"),
                 F.col("u").cast("string"),
                 F.lit(":"),
                 F.col("v").cast("string"),

@@ -1950,3 +1950,112 @@ def distribution_drift(
     )
     out._cache_handles = [tok]
     return out
+
+
+# ---------------------------------------------------------------------------
+# word2vec over the documents token stream (the text-corpus twin of
+# graph.sgns_step — Mikolov et al. NIPS'13 on the engine's own corpus)
+# ---------------------------------------------------------------------------
+
+
+def word2vec_vocab(toked: DataFrame, min_count: int = 5) -> DataFrame:
+    """Frequency-filtered vocabulary → ``(term, cnt, vid)`` with the
+    1-based dense rank vid ordered by (cnt DESC, term) — word2vec's
+    min_count cut plus a deterministic integer id space that doubles
+    as the negative-draw rank table. Input is the pre-tokenized
+    ``(l array<string>)`` corpus (tokenize ONCE, share with the pair
+    generation). The ranking goes through the bucketed two-stage
+    exact-rank kernel, never a single-partition sort (vocabularies
+    are V-sized at corpus scale)."""
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
+    counts = (
+        toked.select(F.explode("l").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .withColumn("neg_cnt", -F.col("cnt"))
+    )
+    return (
+        bucketed_row_number(counts, ["neg_cnt", "term"], out="vid")
+        .select("term", "cnt", F.col("vid").cast("long").alias("vid"))
+    )
+
+
+def word2vec_pairs(
+    toked: DataFrame,
+    vocab: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram pair counts over the token stream → ``(u, v, c_uv)``
+    in vid space: ordered (center, context) pairs at token distance
+    1..window within one document, both directions, with both
+    endpoints in-vocab (out-of-vocab tokens keep their slots — the
+    window is over ORIGINAL positions, a documented deviation from
+    word2vec's compact-then-window; it only matters next to rare
+    words and keeps the pair generation one narrow slice-zip with no
+    self-join). Scale shape: per-document arrays_zip of two slices —
+    no shuffle until the final pair-count agg."""
+    toks = F.col("l")
+    parts = []
+    for d in range(1, window + 1):
+        n = F.size(toks)
+        a = F.slice(toks, 1, F.greatest(n - d, F.lit(0)))
+        b = F.slice(toks, 1 + d, F.greatest(n - d, F.lit(0)))
+        z = toked.where(F.size(toks) > d).select(
+            F.explode(F.arrays_zip(a.alias("l"), b.alias("r"))).alias("p")
+        )
+        parts.append(z.select(F.col("p.l").alias("tu"), F.col("p.r").alias("tv")))
+        parts.append(z.select(F.col("p.r").alias("tu"), F.col("p.l").alias("tv")))
+    raw = parts[0]
+    for pt in parts[1:]:
+        raw = raw.unionByName(pt)
+    vu = vocab.select(F.col("term").alias("tu"), F.col("vid").alias("u"))
+    vv = vocab.select(F.col("term").alias("tv"), F.col("vid").alias("v"))
+    return (
+        raw.join(vu, "tu")
+        .join(vv, "tv")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("c_uv"))
+    )
+
+
+def word2vec_step(
+    docs: DataFrame,
+    steps: int = 1,
+    min_count: int = 5,
+    window: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """``steps`` synchronous SGNS steps over the documents token
+    corpus → ``(term, k, wv, cv)``: the LLM-pipeline stage that turns
+    a cleaned corpus into token embeddings, sharing the exact-int64
+    quantized kernel with the graph walks version
+    (``graph.sgns_apply`` — init formula, σ flooring, negative-draw
+    hash stream keyed ``w2v``, floored-division apply; see that
+    docstring for the cross-engine exactness argument). Vocabulary
+    ids are the (cnt DESC, term) dense ranks, so the init is
+    deterministic in corpus statistics, not string hashes."""
+    from bigclam_apachespark_spark.functions.hashing import tokens
+    from bigclam_apachespark_spark.operators.graph import (
+        sgns_apply,
+        sgns_init,
+    )
+
+    # tokenize ONCE: vocabulary counting and the 2·window slice-zips
+    # all read the checkpointed token arrays (5 full normalize+split
+    # corpus scans otherwise)
+    toked = docs.select(tokens(text_col).alias("l")).localCheckpoint(eager=True)
+    vocab = word2vec_vocab(toked, min_count).localCheckpoint(eager=True)
+    n_vocab = vocab.count()
+    pairs = word2vec_pairs(toked, vocab, window).localCheckpoint(eager=True)
+    id_rank = vocab.select(F.col("vid").alias("id"), F.col("vid").alias("rk"))
+    emb = sgns_init(vocab.select(F.col("vid").alias("id")))
+    for _ in range(steps):
+        emb = sgns_apply(
+            pairs, emb, id_rank, n_vocab, tag="w2v"
+        ).localCheckpoint(eager=True)
+    return emb.join(
+        vocab.select(F.col("vid").alias("node_id"), "term"), "node_id"
+    ).select("term", "k", "wv", "cv")

@@ -2069,6 +2069,94 @@ def _q_method_compare_sql() -> str:
 ORACLE["graph_q_method_compare"] = _q_method_compare_sql()
 QUERIES["graph_q_method_compare"] = q_q_method_compare
 
+
+# ---------------------------------------------------------------------------
+# word2vec over the documents token corpus — the text twin of the
+# graph SGNS kernel (operators/text.word2vec_step shares
+# graph.sgns_apply, so the arithmetic cannot fork; this oracle
+# re-states only the corpus derivation and reuses _sgns_step_sql).
+# ---------------------------------------------------------------------------
+
+
+def q_word2vec_step(spark, sf_dir):
+    """One synchronous SGNS step over the documents token stream —
+    the full (term, k, wv, cv) token-embedding table, hash-checked
+    (min_count=5 vocabulary, window 2, vids = (cnt DESC, term) dense
+    ranks)."""
+    from bigclam_apachespark_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.word2vec_step(docs, steps=1)
+
+
+def _word2vec_sql() -> str:
+    from bigclam_apachespark_spark.functions.hashing import (
+        hash64_sql,
+        tokens_sql,
+    )
+
+    toks = tokens_sql("text")
+    h = hash64_sql(
+        "CONCAT('w2v:', CAST(p.u AS VARCHAR), ':', "
+        "CAST(p.v AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
+    )
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT {toks} AS l FROM documents),
+    vocab AS MATERIALIZED (
+      SELECT term, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS vid
+      FROM (
+        SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(l) AS w FROM tk) GROUP BY w
+        HAVING COUNT(*) >= 5
+      )
+    ),
+    rawp AS (
+      SELECT unnest(l[1:len(l)-1]) AS tu, unnest(l[2:len(l)]) AS tv
+      FROM tk WHERE len(l) >= 2
+      UNION ALL
+      SELECT unnest(l[2:len(l)]), unnest(l[1:len(l)-1])
+      FROM tk WHERE len(l) >= 2
+      UNION ALL
+      SELECT unnest(l[1:len(l)-2]), unnest(l[3:len(l)])
+      FROM tk WHERE len(l) >= 3
+      UNION ALL
+      SELECT unnest(l[3:len(l)]), unnest(l[1:len(l)-2])
+      FROM tk WHERE len(l) >= 3
+    ),
+    spairs AS MATERIALIZED (
+      SELECT vu.vid AS u, vv.vid AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
+      FROM rawp
+      JOIN vocab vu ON vu.term = rawp.tu
+      JOIN vocab vv ON vv.term = rawp.tv
+      WHERE vu.vid <> vv.vid
+      GROUP BY 1, 2
+    ),
+    nverts AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vocab),
+    vrank AS MATERIALIZED (SELECT vid AS id, vid AS rk FROM vocab),
+    negdraw AS MATERIALIZED (
+      SELECT p.u, p.v, p.c_uv, j.j, r.id AS n
+      FROM spairs p
+      CROSS JOIN (VALUES (1), (2)) j(j)
+      CROSS JOIN nverts
+      JOIN vrank r ON r.rk = ({h} % nverts.n) + 1
+    ),
+    emb0 AS MATERIALIZED (
+      SELECT v.vid AS node_id, CAST(kk.k AS INT) AS k,
+             CAST(((v.vid * 31 + 7 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS wv,
+             CAST(((v.vid * 17 + 5 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS cv
+      FROM vocab v
+      CROSS JOIN (VALUES (0), (1), (2), (3)) kk(k)
+    ),
+    {_sgns_step_sql(1)}
+    SELECT v.term, e.k, e.wv, e.cv
+    FROM emb1 e JOIN vocab v ON v.vid = e.node_id
+    """
+
+
+ORACLE["text_word2vec_step"] = _word2vec_sql()
+QUERIES["text_word2vec_step"] = q_word2vec_step
+
 # ---------------------------------------------------------------------------
 # Merge: extension surface (text/dedup/similarity/events/streaming/
 # multimodal) and BigCLAM kernel queries. Imported last to keep this

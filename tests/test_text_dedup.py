@@ -1417,3 +1417,57 @@ def test_distribution_drift_null_and_positive_controls(spark):
     # all docs are 'en' -> the rest side is EMPTY -> NULL, not an
     # ANSI divide-by-zero abort or a fake maximum
     assert r2["en_vs_rest"].l1_micro is None
+
+
+def test_word2vec_vocab_pairs_hand_computed(spark):
+    """word2vec corpus derivation replayed by hand: min_count cut,
+    (cnt DESC, term) vid ranks, skip-gram pair counts at distances
+    1..2 in both directions with OOV slots preserved (window over
+    ORIGINAL positions), and a deterministic end-to-end step."""
+    from collections import Counter
+
+    from bigclam_apachespark_spark.operators.text import (
+        word2vec_pairs,
+        word2vec_step,
+        word2vec_vocab,
+    )
+    from bigclam_apachespark_spark.functions.hashing import tokens
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug zzz",
+        "the cat and the dog sat",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    toked = docs.select(tokens("text").alias("l"))
+    vocab = word2vec_vocab(toked, min_count=2)
+    got_vocab = {r.term: (r.cnt, r.vid) for r in vocab.collect()}
+    # hand counts: the=6 sat=3 cat=2 dog=2 on=2; and/mat/rug/zzz = 1 (cut)
+    # vid rank by (cnt desc, term): the=1, sat=2, cat=3, dog=4, on=5
+    assert got_vocab == {
+        "the": (6, 1), "sat": (3, 2), "cat": (2, 3), "dog": (2, 4), "on": (2, 5)
+    }
+
+    toks = [t.split() for t in texts]
+    exp = Counter()
+    vid = {t: v for t, (_, v) in got_vocab.items()}
+    for seq in toks:
+        for i, a in enumerate(seq):
+            for d in (1, 2):
+                if i + d < len(seq):
+                    b = seq[i + d]
+                    if a in vid and b in vid and vid[a] != vid[b]:
+                        exp[(vid[a], vid[b])] += 1
+                        exp[(vid[b], vid[a])] += 1
+    got_pairs = {(r.u, r.v): r.c_uv for r in word2vec_pairs(toked, vocab).collect()}
+    assert got_pairs == dict(exp)
+
+    out1 = sorted(map(tuple, word2vec_step(docs, min_count=2).collect()))
+    out2 = sorted(map(tuple, word2vec_step(docs, min_count=2).collect()))
+    assert out1 == out2 and len(out1) == 5 * 4
+    # the step moved at least one component off the init
+    init_w = {(v, k): ((v * 31 + 7 * k) % 19 - 9) * 20000
+              for v in range(1, 6) for k in range(4)}
+    assert any(r[2] != init_w[(vid[r[0]], r[1])] for r in out1)
