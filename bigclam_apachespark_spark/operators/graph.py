@@ -2396,6 +2396,7 @@ def sgns_apply(
     dim: int = SGNS_DIM,
     neg: int = SGNS_NEG,
     tag: str = "sgns",
+    negdraw: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus-agnostic SGNS update: apply one synchronous step of
     the quantized gradient (see ``sgns_step``) to ``emb`` given the
@@ -2403,7 +2404,10 @@ def sgns_apply(
     over the id universe for negative draws, and its size. Shared by
     the graph walks corpus (``sgns_step``) and the documents token
     corpus (``text.word2vec_step``) so the arithmetic cannot fork;
-    ``tag`` keys the negative-draw hash stream per corpus."""
+    ``tag`` keys the negative-draw hash stream per corpus. Pass a
+    pre-built ``negdraw`` ``(u, v, c_uv, j, n)`` to override the
+    default uniform draw (the unigram^0.75 weighted path —
+    ``sgns_negatives_weighted``)."""
     from bigclam_apachespark_spark.functions.hashing import hash64
 
     emb = emb.localCheckpoint(eager=True)
@@ -2426,29 +2430,32 @@ def sgns_apply(
     )
 
     # Negative draws: neg per distinct pair, hash → rank → id.
-    draw = pairs.select(
-        "u",
-        "v",
-        "c_uv",
-        F.explode(F.sequence(F.lit(1), F.lit(neg))).alias("j"),
-    ).withColumn(
-        "nr",
-        hash64(
-            F.concat(
-                F.lit(f"{tag}:"),
-                F.col("u").cast("string"),
-                F.lit(":"),
-                F.col("v").cast("string"),
-                F.lit(":"),
-                F.col("j").cast("string"),
+    if negdraw is not None:
+        draw = None  # caller-provided (weighted) draws
+    else:
+        draw = pairs.select(
+            "u",
+            "v",
+            "c_uv",
+            F.explode(F.sequence(F.lit(1), F.lit(neg))).alias("j"),
+        ).withColumn(
+            "nr",
+            hash64(
+                F.concat(
+                    F.lit(f"{tag}:"),
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
             )
+            % F.lit(n_vertices),
         )
-        % F.lit(n_vertices),
-    )
-    negdraw = draw.join(
-        ranked.select(F.col("rk").alias("nrk"), F.col("id").alias("n")),
-        draw["nr"] + 1 == F.col("nrk"),
-    ).select("u", "v", "c_uv", "j", "n")
+        negdraw = draw.join(
+            ranked.select(F.col("rk").alias("nrk"), F.col("id").alias("n")),
+            draw["nr"] + 1 == F.col("nrk"),
+        ).select("u", "v", "c_uv", "j", "n")
     neg_dot = (
         negdraw.join(w_u, "u")
         .join(c_x.select(F.col("x").alias("n"), "k", "cv"), ["n", "k"])
@@ -2582,4 +2589,114 @@ def sgns_pmi_agreement(
     # 1-row × 1-row crossJoin — the readout stays declarative.
     return scored_cnt.crossJoin(overlap_cnt).select(
         F.lit(int(k_top)).alias("k"), "n_scored", "n_overlap"
+    )
+
+
+def sgns_negatives_weighted(
+    pairs: DataFrame,
+    weights: DataFrame,
+    neg: int = SGNS_NEG,
+    tag: str = "sgnsw",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Weighted negative draws → ``(u, v, c_uv, j, n)`` with
+    P(n = x) ∝ w_x — word2vec's unigram^0.75 table as an EXACT
+    integer inverse-CDF: the id-ordered inclusive running sum of the
+    int64 weights partitions [0, W) into per-id intervals
+    [hi−w, hi); the draw r = hash64(tag:u:v:j) mod W lands in
+    exactly one. ``weights`` is ``(id, w)``, w int64 > 0.
+
+    The interval lookup is NOT an inequality join (|draws|·|V|
+    nested-loop): intervals and draws are both mapped to
+    ``buckets`` equal-width buckets by exact integer division
+    ((x·B) div W — no float in the bucketing), the join is an
+    EQUI-join on the bucket id, and the true interval test filters
+    the ~|V|/B candidates per draw. An interval spanning multiple
+    buckets explodes into each (almost always 1–2 rows). The
+    running sum goes through the bucketed exact-rank kernel — no
+    single-partition window; W is the one driver scalar (the
+    ``sum_f`` contract)."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.functions.ranks import bucketed_running_sum
+
+    cum = (
+        bucketed_running_sum(weights, ["id"], "w", out="hi")
+        .select("id", "w", "hi", (F.col("hi") - F.col("w")).alias("lo"))
+        .localCheckpoint(eager=True)
+    )
+    total = int(cum.agg(F.max("hi").alias("m")).collect()[0]["m"])
+    b = buckets
+    iv = cum.select(
+        F.col("id").alias("n"),
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo * {b} div {total}"),
+                F.expr(f"(hi - 1) * {b} div {total}"),
+            )
+        ).alias("bkt"),
+    )
+    draw = pairs.select(
+        "u",
+        "v",
+        "c_uv",
+        F.explode(F.sequence(F.lit(1), F.lit(neg))).alias("j"),
+    ).withColumn(
+        "r",
+        hash64(
+            F.concat(
+                F.lit(f"{tag}:"),
+                F.col("u").cast("string"),
+                F.lit(":"),
+                F.col("v").cast("string"),
+                F.lit(":"),
+                F.col("j").cast("string"),
+            )
+        )
+        % F.lit(total),
+    ).withColumn("bkt", F.expr(f"r * {b} div {total}"))
+    return (
+        draw.join(iv, "bkt")
+        .where((F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")))
+        .select("u", "v", "c_uv", "j", "n")
+    )
+
+
+def sgns_step_unigram(
+    sym_edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+    start_mod: int | None = 23,
+    window: int = 2,
+    dim: int = SGNS_DIM,
+    neg: int = SGNS_NEG,
+) -> DataFrame:
+    """One synchronous SGNS step with word2vec's ACTUAL negative
+    distribution — P(n) ∝ deg(n)^{3/4} (Mikolov et al.'s unigram^0.75,
+    with degree as the corpus frequency of a node under uniform
+    walks) — closing the documented uniform-draw deviation of
+    ``sgns_step``. The fractional power is the ONE transcendental:
+    it is floored to int64 micro-units immediately (the σ-flooring
+    move) and everything after is the exact integer inverse-CDF of
+    ``sgns_negatives_weighted``."""
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
+    verts = vertices(sym_edges)
+    emb = sgns_init(verts, dim)
+    walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
+    pairs = sgns_pairs(walks, window).localCheckpoint(eager=True)
+    wts = degrees(sym_edges).select(
+        "id",
+        F.floor(
+            F.pow(F.col("degree").cast("double"), F.lit(0.75))
+            * F.lit(float(SGNS_SCALE))
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    negdraw = sgns_negatives_weighted(pairs, wts, neg=neg, tag="sgnsw")
+    ranked = bucketed_row_number(verts, ["id"], out="rk")
+    return sgns_apply(
+        pairs, emb, ranked, verts.count(), dim=dim, neg=neg, negdraw=negdraw
     )

@@ -1804,9 +1804,10 @@ def q_sgns_pmi_agreement(spark, sf_dir):
 _SGNS_SIG = "1.0 / (1.0 + exp(-(CAST({dot} AS DOUBLE) / 1e12)))"
 
 
-def _sgns_prelude_sql() -> str:
+def _sgns_prelude_sql(include_negdraw: bool = True) -> str:
     """Corpus-derived CTEs shared by every SGNS oracle: ordered pair
-    counts, vertex count + rank, and the (emb-independent) negative
+    counts, vertex count + rank, and (unless the caller substitutes
+    the weighted variant) the emb-independent uniform negative
     draws. Every CTE is referenced more than once downstream →
     MATERIALIZED (the unrolled-CTE authoring rule)."""
     from bigclam_apachespark_spark.functions.hashing import hash64_sql
@@ -1815,6 +1816,14 @@ def _sgns_prelude_sql() -> str:
         "CONCAT('sgns:', CAST(p.u AS VARCHAR), ':', "
         "CAST(p.v AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
     )
+    negdraw_cte = f""",
+    negdraw AS MATERIALIZED (
+      SELECT p.u, p.v, p.c_uv, j.j, r.id AS n
+      FROM spairs p
+      CROSS JOIN (VALUES (1), (2)) j(j)
+      CROSS JOIN nverts
+      JOIN vrank r ON r.rk = ({h} % nverts.n) + 1
+    )"""
     return f"""spairs AS MATERIALIZED (
       SELECT w1.node AS u, w2.node AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
       FROM walks w1
@@ -1831,20 +1840,13 @@ def _sgns_prelude_sql() -> str:
       SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) AS BIGINT) AS rk
       FROM (SELECT DISTINCT src AS id FROM sym)
     ),
-    negdraw AS MATERIALIZED (
-      SELECT p.u, p.v, p.c_uv, j.j, r.id AS n
-      FROM spairs p
-      CROSS JOIN (VALUES (1), (2)) j(j)
-      CROSS JOIN nverts
-      JOIN vrank r ON r.rk = ({h} % nverts.n) + 1
-    ),
     emb0 AS MATERIALIZED (
       SELECT v.id AS node_id, CAST(kk.k AS INT) AS k,
              CAST(((v.id * 31 + 7 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS wv,
              CAST(((v.id * 17 + 5 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS cv
       FROM (SELECT DISTINCT src AS id FROM sym) v
       CROSS JOIN (VALUES (0), (1), (2), (3)) kk(k)
-    )"""
+    )""" + (negdraw_cte if include_negdraw else "")
 
 
 def _sgns_step_sql(i: int) -> str:
@@ -1918,6 +1920,72 @@ def _sgns_chain_sql(steps: int) -> str:
 
 ORACLE["graph_sgns_step"] = _sgns_chain_sql(1)
 ORACLE["graph_sgns_two_steps"] = _sgns_chain_sql(2)
+
+
+def q_sgns_step_unigram(spark, sf_dir):
+    """SGNS step with word2vec's actual unigram^0.75 negative
+    distribution (degree^{3/4}-weighted draws through the exact
+    integer inverse-CDF — graph.sgns_negatives_weighted), closing
+    the uniform-draw deviation documented in graph_sgns_step."""
+    return G.sgns_step_unigram(_sym(spark, sf_dir))
+
+
+def _sgns_unigram_sql() -> str:
+    from bigclam_apachespark_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql(
+        "CONCAT('sgnsw:', CAST(p.u AS VARCHAR), ':', "
+        "CAST(p.v AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
+    )
+    # exact-integer inverse-CDF over the id-ordered running sum of
+    # floor(deg^0.75 · 1e6); the bucket map is (x·1024) // W — no
+    # float anywhere in the bucketing, matching Spark's `div`.
+    weighted_negdraw = f""",
+    wts AS MATERIALIZED (
+      SELECT src AS id,
+             CAST(FLOOR(pow(CAST(COUNT(*) AS DOUBLE), 0.75)
+                        * 1000000.0) AS BIGINT) AS w
+      FROM sym GROUP BY src
+    ),
+    cum AS MATERIALIZED (
+      SELECT id, w,
+             CAST(SUM(w) OVER (ORDER BY id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM wts
+    ),
+    tot AS MATERIALIZED (SELECT CAST(MAX(hi) AS BIGINT) AS t FROM cum),
+    iv AS MATERIALIZED (
+      SELECT c.id AS n, c.hi - c.w AS lo, c.hi,
+             unnest(generate_series((c.hi - c.w) * 1024 // t.t,
+                                    (c.hi - 1) * 1024 // t.t)) AS bkt
+      FROM cum c CROSS JOIN tot t
+    ),
+    drawsw AS MATERIALIZED (
+      SELECT p.u, p.v, p.c_uv, j.j, ({h} % t.t) AS r
+      FROM spairs p CROSS JOIN (VALUES (1), (2)) j(j) CROSS JOIN tot t
+    ),
+    negdraw AS MATERIALIZED (
+      SELECT d.u, d.v, d.c_uv, d.j, i.n
+      FROM drawsw d CROSS JOIN tot t
+      JOIN iv i ON i.bkt = d.r * 1024 // t.t
+      WHERE d.r >= i.lo AND d.r < i.hi
+    )"""
+    return (
+        f"WITH {EDGES_SQL}, {SYM_SQL},\n    "
+        + _WALK_CTES
+        + ",\n    walks AS MATERIALIZED (\n        "
+        + _WALK_UNION
+        + "\n    ),\n    "
+        + _sgns_prelude_sql(include_negdraw=False)
+        + weighted_negdraw
+        + ",\n    "
+        + _sgns_step_sql(1)
+        + "\n    SELECT node_id, k, wv, cv FROM emb1"
+    )
+
+
+ORACLE["graph_sgns_step_unigram"] = _sgns_unigram_sql()
+QUERIES["graph_sgns_step_unigram"] = q_sgns_step_unigram
 
 ORACLE["graph_sgns_pmi_agreement"] = f"""
     WITH {EDGES_SQL}, {SYM_SQL},
@@ -2134,13 +2202,6 @@ def _word2vec_sql() -> str:
     ),
     nverts AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vocab),
     vrank AS MATERIALIZED (SELECT vid AS id, vid AS rk FROM vocab),
-    negdraw AS MATERIALIZED (
-      SELECT p.u, p.v, p.c_uv, j.j, r.id AS n
-      FROM spairs p
-      CROSS JOIN (VALUES (1), (2)) j(j)
-      CROSS JOIN nverts
-      JOIN vrank r ON r.rk = ({h} % nverts.n) + 1
-    ),
     emb0 AS MATERIALIZED (
       SELECT v.vid AS node_id, CAST(kk.k AS INT) AS k,
              CAST(((v.vid * 31 + 7 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS wv,

@@ -1193,3 +1193,48 @@ def test_sgns_pmi_agreement_shape(spark, g1_edges):
     assert r.k == 5 and 0 <= r.n_overlap <= min(5, r.n_scored)
     again = sgns_pmi_agreement(sym, steps=1, k_top=5, start_mod=None).collect()[0]
     assert (r.k, r.n_scored, r.n_overlap) == (again.k, again.n_scored, again.n_overlap)
+
+
+def test_sgns_weighted_negatives_hand_replayed(spark):
+    """The exact integer inverse-CDF draw replayed by hand: with
+    weights (id 1: 10, id 2: 30, id 3: 60) the id-ordered intervals
+    are [0,10), [10,40), [40,100); every (u,v,j) draw must land on
+    the id whose interval contains hash64('sgnsw:u:v:j') mod 100 —
+    and the empirical mass must follow the weights."""
+    import hashlib
+    from collections import Counter
+
+    from bigclam_apachespark_spark.operators.graph import (
+        sgns_negatives_weighted,
+    )
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    weights = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 60)], "id long, w long"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b, 1) for a in range(20) for b in range(20) if a != b],
+        "u long, v long, c_uv long",
+    )
+    got = {
+        (r.u, r.v, r.j): r.n
+        for r in sgns_negatives_weighted(pairs, weights, neg=2).collect()
+    }
+    assert len(got) == 20 * 19 * 2  # exactly one n per (u, v, j)
+
+    def interval(r):
+        return 1 if r < 10 else (2 if r < 40 else 3)
+
+    exp = {
+        (u, v, j): interval(h64(f"sgnsw:{u}:{v}:{j}") % 100)
+        for u in range(20)
+        for v in range(20)
+        if u != v
+        for j in (1, 2)
+    }
+    assert got == exp
+    mass = Counter(got.values())
+    # 10/30/60 weights over 760 draws: coarse proportionality
+    assert mass[3] > mass[2] > mass[1] > 0
