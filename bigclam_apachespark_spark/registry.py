@@ -1987,6 +1987,53 @@ def _sgns_unigram_sql() -> str:
 ORACLE["graph_sgns_step_unigram"] = _sgns_unigram_sql()
 QUERIES["graph_sgns_step_unigram"] = q_sgns_step_unigram
 
+
+def q_sgns_loss_curve(spark, sf_dir):
+    """SGNS objective before each of 3 synchronous steps (step 0 =
+    init) — the training-works readout: per-pair ln σ terms floored
+    to int64 micro-nats, order-free integer sums; measured monotone
+    descent ~4.5e6 micro-nats/step at sf0.01."""
+    return G.sgns_loss_curve(_sym(spark, sf_dir), steps=3)
+
+
+def _sgns_loss_sql(i: int) -> str:
+    """loss{i} = the objective under emb{i-1}, read from the chain's
+    posdot{i}/negdot{i} (their dots ARE the step-i inputs)."""
+    sig_p = "1.0/(1.0 + exp(-(CAST(dot_int AS DOUBLE)/1e12)))"
+    sig_n = "1.0/(1.0 + exp((CAST(dot_int AS DOUBLE)/1e12)))"
+    return f"""loss{i} AS MATERIALIZED (
+      SELECT CAST({i - 1} AS INT) AS step,
+             CAST(
+               (SELECT SUM(CAST(FLOOR(ln({sig_p}) * 1000000.0) AS BIGINT)
+                           * c_uv) FROM posdot{i})
+               + (SELECT SUM(CAST(FLOOR(ln({sig_n}) * 1000000.0) AS BIGINT)
+                             * c_uv) FROM negdot{i})
+               AS BIGINT) AS loss_micro
+    )"""
+
+
+def _sgns_loss_curve_sql(steps: int = 3) -> str:
+    parts = [
+        f"WITH {EDGES_SQL}, {SYM_SQL},",
+        _WALK_CTES + ",",
+        f"walks AS MATERIALIZED (\n        {_WALK_UNION}\n    ),",
+        _sgns_prelude_sql() + ",",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            _sgns_step_sql(i).replace("FROM emb0 e", f"FROM emb{i - 1} e") + ","
+        )
+        parts.append(_sgns_loss_sql(i) + ",")
+    body = "\n    ".join(parts).rstrip(",")
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, loss_micro FROM loss{i}" for i in range(1, steps + 1)
+    )
+    return f"{body}\n    {union}"
+
+
+ORACLE["graph_sgns_loss_curve"] = _sgns_loss_curve_sql(3)
+QUERIES["graph_sgns_loss_curve"] = q_sgns_loss_curve
+
 ORACLE["graph_sgns_pmi_agreement"] = f"""
     WITH {EDGES_SQL}, {SYM_SQL},
     {_WALK_CTES},

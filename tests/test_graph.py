@@ -1238,3 +1238,24 @@ def test_sgns_weighted_negatives_hand_replayed(spark):
     mass = Counter(got.values())
     # 10/30/60 weights over 760 draws: coarse proportionality
     assert mass[3] > mass[2] > mass[1] > 0
+
+
+def test_sgns_loss_curve_descends(spark, g1_edges):
+    """The SGNS objective must be monotonically non-decreasing (less
+    negative) across synchronous steps on G1 — gradient ascent on a
+    smooth objective with a small fixed step."""
+    from bigclam_apachespark_spark.operators.graph import (
+        sgns_loss_curve,
+        symmetrize,
+    )
+
+    rows = sorted(
+        (r.step, r.loss_micro)
+        for r in sgns_loss_curve(
+            symmetrize(g1_edges), steps=3, start_mod=None
+        ).collect()
+    )
+    assert [s for s, _ in rows] == [0, 1, 2]
+    losses = [l for _, l in rows]
+    assert losses[0] <= losses[1] <= losses[2]
+    assert losses[2] > losses[0]  # strictly improved overall
