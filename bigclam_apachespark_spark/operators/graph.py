@@ -2358,9 +2358,10 @@ def sgns_step(
 
     Negative draws: ``neg`` per distinct pair, uniform over the
     vertex set via the replayable hash → vertex-rank lookup
-    (word2vec's unigram^0.75 table is a documented deviation — a
-    degree-weighted A-ES draw is the upgrade path; uniform keeps the
-    oracle one rank join). The update is
+    (word2vec's unigram^0.75 distribution is the
+    ``sgns_step_unigram`` variant — exact integer inverse-CDF over
+    deg^0.75 weights; uniform keeps THIS oracle one rank join). The
+    update is
         ΔW_u = Σ_pos c_uv·⌊(1−σ)·1e6⌋·C_v − Σ_neg c_uv·⌊σ·1e6⌋·C_n
     accumulated in exact int64 and applied as
         W ← W + ⌊ΔW / (lr_den·1e6)⌋

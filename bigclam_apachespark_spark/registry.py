@@ -2249,6 +2249,13 @@ def _word2vec_sql() -> str:
     ),
     nverts AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vocab),
     vrank AS MATERIALIZED (SELECT vid AS id, vid AS rk FROM vocab),
+    negdraw AS MATERIALIZED (
+      SELECT p.u, p.v, p.c_uv, j.j, r.id AS n
+      FROM spairs p
+      CROSS JOIN (VALUES (1), (2)) j(j)
+      CROSS JOIN nverts
+      JOIN vrank r ON r.rk = ({h} % nverts.n) + 1
+    ),
     emb0 AS MATERIALIZED (
       SELECT v.vid AS node_id, CAST(kk.k AS INT) AS k,
              CAST(((v.vid * 31 + 7 * kk.k) % 19 - 9) * 20000 AS BIGINT) AS wv,
