@@ -2144,17 +2144,23 @@ def q_q_method_compare(spark, sf_dir):
     return out
 
 
-def _q_method_compare_sql() -> str:
+def _q_method_compare_sql(graph_prelude: str | None = None) -> str:
+    """``graph_prelude``: CTE text defining ``sym`` (directed-both-ways
+    edge relation) and ``wedges`` (weighted edges). Defaults to the
+    co-purchase graph; the facebook variant passes the edge-list scan
+    with unit weights."""
     import re as _re
 
     from bigclam_apachespark_spark.registry_bigclam import FACTORS_LONG_SQL
     from bigclam_apachespark_spark.sqlfrag import modularity_tail_ctes
 
+    if graph_prelude is None:
+        graph_prelude = f"{EDGES_SQL}, {SYM_SQL}, {_WEDGES_SQL}"
     # LPA chain renamed l*/n*/c* → lp*/np*/cp* so it coexists with the
     # Louvain l1/l2 chain in one WITH clause.
     lpa_ctes = _re.sub(r"\b([lnc])(\d)\b", r"\g<1>p\g<2>", _lpa_cte(2))
     return f"""
-        WITH {EDGES_SQL}, {SYM_SQL}, {_WEDGES_SQL},
+        WITH {graph_prelude},
         {FACTORS_LONG_SQL},
         bc_labels AS MATERIALIZED (
           SELECT node_id AS id, CAST(k AS BIGINT) AS lbl FROM (
@@ -2183,6 +2189,56 @@ def _q_method_compare_sql() -> str:
 
 ORACLE["graph_q_method_compare"] = _q_method_compare_sql()
 QUERIES["graph_q_method_compare"] = q_q_method_compare
+
+
+def q_q_method_compare_facebook(spark, sf_dir):
+    """The same three-method modularity readout on the reference's
+    own facebook_combined graph — REAL community structure, so the Q
+    values separate meaningfully (unlike the near-random co-purchase
+    basket graph), and fully ORACLE-CHECKED (the bounded two-level
+    Louvain composition stands in for the iterative fit, which the
+    rows-only ``graph_louvain_facebook`` smoke covers with its pinned
+    Q≈0.69 invariant)."""
+    from bigclam_apachespark_spark.registry_bigclam import fixture_factors
+
+    edges = read_edge_list(spark, FACEBOOK_EDGES)
+    sym = G.symmetrize(edges).localCheckpoint(eager=True)
+    wedges = sym.select("src", "dst", F.lit(1).cast("long").alias("support"))
+    fx = fixture_factors(sym)
+    bc = fx.select(
+        F.col("node_id").alias("id"),
+        (F.array_position(F.col("f"), F.array_max(F.col("f"))) - 1)
+        .cast("long")
+        .alias("lbl"),
+    )
+    lou = G.louvain_two_levels(wedges).select("id", F.col("label").alias("lbl"))
+    lpa = G.label_propagation(sym, rounds=2)
+    out = None
+    for method, lab in (
+        ("bigclam_argmax", bc),
+        ("louvain2", lou),
+        ("lpa2", lpa),
+    ):
+        row = G.modularity(sym, lab).select(F.lit(method).alias("method"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_FB_GRAPH_PRELUDE = f"""fb AS (
+      SELECT src, dst FROM read_csv('{FACEBOOK_EDGES}', delim=' ',
+          header=false, columns={{'src': 'BIGINT', 'dst': 'BIGINT'}})
+    ),
+    sym AS (
+      SELECT src, dst FROM (
+        SELECT src, dst FROM fb UNION SELECT dst AS src, src AS dst FROM fb
+      ) WHERE src <> dst
+    ),
+    wedges AS (SELECT src, dst, CAST(1 AS BIGINT) AS support FROM sym)"""
+
+ORACLE["graph_q_method_compare_facebook"] = _q_method_compare_sql(
+    _FB_GRAPH_PRELUDE
+)
+QUERIES["graph_q_method_compare_facebook"] = q_q_method_compare_facebook
 
 
 # ---------------------------------------------------------------------------
