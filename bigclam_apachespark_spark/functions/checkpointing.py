@@ -30,3 +30,18 @@ def unpersist_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:
     except Exception:
         pass
     df.unpersist(blocking)
+
+
+def ensure_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` unless the plan already IS a checkpoint
+    result (LogicalRDD): re-checkpointing an already-materialized
+    input copies every block a second time — the double-materialize
+    waste pattern when both a caller and a shared kernel defensively
+    checkpoint the same relation."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return df
+    except Exception:
+        pass
+    return df.localCheckpoint(eager=eager)

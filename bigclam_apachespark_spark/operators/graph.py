@@ -2409,10 +2409,13 @@ def sgns_apply(
     pre-built ``negdraw`` ``(u, v, c_uv, j, n)`` to override the
     default uniform draw (the unigram^0.75 weighted path —
     ``sgns_negatives_weighted``)."""
+    from bigclam_apachespark_spark.functions.checkpointing import (
+        ensure_local_checkpoint,
+    )
     from bigclam_apachespark_spark.functions.hashing import hash64
 
-    emb = emb.localCheckpoint(eager=True)
-    pairs = pairs.localCheckpoint(eager=True)
+    emb = ensure_local_checkpoint(emb)
+    pairs = ensure_local_checkpoint(pairs)
     n_vertices = n_ids
     ranked = id_rank
 
