@@ -95,6 +95,12 @@ STREAM_CAPTIONS = {
 }
 
 
+# Composed mega-pipelines (the method-compare and SGNS composition
+# queries) produce multi-thousand-line trees that drown the doc; the
+# skeleton's first N lines already show every distinct operator shape.
+TREE_MAX_LINES = 400
+
+
 def tree(plan: str) -> str:
     """Keep the operator tree; drop the numbered node details."""
     lines = []
@@ -110,6 +116,12 @@ def tree(plan: str) -> str:
         if not ln and out:
             break
         out.append(ln)
+    if len(out) > TREE_MAX_LINES:
+        dropped = len(out) - TREE_MAX_LINES
+        out = out[:TREE_MAX_LINES] + [
+            f"... [{dropped} more tree lines truncated - composed"
+            " pipeline; every operator shape appears above]"
+        ]
     return "\n".join(out)
 
 
