@@ -462,44 +462,110 @@ def main() -> None:
         return
     try:
         out = Path(__file__).resolve().parent / "BENCH_local.json"
-        # Degraded-window clobber guard (VERDICT r8 ask #4): a full
-        # re-run in a throttled host window must not overwrite the
-        # committed healthy round-close references. When THIS run
-        # self-identifies as degraded and a previous artifact exists
-        # at the same sf, merge by per-query MIN — keeping which
-        # queries' values still came from the degraded run — instead
-        # of replacing wholesale. Healthy runs write fresh numbers
-        # (a genuine regression must stay visible, so min-merging is
-        # reserved for runs already known to mismeasure).
-        if degraded and out.exists():
-            try:
-                prev = json.loads(out.read_text())
-            except (OSError, ValueError):
-                prev = {}
-            if prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
-                old = prev["queries"]
-                merged = {
-                    n: min(t, old[n]) if n in old else t
-                    for n, t in timings.items()
-                }
-                payload["queries"] = merged
-                payload["value"] = round(sum(merged.values()), 3)
-                payload["degraded_queries"] = sorted(
-                    n for n, t in timings.items()
-                    if n not in old or t <= old[n]
-                )
-                payload["degraded"] = median_ratio(merged) > DRIFT_MEDIAN_FACTOR
-                print(
-                    "# degraded window: merged per-query mins with the "
-                    f"existing {out.name} ({len(payload['degraded_queries'])} "
-                    "values still from this degraded run)",
-                    file=sys.stderr,
-                )
-        out.write_text(json.dumps(payload, indent=1) + "\n")
+        _write_round_record(out, sf, timings, degraded, median_ratio)
         print(f"# wrote {out}", file=sys.stderr)
     except OSError as ex:  # read-only checkout etc. — stdout line stands
         print(f"# BENCH_local.json not written: {ex}", file=sys.stderr)
     spark.stop()
+
+
+def _newest_correctness_round() -> int:
+    """The round key for within-round run aggregation: BENCH_local.json
+    accumulates runs while the newest CORRECTNESS_r{N}.json on disk is
+    unchanged, and starts fresh when the driver stamps a new round —
+    so genuine cross-round regressions stay visible while within-round
+    window variance (same code, different host weather) is absorbed."""
+    import re
+
+    newest = 0
+    for path in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        if m:
+            newest = max(newest, int(m.group(1)))
+    return newest
+
+
+def _write_round_record(
+    out: Path,
+    sf: float,
+    timings: dict[str, float],
+    degraded: bool,
+    median_ratio,
+) -> None:
+    """Within-round min-merge + variance record (VERDICT r10 asks #3/#4).
+
+    Every full-suite run — builder OR driver, healthy OR degraded —
+    appends its raw per-query samples and re-derives:
+      * ``queries``: per-query MIN across the round's runs (monotone
+        non-increasing within a round, so a later throttled window can
+        never clobber an earlier healthy measurement);
+      * ``variance``: per-query {n, min, p50, p95} over the samples, so
+        noise-vs-regression adjudication is mechanical (the r10
+        betweenness forensics: 8.0/11.3/21.8 s across three windows for
+        unchanged code) instead of archaeological.
+    The stdout JSON line (the driver's BENCH_r{N} record) still carries
+    THIS run's raw timings — the file is the durable merged record.
+    """
+    import statistics
+
+    round_key = _newest_correctness_round()
+    prev: dict = {}
+    if out.exists():
+        try:
+            prev = json.loads(out.read_text())
+        except (OSError, ValueError):
+            prev = {}
+    same_round = (
+        prev.get("round_key") == round_key
+        and prev.get("sf") == sf
+        and isinstance(prev.get("queries"), dict)
+    )
+    samples: dict[str, list[float]] = {}
+    if same_round and isinstance(prev.get("samples"), dict):
+        samples = {
+            n: list(v) for n, v in prev["samples"].items() if isinstance(v, list)
+        }
+    elif same_round:
+        # Legacy record without sample history: seed from its mins.
+        samples = {n: [t] for n, t in prev["queries"].items()}
+    for n, t in timings.items():
+        samples.setdefault(n, []).append(t)
+        samples[n] = samples[n][-12:]  # bound the history
+
+    merged = {n: round(min(v), 3) for n, v in samples.items()}
+    if same_round:
+        for n, t in prev["queries"].items():
+            merged[n] = min(merged.get(n, t), t)
+
+    def pctl(vals: list[float], q: float) -> float:
+        if len(vals) == 1:
+            return vals[0]
+        return statistics.quantiles(sorted(vals), n=100, method="inclusive")[
+            max(0, min(98, int(q * 100) - 1))
+        ]
+
+    variance = {
+        n: {
+            "n": len(v),
+            "min": round(min(v), 3),
+            "p50": round(statistics.median(v), 3),
+            "p95": round(pctl(v, 0.95), 3),
+        }
+        for n, v in sorted(samples.items())
+    }
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(merged.values()), 3),
+        "unit": "sec",
+        "queries": merged,
+        "sf": sf,
+        "round_key": round_key,
+        "runs_this_round": (prev.get("runs_this_round", 0) if same_round else 0) + 1,
+        "degraded": degraded and median_ratio(merged) > DRIFT_MEDIAN_FACTOR,
+        "samples": {n: v for n, v in sorted(samples.items())},
+        "variance": variance,
+    }
+    out.write_text(json.dumps(record, indent=1) + "\n")
 
 
 if __name__ == "__main__":

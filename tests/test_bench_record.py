@@ -1,0 +1,97 @@
+"""BENCH_local.json write-path contract (VERDICT r10 asks #3 and #4):
+within one driver round the per-query record is monotone non-increasing
+across runs (a throttled window can never clobber a healthy
+measurement), raw samples accumulate for mechanical p50/p95
+noise-vs-regression adjudication, and a new driver round starts the
+record fresh so genuine cross-round regressions stay visible. No Spark
+needed — the writer is pure JSON plumbing.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import bench  # noqa: E402
+
+
+@pytest.fixture()
+def patched_round(monkeypatch):
+    def set_round(n: int) -> None:
+        monkeypatch.setattr(bench, "_newest_correctness_round", lambda: n)
+
+    set_round(11)
+    return set_round
+
+
+def _write(out: Path, timings: dict[str, float], degraded: bool = False):
+    bench._write_round_record(out, 0.1, timings, degraded, lambda m: 0.9)
+    return json.loads(out.read_text())
+
+
+def test_within_round_min_merge_is_monotone(tmp_path, patched_round):
+    out = tmp_path / "BENCH_local.json"
+    first = _write(out, {"a": 5.0, "b": 2.0})
+    assert first["queries"] == {"a": 5.0, "b": 2.0}
+    second = _write(out, {"a": 3.0, "b": 4.0})
+    # per-query min: a improves, b's earlier healthy value survives
+    assert second["queries"] == {"a": 3.0, "b": 2.0}
+    assert second["runs_this_round"] == 2
+    third = _write(out, {"a": 30.0, "b": 30.0})  # throttled window
+    assert third["queries"] == {"a": 3.0, "b": 2.0}
+
+
+def test_samples_and_variance_accumulate(tmp_path, patched_round):
+    out = tmp_path / "BENCH_local.json"
+    _write(out, {"a": 5.0})
+    rec = _write(out, {"a": 3.0})
+    assert rec["samples"]["a"] == [5.0, 3.0]
+    assert rec["variance"]["a"]["n"] == 2
+    assert rec["variance"]["a"]["min"] == 3.0
+    assert rec["variance"]["a"]["p50"] == 4.0
+    assert rec["variance"]["a"]["p95"] >= rec["variance"]["a"]["p50"]
+
+
+def test_new_round_starts_fresh(tmp_path, patched_round):
+    out = tmp_path / "BENCH_local.json"
+    _write(out, {"a": 3.0})
+    patched_round(12)
+    rec = _write(out, {"a": 9.0})
+    # a genuine cross-round regression must stay visible
+    assert rec["queries"] == {"a": 9.0}
+    assert rec["runs_this_round"] == 1
+    assert rec["round_key"] == 12
+
+
+def test_legacy_record_without_samples_is_seeded(tmp_path, patched_round):
+    out = tmp_path / "BENCH_local.json"
+    out.write_text(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": 5.0,
+                "unit": "sec",
+                "queries": {"a": 5.0},
+                "sf": 0.1,
+                "round_key": 11,
+            }
+        )
+    )
+    rec = _write(out, {"a": 7.0})
+    assert rec["queries"] == {"a": 5.0}
+    assert rec["samples"]["a"] == [5.0, 7.0]
+
+
+def test_sample_history_is_bounded(tmp_path, patched_round):
+    out = tmp_path / "BENCH_local.json"
+    for i in range(20):
+        rec = _write(out, {"a": 10.0 + i})
+    assert len(rec["samples"]["a"]) == 12
+    # min survives in queries even after its sample aged out
+    assert rec["queries"]["a"] == 10.0
