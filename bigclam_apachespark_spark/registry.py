@@ -376,9 +376,27 @@ def q_neighborhood_features(spark, sf_dir):
 
 
 def q_ktruss(spark, sf_dir):
-    """30-truss of the co-purchase graph via 3 bounded peeling
-    rounds (edge-cohesion backbone, one rung above kcore)."""
-    return G.ktruss(_sym(spark, sf_dir), k=30, rounds=3)
+    """30-truss of the co-purchase graph, peeled to a CERTIFIED
+    fixpoint (edge-cohesion backbone, one rung above kcore).
+    Measured fixpoint: round 3 at sf0.01, round 2 at sf0.1 — the
+    result is EMPTY at both gate scales (max support 32/22 < 28+
+    cascades away), which is the honest answer for k=30; the
+    non-trivial backbone lives in `graph_ktruss_backbone` (k=12).
+    rounds=6 is the certificate budget, not the answer depth: the
+    loop raises rather than truncate, and the oracle unrolls the
+    same bound (converged rounds are no-ops, so the hash is
+    unchanged from the rounds=3 record)."""
+    return G.ktruss(_sym(spark, sf_dir), k=30, rounds=6)
+
+
+def q_ktruss_backbone(spark, sf_dir):
+    """12-truss of the co-purchase graph — the NON-TRIVIAL community
+    backbone (1,127 edges at sf0.01, 9,790 at sf0.1; measured
+    fixpoint round 5/3), peeled to a certified fixpoint with
+    rounds=8 budget. Added in the r10 fixed-round kernel audit: the
+    k=30 row converges but to the empty graph, so this is the row
+    that actually exercises truss peeling's cascade on gate data."""
+    return G.ktruss(_sym(spark, sf_dir), k=12, rounds=8)
 
 
 def q_structural_similarity(spark, sf_dir):
@@ -504,9 +522,11 @@ def q_sql_degree_hist(spark, sf_dir):
 
 
 def q_kcore(spark, sf_dir):
-    """k-core (k=80) of the co-purchase graph via 8 bounded peeling
-    rounds (converged at round 6 on sf0.01 — the oracle unrolls the
-    identical chain)."""
+    """k-core (k=80) of the co-purchase graph, peeled to a CERTIFIED
+    fixpoint (measured: round 6 at sf0.01 AND sf0.1; rounds=8 is the
+    certificate budget with margin — the loop raises rather than
+    truncate, and the oracle unrolls the identical chain, where
+    converged rounds are no-ops)."""
     return G.kcore(_sym(spark, sf_dir), k=80, rounds=8)
 
 
@@ -627,6 +647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_harmonic_sampled": q_harmonic_sampled,
     "graph_neighborhood_features": q_neighborhood_features,
     "graph_ktruss": q_ktruss,
+    "graph_ktruss_backbone": q_ktruss_backbone,
     "graph_structural_similarity": q_structural_similarity,
     "graph_scan_clusters": q_scan_clusters,
     "graph_sssp_weighted": q_sssp_weighted,
@@ -1308,7 +1329,8 @@ ORACLE: dict[str, str] = {
     "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
-    "graph_ktruss": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(30, 3)}",
+    "graph_ktruss": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(30, 6)}",
+    "graph_ktruss_backbone": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(12, 8)}",
     # SCAN clustering: the sigma chain above + recursive CC over
     # core-core eps-edges; isolated cores self-label.
     "graph_scan_clusters": f"""WITH RECURSIVE {EDGES_SQL.strip().lstrip()}, {SYM_SQL.strip().lstrip()},
