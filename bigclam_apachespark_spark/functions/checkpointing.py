@@ -45,3 +45,46 @@ def ensure_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     except Exception:
         pass
     return df.localCheckpoint(eager=eager)
+
+
+def checkpoint_fresh(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + stats reset — THE enabler of iterative
+    DataFrame loops on Spark ≥3.4 (promoted here from
+    operators/bigclam.py in r11 when the SGNS fit loop hit the same
+    defect).
+
+    ``localCheckpoint`` carries the origin plan's *estimated* stats
+    into the resulting LogicalRDD (SPARK-39834), and the size-only
+    estimator models a join's output size as the PRODUCT of its
+    children's sizes. An iterative loop that joins the checkpointed
+    state back against data therefore compounds the estimate
+    exponentially: measured on the 8-node fixture, sizeInBytes went
+    8 → 80 → 443 → 2255 decimal DIGITS over four iterations, after
+    which every plan compile burned minutes in BigInteger multiplies
+    (the round-1 BigCLAM "fit cannot converge on 8 nodes" defect; the
+    r11 reproduction: a minimal join-update loop on 16k rows went
+    0.4 s → 85 s per step by iteration 21 under plain localCheckpoint,
+    flat at ~0.1 s with the stats reset). Re-wrapping the
+    checkpointed RDD via createDataFrame drops the origin stats; the
+    two Row↔InternalRow conversion maps this adds are narrow,
+    JVM-side, and negligible next to a checkpoint.
+
+    Returns the fresh DataFrame with the checkpointed parent attached
+    as ``_ckpt_handle`` (call ``release_fresh_checkpoint(df)`` to
+    free blocks)."""
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    fresh = DataFrame(
+        spark._jsparkSession.createDataFrame(ck._jdf.javaRDD(), ck._jdf.schema()),
+        spark,
+    )
+    fresh._ckpt_handle = ck
+    return fresh
+
+
+def release_fresh_checkpoint(df: DataFrame) -> None:
+    """Free the blocks behind a ``checkpoint_fresh`` result (no-op for
+    anything else)."""
+    handle = getattr(df, "_ckpt_handle", None)
+    if handle is not None:
+        unpersist_local_checkpoint(handle)

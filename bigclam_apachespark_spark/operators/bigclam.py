@@ -172,40 +172,13 @@ def init_factors(
     return joined.select("node_id", f.alias("f"))
 
 
-def checkpoint_fresh(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint + stats reset — THE enabler of iterative
-    DataFrame loops on Spark ≥3.4.
-
-    ``localCheckpoint`` carries the origin plan's *estimated* stats
-    into the resulting LogicalRDD (SPARK-39834), and the size-only
-    estimator models a join's output size as the PRODUCT of its
-    children's sizes. An iterative loop that joins the checkpointed
-    state back against data therefore compounds the estimate
-    exponentially: measured on the 8-node fixture, sizeInBytes went
-    8 → 80 → 443 → 2255 decimal DIGITS over four iterations, after
-    which every plan compile burned minutes in BigInteger multiplies
-    (the round-1 "fit cannot converge on 8 nodes" defect). Re-wrapping
-    the checkpointed RDD via createDataFrame drops the origin stats;
-    the two Row↔InternalRow conversion maps this adds are narrow,
-    JVM-side, and negligible next to a checkpoint.
-
-    Returns the fresh DataFrame with the checkpointed parent attached
-    as ``_ckpt_handle`` (call ``.unpersist()`` on it to free blocks).
-    """
-    ck = df.localCheckpoint(eager=True)
-    spark = df.sparkSession
-    fresh = DataFrame(
-        spark._jsparkSession.createDataFrame(ck._jdf.javaRDD(), ck._jdf.schema()),
-        spark,
-    )
-    fresh._ckpt_handle = ck
-    return fresh
-
-
-def _unpersist_ckpt(df: DataFrame) -> None:
-    handle = getattr(df, "_ckpt_handle", None)
-    if handle is not None:
-        unpersist_local_checkpoint(handle)
+# checkpoint_fresh lives in functions/checkpointing.py since r11 (the
+# SGNS fit loop hit the same SPARK-39834 stats-compounding defect this
+# helper was born to fix); re-exported here for its historical callers.
+from bigclam_apachespark_spark.functions.checkpointing import (  # noqa: E402
+    checkpoint_fresh,
+    release_fresh_checkpoint as _unpersist_ckpt,
+)
 
 
 def sum_f(factors: DataFrame) -> list[float]:

@@ -1259,3 +1259,57 @@ def test_sgns_loss_curve_descends(spark, g1_edges):
     losses = [l for _, l in rows]
     assert losses[0] <= losses[1] <= losses[2]
     assert losses[2] > losses[0]  # strictly improved overall
+
+
+def test_sgns_fit_reaches_plateau(spark, g1_edges):
+    """The convergence loop (VERDICT r10 ask #6): on the tiny G1
+    corpus the fixed-objective SGNS loop must report convergence
+    within its budget, improve the loss from init, and its stats must
+    agree with a recomputed loss of the returned embeddings."""
+    from bigclam_apachespark_spark.operators.graph import (
+        sgns_fit,
+        sgns_loss_row,
+        sgns_uniform_negdraw,
+        symmetrize,
+        vertices,
+    )
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
+    sym = symmetrize(g1_edges)
+    emb, stats = sgns_fit(sym, max_steps=30, start_mod=None)
+    assert stats["converged"], stats
+    assert 1 <= stats["n_steps"] <= 30
+    assert stats["loss_final_micro"] >= stats["loss_init_micro"]
+    assert stats["improvement_ppm"] >= 0
+    # the returned embeddings really are the reported-loss state
+    verts = vertices(sym)
+    ranked = bucketed_row_number(verts, ["id"], out="rk")
+    negdraw = sgns_uniform_negdraw(stats["pairs"], ranked, verts.count())
+    recomputed = sgns_loss_row(stats["pairs"], negdraw, emb, 0).collect()[0]
+    assert recomputed["loss_micro"] == stats["loss_final_micro"]
+
+
+def test_sgns_agreement_row_matches_fixed_step_readout(spark, g1_edges):
+    """The r11 refactor contract: sgns_pmi_agreement(steps=1) must
+    equal sgns_agreement_row over a hand-built 1-step embedding —
+    the shared readout cannot fork from the fixed-step path."""
+    from bigclam_apachespark_spark.operators.graph import (
+        random_walks,
+        sgns_agreement_row,
+        sgns_pairs,
+        sgns_pmi_agreement,
+        sgns_step,
+        symmetrize,
+    )
+
+    sym = symmetrize(g1_edges)
+    expected = sgns_pmi_agreement(sym, steps=1, k_top=5, start_mod=None).collect()[0]
+    walks = random_walks(sym, 4, 2, None)
+    pairs = sgns_pairs(walks, 2)
+    emb = sgns_step(sym, pairs=pairs)
+    got = sgns_agreement_row(sym, emb, pairs, 5, 4, 2, None, 2).collect()[0]
+    assert (expected.k, expected.n_scored, expected.n_overlap) == (
+        got.k,
+        got.n_scored,
+        got.n_overlap,
+    )

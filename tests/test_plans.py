@@ -391,6 +391,12 @@ _PLAN_SWEEP_SKIP = {
     "bigclam_facebook_pipeline",
     "bigclam_fit_long_smoke",
     "bigclam_model_selection_smoke",
+    # r11 iterative-fit smokes: building their DataFrame runs the
+    # whole driver fit loop (minutes); every kernel they compose
+    # (sgns_apply, bigclam one_iteration, louvain levels, modularity)
+    # is plan-audited through its oracle-checked query already.
+    "graph_sgns_fit_facebook",
+    "graph_q_method_compare_facebook_fit",
 }
 
 
