@@ -69,6 +69,15 @@ def checkpoint_fresh(df: DataFrame) -> DataFrame:
     two Row↔InternalRow conversion maps this adds are narrow,
     JVM-side, and negligible next to a checkpoint.
 
+    When NOT to use it: the reset sets sizeInBytes to
+    spark.sql.defaultSizeInBytes (Long.MaxValue), so joins against a
+    fresh frame never auto-broadcast. For a BOUNDED chain (the 2-3
+    step oracle queries) the inherited estimates cannot compound far
+    and the broadcasts they enable win — measured at sf0.1:
+    graph_sgns_two_steps is 17 s with plain localCheckpoint vs 33 s
+    with the stats reset. Plain localCheckpoint for bounded unrolls;
+    checkpoint_fresh for open-ended driver loops.
+
     Returns the fresh DataFrame with the checkpointed parent attached
     as ``_ckpt_handle`` (call ``release_fresh_checkpoint(df)`` to
     free blocks)."""

@@ -2437,3 +2437,102 @@ def range_search_ivf_eval(
             .alias("recall"),
         )
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) — CLUSTER-SCOPED
+    semantic deduplication → ``(vec_id, cell, cent_cos, kept)``:
+
+    1. assign every vector to its nearest of ``n_cells`` coarse
+       centroids (the shared IVF quantizer — deterministic md5-sample
+       centroids, broadcast, argmax as a max_by hash agg);
+    2. order each cell's members by cosine-to-centroid ASC (the
+       paper's keep-LOW-centroid-similarity rule: among semantic
+       duplicates, the example farthest from the cluster center is
+       the most informative one), ties by id;
+    3. drop an item iff some EARLIER-ordered cellmate has pairwise
+       cosine ≥ ``eps`` with it — the paper's own non-iterative
+       triangular sweep (dominators are tested kept-or-not, exactly
+       like the released implementation's upper-triangular max).
+
+    Versus the LSH near-dup family (``cosine_near_dup_pairs`` →
+    CC survivors): no banding, no hash families — when embeddings
+    already exist, the coarse quantizer IS the blocker, candidate
+    pairs are cell-bounded (never all-pairs; at 100 TB ``n_cells``
+    scales with the corpus exactly like the IVF index it reuses),
+    and the survivor rule is information-aware instead of
+    min-id/canonical.
+
+    Exactness: centroid and pairwise cosines are the house quantized
+    kernel (exact int64 dots, one sqrt·mul·div each) rounded to 6 dp
+    BEFORE any comparison, so the dominance relation — and therefore
+    the kept set — is bit-identical cross-engine. The dominance test
+    is a pure cell-keyed self-join + left_anti; no window touches a
+    corpus-sized relation."""
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    asg = ivf_assign(embeddings, cent, id_col, vec_col, keep_vec=True)
+    # Referenced THREE times below (both pair sides + the output
+    # spine) — materialized per the unrolled-chain authoring rule, or
+    # each reference re-runs the full quantize+assign corpus pass
+    # (the plan showed 6 seed-rank windows before this checkpoint).
+    cellv = (
+        asg.join(F.broadcast(cent), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            "qv",
+            "nrm",
+            F.round(_cos_q("qv", "nrm", "cqv", "cnrm"), 6).alias("cent_cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = cellv.select(
+        F.col(id_col).alias("xid"),
+        "cell",
+        F.col("qv").alias("xqv"),
+        F.col("nrm").alias("xnrm"),
+        F.col("cent_cos").alias("xcc"),
+    )
+    y = cellv.select(
+        F.col(id_col).alias("yid"),
+        "cell",
+        F.col("qv").alias("yqv"),
+        F.col("nrm").alias("ynrm"),
+        F.col("cent_cos").alias("ycc"),
+    )
+    dominated = (
+        x.join(y, "cell")
+        .where(
+            (F.col("yid") != F.col("xid"))
+            & (
+                (F.col("ycc") < F.col("xcc"))
+                | ((F.col("ycc") == F.col("xcc")) & (F.col("yid") < F.col("xid")))
+            )
+            & (
+                F.round(_cos_q("xqv", "xnrm", "yqv", "ynrm"), 6)
+                >= F.lit(eps)
+            )
+        )
+        .select(F.col("xid").alias(id_col))
+        .distinct()
+    )
+    return (
+        cellv.select(id_col, "cell", "cent_cos")
+        .join(
+            dominated.select(F.col(id_col), F.lit(False).alias("kept")),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cell",
+            "cent_cos",
+            F.coalesce("kept", F.lit(True)).alias("kept"),
+        )
+    )

@@ -2494,6 +2494,31 @@ pnn AS (
 )"""
 
 SIM_ORACLE = {
+    # SemDeDup (Abbas et al. 2303.09540): the IVF coarse quantizer is
+    # the blocker; within-cell triangular dominance sweep ordered by
+    # (cent_cos ASC, vec_id ASC) — the keep-farthest-from-centroid
+    # rule. Cosines rounded to 6 dp BEFORE comparison on both engines.
+    "sim_semdedup": f"""
+        WITH {EMB_SQL}, {IVF_SQL},
+        cellv AS MATERIALIZED (
+          SELECT a.vec_id, a.cell, e.qv, e.nrm,
+                 round({_cosq_sql('e.qv', 'e.nrm', 'c.cqv', 'c.cnrm')}, 6) AS cent_cos
+          FROM assign a
+          JOIN emb e ON e.vec_id = a.vec_id
+          JOIN cent c ON c.cell = a.cell
+        ),
+        dom AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id
+          FROM cellv x JOIN cellv y
+            ON y.cell = x.cell AND y.vec_id <> x.vec_id
+          WHERE (y.cent_cos < x.cent_cos
+                 OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+            AND round({_cosq_sql('x.qv', 'x.nrm', 'y.qv', 'y.nrm')}, 6) >= 0.4
+        )
+        SELECT c.vec_id, c.cell, c.cent_cos,
+               (d.vec_id IS NULL) AS kept
+        FROM cellv c LEFT JOIN dom d ON d.vec_id = c.vec_id
+    """,
     "sim_pq_topk": f"""
         WITH {EMB_SQL}, {PQ_SQL}
         SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM pnn
@@ -3994,6 +4019,14 @@ SIM_QUERIES = {
         _emb(spark, sf), _queries_subset(spark, sf), k=4, n_cand=16, lam=0.5
     ),
     "sim_pair_hist": lambda spark, sf: S.cosine_histogram(_emb(spark, sf)),
+    # SemDeDup at eps=0.4: the synthetic fixture has NO true near-dups
+    # (measured max pairwise cosine 0.513 at sf0.01), so the query
+    # runs at a threshold where the dominance sweep demonstrably
+    # fires (18/500 dropped at sf0.01, 172/2000 at sf0.1); 0.95 is
+    # the production default parameter, not the fixture's.
+    "sim_semdedup": lambda spark, sf: S.semdedup(
+        _emb(spark, sf), n_cells=16, eps=0.4
+    ),
     "sim_ivf_topk": lambda spark, sf: S.ivf_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4
     ),

@@ -2161,3 +2161,34 @@ def test_ab_power_cuped_reduction_and_degenerate_variance(spark):
     flat = ab_power_readout(build(lambda u: 7)).collect()[0]
     assert flat.rho2_milli == 0.0
     assert flat.mde_milli == flat.mde_cuped_milli
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark, vecs):
+    """SemDeDup dominance hand-check: with ONE cell every vector is a
+    cellmate; at eps=0.95 the two planted near-dup pairs (0,1) and
+    (2,3) must each collapse to their lower-centroid-cosine member,
+    and vector 4 (similar to nothing at 0.95) must survive."""
+    from bigclam_apachespark_spark.operators.similarity import semdedup
+
+    out = {r["vec_id"]: r for r in semdedup(vecs, n_cells=1, eps=0.95).collect()}
+    assert len(out) == 5
+    assert out[4]["kept"]
+    # exactly one member of each near-dup pair survives…
+    assert out[0]["kept"] != out[1]["kept"]
+    assert out[2]["kept"] != out[3]["kept"]
+    # …and it is the one with the LOWER cosine to the cell centroid
+    for a, b in ((0, 1), (2, 3)):
+        kept = a if out[a]["kept"] else b
+        dropped = b if out[a]["kept"] else a
+        assert out[kept]["cent_cos"] <= out[dropped]["cent_cos"]
+
+
+def test_semdedup_no_cross_cell_dominance(spark, vecs):
+    """With enough cells that the near-dup pairs split from the rest,
+    dominance only acts within a cell: everything similar lands
+    together and the kept count still drops by exactly 2."""
+    from bigclam_apachespark_spark.operators.similarity import semdedup
+
+    out = semdedup(vecs, n_cells=2, eps=0.95).collect()
+    kept = sum(1 for r in out if r["kept"])
+    assert len(out) == 5 and kept == 3
