@@ -186,6 +186,10 @@ HEADLINE = [
     "graph_coreness",
     "graph_betweenness",
     "graph_sgns_two_steps",
+    # round-11 additions: certified non-trivial truss peeling and
+    # cluster-scoped semantic dedup
+    "graph_ktruss_backbone",
+    "sim_semdedup",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -332,6 +336,8 @@ EXPECTED = {
     "graph_coreness": 26.0,  # r10: convergence-certified fixpoint (38 rounds, was a wrong 8-round unroll at 13.4)
     "graph_betweenness": 13.3,
     "graph_sgns_two_steps": 14.5,
+    "graph_ktruss_backbone": 20.0,  # r11 first calibration: 3-round certified peel, |E|^1.5 wedge join per round at sf0.1
+    "sim_semdedup": 4.0,  # r11: one assign pass + cell-bounded pair join on the 2k-vector corpus
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -2059,3 +2059,120 @@ def word2vec_step(
     return emb.join(
         vocab.select(F.col("vid").alias("node_id"), "term"), "node_id"
     ).select("term", "k", "wv", "cv")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23 «Data Selection
+    for Language Models via Importance Resampling») →
+    ``(doc_id, lang, n_tokens, lambda_micro)``: score every raw
+    document by how much more likely its hashed-unigram profile is
+    under the TARGET distribution (here: the ``target_lang`` slice —
+    the in-domain corpus) than under the raw corpus itself,
+
+        λ(doc) = Σ_tokens [ ln p̂_target(b(token)) − ln p̂_raw(b(token)) ]
+
+    with b = hash64 mod ``n_buckets`` (the paper's hashed n-gram
+    feature space — collisions are part of the method, not a bug: the
+    bucket distribution is what's compared, never the raw vocabulary,
+    so the feature space stays fixed-size at any corpus scale) and
+    add-1 smoothed bucket probabilities.
+
+    Exactness: bucket counts and totals are exact integer aggregates;
+    each ln is a single transcendental over an exact rational and is
+    floor-quantized to int64 micro-nats IMMEDIATELY (the
+    ``_sgns_sigma_micro`` rule), so per-bucket weights and the
+    per-doc sum are exact integer arithmetic afterwards — the ranking
+    is bit-identical cross-engine.
+
+    Scale shape: ONE exploded-token pass feeds both distributions
+    (the target one via a filter — no second scan); the weight table
+    is ``n_buckets`` rows (broadcast); totals are 1-row crossJoins;
+    the per-doc score is one hash agg. Nothing driver-side."""
+    from bigclam_apachespark_spark.functions.hashing import hash64, tokens
+
+    b_col = F.pmod(
+        hash64(F.concat(F.lit("dsir:"), F.col("term"))), F.lit(n_buckets)
+    ).alias("b")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(text_col)).alias("term")
+    ).select("doc_id", "lang", b_col)
+    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = tok.where(F.col("lang") == target_lang).groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    nr = raw.agg(F.sum("cr").alias("n_raw"))
+    nt = tgt.agg(F.sum("ct").alias("n_tgt"))
+    ln_micro = lambda num, den: F.floor(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(1.0e6)
+    ).cast("long")
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "b",
+            (
+                ln_micro(
+                    F.coalesce("ct", F.lit(0)) + F.lit(1),
+                    F.col("n_tgt") + F.lit(n_buckets),
+                )
+                - ln_micro(F.col("cr") + F.lit(1), F.col("n_raw") + F.lit(n_buckets))
+            ).alias("w_micro"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_micro").cast("long").alias("lambda_micro"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    k: int = 64,
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR resampling — the selection step → the ``k`` chosen docs
+    ``(doc_id, lang, lambda_micro, key_micro)``: Gumbel-top-k over
+    the importance weights (sampling WITHOUT replacement with
+    probability ∝ exp(λ) is exactly top-k of λ + Gumbel noise —
+    Kirsch et al.'s trick, the one the DSIR release uses). The noise
+    is deterministic: u = (hash64('dsir-g:'+doc_id) mod 2²⁰ + 1) /
+    (2²⁰ + 1) ∈ (0,1), g = −ln(−ln u), floor-quantized to micro-nats
+    so both engines draw the identical jitter. λ dominates the key
+    for clearly in/out-of-domain docs (thousands of micro-nats per
+    token); the Gumbel term decides only near-ties — the honest
+    sampling behavior of the method.
+
+    Scale shape: the weights pass (see ``dsir_weights``) + one
+    ``orderBy().limit(k)`` head, which compiles to
+    TakeOrderedAndProject — per-partition top-k + a k-row driver
+    merge, never a global sort."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+
+    lam = dsir_weights(docs, target_lang, n_buckets, text_col)
+    u = (
+        F.pmod(
+            hash64(F.concat(F.lit("dsir-g:"), F.col("doc_id").cast("string"))),
+            F.lit(1 << 20),
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(float((1 << 20) + 1))
+    g_micro = F.floor(-F.log(-F.log(u)) * F.lit(1.0e6)).cast("long")
+    keyed = lam.select(
+        "doc_id",
+        "lang",
+        "lambda_micro",
+        (F.col("lambda_micro") + g_micro).alias("key_micro"),
+    )
+    return keyed.orderBy(F.col("key_micro").desc(), "doc_id").limit(k)

@@ -667,6 +667,69 @@ TEXT_ORACLE = {
     """,
     # ln appears only in rounded OUTPUT values here (never a rank or
     # threshold), so the last-ulp libm hazard class does not apply.
+    # DSIR (Xie et al. NeurIPS'23): hashed-unigram importance weights
+    # — every ln is floor-quantized to micro-nats immediately (single
+    # transcendental over an exact rational), so per-bucket weights,
+    # per-doc sums, and the Gumbel-jittered top-k key are exact int64
+    # cross-engine.
+    "text_dsir_weights": f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST({hash64_sql("CONCAT('dsir:', term)")} % 1024 AS BIGINT) AS b
+          FROM (SELECT doc_id, lang, unnest({TOKENS}) AS term FROM documents)
+        ),
+        raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY b),
+        tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+                WHERE lang = 'en' GROUP BY b),
+        nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_raw FROM raw),
+        nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tgt FROM tgt),
+        w AS (
+          SELECT raw.b,
+                 CAST(floor(ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                              / CAST(nt.n_tgt + 1024 AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(floor(ln(CAST(raw.cr + 1 AS DOUBLE)
+                              / CAST(nr.n_raw + 1024 AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS w_micro
+          FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN nr CROSS JOIN nt
+        )
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(w_micro) AS BIGINT) AS lambda_micro
+        FROM tok JOIN w ON w.b = tok.b
+        GROUP BY doc_id, lang
+    """,
+    "text_dsir_sample": f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 CAST({hash64_sql("CONCAT('dsir:', term)")} % 1024 AS BIGINT) AS b
+          FROM (SELECT doc_id, lang, unnest({TOKENS}) AS term FROM documents)
+        ),
+        raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY b),
+        tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+                WHERE lang = 'en' GROUP BY b),
+        nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_raw FROM raw),
+        nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tgt FROM tgt),
+        w AS (
+          SELECT raw.b,
+                 CAST(floor(ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                              / CAST(nt.n_tgt + 1024 AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(floor(ln(CAST(raw.cr + 1 AS DOUBLE)
+                              / CAST(nr.n_raw + 1024 AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS w_micro
+          FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN nr CROSS JOIN nt
+        ),
+        lam AS (
+          SELECT doc_id, lang, CAST(SUM(w_micro) AS BIGINT) AS lambda_micro
+          FROM tok JOIN w ON w.b = tok.b
+          GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, lambda_micro,
+               lambda_micro + CAST(floor(-ln(-ln(
+                   CAST(({hash64_sql("CONCAT('dsir-g:', CAST(doc_id AS VARCHAR))")} % 1048576) + 1 AS DOUBLE)
+                   / 1048577.0)) * 1e6) AS BIGINT) AS key_micro
+        FROM lam
+        ORDER BY key_micro DESC, doc_id
+        LIMIT 64
+    """,
     "text_unigram_logprob": f"""
         WITH tok AS (SELECT doc_id, unnest({TOKENS}) AS term FROM documents),
         tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ctf FROM tok GROUP BY term),
@@ -1181,6 +1244,8 @@ TEXT_QUERIES = {
     "text_pack_sequences": lambda spark, sf: X.pack_sequences(_docs(spark, sf), budget=256),
     "text_length_quantiles": lambda spark, sf: X.token_length_quantiles(_docs(spark, sf)),
     "text_unigram_logprob": lambda spark, sf: X.unigram_logprob(_docs(spark, sf)),
+    "text_dsir_weights": lambda spark, sf: X.dsir_weights(_docs(spark, sf)),
+    "text_dsir_sample": lambda spark, sf: X.dsir_sample(_docs(spark, sf), k=64),
     "text_bigram_logprob": lambda spark, sf: X.bigram_logprob(_docs(spark, sf)),
     "text_heldout_perplexity": lambda spark, sf: X.heldout_perplexity(
         _docs(spark, sf)

@@ -1471,3 +1471,33 @@ def test_word2vec_vocab_pairs_hand_computed(spark):
     init_w = {(v, k): ((v * 31 + 7 * k) % 19 - 9) * 20000
               for v in range(1, 6) for k in range(4)}
     assert any(r[2] != init_w[(vid[r[0]], r[1])] for r in out1)
+
+
+def test_dsir_weights_prefer_target_profile(spark):
+    """DSIR hand-check: with a target language whose docs share a
+    distinctive vocabulary, target-profile docs must out-score the
+    off-profile ones, and a raw doc written IN the target's
+    vocabulary must score high even though its own lang tag differs
+    (the method scores token profiles, not labels)."""
+    from bigclam_apachespark_spark.operators.text import dsir_sample, dsir_weights
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", "s", 0),
+        (2, "alpha gamma beta beta alpha", "en", "s", 0),
+        (3, "uno dos tres quatro cinco", "es", "s", 0),
+        (4, "uno tres dos cinco uno", "es", "s", 0),
+        # es-tagged doc with the en vocabulary — must score like en
+        (5, "alpha beta beta gamma alpha", "es", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    lam = {r["doc_id"]: r["lambda_micro"] for r in dsir_weights(docs).collect()}
+    assert len(lam) == 5
+    # en-profile docs (1, 2, 5) all above the es-profile docs (3, 4)
+    assert min(lam[1], lam[2], lam[5]) > max(lam[3], lam[4])
+    # the resample keeps the highest-key docs; with k=3 the en-profile
+    # trio dominates (lambda gaps are thousands of micro-nats, far
+    # beyond the bounded Gumbel jitter)
+    top = {r["doc_id"] for r in dsir_sample(docs, k=3).collect()}
+    assert top == {1, 2, 5}
