@@ -378,15 +378,18 @@ def q_neighborhood_features(spark, sf_dir):
 def q_ktruss(spark, sf_dir):
     """30-truss of the co-purchase graph, peeled to a CERTIFIED
     fixpoint (edge-cohesion backbone, one rung above kcore).
-    Measured fixpoint: round 3 at sf0.01, round 2 at sf0.1 — the
-    result is EMPTY at both gate scales (max support 32/22 < 28+
-    cascades away), which is the honest answer for k=30; the
-    non-trivial backbone lives in `graph_ktruss_backbone` (k=12).
-    rounds=6 is the certificate budget, not the answer depth: the
-    loop raises rather than truncate, and the oracle unrolls the
-    same bound (converged rounds are no-ops, so the hash is
-    unchanged from the rounds=3 record)."""
-    return G.ktruss(_sym(spark, sf_dir), k=30, rounds=6)
+    Measured fixpoints: round 3 at sf0.01, round 2 at sf0.1, round
+    14 at sf0.001 (the smallest graph cascades SLOWEST to its empty
+    k=30 truss — denser co-purchase projection; the r11 certificate
+    caught exactly this when the plan sweep ran at sf0.001) — the
+    result is EMPTY at all three scales, which is the honest answer
+    for k=30; the non-trivial backbone lives in
+    `graph_ktruss_backbone` (k=12). rounds=20 is the certificate
+    budget, not the answer depth: the loop raises rather than
+    truncate, and the oracle unrolls the same bound (converged
+    rounds are no-ops — wedge joins over the emptied edge set — so
+    the hash is unchanged from the rounds=3 record)."""
+    return G.ktruss(_sym(spark, sf_dir), k=30, rounds=20)
 
 
 def q_ktruss_backbone(spark, sf_dir):
@@ -1329,7 +1332,7 @@ ORACLE: dict[str, str] = {
     "graph_sssp_weighted": f"WITH {_WEDGES_SQL},\n{_sssp_sql(4, 100)}",
     "graph_hits": f"WITH {EDGES_CS_SQL},\n{_hits_sql(3)}",
     "graph_kcore": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_kcore_sql(80, 8)}",
-    "graph_ktruss": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(30, 6)}",
+    "graph_ktruss": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(30, 20)}",
     "graph_ktruss_backbone": f"WITH {EDGES_SQL}, {SYM_SQL},\n{_ktruss_sql(12, 8)}",
     # SCAN clustering: the sigma chain above + recursive CC over
     # core-core eps-edges; isolated cores self-label.
