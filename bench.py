@@ -200,12 +200,28 @@ HEADLINE = [
 # exceeds RERUN_FACTOR x the healthy reference is re-measured and the
 # MIN is reported — standard min-of-N practice that converges to the
 # code's actual cost as soon as one run lands in a sane window.
+#
+# Calibration discipline (VERDICT r11 ask #3): the per-query rerun
+# gate does NOT use these numbers raw — it uses
+#   effective_expected(n) = max(EXPECTED[n], prior-round p95 band)
+# where the band is the previous round's per-query {min, p50, p95}
+# carried across the round boundary inside BENCH_local.json
+# ("prior_band"). The band is measured on CURRENT hardware for the
+# SAME code, so the 2x row gate cannot fire spuriously when the host
+# re-bases itself under unchanged code; EXPECTED remains the
+# fast-window anchor that the suite-median drift detector compares
+# against. Four round-1-calibrated entries were additionally re-based
+# 2026-08-16 to idle-host readings reproduced independently by the
+# round-11 judge (copurchase 3.7->7.0, seeds 4.7->8.5,
+# structural_similarity 8.4->17.0, coreness 26->50): two consecutive
+# rounds + an idle-host re-timing all agreed the old numbers came
+# from a hardware state that no longer exists.
 EXPECTED = {
-    "graph_copurchase_edges": 3.7,
+    "graph_copurchase_edges": 7.0,  # r12 re-base (was 3.7, r1 window)
     "graph_degrees": 1.3,
     "graph_neighbors": 1.4,
     "graph_conductance": 4.7,
-    "graph_seeds": 4.7,
+    "graph_seeds": 8.5,  # r12 re-base (was 4.7, r1 window)
     "graph_triangles": 1.5,
     "graph_pagerank": 9.3,
     "bigclam_gradient": 8.8,
@@ -305,7 +321,7 @@ EXPECTED = {
     # scan_clusters 16.0-stale/23.4-honest → 4.1, louvain_move
     # 5.2 → 2.9, louvain_coarsen 7.3 → 3.3 (VERDICT r8 asks #3/#6;
     # suite-level net ≈ −25 s).
-    "graph_structural_similarity": 8.4,
+    "graph_structural_similarity": 17.0,  # r12 re-base (was 8.4; judge idle-host 17.7)
     "events_time_to_convert": 3.0,
     "graph_scan_clusters": 4.2,
     # round-8 additions (measured 2026-08-15, in-suite warm values)
@@ -333,7 +349,7 @@ EXPECTED = {
     "dedup_bloom_decontam": 1.1,
     "graph_walk_pmi": 8.3,
     "graph_node2vec_walks": 7.5,
-    "graph_coreness": 26.0,  # r10: convergence-certified fixpoint (38 rounds, was a wrong 8-round unroll at 13.4)
+    "graph_coreness": 50.0,  # r12 re-base (was 26.0; judge idle-host 50.4) — r10: convergence-certified fixpoint (38 rounds)
     "graph_betweenness": 13.3,
     "graph_sgns_two_steps": 14.5,
     "graph_ktruss_backbone": 20.0,  # r11 first calibration: 3-round certified peel, |E|^1.5 wedge join per round at sf0.1
@@ -353,10 +369,47 @@ RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
 DRIFT_MEDIAN_FACTOR = 1.3
 
 
+def _load_bands() -> tuple[dict, dict]:
+    """(prior_band, this_round_variance) from BENCH_local.json.
+
+    ``prior_band`` is the PREVIOUS round's per-query {min, p50, p95}
+    — carried across the round-key roll by ``_write_round_record`` —
+    so a round-opening n=1 driver window is mechanically adjudicable
+    against the same code's measured spread on current hardware
+    (VERDICT r11 ask #3a). ``this_round_variance`` is the live
+    round's sample record, used for the healthy-run regression
+    warning."""
+    out = Path(__file__).resolve().parent / "BENCH_local.json"
+    try:
+        rec = json.loads(out.read_text())
+    except (OSError, ValueError):
+        return {}, {}
+    same_round = rec.get("round_key") == _newest_correctness_round()
+    prior = rec.get("prior_band") if same_round else rec.get("variance")
+    var = rec.get("variance") if same_round else {}
+    return (prior if isinstance(prior, dict) else {}), (
+        var if isinstance(var, dict) else {}
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bigclam_bench")
+    prior_band, round_var = _load_bands() if abs(sf - 0.1) < 1e-9 else ({}, {})
+
+    def effective_expected(name: str) -> float | None:
+        # The documented calibration rule (VERDICT r11 ask #3b): the
+        # per-query rerun gate compares against the LOOSER of the
+        # fast-window anchor and the prior round's p95 on current
+        # hardware, so unchanged code cannot trip the gate just
+        # because the host re-based itself.
+        base = EXPECTED.get(name)
+        band = prior_band.get(name, {})
+        p95 = band.get("p95") if isinstance(band, dict) else None
+        if base is None:
+            return p95
+        return max(base, p95) if p95 else base
 
     names = [n for n in HEADLINE if n in QUERIES]
     extra = os.environ.get("BENCH_QUERIES")
@@ -387,7 +440,7 @@ def main() -> None:
         timings: dict[str, float] = {}
         for name in names:
             dt, n = run_once(name)
-            limit = EXPECTED.get(name)
+            limit = effective_expected(name)
             threshold = RERUN_FACTOR * limit if limit else RERUN_UNKNOWN_ABOVE
             if dt > threshold:
                 print(
@@ -402,6 +455,21 @@ def main() -> None:
                 dt2, _ = run_once(name)
                 dt = min(dt, dt2)
             timings[name] = round(dt, 3)
+            # Same-round regression tripwire (ADVICE r11): min-merge
+            # absorbs window noise but would also HIDE a genuine
+            # regression introduced by a same-round code change — so
+            # any reading far above the round's committed min gets a
+            # visible flag even when the row gate (vs EXPECTED) is
+            # quiet.
+            prev_min = round_var.get(name, {}).get("min")
+            if prev_min and dt > RERUN_FACTOR * prev_min:
+                print(
+                    f"# {name}: {dt:.3f}s > {RERUN_FACTOR}x this round's "
+                    f"committed min {prev_min:.3f}s — if this window is "
+                    "healthy, a same-round code change may have regressed "
+                    "it (the min-merged record will not show this)",
+                    file=sys.stderr,
+                )
             print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         return timings
 
@@ -534,6 +602,17 @@ def _write_round_record(
     elif same_round:
         # Legacy record without sample history: seed from its mins.
         samples = {n: [t] for n, t in prev["queries"].items()}
+    # A query renamed or retired mid-round must not persist in the
+    # record (it would inflate the headline sum until the next round
+    # stamp — ADVICE r11): keep only names the CURRENT suite timed.
+    retired = sorted(set(samples) - set(timings))
+    if retired:
+        print(
+            f"# dropping {len(retired)} retired/renamed queries from "
+            f"BENCH_local.json: {', '.join(retired)}",
+            file=sys.stderr,
+        )
+    samples = {n: v for n, v in samples.items() if n in timings}
     for n, t in timings.items():
         samples.setdefault(n, []).append(t)
         samples[n] = samples[n][-12:]  # bound the history
@@ -541,7 +620,8 @@ def _write_round_record(
     merged = {n: round(min(v), 3) for n, v in samples.items()}
     if same_round:
         for n, t in prev["queries"].items():
-            merged[n] = min(merged.get(n, t), t)
+            if n in merged:
+                merged[n] = min(merged[n], t)
 
     def pctl(vals: list[float], q: float) -> float:
         if len(vals) == 1:
@@ -559,6 +639,17 @@ def _write_round_record(
         }
         for n, v in sorted(samples.items())
     }
+    # Round-boundary continuity (VERDICT r11 ask #3a): when the round
+    # key rolls, the outgoing round's variance becomes the incoming
+    # round's reference band, so the FIRST (n=1) window of a new round
+    # is still adjudicable against the same code's measured spread on
+    # current hardware instead of resetting to no-history.
+    if same_round:
+        prior_band = prev.get("prior_band")
+        prior_round_key = prev.get("prior_round_key")
+    else:
+        prior_band = prev.get("variance")
+        prior_round_key = prev.get("round_key")
     record = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(merged.values()), 3),
@@ -570,6 +661,8 @@ def _write_round_record(
         "degraded": degraded and median_ratio(merged) > DRIFT_MEDIAN_FACTOR,
         "samples": {n: v for n, v in sorted(samples.items())},
         "variance": variance,
+        "prior_round_key": prior_round_key,
+        "prior_band": prior_band if isinstance(prior_band, dict) else {},
     }
     out.write_text(json.dumps(record, indent=1) + "\n")
 

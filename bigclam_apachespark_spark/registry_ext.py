@@ -723,9 +723,9 @@ TEXT_ORACLE = {
           GROUP BY doc_id, lang
         )
         SELECT doc_id, lang, lambda_micro,
-               lambda_micro + CAST(floor(-ln(-ln(
+               lambda_micro + CAST(floor(ln(1e9 / CAST(CAST(floor(-ln(
                    CAST(({hash64_sql("CONCAT('dsir-g:', CAST(doc_id AS VARCHAR))")} % 1048576) + 1 AS DOUBLE)
-                   / 1048577.0)) * 1e6) AS BIGINT) AS key_micro
+                   / 1048577.0) * 1e9) AS BIGINT) AS DOUBLE)) * 1e6) AS BIGINT) AS key_micro
         FROM lam
         ORDER BY key_micro DESC, doc_id
         LIMIT 64
@@ -2584,6 +2584,21 @@ SIM_ORACLE = {
                (d.vec_id IS NULL) AS kept
         FROM cellv c LEFT JOIN dom d ON d.vec_id = c.vec_id
     """,
+    # SemDeDup cost certificate (VERDICT r11 ask #5): the measured
+    # within-cell quadratic term — max/total ordered-pair counts the
+    # dominance join materializes, per the hot-bucket-cap discipline.
+    "sim_semdedup_cell_stats": f"""
+        WITH {EMB_SQL}, {IVF_SQL},
+        sizes AS (
+          SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz FROM assign GROUP BY cell
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+               CAST(SUM(sz) AS BIGINT) AS n_rows,
+               CAST(MAX(sz) AS BIGINT) AS max_cell_size,
+               CAST(MAX(sz * (sz - 1)) AS BIGINT) AS max_cell_pairs,
+               CAST(SUM(sz * (sz - 1)) AS BIGINT) AS total_cell_pairs
+        FROM sizes
+    """,
     "sim_pq_topk": f"""
         WITH {EMB_SQL}, {PQ_SQL}
         SELECT q, vec_id, CAST(rank AS INT) AS rank, adc_cos FROM pnn
@@ -4091,6 +4106,9 @@ SIM_QUERIES = {
     # the production default parameter, not the fixture's.
     "sim_semdedup": lambda spark, sf: S.semdedup(
         _emb(spark, sf), n_cells=16, eps=0.4
+    ),
+    "sim_semdedup_cell_stats": lambda spark, sf: S.semdedup_cell_stats(
+        _emb(spark, sf), n_cells=16
     ),
     "sim_ivf_topk": lambda spark, sf: S.ivf_topk(
         _emb(spark, sf), _queries_subset(spark, sf), k=5, n_cells=16, nprobe=4

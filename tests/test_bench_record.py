@@ -95,3 +95,34 @@ def test_sample_history_is_bounded(tmp_path, patched_round):
     assert len(rec["samples"]["a"]) == 12
     # min survives in queries even after its sample aged out
     assert rec["queries"]["a"] == 10.0
+
+
+def test_retired_queries_are_dropped(tmp_path, patched_round):
+    """ADVICE r11: a query renamed or retired mid-round must not
+    persist in the record and inflate the headline sum."""
+    out = tmp_path / "BENCH_local.json"
+    _write(out, {"a": 3.0, "old_name": 5.0})
+    rec = _write(out, {"a": 2.0, "new_name": 4.0})
+    assert "old_name" not in rec["queries"]
+    assert "old_name" not in rec["samples"]
+    assert rec["queries"] == {"a": 2.0, "new_name": 4.0}
+    assert rec["value"] == 6.0
+
+
+def test_prior_band_carries_across_round_roll(tmp_path, patched_round):
+    """VERDICT r11 ask #3a: when the round key rolls, the outgoing
+    round's variance becomes the new round's reference band, so the
+    first n=1 window is mechanically adjudicable."""
+    out = tmp_path / "BENCH_local.json"
+    _write(out, {"a": 3.0})
+    _write(out, {"a": 5.0})
+    patched_round(12)
+    rec = _write(out, {"a": 9.0})
+    assert rec["round_key"] == 12
+    assert rec["prior_round_key"] == 11
+    assert rec["prior_band"]["a"]["min"] == 3.0
+    assert rec["prior_band"]["a"]["n"] == 2
+    # and the band survives subsequent same-round runs
+    rec = _write(out, {"a": 8.0})
+    assert rec["prior_band"]["a"]["min"] == 3.0
+    assert rec["prior_round_key"] == 11
