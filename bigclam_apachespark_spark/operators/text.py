@@ -2186,3 +2186,447 @@ def dsir_sample(
         (F.col("lambda_micro") + g_micro).alias("key_micro"),
     )
     return keyed.orderBy(F.col("key_micro").desc(), "doc_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Trained linear text classifier (VERDICT r11 ask #7) — fastText-style
+# hashed-feature one-vs-rest logistic regression, trained with the same
+# quantized exact-int64 full-batch update idiom as the SGNS family
+# (graph.sgns_apply): weights are int64 micro-units, every dot product
+# is an exact integer sum, each transcendental (σ, ln σ) is floored to
+# a fixed grid immediately, and the update is one floored division —
+# so two engines replaying the same steps produce bit-identical weight
+# tables.
+# ---------------------------------------------------------------------------
+
+CLF_DIMS = 256       # hashed feature space (plus one bias dim at index CLF_DIMS)
+CLF_SCALE_DEN = 8    # score = dot_int / (CLF_SCALE_DEN · 1e6)
+CLF_LR_NUM = 64      # lr numerator over the MEAN gradient (see step docstring)
+
+
+def classifier_features(
+    docs: DataFrame, dims: int = CLF_DIMS, text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick BINARY presence features → long layout
+    ``(doc_id, dim, x)`` with x = 1: dim = hash64(term) mod dims for
+    every DISTINCT token, plus a bias feature at dim = ``dims`` on
+    every doc. Binary presence (fastText's bag input without counts)
+    because the langid-style targets this classifier serves are
+    presence signals — token multiplicity carries topic, not
+    language. Distinct()-deduped: two different terms colliding into
+    one dim must still yield x = 1 (the documented hashing-trick
+    merge), not x = 2. One explode + distinct; dims is a constant, so
+    the key space is |docs|·dims like ``feature_hashing``."""
+    from bigclam_apachespark_spark.functions.hashing import hash64, tokens
+
+    feats = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("term")
+        )
+        .select("doc_id", (hash64("term") % dims).cast("int").alias("dim"))
+        .distinct()
+    )
+    bias = docs.select("doc_id", F.lit(dims).cast("int").alias("dim"))
+    return feats.unionByName(bias).select(
+        "doc_id", "dim", F.lit(1).cast("long").alias("x")
+    )
+
+
+def classifier_classes(labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """Class table → ``(label, ord)``: distinct labels with a dense
+    0-based ordinal in lexicographic order. The ordinal is the
+    deterministic argmax tie-breaker (lowest ord wins), the same move
+    as ivf_assign's lowest-cell rule. Tiny relation (|classes| rows —
+    the label cardinality, single digits by contract), so the global
+    row_number window is over a handful of rows, the same bounded-
+    relation exemption as walk_cooccurrence_pmi's rank window;
+    broadcast by every consumer."""
+    from pyspark.sql import Window
+
+    distinct = labels.select(F.col(label_col).alias("label")).distinct()
+    return distinct.select(
+        "label",
+        (F.row_number().over(Window.orderBy("label")) - 1)
+        .cast("int")
+        .alias("ord"),
+    )
+
+
+def classifier_init(
+    labels: DataFrame,
+    classes: DataFrame,
+    n_docs: int,
+    dims: int = CLF_DIMS,
+    scale_den: int = CLF_SCALE_DEN,
+) -> DataFrame:
+    """Prior-logit-initialized weight table → ``(label, dim, wv)``
+    int64 micro-units over dims+1 columns: content dims start at 0
+    (convex objective, no symmetry to break), the bias dim starts at
+    ⌊ln(c/(n−c))·scale_den·1e6⌋ so σ(bias-only score) equals each
+    class's TRAIN prior — the textbook logistic init. This matters
+    for the quantized full-batch regime: from a zero bias the first
+    dozens of steps do nothing but re-learn the priors (and at a
+    learning rate hot enough to rush them, the loss oscillates —
+    measured on the lang target); starting at the prior lets every
+    step attack the decision boundary instead. The logit is ONE ln
+    over an exact int64 ratio, floored — the accepted exactness
+    class."""
+    counts = labels.groupBy("label").agg(F.count("*").alias("c"))
+    bias = counts.select(
+        "label",
+        F.floor(
+            F.log(
+                F.col("c").cast("double")
+                / (F.lit(n_docs) - F.col("c")).cast("double")
+            )
+            * F.lit(float(scale_den) * 1.0e6)
+        ).cast("long").alias("bias_wv"),
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(dims))).alias("dim")
+    return (
+        classes.select("label", ks)
+        .join(F.broadcast(bias), "label")
+        .select(
+            "label",
+            F.col("dim").cast("int"),
+            F.when(F.col("dim") == dims, F.col("bias_wv"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("wv"),
+        )
+    )
+
+
+def classifier_scores(
+    feats: DataFrame, weights: DataFrame, classes: DataFrame
+) -> DataFrame:
+    """Exact integer scores → ``(doc_id, label, ord, dot_int)``:
+    dot_int = Σ_dim x·wv (exact int64; x is binary so this is a sum
+    of ≤ dims+1 weight values). The bias feature guarantees every
+    (doc, class) pair has a row even when no content dim overlaps.
+    Real-valued score = dot_int / (CLF_SCALE_DEN·1e6) — ONE IEEE
+    division, taken only where a σ needs it."""
+    return (
+        feats.join(weights, "dim")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("x") * F.col("wv")).alias("dot_int"))
+        .join(F.broadcast(classes), "label")
+        .select("doc_id", "label", "ord", "dot_int")
+    )
+
+
+def _clf_sigma(dot_int, scale_den: int):
+    """σ(dot_int / (scale_den·1e6)) — the one transcendental, consumed
+    only through an immediate floor-quantization by callers."""
+    return 1.0 / (
+        1.0 + F.exp(-(dot_int.cast("double") / F.lit(float(scale_den) * 1.0e6)))
+    )
+
+
+def classifier_step_apply(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    classes: DataFrame,
+    n_docs: int,
+    lr_num: int = CLF_LR_NUM,
+    scale_den: int = CLF_SCALE_DEN,
+) -> DataFrame:
+    """One synchronous full-batch one-vs-rest logistic step →
+    the next ``(label, dim, wv)`` table. Per (doc, class):
+    coef = ⌊(y − σ(score))·1e9⌋ (int64 nano-units; y = 1 iff the doc
+    carries that label) — the transcendental is quantized IMMEDIATELY,
+    like ``_sgns_sigma_micro``. Per (class, dim):
+    grad = Σ_docs ⌊coef·x / scale_den⌋ (x binary ⇒ ⌊coef/scale_den⌋
+    per carrying doc — exact integer floor-div; the double division
+    is exact because coef·x ≤ 1e9·1 ≪ 2^52/scale_den). Update:
+    wv += ⌊grad·lr_num / (1000·n_docs)⌋ — the MEAN gradient (nano →
+    micro is the /1000), so the effective learning rate is corpus-
+    size-FREE: a summed gradient would make lr scale with |docs| and
+    oscillate at any fixed lr once the corpus grows (measured: the
+    summed form diverges at 500 docs already). Exactness headroom:
+    grad·lr_num ≤ (1e9/scale_den)·n_docs·lr_num must stay ≪ 2^52 for
+    the floored double division to be exact — at the defaults that
+    caps n_docs ≈ 5e6; past that, raise the update to a decimal(38)
+    grid (the sgns_apply headroom contract).
+
+    Scale shape: scores are one feats⋈weights join keyed on the
+    constant-sized dim space + a (doc, class) hash agg; coefs join
+    back to feats on doc_id and aggregate to (class, dim) — the
+    |corpus tokens|·|classes| bound of the SGNS assoc join, partial
+    aggs throughout, no window, no driver data."""
+    scores = classifier_scores(feats, weights, classes)
+    y = F.when(F.col("label_true") == F.col("label"), 1.0).otherwise(0.0)
+    coefs = (
+        scores.join(
+            labels.select("doc_id", F.col("label").alias("label_true")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "label",
+            F.floor((y - _clf_sigma(F.col("dot_int"), scale_den)) * F.lit(1.0e9))
+            .cast("long")
+            .alias("coef"),
+        )
+    )
+    grad = (
+        coefs.join(feats, "doc_id")
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("coef") * F.col("x")).cast("double")
+                    / F.lit(float(scale_den))
+                ).cast("long")
+            ).alias("gsum")
+        )
+    )
+    return (
+        weights.join(grad, ["label", "dim"], "left")
+        .select(
+            "label",
+            "dim",
+            (
+                F.col("wv")
+                + F.floor(
+                    (F.coalesce(F.col("gsum"), F.lit(0)) * F.lit(lr_num))
+                    .cast("double")
+                    / F.lit(float(1000 * n_docs))
+                ).cast("long")
+            ).cast("long").alias("wv"),
+        )
+    )
+
+
+def classifier_step(
+    docs: DataFrame,
+    steps: int = 1,
+    label_col: str = "lang",
+    dims: int = CLF_DIMS,
+    lr_num: int = CLF_LR_NUM,
+    scale_den: int = CLF_SCALE_DEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """``steps`` synchronous steps from zero init over the documents
+    corpus, labeled by ``label_col`` → the trained ``(label, dim,
+    wv)`` table — the F5/word2vec_step-analog entry point (fixed-step
+    unroll contract: the DuckDB twin replays the same bounded steps
+    and must hash-match bit-for-bit)."""
+    labels = docs.select("doc_id", F.col(label_col).alias("label"))
+    classes = classifier_classes(labels).localCheckpoint(eager=True)
+    feats = classifier_features(docs, dims, text_col).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    w = classifier_init(labels, classes, n_docs, dims, scale_den)
+    for _ in range(steps):
+        w = classifier_step_apply(
+            feats, labels, w, classes, n_docs, lr_num, scale_den
+        ).localCheckpoint(eager=True)
+    return w
+
+
+def classifier_predict(
+    feats: DataFrame, weights: DataFrame, classes: DataFrame
+) -> DataFrame:
+    """Argmax prediction → ``(doc_id, label_pred)``: highest exact
+    integer score, ties to the lowest class ordinal — a max_by hash
+    agg over the (score, −ord) key, so no window touches the
+    corpus-sized relation and the argmax is cross-engine exact (the
+    scores being compared are int64, not floats)."""
+    return (
+        classifier_scores(feats, weights, classes)
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("dot_int"), -F.col("ord"))
+            ).alias("label_pred")
+        )
+    )
+
+
+def classifier_loss_row(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    classes: DataFrame,
+    step: int,
+    scale_den: int = CLF_SCALE_DEN,
+) -> DataFrame:
+    """One row ``(step, loss_micro)``: the one-vs-rest log-likelihood
+    Σ_docs Σ_classes [y·ln σ(s) + (1−y)·ln σ(−s)], each term floored
+    to int64 micro-nats before the order-free integer sum — the
+    sgns_loss_row discipline, for the fit loop's plateau stop."""
+    scores = classifier_scores(feats, weights, classes).join(
+        labels.select("doc_id", F.col("label").alias("label_true")), "doc_id"
+    )
+    s = F.col("dot_int").cast("double") / F.lit(float(scale_den) * 1.0e6)
+    pos = F.col("label_true") == F.col("label")
+    sig = F.when(pos, 1.0 / (1.0 + F.exp(-s))).otherwise(
+        1.0 / (1.0 + F.exp(s))
+    )
+    return (
+        scores.select(
+            F.floor(F.log(sig) * F.lit(1.0e6)).cast("long").alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("loss_micro"))
+        .select(F.lit(step).alias("step"), "loss_micro")
+    )
+
+
+def classifier_fit(
+    docs: DataFrame,
+    label_col: str = "lang",
+    max_steps: int = 250,
+    plateau_frac: float = 0.02,
+    dims: int = CLF_DIMS,
+    lr_num: int = CLF_LR_NUM,
+    scale_den: int = CLF_SCALE_DEN,
+    text_col: str = "text",
+) -> tuple[DataFrame, dict]:
+    """Logistic regression trained to a LOSS PLATEAU — the
+    ``sgns_fit``-analog convergence loop for the classifier →
+    ``(weights, stats)`` with ``stats = {n_steps, converged,
+    loss_init_micro, loss_final_micro, improvement_ppm, classes,
+    feats}``. Same past-peak plateau rule and best-state-return
+    contract as ``sgns_fit`` (a non-improving candidate generation is
+    discarded; first-step worsening reports converged=False), same
+    ``checkpoint_fresh`` cadence (the objective is full-batch and
+    deterministic, so the loop maximizes one fixed function). Driver
+    scalars per step: ONE loss row."""
+    from bigclam_apachespark_spark.functions.checkpointing import (
+        checkpoint_fresh,
+        release_fresh_checkpoint,
+    )
+
+    labels = docs.select("doc_id", F.col(label_col).alias("label"))
+    classes = checkpoint_fresh(classifier_classes(labels))
+    feats = checkpoint_fresh(classifier_features(docs, dims, text_col))
+    labels = checkpoint_fresh(labels)
+    n_docs = docs.count()
+    w = checkpoint_fresh(
+        classifier_init(labels, classes, n_docs, dims, scale_den)
+    )
+
+    def loss_of(wt: DataFrame, step: int) -> int:
+        return classifier_loss_row(
+            feats, labels, wt, classes, step, scale_den
+        ).collect()[0]["loss_micro"]
+
+    loss_init = loss_of(w, 0)
+    loss_prev = loss_init
+    converged = False
+    steps_run = 0
+    best_improvement = 0
+    for step in range(1, max_steps + 1):
+        nxt = checkpoint_fresh(
+            classifier_step_apply(
+                feats, labels, w, classes, n_docs, lr_num, scale_den
+            )
+        )
+        loss_cur = loss_of(nxt, step)
+        improvement = loss_cur - loss_prev  # maximizing: ≥ 0 while working
+        if improvement <= 0:
+            release_fresh_checkpoint(nxt)
+            converged = step > 1 or improvement == 0
+            break
+        release_fresh_checkpoint(w)
+        w = nxt
+        steps_run = step
+        loss_prev = loss_cur
+        best_improvement = max(best_improvement, improvement)
+        if improvement < plateau_frac * best_improvement:
+            converged = True
+            break
+    stats = {
+        "n_steps": steps_run,
+        "converged": converged,
+        "loss_init_micro": loss_init,
+        "loss_final_micro": loss_prev,
+        "improvement_ppm": (
+            (loss_prev - loss_init) * 1_000_000 // abs(loss_init)
+            if loss_init
+            else 0
+        ),
+        "classes": classes,
+        "feats": feats,
+    }
+    return w, stats
+
+
+def classifier_eval(
+    docs: DataFrame,
+    label_col: str = "lang",
+    max_steps: int = 250,
+    plateau_frac: float = 0.02,
+    dims: int = CLF_DIMS,
+    lr_num: int = CLF_LR_NUM,
+    scale_den: int = CLF_SCALE_DEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out evaluation of the TRAINED classifier → ONE row
+    ``(n_eval, n_trained_ok, n_prior_ok, n_steps, converged,
+    improvement_ppm)``: fit to the loss plateau on the hash_split
+    train slice (80%), predict on the DISJOINT held-out slice (the
+    val+test 20% — both unseen by training; pooled so the
+    trained-vs-baseline comparison has twice the sample), and
+    count exact matches against the slice's ``label_col`` — next to
+    the majority-class-of-train baseline (``n_prior_ok``), the floor
+    any learned model must justify itself against. The split is the
+    same deterministic ``hash_split`` the corpus-prep rows use, so
+    train/test membership is replayable cross-engine.
+
+    Scale shape: the fit loop's per-step cost (see
+    ``classifier_step_apply``) over the train slice; the readout is
+    two broadcast-class joins + three hash aggs. Driver scalars: one
+    loss row per step + the final counters."""
+    sp = hash_split(docs).localCheckpoint(eager=True)
+    train_docs = docs.join(
+        sp.where(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    test_docs = docs.join(
+        sp.where(F.col("split") != "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    w, stats = classifier_fit(
+        train_docs, label_col, max_steps, plateau_frac, dims, lr_num,
+        scale_den, text_col,
+    )
+    truth = test_docs.select("doc_id", F.col(label_col).alias("label_true"))
+    pred = classifier_predict(
+        classifier_features(test_docs, dims, text_col), w, stats["classes"]
+    )
+    # Majority label of the TRAIN slice (count desc, label asc — exact
+    # integer argmax, deterministic): min_by on (−c, label).
+    prior = (
+        train_docs.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.min_by(
+                F.col("label"), F.struct(-F.col("c"), F.col("label"))
+            ).alias("prior_label")
+        )
+    )
+    joined = truth.join(pred, "doc_id", "left").crossJoin(F.broadcast(prior))
+    counters = joined.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(
+            F.when(F.col("label_pred") == F.col("label_true"), 1).otherwise(0)
+        ).cast("long").alias("n_trained_ok"),
+        F.sum(
+            F.when(F.col("prior_label") == F.col("label_true"), 1).otherwise(0)
+        ).cast("long").alias("n_prior_ok"),
+    )
+    fit_row = counters.sparkSession.createDataFrame(
+        [
+            (
+                int(stats["n_steps"]),
+                bool(stats["converged"]),
+                int(stats["improvement_ppm"]),
+            )
+        ],
+        "n_steps long, converged boolean, improvement_ppm long",
+    )
+    return counters.crossJoin(fit_row)

