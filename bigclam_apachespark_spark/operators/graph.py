@@ -2895,6 +2895,210 @@ def sgns_fit(
     return emb, stats
 
 
+def sgns_pair_scores(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Symmetric model score per distinct co-occurring pair →
+    ``(a, b, dot_wc)`` with dot_wc = w_a·c_b + w_b·c_a (exact int64)
+    — the quantity whose EQUILIBRIUM under uniform negative draws is
+    ln(c_ab²/(c_a·c_b)) + const (balance the per-pair positive force
+    c_uv·(1−σ) against the neg·c_u/V uniform pull and symmetrize).
+    Shared by the rank-correlation and link-prediction readouts so
+    the scored quantity cannot fork between them."""
+    up = pairs.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    wa = emb.select(
+        F.col("node_id").alias("a"), "k",
+        F.col("wv").alias("wx"), F.col("cv").alias("cx"),
+    )
+    wb = emb.select(
+        F.col("node_id").alias("b"), "k",
+        F.col("wv").alias("wy"), F.col("cv").alias("cy"),
+    )
+    return (
+        up.join(wa, "a")
+        .join(wb, ["b", "k"])
+        .groupBy("a", "b")
+        .agg(
+            (
+                F.sum(F.col("wx") * F.col("cy"))
+                + F.sum(F.col("wy") * F.col("cx"))
+            ).alias("dot_wc")
+        )
+    )
+
+
+def sgns_rank_corr_row(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Quantized Spearman rank correlation between the model's pair
+    scores and their closed-form training target → ONE row
+    ``(n_pairs, sum_d2, spearman_ppm)``. The target ranking is by
+    c_ab²/(c_a·c_b) — the uniform-negative SGNS equilibrium (NOT raw
+    PMI: Levy & Goldberg's PMI−ln k result assumes unigram-weighted
+    negatives; with uniform draws the optimum is ln p(v|u)+const,
+    which symmetrizes to PMI + ln(c_ab) − ln N + const ≡ this ratio).
+
+    MEASURED FINDING this row exists to keep honest (VERDICT r11 ask
+    #4): the quantized fixed-budget training regime lives in a
+    frequency-dominated TRANSIENT whose scores ANTI-correlate with
+    every PMI-family target — rare contexts absorb the uniform
+    negative pressure fastest and recover slowest, so rare-pair PMI
+    spikes are the last structure to emerge. On the facebook walk
+    corpus: spearman ≈ −0.45 at the fit's plateau (28 steps, dim 4)
+    and still ≈ −0.45 after 180 steps at dim 8 — which is WHY the
+    top-30 overlap readout is honestly 0 and cannot be rescued by
+    corpus or dim growth within this step budget. The signed
+    correlation replaces that degenerate 0 with a number that (a)
+    identifies the regime, and (b) trips on kernel sign errors
+    (a flipped gradient reads ≈ +0.45).
+
+    Exactness: both rankings are positional row_numbers with (a, b)
+    tiebreaks (bucketed two-stage rank — no single-partition sort):
+    scores are exact int64, the target ratio is ONE IEEE division of
+    exact int64 products. Spearman = 1 − 6Σd²/(n³−n) with Σd² an
+    exact int64 (needs n ≲ 1.6e6 pairs before 6Σd² overflows int64 —
+    decimal(38) is the upgrade past that), floored to ppm."""
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
+    scores = sgns_pair_scores(pairs, emb)
+    # pair statistics over ALL co-occurring pairs (no top-k window —
+    # the ranking below is the bucketed two-stage rank): same pairing
+    # construction as walk_cooccurrence_pmi
+    up = pairs.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"),
+        F.col("c_uv"),
+    )
+    cab = up.groupBy("a", "b").agg(F.sum("c_uv").alias("c_ab"))
+    occ = (
+        up.select(F.col("a").alias("v"), "c_uv")
+        .unionAll(up.select(F.col("b").alias("v"), "c_uv"))
+        .groupBy("v")
+        .agg(F.sum("c_uv").alias("c_v"))
+    )
+    tgt = (
+        cab.join(occ.select(F.col("v").alias("a"), F.col("c_v").alias("c_a")), "a")
+        .join(occ.select(F.col("v").alias("b"), F.col("c_v").alias("c_b")), "b")
+        .select(
+            "a", "b",
+            (
+                (F.col("c_ab") * F.col("c_ab")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("ratio"),
+        )
+    )
+    both = scores.join(tgt, ["a", "b"]).localCheckpoint(eager=True)
+    r_model = bucketed_row_number(
+        both.select("a", "b", (-F.col("dot_wc")).alias("neg_s")),
+        ["neg_s", "a", "b"], out="rm",
+    ).select("a", "b", "rm")
+    r_target = bucketed_row_number(
+        both.select("a", "b", (-F.col("ratio")).alias("neg_t")),
+        ["neg_t", "a", "b"], out="rt",
+    ).select("a", "b", "rt")
+    d2 = (
+        r_model.join(r_target, ["a", "b"])
+        .select(((F.col("rm") - F.col("rt")) * (F.col("rm") - F.col("rt"))).alias("d2"))
+        .agg(F.count("*").alias("n_pairs"), F.sum("d2").alias("sum_d2"))
+    )
+    return d2.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("sum_d2").cast("long").alias("sum_d2"),
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.lit(6.0) * F.col("sum_d2").cast("double")
+                / (
+                    F.col("n_pairs").cast("double")
+                    * F.col("n_pairs").cast("double")
+                    * F.col("n_pairs").cast("double")
+                    - F.col("n_pairs").cast("double")
+                )
+            )
+            * F.lit(1.0e6)
+        ).cast("long").alias("spearman_ppm"),
+    )
+
+
+def sgns_linkpred_row(
+    pairs: DataFrame, emb: DataFrame, sym_edges: DataFrame
+) -> DataFrame:
+    """Paired link-prediction win rate → ONE row ``(n_scored, n_win,
+    n_tie, win_ppm)``: for every distinct co-occurring pair (a, b),
+    draw ONE deterministic non-co-occurring twin (a, b′) — b′ the
+    (hash64('lp:a:b') mod |V|)+1-ranked vertex, degenerate (b′ = a)
+    and accidental-real pairs anti-joined away — and count how often
+    the model scores the REAL pair strictly higher. The downstream-
+    task certificate for the trained embeddings (does the model
+    rank observed structure above noise?): unlike the PMI-family
+    rank agreement, this moves from ~50% (random init) as soon as
+    training is productive, and unlike the in-sample separation row
+    the negatives here were NOT trained against (the negdraw hash
+    stream is keyed 'sgns:', this one 'lp:'). Exact int64 scores,
+    integer comparisons, one floored ppm division."""
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
+    verts = vertices(sym_edges)
+    n = verts.count()
+    ranked = bucketed_row_number(verts, ["id"], out="rk")
+    up = pairs.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    negp = up.withColumn(
+        "nr",
+        hash64(
+            F.concat(
+                F.lit("lp:"), F.col("a").cast("string"),
+                F.lit(":"), F.col("b").cast("string"),
+            )
+        ) % n,
+    )
+    negp = (
+        negp.join(
+            ranked.select(F.col("rk").alias("nrk"), F.col("id").alias("b2")),
+            negp["nr"] + 1 == F.col("nrk"),
+        )
+        .where(F.col("b2") != F.col("a"))
+        .join(
+            up.select("a", F.col("b").alias("b2")).withColumn("real", F.lit(1)),
+            ["a", "b2"],
+            "left",
+        )
+        .where(F.col("real").isNull())
+        .select("a", "b", "b2")
+    )
+    scores = sgns_pair_scores(pairs, emb)
+    # negative-twin scores through the SAME kernel: rebuild as a
+    # (u, v) pair frame so sgns_pair_scores applies unchanged
+    neg_scores = sgns_pair_scores(
+        negp.select(F.col("a").alias("u"), F.col("b2").alias("v")), emb
+    ).select(
+        F.col("a").alias("na"), F.col("b").alias("nb"),
+        F.col("dot_wc").alias("dot_neg"),
+    )
+    j = (
+        negp.join(scores, ["a", "b"])
+        .join(
+            neg_scores,
+            (F.least("a", "b2") == F.col("na"))
+            & (F.greatest("a", "b2") == F.col("nb")),
+        )
+    )
+    agg = j.agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.when(F.col("dot_wc") > F.col("dot_neg"), 1).otherwise(0)).alias("n_win"),
+        F.sum(F.when(F.col("dot_wc") == F.col("dot_neg"), 1).otherwise(0)).alias("n_tie"),
+    )
+    return agg.select(
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.col("n_win").cast("long").alias("n_win"),
+        F.col("n_tie").cast("long").alias("n_tie"),
+        F.floor(
+            F.col("n_win").cast("double")
+            / F.col("n_scored").cast("double")
+            * F.lit(1.0e6)
+        ).cast("long").alias("win_ppm"),
+    )
+
+
 def sgns_separation_row(
     pairs: DataFrame, negdraw: DataFrame, emb: DataFrame
 ) -> DataFrame:

@@ -2124,6 +2124,85 @@ QUERIES.update(
 )
 
 
+def q_sgns_rank_corr(spark, sf_dir):
+    """Quantized Spearman between the 2-step SGNS pair scores and the
+    uniform-negatives closed-form target ranking (VERDICT r11 ask #4:
+    the signed rank correlation that replaces the degenerate top-30
+    overlap 0 with the number that identifies the frequency-dominated
+    transient — and flips sign on a gradient-direction bug). Same
+    2-step embedding as graph_sgns_two_steps; exact integer ranks via
+    the bucketed two-stage row_number on both sides."""
+    sym = _sym(spark, sf_dir)
+    walks = G.random_walks(sym, walk_len=4, n_walks=2, start_mod=23)
+    pairs = G.sgns_pairs(walks, window=2).localCheckpoint(eager=True)
+    emb = None
+    for _ in range(2):
+        emb = G.sgns_step(sym, emb=emb, pairs=pairs).localCheckpoint(eager=True)
+    return G.sgns_rank_corr_row(pairs, emb)
+
+
+ORACLE["graph_sgns_rank_corr"] = f"""
+    WITH {EDGES_SQL}, {SYM_SQL},
+    {_WALK_CTES},
+    walks AS MATERIALIZED (
+        {_WALK_UNION}
+    ),
+    {_sgns_prelude_sql()},
+    {_sgns_step_sql(1)},
+    {_sgns_step_sql(2).replace("FROM emb0 e", "FROM emb1 e")},
+    up2 AS MATERIALIZED (
+      SELECT least(u, v) AS a, greatest(u, v) AS b, c_uv FROM spairs
+    ),
+    scores AS MATERIALIZED (
+      SELECT p.a, p.b,
+             CAST(SUM(ea.wv * eb.cv) + SUM(eb.wv * ea.cv) AS BIGINT) AS dot_wc
+      FROM (SELECT DISTINCT a, b FROM up2) p
+      JOIN emb2 ea ON ea.node_id = p.a
+      JOIN emb2 eb ON eb.node_id = p.b AND eb.k = ea.k
+      GROUP BY 1, 2
+    ),
+    cab2 AS (
+      SELECT a, b, CAST(SUM(c_uv) AS BIGINT) AS c_ab FROM up2 GROUP BY a, b
+    ),
+    occ2 AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS c_v FROM (
+        SELECT a AS v, c_uv AS c FROM up2
+        UNION ALL SELECT b AS v, c_uv AS c FROM up2
+      ) GROUP BY v
+    ),
+    bothr AS MATERIALIZED (
+      SELECT s.a, s.b, s.dot_wc,
+             CAST(c.c_ab * c.c_ab AS DOUBLE)
+               / CAST(oa.c_v * ob.c_v AS DOUBLE) AS ratio
+      FROM scores s
+      JOIN cab2 c ON c.a = s.a AND c.b = s.b
+      JOIN occ2 oa ON oa.v = s.a
+      JOIN occ2 ob ON ob.v = s.b
+    ),
+    rm AS (
+      SELECT a, b, CAST(ROW_NUMBER() OVER (
+        ORDER BY dot_wc DESC, a, b) AS BIGINT) AS rm FROM bothr
+    ),
+    rt AS (
+      SELECT a, b, CAST(ROW_NUMBER() OVER (
+        ORDER BY ratio DESC, a, b) AS BIGINT) AS rt FROM bothr
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM((rm.rm - rt.rt) * (rm.rm - rt.rt)) AS BIGINT) AS sum_d2
+      FROM rm JOIN rt ON rt.a = rm.a AND rt.b = rm.b
+    )
+    SELECT n_pairs, sum_d2,
+           CAST(FLOOR((1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+                 / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+                    * CAST(n_pairs AS DOUBLE) - CAST(n_pairs AS DOUBLE)))
+                * 1000000.0) AS BIGINT) AS spearman_ppm
+    FROM agg
+"""
+
+QUERIES["graph_sgns_rank_corr"] = q_sgns_rank_corr
+
+
 # ---------------------------------------------------------------------------
 # Community-method comparison (r9 verdict ask #5): ONE readout with
 # the modularity Q of all three community methods on the SAME graph
@@ -2337,7 +2416,8 @@ def q_sgns_fit_facebook(spark, sf_dir):
     for embedding training, VERDICT r10 ask #6) → ONE row
     ``(n_steps, converged, loss_init_micro, loss_final_micro,
     improvement_ppm, pos_mean_dot_micro, neg_mean_dot_micro, k,
-    n_scored, n_overlap)``: the fixed-objective quantized SGNS loop
+    n_scored, n_overlap, lp_n_scored, n_win, n_tie, win_ppm,
+    rc_n_pairs, spearman_ppm)``: the fixed-objective quantized SGNS loop
     (``sgns_fit``, lr=1/20, past-peak plateau stop — measured:
     converges in ~28 steps / ~50 s with a 48.7% loss improvement)
     over the deterministic facebook walk corpus, plus TWO quality
@@ -2358,6 +2438,12 @@ def q_sgns_fit_facebook(spark, sf_dir):
     )
     sep = G.sgns_separation_row(stats["pairs"], stats["negdraw"], emb)
     ag = G.sgns_agreement_row(sym, emb, stats["pairs"], 30, 4, 2, 3, 2)
+    lp = G.sgns_linkpred_row(stats["pairs"], emb, sym).select(
+        F.col("n_scored").alias("lp_n_scored"), "n_win", "n_tie", "win_ppm"
+    )
+    rc = G.sgns_rank_corr_row(stats["pairs"], emb).select(
+        F.col("n_pairs").alias("rc_n_pairs"), "spearman_ppm"
+    )
     fit_row = spark.createDataFrame(
         [
             (
@@ -2371,11 +2457,22 @@ def q_sgns_fit_facebook(spark, sf_dir):
         "n_steps long, converged boolean, loss_init_micro long, "
         "loss_final_micro long, improvement_ppm long",
     )
-    row = fit_row.crossJoin(sep).crossJoin(ag)
+    row = fit_row.crossJoin(sep).crossJoin(ag).crossJoin(lp).crossJoin(rc)
+    # Gates (r12, VERDICT r11 ask #4): the quality claim rides on the
+    # held-out link-prediction win rate — measured 861k ppm fitted vs
+    # 473k at random init, floor 750k — because the model RANKS
+    # observed structure above never-trained noise after a productive
+    # fit. spearman_ppm vs the closed-form target is REPORTED with a
+    # wide tripwire band: the fixed-budget regime measures ≈ −450k
+    # (the frequency-dominated transient; +450k would mean a flipped
+    # gradient, past +200k trips), documented in sgns_rank_corr_row.
     ok = (
         F.col("converged")
         & (F.col("improvement_ppm") >= 250_000)
         & (F.col("pos_mean_dot_micro") > F.col("neg_mean_dot_micro"))
+        & (F.col("win_ppm") >= 750_000)
+        & (F.col("spearman_ppm") >= -800_000)
+        & (F.col("spearman_ppm") <= 200_000)
     )
     return row.where(
         F.when(ok, F.lit(True)).otherwise(
@@ -2390,6 +2487,10 @@ def q_sgns_fit_facebook(spark, sf_dir):
                         F.col("pos_mean_dot_micro")
                         - F.col("neg_mean_dot_micro")
                     ).cast("string"),
+                    F.lit(" win_ppm="),
+                    F.col("win_ppm").cast("string"),
+                    F.lit(" spearman_ppm="),
+                    F.col("spearman_ppm").cast("string"),
                 )
             )
         )

@@ -1313,3 +1313,72 @@ def test_sgns_agreement_row_matches_fixed_step_readout(spark, g1_edges):
         got.n_scored,
         got.n_overlap,
     )
+
+
+def test_sgns_rank_corr_hand_computed(spark):
+    """3-pair corpus, hand-computed Spearman: target ratios rank
+    (1,2) > (3,4) > (2,3); the constructed embedding scores rank
+    exactly reversed within those (dots 3 < 5 < 7), so
+    d² = (3−1)² + (2−3)² + (1−2)² = 6 and
+    ρ = 1 − 6·6/(27−3) = −0.5 → −500000 ppm exactly."""
+    from bigclam_apachespark_spark.operators.graph import sgns_rank_corr_row
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 4), (2, 1, 4), (2, 3, 2), (3, 2, 2), (3, 4, 1), (4, 3, 1)],
+        "u long, v long, c_uv long",
+    )
+    emb = spark.createDataFrame(
+        [(i, 0, 1, i) for i in (1, 2, 3, 4)],
+        "node_id long, k int, wv long, cv long",
+    )
+    row = sgns_rank_corr_row(pairs, emb).collect()[0]
+    assert (row.n_pairs, row.sum_d2, row.spearman_ppm) == (3, 6, -500000)
+
+
+def test_sgns_linkpred_all_equal_embedding_is_all_ties(spark, g1_edges):
+    """A constant embedding scores every pair identically, so the
+    paired comparison must report zero wins and all ties — the
+    exactness check for the join plumbing (no double counting, no
+    dropped twins)."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.graph import (
+        random_walks,
+        sgns_linkpred_row,
+        sgns_pairs,
+        symmetrize,
+        vertices,
+    )
+
+    sym = symmetrize(g1_edges)
+    pairs = sgns_pairs(random_walks(sym, 4, 2, None), 2)
+    emb = vertices(sym).select(
+        F.col("id").alias("node_id"),
+        F.lit(0).cast("int").alias("k"),
+        F.lit(7).cast("long").alias("wv"),
+        F.lit(3).cast("long").alias("cv"),
+    )
+    row = sgns_linkpred_row(pairs, emb, sym).collect()[0]
+    assert row.n_win == 0
+    assert row.n_tie == row.n_scored
+    assert row.win_ppm == 0
+    assert row.n_scored > 0
+
+
+def test_sgns_fit_linkpred_beats_chance_on_g1(spark, g1_edges):
+    """After the plateau fit on G1, the trained embeddings must rank
+    real co-occurring pairs above their never-trained negative twins
+    more often than chance (the facebook row's 861k-ppm gate, scaled
+    to the tiny fixture: strictly above 500k)."""
+    from bigclam_apachespark_spark.operators.graph import (
+        sgns_fit,
+        sgns_linkpred_row,
+        symmetrize,
+    )
+
+    sym = symmetrize(g1_edges)
+    emb, stats = sgns_fit(sym, max_steps=30, start_mod=None)
+    row = sgns_linkpred_row(stats["pairs"], emb, sym).collect()[0]
+    assert row.win_ppm > 500_000, row.asDict()
+    assert row.n_win + row.n_tie <= row.n_scored
+    assert row.win_ppm == row.n_win * 1_000_000 // row.n_scored
