@@ -2194,6 +2194,52 @@ TEXT_QUERIES["text_classifier_eval"] = _q_classifier_eval
 TEXT_QUERIES["text_classifier_distill"] = _q_classifier_distill
 
 
+def _q_classifier_filter(spark, sf):
+    """Model APPLICATION as a pipeline stage → per-doc
+    ``(doc_id, lang, label_pred, match)``: score every document with
+    the deterministic 2-step-trained classifier (broadcast weight
+    table joined on the constant dim space — the corpus never
+    shuffles for inference) and argmax by exact integer score, ties
+    to the lowest class ordinal. The selection-stage shape a trained
+    quality/lang filter runs at 100 TB: one narrow feature explode +
+    one broadcast join + one max_by hash agg per doc."""
+    docs = _docs(spark, sf)
+    w = X.classifier_step(docs, steps=2, label_col="lang")
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    classes = X.classifier_classes(labels)
+    pred = X.classifier_predict(X.classifier_features(docs), w, classes)
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "label_pred",
+        (F.col("label_pred") == F.col("lang")).alias("match"),
+    )
+
+
+TEXT_ORACLE["text_classifier_filter"] = f"""
+    WITH {_CLF_PRELUDE},
+    {_clf_step_sql(1)},
+    {_clf_step_sql(2)},
+    fscore AS MATERIALIZED (
+      SELECT f.doc_id, w.label, CAST(SUM(f.x * w.wv) AS BIGINT) AS dot_int
+      FROM cfeats f JOIN cw2 w ON w.dim = f.dim
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, label AS label_pred FROM (
+        SELECT s.doc_id, s.label,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY s.dot_int DESC, c.ord) AS rn
+        FROM fscore s JOIN cclasses c ON c.label = s.label
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, d.lang, p.label_pred, (p.label_pred = d.lang) AS match
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+"""
+
+TEXT_QUERIES["text_classifier_filter"] = _q_classifier_filter
+
+
 TEXT_ORACLE["text_training_corpus"] = f"""
     WITH RECURSIVE {_clean_ctes(0.5, 'en')},
     cdocs AS (
