@@ -190,6 +190,13 @@ HEADLINE = [
     # cluster-scoped semantic dedup
     "graph_ktruss_backbone",
     "sim_semdedup",
+    # round-12 additions: the trained-classifier kernel (2-step unroll
+    # + full-corpus inference), the SGNS rank-correlation readout, and
+    # the SemDeDup cost certificate
+    "text_classifier_step",
+    "text_classifier_filter",
+    "graph_sgns_rank_corr",
+    "sim_semdedup_cell_stats",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -354,6 +361,11 @@ EXPECTED = {
     "graph_sgns_two_steps": 14.5,
     "graph_ktruss_backbone": 20.0,  # r11 first calibration: 3-round certified peel, |E|^1.5 wedge join per round at sf0.1
     "sim_semdedup": 4.0,  # r11: one assign pass + cell-bounded pair join on the 2k-vector corpus
+    # r12 rows (calibrated in the round-12 healthy window):
+    "text_classifier_step": 3.5,  # 2 unrolled logistic steps, 5k docs
+    "text_classifier_filter": 3.8,  # 2-step train + full-corpus argmax inference
+    "graph_sgns_rank_corr": 17.5,  # walk corpus + 2 sgns steps + dual bucketed rank
+    "sim_semdedup_cell_stats": 1.0,  # one assign pass + 16-row agg (0.5 warm in-suite, ~2.6 cold standalone)
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
