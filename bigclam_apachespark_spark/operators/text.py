@@ -2305,9 +2305,13 @@ def classifier_scores(
     of ≤ dims+1 weight values). The bias feature guarantees every
     (doc, class) pair has a row even when no content dim overlaps.
     Real-valued score = dot_int / (CLF_SCALE_DEN·1e6) — ONE IEEE
-    division, taken only where a σ needs it."""
+    division, taken only where a σ needs it. The weight table is
+    |classes|·(dims+1) rows — broadcast EXPLICITLY so the corpus
+    never shuffles on the 257-key dim column even if a mid-loop
+    generation's size estimate drifts (a dim-keyed exchange would
+    funnel 100 TB of feature rows into ≤ dims+1 partitions)."""
     return (
-        feats.join(weights, "dim")
+        feats.join(F.broadcast(weights), "dim")
         .groupBy("doc_id", "label")
         .agg(F.sum(F.col("x") * F.col("wv")).alias("dot_int"))
         .join(F.broadcast(classes), "label")
