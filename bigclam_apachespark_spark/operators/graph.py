@@ -3110,7 +3110,9 @@ def sgns_separation_row(
     ``pos > neg`` strictly — a sign-separation invariant that, unlike
     top-k ranking overlap, cannot be zero by tie-noise (the measured
     facebook top-30 cosine↔PMI overlap is honestly 0 after a 48%
-    loss improvement; separation is the metric that MOVES). Exact
+    loss improvement — see ``sgns_rank_corr_row`` for the r12 root
+    cause and ``sgns_linkpred_row`` for the HELD-OUT ranking metric
+    that moves; separation is the in-sample one). Exact
     int64 dot sums, count-weighted, ONE floored division each —
     engine-stable like every readout in this family."""
     w_u = emb.select(F.col("node_id").alias("u"), "k", "wv")

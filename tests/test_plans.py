@@ -515,3 +515,22 @@ def test_ivf_upsert_serving_prunes_cells(spark):
     assert cells_scans and all(
         "dynamicpruning" in ln for ln in cells_scans
     ), cells_scans
+
+
+def test_classifier_scoring_broadcasts_weights(spark):
+    """The trained-classifier scoring join (feats ⋈ weights on the
+    257-key dim column) must BROADCAST the weight table: a
+    hash-partitioned exchange keyed on dim would funnel the whole
+    corpus into ≤ dims+1 partitions at scale. Asserted on the
+    inference row (text_classifier_filter's plan contains the 2-step
+    train AND the final scoring pass)."""
+    p = _plan(spark, "text_classifier_filter")
+    assert "BroadcastHashJoin" in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" not in line:
+            continue
+        keys = line.split("hashpartitioning(", 1)[1].rsplit(",", 1)[0]
+        # dim-only partitioning is the funnel; (doc_id, dim) keys from
+        # the feature distinct() are high-cardinality and fine
+        if "dim#" in keys and "doc_id#" not in keys and "label#" not in keys:
+            raise AssertionError(f"corpus shuffled on dim alone: {line.strip()[:160]}")
