@@ -1382,3 +1382,40 @@ def test_sgns_fit_linkpred_beats_chance_on_g1(spark, g1_edges):
     assert row.win_ppm > 500_000, row.asDict()
     assert row.n_win + row.n_tie <= row.n_scored
     assert row.win_ppm == row.n_win * 1_000_000 // row.n_scored
+
+
+def test_kcore_empty_cascade_converges_on_last_round(spark, g1_edges):
+    """ADVICE r11: a k too high for the whole graph empties it — the
+    empty graph is trivially the fixpoint, so the certificate must
+    accept it even when the cascade finishes exactly on the LAST
+    budgeted round (no confirming round available)."""
+    from bigclam_apachespark_spark.operators.graph import kcore, symmetrize
+
+    sym = symmetrize(g1_edges)
+    out = kcore(sym, k=1000, rounds=1, assert_converged=True)
+    assert out.count() == 0
+
+
+def test_ktruss_empty_cascade_converges_on_last_round(spark, g1_edges):
+    """Same property for the truss peeling: k − 2 above any possible
+    support empties the edge set in round 1; with rounds=1 the old
+    certificate demanded a confirming round it could never get."""
+    from bigclam_apachespark_spark.operators.graph import ktruss, symmetrize
+
+    sym = symmetrize(g1_edges)
+    out = ktruss(sym, k=1000, rounds=1, assert_converged=True)
+    assert out.count() == 0
+
+
+def test_ktruss_unconverged_still_raises(spark, g1_edges):
+    """The certificate must still FIRE when the budget truncates a
+    cascade that has NOT emptied the graph: k=4 on G1 (two 4-cliques
+    + bridge) needs a drop round plus a confirming round; rounds=1
+    sees the drop but cannot confirm."""
+    import pytest
+
+    from bigclam_apachespark_spark.operators.graph import ktruss, symmetrize
+
+    sym = symmetrize(g1_edges)
+    with pytest.raises(RuntimeError, match="did not reach"):
+        ktruss(sym, k=4, rounds=1, assert_converged=True).count()
