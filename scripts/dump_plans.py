@@ -165,6 +165,11 @@ def main() -> None:
         "bigclam_model_selection_smoke",
         "bigclam_enron_pipeline",
         "bigclam_fit_long_highk",
+        # r12: plateau-fit driver loops — building the row RUNS the
+        # multi-minute fit; the per-step plan is already reviewable
+        # via text_classifier_step / text_classifier_filter
+        "text_classifier_eval",
+        "text_classifier_distill",
     }
     parts += ["# Appendix: all remaining registry plans", ""]
     for name in sorted(QUERIES):
