@@ -2262,3 +2262,72 @@ def test_semdedup_no_cross_cell_dominance(spark, vecs):
     out = semdedup(vecs, n_cells=2, eps=0.95).collect()
     kept = sum(1 for r in out if r["kept"])
     assert len(out) == 5 and kept == 3
+
+
+def test_cms_topk_stream_survives_candidate_eviction_pressure(spark, tmp_path):
+    """The ε-heavy-hitter retention claim under REAL eviction
+    pressure: 60 distinct keys but only 12 candidate slots, replayed
+    in 5 micro-batches. The planted heavy keys (0, 1, 2 — hundreds of
+    occurrences vs ≤ 10 for the tail) must survive every per-batch
+    candidate cutoff and the final head must equal the one-shot
+    full-feed CMS head."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.functions.hashing import hash64
+    from bigclam_apachespark_spark.operators.sketches import cms_counters
+    from bigclam_apachespark_spark.streaming.cdc_stream import cms_topk_stream
+
+    # key k occurs 300-100k times for k<3, else ~5 times
+    heavy = spark.range(900).select((F.col("id") % 3).alias("user_id"))
+    tail = spark.range(300).select(((F.col("id") % 57) + 3).alias("user_id"))
+    ev = heavy.unionByName(tail)
+    src_dir = str(tmp_path / "src")
+    ev.repartition(5).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    got = [
+        (r.user_id, r.n_cms)
+        for r in cms_topk_stream(
+            spark, stream, "user_id", str(tmp_path / "state"),
+            k=3, candidates=12,
+        ).collect()
+    ]
+    # one-shot twin over the full feed
+    toks = ev.select(F.col("user_id").cast("string").alias("term"))
+    counters = cms_counters(toks, "term", 4, 1024)
+    probes = ev.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            hash64(
+                                F.concat(
+                                    F.lit(f"cms{r}:"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            )
+                            % 1024
+                        ).cast("int").alias("bucket"),
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+    est = (
+        probes.join(counters, ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("n_cms"))
+    )
+    exp = [
+        (r.user_id, r.n_cms)
+        for r in est.orderBy(F.col("n_cms").desc(), "user_id").limit(3).collect()
+    ]
+    assert got == exp
+    assert {u for u, _ in got} == {0, 1, 2}  # the planted heavies
