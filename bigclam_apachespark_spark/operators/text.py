@@ -2634,3 +2634,48 @@ def classifier_eval(
         "n_steps long, converged boolean, improvement_ppm long",
     )
     return counters.crossJoin(fit_row)
+
+
+def classifier_calibration(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    classes: DataFrame,
+    n_buckets: int = 10,
+    scale_den: int = CLF_SCALE_DEN,
+) -> DataFrame:
+    """Reliability counts for a trained one-vs-rest model →
+    ``(bucket, n_pairs, n_pos, sum_sigma_micro)`` per predicted-
+    probability decile: every (doc, class) score becomes p = σ(score)
+    floored to int64 micro-units, bucketed by integer division
+    (bucket = σ_micro·n_buckets div 1e6, the top edge closed into the
+    last bucket), and counted against the 0/1 truth — the standard
+    calibration diagram as exact integers (a well-calibrated model
+    has n_pos/n_pairs ≈ sum_sigma_micro/(n_pairs·1e6) per bucket;
+    reporting counts instead of the ratio keeps the row
+    engine-exact). One broadcast-weights scoring pass + one hash agg
+    over ≤ n_buckets keys."""
+    scores = classifier_scores(feats, weights, classes).join(
+        labels.select("doc_id", F.col("label").alias("label_true")), "doc_id"
+    )
+    sig_micro = F.floor(
+        _clf_sigma(F.col("dot_int"), scale_den) * F.lit(1.0e6)
+    ).cast("long")
+    bucketed = scores.select(
+        F.least(
+            F.floor(
+                (sig_micro * F.lit(n_buckets)).cast("double")
+                / F.lit(1.0e6)
+            ).cast("long"),
+            F.lit(n_buckets - 1),
+        ).cast("int").alias("bucket"),
+        F.when(F.col("label_true") == F.col("label"), 1)
+        .otherwise(0)
+        .alias("y"),
+        sig_micro.alias("s"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("s").cast("long").alias("sum_sigma_micro"),
+    )

@@ -2240,6 +2240,49 @@ TEXT_ORACLE["text_classifier_filter"] = f"""
 TEXT_QUERIES["text_classifier_filter"] = _q_classifier_filter
 
 
+def _q_classifier_calibration(spark, sf):
+    """Reliability diagram of the 2-step-trained model as exact
+    integer counts per predicted-probability decile — the standard
+    trained-model calibration eval, cross-engine exact because σ is
+    floored to micro-units BEFORE bucketing and only counts/integer
+    sums are reported."""
+    docs = _docs(spark, sf)
+    w = X.classifier_step(docs, steps=2, label_col="lang")
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    classes = X.classifier_classes(labels)
+    return X.classifier_calibration(
+        X.classifier_features(docs), labels, w, classes
+    )
+
+
+TEXT_ORACLE["text_classifier_calibration"] = f"""
+    WITH {_CLF_PRELUDE},
+    {_clf_step_sql(1)},
+    {_clf_step_sql(2)},
+    fscore AS MATERIALIZED (
+      SELECT f.doc_id, w.label, CAST(SUM(f.x * w.wv) AS BIGINT) AS dot_int
+      FROM cfeats f JOIN cw2 w ON w.dim = f.dim
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT s.doc_id, s.label,
+             CAST(FLOOR((1.0
+               / (1.0 + exp(-(CAST(s.dot_int AS DOUBLE) / 8000000.0))))
+               * 1000000.0) AS BIGINT) AS s_micro,
+             CASE WHEN l.label = s.label THEN 1 ELSE 0 END AS y
+      FROM fscore s JOIN clabels l ON l.doc_id = s.doc_id
+    )
+    SELECT CAST(LEAST(CAST(FLOOR(CAST(s_micro * 10 AS DOUBLE) / 1000000.0)
+                           AS BIGINT), 9) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(s_micro) AS BIGINT) AS sum_sigma_micro
+    FROM sig GROUP BY 1
+"""
+
+TEXT_QUERIES["text_classifier_calibration"] = _q_classifier_calibration
+
+
 TEXT_ORACLE["text_training_corpus"] = f"""
     WITH RECURSIVE {_clean_ctes(0.5, 'en')},
     cdocs AS (
