@@ -195,6 +195,7 @@ HEADLINE = [
     # the SemDeDup cost certificate
     "text_classifier_step",
     "text_classifier_filter",
+    "text_classifier_calibration",
     "graph_sgns_rank_corr",
     "sim_semdedup_cell_stats",
 ]
@@ -364,6 +365,7 @@ EXPECTED = {
     # r12 rows (calibrated in the round-12 healthy window):
     "text_classifier_step": 3.5,  # 2 unrolled logistic steps, 5k docs
     "text_classifier_filter": 3.8,  # 2-step train + full-corpus argmax inference
+    "text_classifier_calibration": 8.0,  # 2-step train + decile reliability counts (14s cold standalone)
     "graph_sgns_rank_corr": 17.5,  # walk corpus + 2 sgns steps + dual bucketed rank
     "sim_semdedup_cell_stats": 1.0,  # one assign pass + 16-row agg (0.5 warm in-suite, ~2.6 cold standalone)
 }

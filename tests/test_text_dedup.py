@@ -1589,3 +1589,39 @@ def test_classifier_predict_separates_marker_corpus(spark):
         .count()
     )
     assert n_ok == 40
+
+
+def test_classifier_calibration_counts_foot(spark):
+    """Reliability counts must foot: every (doc, class) pair lands in
+    exactly one bucket, n_pos never exceeds n_pairs, the positive
+    total equals |docs| (each doc has exactly one true class), and
+    every mean predicted probability lies inside its bucket's edges."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.text import (
+        classifier_calibration,
+        classifier_classes,
+        classifier_features,
+        classifier_step,
+    )
+
+    rows = []
+    for i in range(40):
+        has = i % 2 == 0
+        rows.append((i, "pos" if has else "neg",
+                     ("marker alpha beta" if has else "alpha beta gamma")))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = classifier_step(docs, steps=2, label_col="lang")
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    classes = classifier_classes(labels)
+    cal = classifier_calibration(
+        classifier_features(docs), labels, w, classes
+    ).collect()
+    assert sum(r.n_pairs for r in cal) == 40 * 2
+    assert sum(r.n_pos for r in cal) == 40
+    for r in cal:
+        assert 0 <= r.bucket <= 9
+        assert 0 <= r.n_pos <= r.n_pairs
+        mean_sigma = r.sum_sigma_micro / (r.n_pairs * 1_000_000)
+        lo, hi = r.bucket / 10, (r.bucket + 1) / 10 if r.bucket < 9 else 1.0
+        assert lo <= mean_sigma <= hi + 1e-6
