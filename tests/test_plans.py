@@ -534,3 +534,23 @@ def test_classifier_scoring_broadcasts_weights(spark):
         # the feature distinct() are high-cardinality and fine
         if "dim#" in keys and "doc_id#" not in keys and "label#" not in keys:
             raise AssertionError(f"corpus shuffled on dim alone: {line.strip()[:160]}")
+
+
+def test_walk_family_plans_are_materialized(spark):
+    """The r12 verdict's one plan defect: the walk chain re-derived
+    its shared prefixes per reference — 17-18 lineitem scans and 0
+    ReusedExchange in the committed plans, O(walk_len²) at DeepWalk-
+    realistic lengths, and the source of graph_walk_pmi's 7.6→52.3 s
+    variance band. With the per-level eager localCheckpoint (the MIS
+    discipline applied to random_walks/node2vec_walks, plus the
+    pairs checkpoint in walk_cooccurrence_pmi) the FINAL plan of
+    every walk-consuming query must contain at most one base-table
+    scan — the corpus arrives as in-memory LogicalRDD leaves."""
+    for name in (
+        "graph_random_walks",
+        "graph_node2vec_walks",
+        "graph_walk_pmi",
+    ):
+        plan = _plan(spark, name)
+        n_scans = plan.count("FileScan parquet")
+        assert n_scans <= 1, f"{name}: {n_scans} base-table scans (want <=1)"
