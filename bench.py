@@ -371,6 +371,23 @@ EXPECTED = {
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry
+# Ceiling on how far the prior-round p95 band may loosen the rerun
+# gate relative to the committed EXPECTED anchor (ADVICE r12: the
+# automatic p95 carry-over must not ratchet unbounded).
+BAND_CAP_FACTOR = 3.0
+
+
+def _gate_limit(base: float | None, p95: float | None) -> float | None:
+    """The per-query rerun-gate limit: the looser of the committed
+    EXPECTED anchor and the prior round's p95, with the p95 loosening
+    capped at BAND_CAP_FACTOR x the anchor (ADVICE r12 — an
+    uncapped carry-over is self-referential and a gradual regression
+    could ratchet it upward between rounds undetected)."""
+    if base is None:
+        return p95
+    if not p95:
+        return base
+    return min(max(base, p95), BAND_CAP_FACTOR * base)
 
 # Whole-suite drift detector: the per-query RERUN_FACTOR misses the
 # case where EVERY query reads uniformly ~1.2-2x slow (the r4 freeze
@@ -417,13 +434,18 @@ def main() -> None:
         # per-query rerun gate compares against the LOOSER of the
         # fast-window anchor and the prior round's p95 on current
         # hardware, so unchanged code cannot trip the gate just
-        # because the host re-based itself.
-        base = EXPECTED.get(name)
+        # because the host re-based itself. The p95 carry-over is
+        # CAPPED at BAND_CAP_FACTOR x the committed EXPECTED anchor
+        # (ADVICE r12): without a cap the gate is self-referential
+        # against its own measured history, so a genuine gradual
+        # regression could ratchet the band upward round over round
+        # undetected. A sustained reading past the cap now trips the
+        # rerun gate and forces an EXPLICIT EXPECTED re-base entry
+        # (the audited path the four r12 re-bases took) instead of an
+        # automatic one.
         band = prior_band.get(name, {})
         p95 = band.get("p95") if isinstance(band, dict) else None
-        if base is None:
-            return p95
-        return max(base, p95) if p95 else base
+        return _gate_limit(EXPECTED.get(name), p95)
 
     names = [n for n in HEADLINE if n in QUERIES]
     extra = os.environ.get("BENCH_QUERIES")

@@ -2270,17 +2270,41 @@ def classifier_init(
     measured on the lang target); starting at the prior lets every
     step attack the decision boundary instead. The logit is ONE ln
     over an exact int64 ratio, floored — the accepted exactness
-    class."""
+    class.
+
+    Degenerate single-class guard (ADVICE r12): a label covering
+    EVERY doc (single-class corpus, or cardinality-1 label on a
+    filtered slice) makes c = n_docs, and ln(c/0) = +Inf would flow
+    through floor/cast into an undefined bias instead of failing —
+    the prior logit of a class with no negative examples does not
+    exist, so the init raises in-plan rather than corrupt the weight
+    table."""
     counts = labels.groupBy("label").agg(F.count("*").alias("c"))
     bias = counts.select(
         "label",
-        F.floor(
-            F.log(
-                F.col("c").cast("double")
-                / (F.lit(n_docs) - F.col("c")).cast("double")
-            )
-            * F.lit(float(scale_den) * 1.0e6)
-        ).cast("long").alias("bias_wv"),
+        F.when(
+            F.col("c") < F.lit(n_docs),
+            F.floor(
+                F.log(
+                    F.col("c").cast("double")
+                    / (F.lit(n_docs) - F.col("c")).cast("double")
+                )
+                * F.lit(float(scale_den) * 1.0e6)
+            ).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("classifier_init: label "),
+                    F.col("label").cast("string"),
+                    F.lit(" covers every doc (c = n_docs = "),
+                    F.col("c").cast("string"),
+                    F.lit(") — prior logit undefined for a class with "
+                          "no negative examples"),
+                )
+            ).cast("long")
+        )
+        .alias("bias_wv"),
     )
     ks = F.explode(F.sequence(F.lit(0), F.lit(dims))).alias("dim")
     return (
@@ -2348,11 +2372,14 @@ def classifier_step_apply(
     micro is the /1000), so the effective learning rate is corpus-
     size-FREE: a summed gradient would make lr scale with |docs| and
     oscillate at any fixed lr once the corpus grows (measured: the
-    summed form diverges at 500 docs already). Exactness headroom:
-    grad·lr_num ≤ (1e9/scale_den)·n_docs·lr_num must stay ≪ 2^52 for
-    the floored double division to be exact — at the defaults that
-    caps n_docs ≈ 5e6; past that, raise the update to a decimal(38)
-    grid (the sgns_apply headroom contract).
+    summed form diverges at 500 docs already). Exactness headroom
+    (ADVICE r12 correction — the first statement of this cap was
+    ~10× too generous): grad·lr_num ≤ (1e9/scale_den)·n_docs·lr_num
+    must stay ≤ 2^52 for the floored double division to be exact,
+    i.e. n_docs ≤ 2^52·scale_den/(1e9·lr_num) — at the defaults
+    (scale_den=8, lr_num=64) that caps n_docs ≈ 5.6e5; past that,
+    raise the update to a decimal(38) grid (the sgns_apply headroom
+    contract).
 
     Scale shape: scores are one feats⋈weights join keyed on the
     constant-sized dim space + a (doc, class) hash agg; coefs join

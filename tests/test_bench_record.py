@@ -126,3 +126,21 @@ def test_prior_band_carries_across_round_roll(tmp_path, patched_round):
     rec = _write(out, {"a": 8.0})
     assert rec["prior_band"]["a"]["min"] == 3.0
     assert rec["prior_round_key"] == 11
+
+
+def test_gate_limit_caps_prior_band_ratchet():
+    """ADVICE r12: the prior-round p95 may loosen the rerun gate, but
+    only up to BAND_CAP_FACTOR x the committed EXPECTED anchor — an
+    uncapped carry-over would let a gradual regression ratchet the
+    band upward round over round undetected."""
+    import bench
+
+    # p95 inside the cap: the looser of anchor/p95 wins
+    assert bench._gate_limit(4.0, 6.0) == 6.0
+    # p95 below anchor: anchor stands
+    assert bench._gate_limit(4.0, 2.0) == 4.0
+    # p95 past the cap: clamped to BAND_CAP_FACTOR x anchor
+    assert bench._gate_limit(4.0, 40.0) == bench.BAND_CAP_FACTOR * 4.0
+    # no anchor: p95 passes through; no band: anchor passes through
+    assert bench._gate_limit(None, 7.0) == 7.0
+    assert bench._gate_limit(4.0, None) == 4.0

@@ -1532,6 +1532,25 @@ def test_classifier_step_learnable_xor_free_target(spark):
     assert abs(got[("pos", 256)]) < 8_000_000
 
 
+def test_classifier_init_single_class_raises(spark):
+    """ADVICE r12: a label that covers EVERY doc has no negative
+    examples, so its prior logit ln(c/(n-c)) is undefined (old code:
+    +Inf flowed through floor/cast into a silently corrupt bias).
+    The init must raise in-plan instead."""
+    import pytest
+
+    from bigclam_apachespark_spark.operators.text import classifier_init
+
+    labels = spark.createDataFrame(
+        [(i, "only") for i in range(5)], "doc_id long, label string"
+    )
+    classes = spark.createDataFrame(
+        [("only", 0)], "label string, ord int"
+    )
+    with pytest.raises(Exception, match="covers every doc"):
+        classifier_init(labels, classes, n_docs=5).collect()
+
+
 def test_classifier_fit_returns_best_state_and_converges(spark):
     """The plateau loop on the marker corpus: must report
     convergence, a positive improvement, and the returned weights
