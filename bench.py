@@ -198,6 +198,8 @@ HEADLINE = [
     "text_classifier_calibration",
     "graph_sgns_rank_corr",
     "sim_semdedup_cell_stats",
+    # round-13 addition: calibrate → F1-threshold → filter in one plan
+    "text_classifier_threshold",
 ]
 
 # Healthy-window sf0.1 wall times on local[32] (measured 2026-08-13).
@@ -350,7 +352,6 @@ EXPECTED = {
     # solo values run 1.5-3x higher — cold session + uncached
     # upstream derivations)
     "text_bm25_topk": 2.1,
-    "graph_random_walks": 4.9,
     "graph_mis": 6.9,
     "sim_ivfpq_residual_topk": 6.4,
     "sim_kmeanspp_init": 7.3,
@@ -368,6 +369,9 @@ EXPECTED = {
     "text_classifier_calibration": 8.0,  # 2-step train + decile reliability counts (14s cold standalone)
     "graph_sgns_rank_corr": 17.5,  # walk corpus + 2 sgns steps + dual bucketed rank
     "sim_semdedup_cell_stats": 1.0,  # one assign pass + 16-row agg (0.5 warm in-suite, ~2.6 cold standalone)
+    # r13 rows (calibrated 2026-08-16, healthy window):
+    "text_classifier_threshold": 6.6,  # 2-step train + score checkpoint + decile F1 choose + filter
+    "graph_random_walks": 8.5,  # r13 re-base (was 4.9): per-level checkpointed corpus — the materialization barriers cost ~3.5s at sf0.1 but collapse walk_pmi's variance band and make the build O(walk_len)
 }
 RERUN_FACTOR = 2.0
 RERUN_UNKNOWN_ABOVE = 30.0  # sec, for names without an EXPECTED entry

@@ -2283,6 +2283,80 @@ TEXT_ORACLE["text_classifier_calibration"] = f"""
 TEXT_QUERIES["text_classifier_calibration"] = _q_classifier_calibration
 
 
+def _q_classifier_threshold(spark, sf):
+    """Calibrate → choose the F1-max decile threshold → filter, in
+    one plan (VERDICT r12 ask #5): the 2-step-trained model's
+    (doc, class) σ scores are decile-bucketed, each bucket's lower
+    edge is scored as a candidate threshold by exact-integer F1
+    (f1_ppm, one floored division; ties to the higher-precision
+    edge), and the winning cutoff is applied as the selection stage —
+    per selected doc, its best passing class. The champion threshold
+    and its f1_ppm ride along as constant columns, so the oracle
+    hash pins the CHOICE as well as the application."""
+    docs = _docs(spark, sf)
+    w = X.classifier_step(docs, steps=2, label_col="lang")
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    classes = X.classifier_classes(labels)
+    return X.classifier_threshold_select(
+        X.classifier_features(docs), labels, w, classes
+    )
+
+
+TEXT_ORACLE["text_classifier_threshold"] = f"""
+    WITH {_CLF_PRELUDE},
+    {_clf_step_sql(1)},
+    {_clf_step_sql(2)},
+    fscore AS MATERIALIZED (
+      SELECT f.doc_id, w.label, CAST(SUM(f.x * w.wv) AS BIGINT) AS dot_int
+      FROM cfeats f JOIN cw2 w ON w.dim = f.dim
+      GROUP BY 1, 2
+    ),
+    sig AS MATERIALIZED (
+      SELECT s.doc_id, s.label, c.ord,
+             CAST(FLOOR((1.0
+               / (1.0 + exp(-(CAST(s.dot_int AS DOUBLE) / 8000000.0))))
+               * 1000000.0) AS BIGINT) AS s_micro,
+             CASE WHEN l.label = s.label THEN 1 ELSE 0 END AS y
+      FROM fscore s
+      JOIN clabels l ON l.doc_id = s.doc_id
+      JOIN cclasses c ON c.label = s.label
+    ),
+    cal AS (
+      SELECT CAST(LEAST(CAST(FLOOR(CAST(s_micro * 10 AS DOUBLE) / 1000000.0)
+                             AS BIGINT), 9) AS BIGINT) AS bucket,
+             COUNT(*) AS n_pairs, SUM(y) AS n_pos
+      FROM sig GROUP BY 1
+    ),
+    tot AS (SELECT SUM(y) AS t_pos FROM sig),
+    cand AS (
+      SELECT bucket,
+             CAST(FLOOR(CAST(2000000 * SUM(n_pos) OVER w AS DOUBLE)
+                        / (SUM(n_pairs) OVER w + t.t_pos)) AS BIGINT) AS f1_ppm
+      FROM cal CROSS JOIN tot t
+      WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    thr AS (
+      SELECT CAST(bucket * 100000 AS BIGINT) AS thr_micro, f1_ppm
+      FROM cand ORDER BY f1_ppm DESC, bucket DESC LIMIT 1
+    ),
+    sel AS (
+      SELECT s.doc_id, s.label, s.ord, s.s_micro, t.thr_micro, t.f1_ppm
+      FROM sig s CROSS JOIN thr t
+      WHERE s.s_micro >= t.thr_micro
+    )
+    SELECT doc_id, label AS label_sel, s_micro, thr_micro, f1_ppm
+    FROM (
+      SELECT doc_id, label, s_micro, thr_micro, f1_ppm,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s_micro DESC, ord) AS rn
+      FROM sel
+    ) WHERE rn = 1
+"""
+
+TEXT_QUERIES["text_classifier_threshold"] = _q_classifier_threshold
+
+
 TEXT_ORACLE["text_training_corpus"] = f"""
     WITH RECURSIVE {_clean_ctes(0.5, 'en')},
     cdocs AS (

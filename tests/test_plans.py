@@ -381,6 +381,9 @@ _UNPARTITIONED_WINDOW_OK = {
     "sim_kmeanspp_init",
     "text_bpe_encode",
     "text_weighted_sample",
+    # r13: the F1 threshold derivation windows over the <= 10-row
+    # calibration-decile aggregate, never the corpus
+    "text_classifier_threshold",
 }
 
 # Construction executes multi-minute iterative jobs (rows-only
