@@ -563,6 +563,27 @@ def main() -> None:
         "degraded": degraded,
     }
     print(json.dumps(payload))
+    # VERDICT r12 ask #8: the driver keeps only a stdout TAIL, and at
+    # 120+ headline rows the combined line above can exceed it — r12's
+    # round artifact recorded parsed=null because the line was cut
+    # mid-JSON. Emit a COMPACT headline line LAST (tail truncation
+    # eats from the head, so the final short line survives any
+    # plausible tail window and the round artifact stays
+    # machine-readable); the full per-query map lives in the line
+    # above and in BENCH_local.json.
+    print(
+        json.dumps(
+            {
+                "metric": payload["metric"],
+                "value": payload["value"],
+                "unit": "sec",
+                "sf": sf,
+                "degraded": degraded,
+                "n_queries": len(timings),
+                "queries_in": "BENCH_local.json",
+            }
+        )
+    )
     # Truncation-proof artifact (VERDICT r7 ask #4): the driver keeps
     # only a stdout TAIL, which at 90+ headline queries silently drops
     # the "value" field and the first ~25 queries from BENCH_r{N}.json.

@@ -611,6 +611,18 @@ def q_random_walks(spark, sf_dir):
     return G.random_walks(_sym(spark, sf_dir), walk_len=4, n_walks=2, start_mod=23)
 
 
+def q_random_walks_len16(spark, sf_dir):
+    """The walk_len=16 corpus (r13): 16 frontier joins over the
+    per-level-checkpointed chain — linear in walk_len since the r13
+    materialization fix (the r12 lazy plan re-derived shared
+    prefixes, O(walk_len²) scans, and could not afford this row).
+    Sparser start cohort (id % 97) than the len-4 row so the DuckDB
+    twin's 16 materialized steps stay cheap."""
+    return G.random_walks(
+        _sym(spark, sf_dir), walk_len=16, n_walks=2, start_mod=97
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_copurchase_edges": q_copurchase_edges,
     "graph_edge_list_scan": q_edge_list_scan,
@@ -640,6 +652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_louvain_facebook": q_louvain_facebook,
     "graph_kcore": q_kcore,
     "graph_random_walks": q_random_walks,
+    "graph_random_walks_len16": q_random_walks_len16,
     "graph_walk_pmi": q_walk_pmi,
     "graph_node2vec_walks": q_node2vec_walks,
     "graph_mis": q_mis,
@@ -1519,6 +1532,17 @@ def _walk_steps_sql(walk_len: int, start_mod: int, n_walks: int) -> str:
 ORACLE["graph_random_walks"] = (
     f"WITH {EDGES_SQL}, {SYM_SQL},\n        "
     + _walk_steps_sql(walk_len=4, start_mod=23, n_walks=2)
+)
+
+# r13: the LONG-walk twin — hash-pinned evidence that the per-level
+# checkpoint discipline holds at DeepWalk-realistic walk lengths (the
+# r12 lazy chain was O(walk_len²) scans and walk_len=16 was
+# infeasible; the DuckDB side has been MATERIALIZED since r9 for the
+# same reason). Sparser start cohort (id % 97) keeps the corpus
+# oracle-sized: ~206 starts × 2 walks × 17 steps at sf0.1.
+ORACLE["graph_random_walks_len16"] = (
+    f"WITH {EDGES_SQL}, {SYM_SQL},\n        "
+    + _walk_steps_sql(walk_len=16, start_mod=97, n_walks=2)
 )
 
 _WALK_CTES, _WALK_UNION = _walk_steps_parts(walk_len=4, start_mod=23, n_walks=2)

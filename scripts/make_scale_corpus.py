@@ -113,21 +113,41 @@ def main() -> None:
           "nation", 1)
     write(replicate(read("region"), n, ["r_regionkey"]), "region", 1)
 
-    # Documents: ids banded AND tokens suffixed `_r<k>` for k > 0, so
-    # replicas share no shingles (see module docstring). The regexp
-    # appends the tag to every non-space run; replica 0 keeps the
-    # original text byte-for-byte.
+    # Documents: ids banded AND every ALPHA RUN suffixed with a pure-
+    # letter replica tag (`word` → `wordxb` in replica 1), so replicas
+    # share (almost) no vocabulary or shingles while the TOKEN COUNT
+    # is preserved exactly — the repo tokenizer splits alpha runs /
+    # digit runs / single punctuation, so a mixed tag like `_r3` would
+    # explode every token into four (`word`,`_`,`r`,`3`): a 37× token
+    # corpus masquerading as 10×, which inflates every tokenize-bound
+    # slope reading (caught live on the first measurement attempt).
+    # Digit/punct tokens stay shared across replicas — a small,
+    # documented vocabulary overlap. Replica 0 keeps the original
+    # text byte-for-byte.
     docs = read("documents")
     rep = _rep(spark, n)
+
+    def _alpha_tag(k: int) -> str:
+        out = ""
+        while True:
+            out += chr(ord("a") + k % 26)
+            k //= 26
+            if k == 0:
+                return "x" + out
+
+    rep_tag = spark.createDataFrame(
+        [(k, _alpha_tag(k)) for k in range(n)], "_r long, _tag string"
+    )
     docs_out = (
-        docs.crossJoin(F.broadcast(rep))
+        docs.crossJoin(F.broadcast(rep_tag))
         .select(
             (F.col("doc_id") + F.col("_r") * F.lit(BAND)).alias("doc_id"),
             F.when(F.col("_r") == 0, F.col("text"))
             .otherwise(
                 F.regexp_replace(
-                    F.col("text"), r"(\S+)",
-                    F.concat(F.lit("$1_r"), F.col("_r").cast("string")),
+                    F.col("text"),
+                    F.lit(r"([A-Za-z]+)"),
+                    F.concat(F.lit("$1"), F.col("_tag")),
                 )
             )
             .alias("text"),
