@@ -113,17 +113,27 @@ def main() -> None:
           "nation", 1)
     write(replicate(read("region"), n, ["r_regionkey"]), "region", 1)
 
-    # Documents: ids banded AND every ALPHA RUN suffixed with a pure-
-    # letter replica tag (`word` → `wordxb` in replica 1), so replicas
-    # share (almost) no vocabulary or shingles while the TOKEN COUNT
-    # is preserved exactly — the repo tokenizer splits alpha runs /
-    # digit runs / single punctuation, so a mixed tag like `_r3` would
-    # explode every token into four (`word`,`_`,`r`,`3`): a 37× token
-    # corpus masquerading as 10×, which inflates every tokenize-bound
-    # slope reading (caught live on the first measurement attempt).
-    # Digit/punct tokens stay shared across replicas — a small,
-    # documented vocabulary overlap. Replica 0 keeps the original
-    # text byte-for-byte.
+    # Documents: ids banded AND every NON-STOPWORD alpha run suffixed
+    # with a pure-letter replica tag (`word` → `wordxb` in replica 1),
+    # so replicas share (almost) no content vocabulary or shingles
+    # while the TOKEN COUNT is preserved exactly — the repo tokenizer
+    # splits alpha runs / digit runs / single punctuation, so a mixed
+    # tag like `_r3` would explode every token into four
+    # (`word`,`_`,`r`,`3`): a 37× token corpus masquerading as 10×,
+    # which inflates every tokenize-bound slope reading (caught live
+    # on the first measurement attempt). STOPWORDS stay untagged
+    # because the clean/lang/quality heuristics key on the embedded
+    # stopword lists — tagging them made every replica doc fail the
+    # quality gate and text_training_corpus's "10×" input collapse
+    # back to 1× after its clean stage (also caught live). Stopword +
+    # digit + punct tokens are therefore shared across replicas — a
+    # small, documented vocabulary overlap; content-bearing shingles
+    # still differ, so near-dup structure replicates, not multiplies.
+    # Replica 0 keeps the original text byte-for-byte.
+    from bigclam_apachespark_spark.operators.text import (
+        EN_STOPWORDS, ES_STOPWORDS, FR_STOPWORDS,
+    )
+
     docs = read("documents")
     rep = _rep(spark, n)
 
@@ -135,6 +145,8 @@ def main() -> None:
             if k == 0:
                 return "x" + out
 
+    stop = sorted(set(EN_STOPWORDS) | set(ES_STOPWORDS) | set(FR_STOPWORDS))
+    pat = r"(?i)\b(?!(?:" + "|".join(stop) + r")\b)([A-Za-z]+)"
     rep_tag = spark.createDataFrame(
         [(k, _alpha_tag(k)) for k in range(n)], "_r long, _tag string"
     )
@@ -146,7 +158,7 @@ def main() -> None:
             .otherwise(
                 F.regexp_replace(
                     F.col("text"),
-                    F.lit(r"([A-Za-z]+)"),
+                    F.lit(pat),
                     F.concat(F.lit("$1"), F.col("_tag")),
                 )
             )
