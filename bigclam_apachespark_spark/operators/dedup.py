@@ -244,6 +244,15 @@ def minhash_band_keys(
     )
 
 
+# Default hot-bucket cap for the full LSH pipeline (r13): buckets
+# with more members than this are excluded from pair generation.
+# Sized from measurement — max bucket is 17 at sf0.01 and 195 at
+# sf0.1 (cap not binding: verified results identical), 2073 at the
+# 10× scale corpus where the uncapped quadratic term was 86% of all
+# candidate pairs. The oracle CAND_SQL carries the same constant.
+LSH_MAX_BUCKET = 256
+
+
 def lsh_candidate_pairs(
     buckets: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -404,13 +413,26 @@ def minhash_lsh_dups(
     rows_per_band: int = 4,
     shingle_n: int = 5,
     threshold: float = 0.7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
     est_min_matches: int | None = None,
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band buckets →
-    candidate pairs (optional hot-bucket cap) → signature-estimate
-    prefilter → exact-Jaccard verify ≥ threshold.
+    candidate pairs (hot-bucket cap, default ``LSH_MAX_BUCKET``) →
+    signature-estimate prefilter → exact-Jaccard verify ≥ threshold.
+
+    The cap is the DEFAULT (r13): the 10× scale corpus measured the
+    uncapped pipeline quadratic IN PRACTICE, not just in principle —
+    high-df boilerplate shingles (stopword runs) pin band minima, so
+    documents sharing only boilerplate collide into the same buckets
+    and the hot tail grows superlinearly: raw-documents candidate
+    pairs went 52k (sf0.1, max bucket 195) → 24.0M (10×, max bucket
+    2073), a 463× pair blowup for 10× docs that stalled the slope
+    sweep. cap=256 is not binding at the verified scales (so every
+    oracle hash is unchanged) and removes 20.6M of the 24.0M pairs at
+    10×; the residual mid-size-bucket candidates are boilerplate
+    collisions with tiny true Jaccard, killed by the signature
+    prefilter before any shingle verify. Pass ``None`` to uncap.
 
     ``est_min_matches``: None (default) = threshold-scaled via
     ``prefilter_min_matches(threshold, num_perms, rows_per_band)``,

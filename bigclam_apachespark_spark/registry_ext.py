@@ -1594,10 +1594,21 @@ buckets AS (
   GROUP BY doc_id, CAST(perm // 4 AS INT)
 )"""
 
-CAND_SQL = """
+# Hot-bucket cap mirrors dedup.LSH_MAX_BUCKET (r13): buckets larger
+# than the cap are excluded from pair generation on BOTH engines.
+# Not binding at the verified scales (max bucket 17 at sf0.01, 195
+# at sf0.1 — hashes unchanged); at the 10× scale corpus it bounds
+# the boilerplate-shingle quadratic term (24.0M → 3.3M candidates).
+CAND_SQL = f"""
+okb AS (
+  SELECT band, bucket FROM buckets
+  GROUP BY band, bucket HAVING count(*) <= {D.LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  FROM buckets a
+  JOIN okb USING (band, bucket)
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
 )"""
 

@@ -113,23 +113,37 @@ def main() -> None:
           "nation", 1)
     write(replicate(read("region"), n, ["r_regionkey"]), "region", 1)
 
-    # Documents: ids banded AND every NON-STOPWORD alpha run suffixed
-    # with a pure-letter replica tag (`word` → `wordxb` in replica 1),
-    # so replicas share (almost) no content vocabulary or shingles
-    # while the TOKEN COUNT is preserved exactly — the repo tokenizer
-    # splits alpha runs / digit runs / single punctuation, so a mixed
-    # tag like `_r3` would explode every token into four
-    # (`word`,`_`,`r`,`3`): a 37× token corpus masquerading as 10×,
-    # which inflates every tokenize-bound slope reading (caught live
-    # on the first measurement attempt). STOPWORDS stay untagged
-    # because the clean/lang/quality heuristics key on the embedded
-    # stopword lists — tagging them made every replica doc fail the
-    # quality gate and text_training_corpus's "10×" input collapse
-    # back to 1× after its clean stage (also caught live). Stopword +
-    # digit + punct tokens are therefore shared across replicas — a
-    # small, documented vocabulary overlap; content-bearing shingles
-    # still differ, so near-dup structure replicates, not multiplies.
-    # Replica 0 keeps the original text byte-for-byte.
+    # Documents: ids banded AND every NON-STOPWORD word Caesar-rotated
+    # by k letters in replica k. Three generator designs failed on the
+    # live measurement before this one, each caught by a different
+    # pipeline gate — the requirements they jointly establish:
+    #
+    #   1. TOKEN COUNT preserved exactly (a `_r3` suffix explodes
+    #      every token into four under the repo tokenizer — a 37×
+    #      corpus masquerading as 10×, inflating tokenize-bound
+    #      slopes);
+    #   2. STOPWORDS untouched (the clean/lang/quality heuristics key
+    #      on the embedded stopword lists; tagging them made every
+    #      replica doc fail the quality gate and the "10×" input
+    #      collapse back to 1× after the clean stage);
+    #   3. CHAR-5-GRAM disjointness vs EVERY other replica including
+    #      the untouched replica 0 (dedup shingles are CHARACTER
+    #      grams: a pure-letter SUFFIX `wordxb` still contains all of
+    #      `word`'s grams, so suffixed replicas verified as jaccard
+    #      ≥ 0.35 near-dups of their source docs and the near-dup
+    #      stage "correctly" collapsed each replica family to ~1
+    #      survivor — 45,460 cleaned docs → 6,114 final rows).
+    #
+    # A per-replica rotation of content words satisfies all three:
+    # token count, word lengths, stopwords, spaces, digits and
+    # n_chars are all invariant; a rotated word shares no char grams
+    # with its source (or with any other rotation) except through
+    # incidental vocabulary collisions. Shared grams across replicas
+    # are stopword/digit/space grams only — few DISTINCT shingles, so
+    # cross-replica Jaccard stays near 0 and near-dup structure
+    # replicates instead of multiplying. Replica 0 keeps the original
+    # text byte-for-byte. (Source docs are pure [a-z0-9 ] — verified —
+    # so word-splitting on single spaces is lossless.)
     from bigclam_apachespark_spark.operators.text import (
         EN_STOPWORDS, ES_STOPWORDS, FR_STOPWORDS,
     )
@@ -137,32 +151,30 @@ def main() -> None:
     docs = read("documents")
     rep = _rep(spark, n)
 
-    def _alpha_tag(k: int) -> str:
-        out = ""
-        while True:
-            out += chr(ord("a") + k % 26)
-            k //= 26
-            if k == 0:
-                return "x" + out
-
+    abc = "abcdefghijklmnopqrstuvwxyz"
     stop = sorted(set(EN_STOPWORDS) | set(ES_STOPWORDS) | set(FR_STOPWORDS))
-    pat = r"(?i)\b(?!(?:" + "|".join(stop) + r")\b)([A-Za-z]+)"
-    rep_tag = spark.createDataFrame(
-        [(k, _alpha_tag(k)) for k in range(n)], "_r long, _tag string"
-    )
+
+    def _rotated(k: int):
+        rot = abc[k % 26:] + abc[: k % 26]
+        return F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.when(w.isin(*stop), w).otherwise(
+                    F.translate(w, abc, rot)
+                ),
+            ),
+            " ",
+        )
+
+    text_expr = F.col("text")
+    for k in range(n - 1, 0, -1):
+        text_expr = F.when(F.col("_r") == k, _rotated(k)).otherwise(text_expr)
+
     docs_out = (
-        docs.crossJoin(F.broadcast(rep_tag))
+        docs.crossJoin(F.broadcast(rep))
         .select(
             (F.col("doc_id") + F.col("_r") * F.lit(BAND)).alias("doc_id"),
-            F.when(F.col("_r") == 0, F.col("text"))
-            .otherwise(
-                F.regexp_replace(
-                    F.col("text"),
-                    F.lit(pat),
-                    F.concat(F.lit("$1"), F.col("_tag")),
-                )
-            )
-            .alias("text"),
+            text_expr.alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )

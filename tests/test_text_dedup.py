@@ -255,6 +255,27 @@ def test_lsh_hot_bucket_cap(spark):
     assert pairs == {(10, 11)}  # hot bucket suppressed, real pair kept
 
 
+def test_lsh_pipeline_default_cap(spark):
+    """The full pipeline caps hot buckets BY DEFAULT (r13: the 10×
+    scale corpus measured the uncapped pipeline quadratic — 24.0M
+    candidates from boilerplate-shingle buckets; LSH_MAX_BUCKET=256
+    bounds the per-bucket term while small-bucket recall is intact).
+    300 identical docs exceed the cap → zero pairs from that bucket;
+    the near-dup pair in its own bucket still verifies. Passing
+    max_bucket_size=None restores the uncapped C(300,2) behavior."""
+    from bigclam_apachespark_spark.operators.dedup import LSH_MAX_BUCKET
+
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(300)]
+    rows += [(1000, "a genuinely unique document about spark executors"),
+             (1001, "a genuinely unique document about spark executor")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert LSH_MAX_BUCKET == 256  # oracle CAND_SQL carries the literal
+    capped = {(r["a"], r["b"]) for r in minhash_lsh_dups(docs, threshold=0.5).collect()}
+    assert capped == {(1000, 1001)}
+    unc = minhash_lsh_dups(docs, threshold=0.5, max_bucket_size=None).count()
+    assert unc == 300 * 299 // 2 + 1
+
+
 def test_streaming_dedup_matches_batch(spark, tmp_path):
     """Streaming dropDuplicates over a replayed file source emits
     exactly the batch-distinct fingerprint set (exact_dedup twin)."""
