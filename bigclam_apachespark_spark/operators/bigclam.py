@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.functions.checkpointing import (
@@ -32,6 +32,7 @@ from bigclam_apachespark_spark.functions.checkpointing import (
 from bigclam_apachespark_spark.functions.arrays import (
     MAX_F,
     MIN_F,
+    UNROLL_MAX_K,
     arr_clamp,
     arr_dot,
     arr_dot_k,
@@ -404,18 +405,82 @@ def line_search_updates(
         )
     )
 
-    # With a pre-materialized edge⋈fv relation the 16·N candidate rows
-    # join it on src ONCE; otherwise the fan-out pays an extra shuffle
-    # of 16·E K-wide rows through the dst join.
     if edge_fv is None:
         edge_fv = edge_fv_relation(sym_edges, factors)
-    cand_edges = cand.select(F.col("node_id").alias("src"), "eta", "newfu").join(
-        edge_fv, "src"
-    )
     k = len(sumf)
-    cdot = arr_dot_k("newfu", "fv", k)
-    cterm = F.log(1.0 - prob_hat(cdot)) + cdot
-    cand_nbr = cand_edges.groupBy("src", "eta").agg(F.sum(cterm).alias("nbr_term"))
+    # The unrolled single-pass shape materializes |steps|·K element
+    # expressions per edge row; past ~512 of them the expression-tree
+    # bookkeeping and codegen (Janino method splitting) eat the win —
+    # the dense K=100 v2 regime and anything larger keep the fan-out
+    # join (same results, measured-equal plans at those widths).
+    if k * len(steps) <= 4 * UNROLL_MAX_K:
+        # OPTIMIZATION r13 (guide §2.3 — shuffle fewer rows/bytes):
+        # the old shape materialized the 16·N candidate table and
+        # joined it against edge_fv into a 16·E-row relation before
+        # aggregating. All 16 candidate neighbor terms are pure
+        # per-edge expressions of (fu, grad, fv, η) with driver-known
+        # η and K, so compute them UNROLLED in one E-row pass
+        # (edge_fv ⋈ state on src — the N-row state side broadcasts)
+        # and aggregate 16 sums per node instead of one sum per
+        # (node, η) over 16× the rows. Per-(edge, η) arithmetic is
+        # the IDENTICAL expression tree (element-wise clamp + dot +
+        # log), so each term is bit-identical to the old plan's; only
+        # the hash-agg fold order differs, which is the same
+        # cross-engine class the quantized Armijo accept already
+        # absorbs. 16·E-row join + 16·E-row shuffle → E-row narrow
+        # pass + N×16 shuffle. Falls back to the fan-out join above
+        # UNROLL_MAX_K (that regime runs bigclam_long anyway).
+        st = state.select(
+            F.col("node_id").alias("src"),
+            F.col("fu").alias("_fu"),
+            F.col("grad").alias("_gr"),
+        )
+
+        def _cterm(eta_val: float) -> Column:
+            fu, gr, fv = F.col("_fu"), F.col("_gr"), F.col("fv")
+            cdot = None
+            for j in range(k):
+                nf = F.least(
+                    F.greatest(fu[j] + F.lit(eta_val) * gr[j], F.lit(MIN_F)),
+                    F.lit(MAX_F),
+                )
+                term = nf * fv[j]
+                cdot = term if cdot is None else cdot + term
+            return F.log(1.0 - prob_hat(cdot)) + cdot
+
+        per_edge = edge_fv.join(st, "src").select(
+            "src", *[_cterm(float(s)).alias(f"_t{i}") for i, s in enumerate(steps)]
+        )
+        agg_nbr = per_edge.groupBy("src").agg(
+            *[F.sum(f"_t{i}").alias(f"_s{i}") for i in range(len(steps))]
+        )
+        cand_nbr = agg_nbr.select(
+            "src",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(s)).alias("eta"),
+                            F.col(f"_s{i}").alias("nbr_term"),
+                        )
+                        for i, s in enumerate(steps)
+                    ]
+                )
+            ).alias("_en"),
+        ).select(
+            "src",
+            F.col("_en.eta").alias("eta"),
+            F.col("_en.nbr_term").alias("nbr_term"),
+        )
+    else:
+        cand_edges = cand.select(
+            F.col("node_id").alias("src"), "eta", "newfu"
+        ).join(edge_fv, "src")
+        cdot = arr_dot_k("newfu", "fv", k)
+        cterm = F.log(1.0 - prob_hat(cdot)) + cdot
+        cand_nbr = cand_edges.groupBy("src", "eta").agg(
+            F.sum(cterm).alias("nbr_term")
+        )
 
     # newsf = sumF − fu + newfu (v2:142); accept iff candidate local
     # LLH ≥ llh_u + α·η·‖grad‖² (v2:145).

@@ -2042,15 +2042,33 @@ def coreness_hindex(
     for the h-index (h = #{ranks r with value_r ≥ r} over the
     desc-sorted neighbor values — prefix-closed, so the count IS the
     max) and the following hash agg both reuse the src partitioning.
-    Each round emits ONE checkpointed generation carrying a change
-    flag: the convergence count is a cheap scan and the next round
-    reads its value slice. Above ``CORENESS_BCAST_MAX_V`` vertices
-    the hints drop off and the joins revert to shuffles — the
-    at-scale fallback. ``frontier=True`` additionally restricts each
-    round to ``nbrs(changed)`` via two semi-joins (only nodes with a
-    changed neighbor can change, so per-round values are identical) —
-    the right slice when Σdeg dwarfs memory, at the cost of extra
-    per-round stages."""
+    Above ``CORENESS_BCAST_MAX_V`` vertices the hints drop off and
+    the joins revert to shuffles — the at-scale fallback.
+    ``frontier=True`` additionally restricts each round to
+    ``nbrs(changed)`` via two semi-joins (only nodes with a changed
+    neighbor can change, so per-round values are identical) — the
+    right slice when Σdeg dwarfs memory, at the cost of extra
+    per-round stages.
+
+    OPTIMIZATION r13 (guide §1.2 "remove passes", §2.4 "remove
+    shuffles outright"): the default path now (a) exploits per-node
+    MONOTONICITY — starting from degrees, the synchronous h-index
+    sequence is non-increasing at every node (H is monotone in its
+    arguments and H(deg) ≤ deg, Lü et al. 2016), so "no node changed"
+    ⟺ "Σc unchanged" and the old per-round ``vals ⟕ new_c`` join-back
+    (whose only job was the change flag; on a symmetric edge set
+    every id has ≥ 1 neighbor, so ``new_c`` already covers every id)
+    is GONE — one join per round instead of two; and (b) materializes
+    every ``unroll`` rounds instead of every round — the value table
+    is referenced ONCE per round, so the unrolled plan chains
+    linearly (no subtree duplication) and the per-round
+    localCheckpoint + count actions collapse to one checkpoint + one
+    1-row sum agg per block. Identical generation sequence ⇒
+    identical fixpoint; overshoot rounds past the fixpoint are the
+    identity, so the returned table is bit-identical (oracle
+    re-verified at sf0.01 + sf0.1). Measured at sf0.1 (38-round
+    fixpoint): 2 joins + 3 actions per round → 1 join per round +
+    2 actions per 4 rounds; see OPTIMIZATION_r13.md."""
     from pyspark.sql import Window
 
     spark = sym_edges.sparkSession
@@ -2069,6 +2087,12 @@ def coreness_hindex(
     n_v = vals.count()
     hint = F.broadcast if n_v <= CORENESS_BCAST_MAX_V else (lambda df: df)
     w = Window.partitionBy("src").orderBy(F.col("cd").desc())
+
+    if not frontier:
+        return _coreness_hindex_unrolled(
+            sym_edges, vals, hint, w, max_rounds
+        )
+
     converged = False
     first = True
     changed = None   # (id) slice of the previous generation
@@ -2121,6 +2145,66 @@ def coreness_hindex(
         if n_changed == 0:
             converged = True
             break
+    unpersist_local_checkpoint(sym_edges)
+    if not converged:
+        unpersist_local_checkpoint(prev_gen)
+        raise RuntimeError(
+            f"coreness_hindex: h-index fixpoint not reached within "
+            f"{max_rounds} rounds — raise `max_rounds`"
+        )
+    return vals.select("id", F.col("c").alias("coreness"))
+
+
+def _coreness_hindex_unrolled(
+    sym_edges: DataFrame,
+    vals: DataFrame,
+    hint,
+    w,
+    max_rounds: int,
+    unroll: int = 4,
+) -> DataFrame:
+    """Default (non-frontier) h-index fixpoint loop — see
+    ``coreness_hindex`` docstring for the equivalence argument.
+    ``vals`` is the checkpointed degree table; every id in it has
+    ≥ 1 edge (it is built from ``sym_edges.groupBy("src")``), so one
+    h-index round covers every id and no coalesce join-back is
+    needed. Per block of ``unroll`` rounds: ``unroll`` chained
+    (broadcast-join → window → hash-agg) layers, ONE eager
+    localCheckpoint, ONE 1-row sum action. Convergence certificate:
+    per-node monotone non-increasing ⇒ equal consecutive block sums
+    ⟺ fixpoint (and overshoot rounds are the identity)."""
+    prev_sum = None
+    prev_gen = vals
+    rounds_done = 0
+    converged = False
+    while rounds_done < max_rounds:
+        u = min(unroll, max_rounds - rounds_done)
+        for _ in range(u):
+            nb = sym_edges.join(
+                hint(
+                    vals.select(F.col("id").alias("dst"), F.col("c").alias("cd"))
+                ),
+                "dst",
+            ).select("src", "cd")
+            vals = (
+                nb.withColumn("rn", F.row_number().over(w))
+                .select(
+                    "src",
+                    F.when(F.col("cd") >= F.col("rn"), 1).otherwise(0).alias("hit"),
+                )
+                .groupBy("src")
+                .agg(F.sum("hit").cast("long").alias("c"))
+                .select(F.col("src").alias("id"), "c")
+            )
+        vals = vals.localCheckpoint(eager=True)
+        rounds_done += u
+        s = vals.agg(F.sum("c")).first()[0]
+        unpersist_local_checkpoint(prev_gen)
+        prev_gen = vals
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
     unpersist_local_checkpoint(sym_edges)
     if not converged:
         unpersist_local_checkpoint(prev_gen)

@@ -52,7 +52,16 @@ def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction, so symmetrize's union+distinct would be a no-op
     # costing one full extra shuffle — skip it. (B1 symmetrize itself
     # is oracle-exercised on the bipartite graph: graph_symmetrize_cs.)
-    return copurchase_edges(spark, sf_dir)
+    #
+    # OPTIMIZATION r13: session-pooled (shared.shared_sym) — ~40
+    # registry queries consume this relation per suite pass, and the
+    # BigCLAM registry's plan-keyed `.cache()` was already sharing it
+    # with them implicitly from whichever kernel query ran first; the
+    # pool makes the persist explicit, charged to the first consumer,
+    # and released at suite teardown (bench release_all()).
+    from bigclam_apachespark_spark.shared import shared_sym
+
+    return shared_sym(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -432,10 +432,14 @@ def _sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-joins in the line search) — uncached, the full co-purchase
     # derivation (lineitem scan → basket agg → pair explode →
     # distinct) re-executes once per consumer (measured 7 lineitem
-    # scans inside bigclam_gradient alone). CacheManager keys entries
-    # by plan, so repeated _sym calls across kernel queries in one
-    # session share a single cached materialization.
-    return copurchase_edges(spark, sf_dir).cache()
+    # scans inside bigclam_gradient alone). OPTIMIZATION r13: the
+    # bare `.cache()` became the session pool entry shared with
+    # registry.py's ~25 graph consumers (shared.shared_sym) — same
+    # CacheManager entry as before, but explicit, charged once, and
+    # released at suite teardown.
+    from bigclam_apachespark_spark.shared import shared_sym
+
+    return shared_sym(spark, sf_dir)
 
 
 def q_sumf(spark, sf_dir):

@@ -71,6 +71,24 @@ def shared_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain (unweighted) co-purchase edge relation — the
+    ``_sym`` substrate consumed by ~40 graph/BigCLAM registry queries
+    per suite pass (OPTIMIZATION r13, guide §2.4/§5: one cached copy
+    of the lineitem → basket → pair-explode → distinct derivation per
+    session instead of one per consumer; the BigCLAM registry already
+    did this via a plan-keyed ``.cache()``, which the CacheManager
+    incidentally shared with every other ``_sym`` consumer — this
+    makes the sharing explicit, pooled, and released at suite
+    teardown)."""
+    from bigclam_apachespark_spark.sources import copurchase_edges
+
+    return shared(
+        spark, sf_dir, "sym_copurchase_edges",
+        lambda: copurchase_edges(spark, sf_dir),
+    )
+
+
 def shared_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Support-≥2 weighted co-purchase edges — the lineitem → basket →
     pair derivation shared by the Louvain family, weighted PageRank,
