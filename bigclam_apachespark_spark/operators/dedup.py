@@ -687,31 +687,33 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("u").distinct().select("u", F.col("u").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
+    prev_gen = labels
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # Carry the round's starting label through as ``old`` so the
+        # convergence count below is a scan of the checkpointed
+        # generation instead of an extra labels⋈new_labels join per
+        # round (OPTIMIZATION r13 — same values, one less join).
         stepped = labels.join(nbr_min, "u", "left").select(
-            "u", F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl")
+            "u",
+            F.col("lbl").alias("old"),
+            F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
         )
         # pointer jumping: label(u) <- label(label(u))
         jumped = stepped.join(
             stepped.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")),
             "lbl",
             "left",
-        ).select("u", F.coalesce("lbl2", F.col("lbl")).alias("lbl"))
+        ).select("u", "old", F.coalesce("lbl2", F.col("lbl")).alias("lbl"))
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            labels.select("u", F.col("lbl").alias("old"))
-            .join(new_labels, "u")
-            .where(F.col("old") != F.col("lbl"))
-            .count()
-        )
-        old = labels
-        labels = new_labels
-        old.unpersist()
+        changed = new_labels.where(F.col("old") != F.col("lbl")).count()
+        prev_gen.unpersist()
+        prev_gen = new_labels
+        labels = new_labels.select("u", "lbl")
         if changed == 0:
             break
     out = labels.select("u", "lbl")

@@ -2633,54 +2633,44 @@ def sgns_apply(
     w_u = emb.select(F.col("node_id").alias("u"), "k", "wv")
     c_x = emb.select(F.col("node_id").alias("x"), "k", "cv")
 
-    # Positive dots: exact int64 (|dot| ≤ dim·(0.2e6)² ≈ 2e11).
-    pos_dot = (
-        pairs.join(w_u, "u")
-        .join(
-            c_x.select(F.col("x").alias("v"), "k", "cv"),
-            ["v", "k"],
-        )
-        .groupBy("u", "v", "c_uv")
-        .agg(F.sum(F.col("wv") * F.col("cv")).alias("dot_int"))
-    )
-
     # Negative draws: neg per distinct pair, hash → rank → id.
     if negdraw is None:
         negdraw = sgns_uniform_negdraw(pairs, ranked, n_vertices, neg, tag)
-    neg_dot = (
-        negdraw.join(w_u, "u")
-        .join(c_x.select(F.col("x").alias("n"), "k", "cv"), ["n", "k"])
-        .groupBy("u", "v", "j", "c_uv", "n")
+
+    # OPTIMIZATION r13 (guide §2.4): the positive and negative dot
+    # pipelines joined w/c embeddings SEPARATELY (4 joins + 2 aggs per
+    # step). Both branches are the same computation — Σ_k wv(u)·cv(x)
+    # per (pair, draw) group — so union the (u, v, x, j, c_uv) rows
+    # first (j = 0 tags the positive row; draws use j ≥ 1) and run ONE
+    # join pair + ONE hash agg. Every per-group int64 dot is the exact
+    # integer sum it was before (order-free), and the σ-quantized coef
+    # per (u, x) row is computed from the identical dot — the fused
+    # plan is bit-identical, not just equivalent-in-distribution.
+    both = pairs.select(
+        "u", "v", F.col("v").alias("x"), F.lit(0).alias("j"), "c_uv"
+    ).unionByName(
+        negdraw.select("u", "v", F.col("n").alias("x"), "j", "c_uv")
+    )
+    dots = (
+        both.join(w_u, "u")
+        .join(c_x, ["x", "k"])
+        .groupBy("u", "v", "x", "j", "c_uv")
         .agg(F.sum(F.col("wv") * F.col("cv")).alias("dot_int"))
     )
 
     # Quantized coefficients × multiplicity → the (u, x, coef) edge
     # list of the gradient bipartite graph. Referenced by BOTH update
     # aggregations — materialized (the unrolled-CTE authoring rule).
-    sig_pos = _sgns_sigma_micro(F.col("dot_int"))
-    assoc = (
-        pos_dot.select(
-            "u",
-            F.col("v").alias("x"),
-            (
-                F.floor((1.0 - sig_pos) * F.lit(float(SGNS_SCALE))).cast("long")
-                * F.col("c_uv")
-            ).alias("coef"),
-        )
-        .unionByName(
-            neg_dot.select(
-                "u",
-                F.col("n").alias("x"),
-                (
-                    -F.floor(
-                        _sgns_sigma_micro(F.col("dot_int"))
-                        * F.lit(float(SGNS_SCALE))
-                    ).cast("long")
-                    * F.col("c_uv")
-                ).alias("coef"),
-            )
-        )
-        .localCheckpoint(eager=True)
+    sig = _sgns_sigma_micro(F.col("dot_int"))
+    qcoef = (
+        F.when(
+            F.col("j") == 0,
+            F.floor((1.0 - sig) * F.lit(float(SGNS_SCALE))).cast("long"),
+        ).otherwise(-F.floor(sig * F.lit(float(SGNS_SCALE))).cast("long"))
+        * F.col("c_uv")
+    )
+    assoc = dots.select("u", "x", qcoef.alias("coef")).localCheckpoint(
+        eager=True
     )
 
     # ΔW[u] = Σ coef·C[x];  ΔC[x] = Σ coef·W[u]  — exact int64 sums
