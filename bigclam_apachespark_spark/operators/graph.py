@@ -520,14 +520,19 @@ def pagerank(
     ).cache()
     ranks = verts.select("id", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
     for _ in range(n_iter):
+        # OPTIMIZATION r13: on the symmetrized view every vertex has
+        # an in-neighbor (src set == dst set), so ``contribs`` covers
+        # every id and the old verts ⟕ contribs coalesce join per
+        # round was the identity — one join per round instead of two,
+        # identical ranks (oracle re-verified).
         contribs = (
             edges_deg.join(ranks.select(F.col("id").alias("src"), "r"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("degree")).alias("m"))
         )
-        new_ranks = verts.join(contribs, "id", "left").select(
+        new_ranks = contribs.select(
             "id",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("r"),
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("m")).alias("r"),
         ).localCheckpoint(eager=True)
         unpersist_local_checkpoint(ranks)
         ranks = new_ranks
@@ -652,9 +657,13 @@ def pagerank_weighted(
                 ).alias("m")
             )
         )
-        new_ranks = verts.join(contribs, "id", "left").select(
+        # OPTIMIZATION r13: edges_w is symmetric, so its src set ==
+        # dst set == verts and ``contribs`` covers every id — the
+        # verts ⟕ contribs coalesce join was the identity (same move
+        # as ``pagerank``; oracle re-verified).
+        new_ranks = contribs.select(
             "id",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("m", F.lit(0.0))).alias("r"),
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("m")).alias("r"),
         ).localCheckpoint(eager=True)
         unpersist_local_checkpoint(ranks)
         ranks = new_ranks
@@ -986,10 +995,17 @@ def bfs_hops(
     frontier expands to nothing (the fixed-round DuckDB twin unrolls
     the same chain). At 100 TB the visited anti-join is the big
     state; it shuffles once per round on id."""
-    dist = sources.select("id", F.lit(0).cast("int").alias("hops")).localCheckpoint(
+    # OPTIMIZATION r13: the visited set is kept as a LAZY union over
+    # the per-hop checkpointed frontiers instead of re-materializing
+    # the whole table every hop — the anti-join reads the union of
+    # in-memory frontier RDDs directly, saving one |visited|-sized
+    # checkpoint job per hop (same rows, same joins).
+    part0 = sources.select("id", F.lit(0).cast("int").alias("hops")).localCheckpoint(
         eager=True
     )
-    frontier = dist.select("id")
+    parts = [part0]
+    dist = part0
+    frontier = part0.select("id")
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym_edges, frontier["id"] == sym_edges["src"])
@@ -1001,9 +1017,10 @@ def bfs_hops(
         )
         if nxt.count() == 0:
             break
-        new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-        unpersist_local_checkpoint(dist)
-        dist = new_dist
+        parts.append(nxt)
+        dist = parts[0]
+        for p in parts[1:]:
+            dist = dist.unionByName(p)
         frontier = nxt.select("id")
     return dist
 
@@ -1031,11 +1048,16 @@ def harmonic_centrality_sampled(
     against the edge list partitioned on src (cost Σ deg(frontier)
     per seed), with the same per-round localCheckpoint cadence and
     empty-frontier early exit as ``bfs_hops``."""
-    dist = (
+    # OPTIMIZATION r13: same lazy visited-union restructure as
+    # ``bfs_hops`` — the (seed, id) distance table is the union of
+    # per-hop checkpointed frontiers, never re-materialized per hop.
+    part0 = (
         seeds.select(F.col("id").alias("seed"), F.col("id"), F.lit(0).cast("int").alias("d"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist.select("seed", "id")
+    parts = [part0]
+    dist = part0
+    frontier = part0.select("seed", "id")
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym_edges, frontier["id"] == sym_edges["src"])
@@ -1047,9 +1069,10 @@ def harmonic_centrality_sampled(
         )
         if nxt.count() == 0:
             break
-        new_dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-        unpersist_local_checkpoint(dist)
-        dist = new_dist
+        parts.append(nxt)
+        dist = parts[0]
+        for p in parts[1:]:
+            dist = dist.unionByName(p)
         frontier = nxt.select("seed", "id")
     counts = [
         F.sum(F.when(F.col("d") == h, 1).otherwise(0)).cast("long")

@@ -49,7 +49,9 @@ def _qvec(c: Column | str) -> Column:
 
 
 def _dot_long(a: Column | str, b: Column | str) -> Column:
-    """Exact integer dot product of two quantized vectors."""
+    """Exact integer dot product of two quantized vectors (HOF form —
+    width-agnostic; lambdas evaluate interpreted, so known-width hot
+    paths use ``_dot_long_k``)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -59,6 +61,79 @@ def _dot_long(a: Column | str, b: Column | str) -> Column:
     )
 
 
+# Harness embedding dimensionality (FIXTURES.md §6: every vectors
+# table at every SF is dim-64; verified against the parquet fixtures).
+# Known-width kernels unroll to element arithmetic below.
+EMB_DIM = 64
+
+
+def _dot_long_k(a: Column | str, b: Column | str, n: int) -> Column:
+    """OPTIMIZATION r13 (guide §1.2 per-task work; the
+    functions/arrays.py UNROLL_MAX_K lesson): ``F.aggregate`` /
+    ``zip_with`` lambdas evaluate INTERPRETED per element, which is
+    the dominant per-row cost of the pairwise cosine/L2 kernels
+    (measured ~2× on 16·E-row fan-outs in the BigCLAM line search).
+    With the width known at plan time the dot unrolls into plain
+    element arithmetic inside whole-stage codegen. Same exact-int64
+    sums; under ANSI mode a shorter array fails loudly instead of
+    silently truncating.
+
+    CONSTRUCTION COST (measured, this round): building the unrolled
+    tree element-by-element from Python costs ~3·n py4j round-trips
+    PER CALL SITE — the first cut of this helper put
+    ``sim_lsh_topk_multi`` at 30 s of pure driver-side DataFrame
+    construction. String-name inputs therefore build the whole dot
+    as ONE ``F.expr`` parse (a single py4j call, parsed JVM-side);
+    Column inputs keep the element loop (rare, small n)."""
+    if isinstance(a, str) and isinstance(b, str):
+        # Per-row width guard: operators are also library code over
+        # arbitrary-width vectors (unit fixtures use dim 4), and ANSI
+        # array indexing throws out-of-bounds. CASE branches evaluate
+        # lazily, so non-n rows take the legacy HOF branch with its
+        # exact legacy semantics (including zip_with null padding on
+        # mismatched widths) and n-wide rows take the codegen'd
+        # unrolled branch.
+        unrolled = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(n))
+        hof = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        return F.expr(
+            f"CASE WHEN size({a}) = {n} AND size({b}) = {n} "
+            f"THEN {unrolled} ELSE {hof} END"
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    out = a[0] * b[0]
+    for i in range(1, n):
+        out = out + a[i] * b[i]
+    return out
+
+
+def _l2_long_k(a: Column | str, b: Column | str, n: int) -> Column:
+    """Unrolled exact integer squared-L2 (see ``_dot_long_k`` — same
+    single-parse ``F.expr`` construction for string-name inputs)."""
+    if isinstance(a, str) and isinstance(b, str):
+        unrolled = " + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(n)
+        )
+        hof = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        return F.expr(
+            f"CASE WHEN size({a}) = {n} AND size({b}) = {n} "
+            f"THEN {unrolled} ELSE {hof} END"
+        )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    out = (a[0] - b[0]) * (a[0] - b[0])
+    for i in range(1, n):
+        out = out + (a[i] - b[i]) * (a[i] - b[i])
+    return out
+
+
 def quantized(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -66,7 +141,9 @@ def quantized(
     computed once per vector. Narrow map — no shuffle."""
     q = embeddings.select(F.col(id_col), _qvec(vec_col).alias("qv"))
     return q.select(
-        id_col, "qv", F.sqrt(_dot_long("qv", "qv").cast("double")).alias("nrm")
+        id_col,
+        "qv",
+        F.sqrt(_dot_long_k("qv", "qv", EMB_DIM).cast("double")).alias("nrm"),
     )
 
 
@@ -74,7 +151,7 @@ def _cos_q(qa: str, na: str, qb: str, nb: str) -> Column:
     """Cosine from quantized vectors + precomputed norms — every op
     from exact integers, so the double result is bit-identical
     cross-engine."""
-    return _dot_long(qa, qb).cast("double") / (F.col(na) * F.col(nb))
+    return _dot_long_k(qa, qb, EMB_DIM).cast("double") / (F.col(na) * F.col(nb))
 
 
 def brute_force_topk(
@@ -128,9 +205,30 @@ def _hyperplane_q(dim: int, plane: int, seed: int = 42) -> list[int]:
     return [int(round(v * SCALE)) for v in _hyperplane(dim, plane, seed)]
 
 
-def _bucket_expr(qv: Column, n_planes: int, seed: int, dim: int) -> Column:
+def _bucket_expr(qv: Column | str, n_planes: int, seed: int, dim: int) -> Column:
     """Hyperplane LSH bucket of a quantized vector column:
-    bucket = Σ_p (v·h_p > 0) << p over exact integer dots."""
+    bucket = Σ_p (v·h_p > 0) << p over exact integer dots. Pass the
+    COLUMN NAME: each plane's dot against its integer-literal
+    hyperplane is then one ``F.expr`` parse (the ``_dot_long_k``
+    construction-cost lesson) and runs unrolled in codegen."""
+    if isinstance(qv, str):
+        def plane_dot(p: int) -> str:
+            hq = _hyperplane_q(dim, p, seed)
+            unrolled = " + ".join(f"{qv}[{i}] * {h}L" for i, h in enumerate(hq))
+            lits = ", ".join(f"{h}L" for h in hq)
+            hof = (
+                f"aggregate(zip_with({qv}, array({lits}), (x, y) -> x * y), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            return (
+                f"CASE WHEN size({qv}) = {dim} THEN {unrolled} ELSE {hof} END"
+            )
+
+        bits = " + ".join(
+            f"(CASE WHEN ({plane_dot(p)}) > 0 THEN {1 << p}L ELSE 0L END)"
+            for p in range(n_planes)
+        )
+        return F.expr(bits)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         hp = F.array(*[F.lit(v).cast("long") for v in _hyperplane_q(dim, p, seed)])
@@ -153,7 +251,7 @@ def hyperplane_buckets(
     Narrow map, no shuffle, no float anywhere near the discrete
     decision."""
     e = embeddings.select(F.col(id_col), _qvec(vec_col).alias("qv"))
-    return e.select(F.col(id_col), _bucket_expr(F.col("qv"), n_planes, seed, dim).alias("bucket"))
+    return e.select(F.col(id_col), _bucket_expr("qv", n_planes, seed, dim).alias("bucket"))
 
 
 def quantized_buckets(
@@ -173,8 +271,8 @@ def quantized_buckets(
     return q.select(
         id_col,
         "qv",
-        F.sqrt(_dot_long("qv", "qv").cast("double")).alias("nrm"),
-        _bucket_expr(F.col("qv"), n_planes, seed, dim).alias("bucket"),
+        F.sqrt(_dot_long_k("qv", "qv", EMB_DIM).cast("double")).alias("nrm"),
+        _bucket_expr("qv", n_planes, seed, dim).alias("bucket"),
     )
 
 
@@ -358,7 +456,7 @@ def _centroids_from_means(means: DataFrame) -> DataFrame:
     return cent.select(
         "cell",
         "cqv",
-        F.sqrt(_dot_long("cqv", "cqv").cast("double")).alias("cnrm"),
+        F.sqrt(_dot_long_k("cqv", "cqv", EMB_DIM).cast("double")).alias("cnrm"),
     )
 
 
@@ -1301,7 +1399,7 @@ def lsh_topk_multi(
         F.col("qv").alias("cqv"),
         F.col("nrm").alias("cnrm"),
         F.posexplode(
-            _multi_bucket_expr(F.col("qv"), n_planes, n_tables, seed, dim)
+            _multi_bucket_expr("qv", n_planes, n_tables, seed, dim)
         ).alias("tbl", "bucket"),
     )
     qv = quantized(queries, id_col, vec_col).select(
@@ -1312,7 +1410,7 @@ def lsh_topk_multi(
     q_buckets = qv.select(
         "qid",
         F.posexplode(
-            _multi_bucket_expr(F.col("qqv"), n_planes, n_tables, seed, dim)
+            _multi_bucket_expr("qqv", n_planes, n_tables, seed, dim)
         ).alias("tbl", "bucket"),
     )
     cand = (
@@ -1368,7 +1466,7 @@ def cosine_histogram(
     )
     a = s.select(F.col(id_col).alias("a"), F.col("qv").alias("qa"), F.col("nrm").alias("na"))
     b = s.select(F.col(id_col).alias("b"), F.col("qv").alias("qb"), F.col("nrm").alias("nb"))
-    cos = _dot_long("qa", "qb").cast("double") / (F.col("na") * F.col("nb"))
+    cos = _dot_long_k("qa", "qb", EMB_DIM).cast("double") / (F.col("na") * F.col("nb"))
     # clamp BOTH ends into [0, n_bins): double rounding of na*nb can
     # push cos marginally outside [-1, 1] for (anti)parallel quantized
     # vectors — the top clamp alone left floor(...) = -1 reachable.
@@ -1872,7 +1970,7 @@ def sq8_topk(
     rec = rec.select(
         id_col,
         "y",
-        F.sqrt(_dot_long("y", "y").cast("double")).alias("ynrm"),
+        F.sqrt(_dot_long_k("y", "y", EMB_DIM).cast("double")).alias("ynrm"),
     )
     q = quantized(queries, id_col, vec_col).select(
         F.col(id_col).alias("q"),
@@ -1886,7 +1984,7 @@ def sq8_topk(
             "q",
             id_col,
             F.round(
-                _dot_long("qqv", "y").cast("double")
+                _dot_long_k("qqv", "y", EMB_DIM).cast("double")
                 / (F.col("qnrm") * F.col("ynrm")),
                 6,
             ).alias("sq_cos"),
@@ -1955,7 +2053,7 @@ def ivfsq8_topk(
         .select(
             id_col,
             "y",
-            F.sqrt(_dot_long("y", "y").cast("double")).alias("ynrm"),
+            F.sqrt(_dot_long_k("y", "y", EMB_DIM).cast("double")).alias("ynrm"),
         )
         .join(assign, id_col)
     )
@@ -1967,7 +2065,7 @@ def ivfsq8_topk(
             "q",
             id_col,
             F.round(
-                _dot_long("qqv", "y").cast("double")
+                _dot_long_k("qqv", "y", EMB_DIM).cast("double")
                 / (F.col("qnrm") * F.col("ynrm")),
                 6,
             ).alias("sq_cos"),
@@ -2092,8 +2190,8 @@ def ivfpq_residual_topk(
         "q",
         "qnrm",
         "cell",
-        _dot_long("qqv", "cqv").alias("qc"),
-        _dot_long("cqv", "cqv").alias("cn2"),
+        _dot_long_k("qqv", "cqv", EMB_DIM).alias("qc"),
+        _dot_long_k("cqv", "cqv", EMB_DIM).alias("cn2"),
     )
     qlut = (
         quantized(queries, id_col, vec_col)
@@ -2243,7 +2341,7 @@ def kmeanspp_candidates(
         d2 = (
             pts.crossJoin(F.broadcast(cand))
             .groupBy(id_col, "qv")
-            .agg(F.min(_l2_long("qv", "cqv")).alias("d2"))
+            .agg(F.min(_l2_long_k("qv", "cqv", EMB_DIM)).alias("d2"))
         )
         tot = d2.agg(F.sum(F.col("d2").cast("decimal(38,0)")).alias("tot"))
         coin = hash64(
@@ -2271,7 +2369,7 @@ def kmeanspp_candidates(
         .select(
             id_col,
             "cand_id",
-            _l2_long("qv", "cqv").alias("d2"),
+            _l2_long_k("qv", "cqv", EMB_DIM).alias("d2"),
         )
         .groupBy(id_col)
         .agg(F.min_by("cand_id", F.struct("d2", "cand_id")).alias("cand_id"))
@@ -2308,7 +2406,7 @@ def kmeanspp_inertia_compare(
         d2 = (
             pts.crossJoin(F.broadcast(centers))
             .groupBy(id_col)
-            .agg(F.min(_l2_long("qv", "cqv")).alias("d2"))
+            .agg(F.min(_l2_long_k("qv", "cqv", EMB_DIM)).alias("d2"))
         )
         return d2.agg(
             F.lit(method).alias("method"),
