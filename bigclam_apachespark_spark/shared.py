@@ -59,15 +59,24 @@ def shared(
 def shared_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCAN structural similarity over the co-purchase graph — the
     |E|^1.5 wedge join shared by ``graph_structural_similarity`` and
-    ``graph_scan_clusters`` (``scan_clusters(sim=...)``)."""
+    ``graph_scan_clusters`` (``scan_clusters(sim=...)``).
+
+    Built FROM the pooled ``shared_sym`` substrate (OPTIMIZATION r13,
+    guide §2.4/§5): ``structural_similarity`` references its edge set
+    seven times (the support pass's union + orientation-degree joins +
+    the closing left join, plus the two endpoint-degree joins), and
+    with the raw derivation each reference re-derived the full
+    lineitem → basket → double-explode → distinct chain — the
+    committed before-plan shows 42 parquet scans / 122 Exchanges for
+    ONE build. Reading the session-cached relation turns every
+    reference into an InMemoryTableScan of the |E|-row edge set."""
     from bigclam_apachespark_spark.operators.graph import structural_similarity
-    from bigclam_apachespark_spark.sources import copurchase_edges
 
     return shared(
         spark,
         sf_dir,
         "structural_similarity",
-        lambda: structural_similarity(copurchase_edges(spark, sf_dir)),
+        lambda: structural_similarity(shared_sym(spark, sf_dir)),
     )
 
 

@@ -1456,3 +1456,37 @@ def test_ktruss_unconverged_still_raises(spark, g1_edges):
     sym = symmetrize(g1_edges)
     with pytest.raises(RuntimeError, match="did not reach"):
         ktruss(sym, k=4, rounds=1, assert_converged=True).count()
+
+
+def test_edge_support_array_and_wedge_parity(spark):
+    """OPTIMIZATION r13: per-edge triangle support has two exact-
+    identical formulations — the broadcast-adjacency array intersect
+    (measured regime) and the compact-forward wedge join (100-TB
+    shape). Parity on a graph with 0-support edges, shared edges, and
+    a hub: every (x, y) row must agree exactly, including the
+    0-support rows only the wedge plan's left join used to supply."""
+    from pyspark.sql import functions as F
+
+    from bigclam_apachespark_spark.operators.graph import (
+        _edge_support_arrays,
+        _edge_support_wedges,
+        symmetrize,
+    )
+    from bigclam_apachespark_spark.sources import edges_from_pairs
+
+    e = edges_from_pairs(
+        spark,
+        # two triangles sharing edge (2,3), a pendant path 5-6-7, and
+        # hub 0 touching everything (mixed supports incl. 0)
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (5, 6), (6, 7),
+         (0, 1), (0, 2), (0, 4), (0, 5), (0, 7)],
+    )
+    und = (
+        symmetrize(e)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    )
+    arr = {(r.x, r.y): r.support for r in _edge_support_arrays(und).collect()}
+    wed = {(r.x, r.y): r.support for r in _edge_support_wedges(und).collect()}
+    assert arr == wed
+    assert 0 in set(arr.values())  # the 0-support rows are present
