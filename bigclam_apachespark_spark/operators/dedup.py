@@ -155,6 +155,91 @@ def lsh_buckets(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
+def wide_signatures_from_shingles(sh: DataFrame, num_perms: int = 16) -> DataFrame:
+    """Signature in WIDE layout ``(doc_id, m0..m{num_perms-1})`` — the
+    same per-doc min aggregates as ``signatures_from_shingles`` WITHOUT
+    the posexplode back to long rows (OPTIMIZATION r13, guide §2.4):
+    the long layout is the *contract* layout of the standalone
+    ``dedup_minhash_signatures`` query, but inside ``minhash_lsh_dups``
+    it only existed to feed ``lsh_buckets``'s second |docs|×num_perms
+    shuffle + collect_list agg and the prefilter's per-perm join
+    fan-out. Keeping the agg row wide lets both downstream consumers
+    run as narrow projections (``lsh_buckets_from_wide``,
+    ``signature_estimate_filter_wide``) over one |docs|-row relation."""
+    perms = minhash_perm_constants(num_perms)
+    h = sh.select("doc_id", (hash64("s") % MINHASH_P).alias("h0"))
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_P).alias(f"m{p}")
+            for p, a, b in perms
+        ]
+    )
+
+
+def lsh_buckets_from_wide(
+    wide: DataFrame, num_perms: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """``lsh_buckets`` computed from the wide signature row — a narrow
+    posexplode over per-band hash expressions, NO second shuffle.
+
+    Bucket-hash equality with ``lsh_buckets`` is exact by
+    construction: the long form hashes ``array_join(minhash strings
+    in perm order, ",")`` (the collect_list struct-sort orders by
+    perm); here the band's min columns are concat_ws-joined in the
+    same perm order with the same casts, so the hashed string — and
+    hence every bucket id — is byte-identical (property-tested)."""
+    n_bands = num_perms // rows_per_band
+    band_hashes = [
+        hash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{p}").cast("string")
+                    for p in range(k * rows_per_band, (k + 1) * rows_per_band)
+                ],
+            )
+        )
+        for k in range(n_bands)
+    ]
+    return wide.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+
+
+def signature_estimate_filter_wide(
+    cand: DataFrame, wide: DataFrame, num_perms: int = 16, min_matches: int = 6
+) -> DataFrame:
+    """``signature_estimate_filter`` with the match count as a single
+    codegen expression over the wide signature rows (OPTIMIZATION r13,
+    guide §2.3 — shuffle fewer rows): the long form shipped
+    |cand|×num_perms rows through TWO shuffle joins plus a hash agg
+    just to count equal permutations; here each side's signature is
+    attached by one equi-join on the doc id and the count is
+    Σₚ int(maₚ = mbₚ) evaluated row-at-a-time in codegen. Integer
+    equality on identical min values — the count is bit-identical to
+    the long form's, and a pair with zero matching perms (absent from
+    the long form's post-WHERE agg) is dropped here by the same
+    ``>= min_matches`` cut (min_matches ≥ 1 whenever this is called)."""
+    wa = wide.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"m{p}").alias(f"_ma{p}") for p in range(num_perms)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"m{p}").alias(f"_mb{p}") for p in range(num_perms)],
+    )
+    n_match = sum(
+        F.when(F.col(f"_ma{p}") == F.col(f"_mb{p}"), 1).otherwise(0)
+        for p in range(num_perms)
+    )
+    return (
+        cand.join(wa, "a")
+        .join(wb, "b")
+        .where(n_match >= F.lit(min_matches))
+        .select("a", "b")
+    )
+
+
 def minhash_band_keys(
     docs: DataFrame,
     text_col: str = "text",
@@ -458,14 +543,23 @@ def minhash_lsh_dups(
     100 TB the same holds: the cached set is the near-dup cluster
     neighborhood, not the corpus. Without ``cache_handles``, repeated
     invocations in one session rely on LRU eviction."""
-    sig = signatures_from_shingles(
+    # Wide-signature path (OPTIMIZATION r13): one |docs|-row agg
+    # relation feeds banding AND the prefilter as narrow projections —
+    # the long (doc_id, perm, minhash) layout cost a second
+    # |docs|×num_perms shuffle (lsh_buckets' collect_list agg) plus a
+    # |cand|×num_perms join fan-out (the per-perm match count). Bucket
+    # ids and match counts are bit-identical (see the helpers'
+    # docstrings; property-tested), so the result set cannot move.
+    sig = wide_signatures_from_shingles(
         shingle_table(docs, text_col, shingle_n), num_perms
     ).cache()
-    cand = lsh_candidate_pairs(lsh_buckets(sig, rows_per_band), max_bucket_size)
+    cand = lsh_candidate_pairs(
+        lsh_buckets_from_wide(sig, num_perms, rows_per_band), max_bucket_size
+    )
     if est_min_matches is None:
         est_min_matches = prefilter_min_matches(threshold, num_perms, rows_per_band)
     if est_min_matches:
-        cand = signature_estimate_filter(cand, sig, est_min_matches)
+        cand = signature_estimate_filter_wide(cand, sig, num_perms, est_min_matches)
     cand = cand.cache()
     cand_ids = (
         cand.select(F.col("a").alias("doc_id"))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.functions.checkpointing import (
+    ensure_local_checkpoint,
     unpersist_local_checkpoint,
 )
 
@@ -874,13 +875,26 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     reachable exact answer. Rankings stabilize long before values do;
     callers who need tighter values raise ``n_iter`` on both twins."""
 
-    def _mean_norm(raw: DataFrame) -> DataFrame:
-        m = raw.agg(F.avg("s").alias("_m"))
-        return (
-            raw.crossJoin(F.broadcast(m))
-            .select("id", (F.col("s") / F.col("_m")).alias("s"))
-            .localCheckpoint(eager=True)
+    # OPTIMIZATION r13 (guide §1.2 — do the work once): (a) the edge
+    # relation (an orders⋈lineitem distinct for the registry's
+    # customer→supplier graph) is checkpointed ONCE instead of being
+    # re-derived by every per-round join; (b) _mean_norm used to build
+    # the mean broadcast from the RAW join+agg and then checkpoint the
+    # normalized table — executing the join+agg TWICE per half-round.
+    # Checkpointing raw FIRST and reading the mean off the checkpoint
+    # halves the per-round join work; the normalized view stays lazy
+    # (a broadcast-divide projection over the checkpoint — its two
+    # consumers re-run only a 1-row agg + narrow map). Identical
+    # arithmetic on identical rows — oracle re-verified.
+    edges = ensure_local_checkpoint(edges.select("src", "dst"))
+
+    def _mean_norm(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+        r = raw.localCheckpoint(eager=True)
+        m = r.agg(F.avg("s").alias("_m"))
+        out = r.crossJoin(F.broadcast(m)).select(
+            "id", (F.col("s") / F.col("_m")).alias("s")
         )
+        return out, r
 
     h = (
         edges.select(F.col("src").alias("id"))
@@ -888,14 +902,15 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         .select("id", F.lit(1.0).alias("s"))
         .localCheckpoint(eager=True)
     )
-    a = None
+    h_ckpt = h
+    a = a_ckpt = None
     for _ in range(n_iter):
         a_raw = (
             edges.join(h.select(F.col("id").alias("src"), "s"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("s").alias("s"))
         )
-        a_prev, a = a, _mean_norm(a_raw)
+        a_prev, (a, a_ckpt) = a_ckpt, _mean_norm(a_raw)
         if a_prev is not None:
             unpersist_local_checkpoint(a_prev)
         h_raw = (
@@ -906,7 +921,7 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("_as").alias("s"))
         )
-        h_prev, h = h, _mean_norm(h_raw)
+        h_prev, (h, h_ckpt) = h_ckpt, _mean_norm(h_raw)
         unpersist_local_checkpoint(h_prev)
     return h.select(
         "id", F.lit("hub").alias("role"), F.round("s", 6).alias("score")

@@ -176,6 +176,46 @@ def test_minhash_band_stream_matches_batch(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_wide_signature_path_matches_long(docs, spark):
+    """The r13 wide-signature internals of minhash_lsh_dups must be
+    row-identical to the long-layout formulation at every stage:
+    band buckets (byte-identical hash input strings) and the
+    signature-estimate prefilter's match counts. Checked on the toy
+    docs AND real fixture documents."""
+    from bigclam_apachespark_spark.operators.dedup import (
+        lsh_buckets_from_wide,
+        shingle_table,
+        signature_estimate_filter,
+        signature_estimate_filter_wide,
+        wide_signatures_from_shingles,
+    )
+
+    for df in (
+        docs,
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100),
+    ):
+        sh = shingle_table(df)
+        long_sig = minhash_signatures(df, num_perms=16)
+        wide_sig = wide_signatures_from_shingles(sh, num_perms=16)
+        b_long = sorted(map(tuple, lsh_buckets(long_sig, rows_per_band=4).collect()))
+        b_wide = sorted(
+            map(tuple, lsh_buckets_from_wide(wide_sig, 16, rows_per_band=4).collect())
+        )
+        assert b_long == b_wide and len(b_long) > 0
+        cand = lsh_candidate_pairs(lsh_buckets(long_sig, rows_per_band=4))
+        for mm in (5, 6, 9):
+            f_long = sorted(
+                map(tuple, signature_estimate_filter(cand, long_sig, mm).collect())
+            )
+            f_wide = sorted(
+                map(
+                    tuple,
+                    signature_estimate_filter_wide(cand, wide_sig, 16, mm).collect(),
+                )
+            )
+            assert f_long == f_wide
+
+
 def test_simhash(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[0] == sh[1]  # identical token sets
