@@ -393,6 +393,18 @@ def _gate_limit(base: float | None, p95: float | None) -> float | None:
         return base
     return min(max(base, p95), BAND_CAP_FACTOR * base)
 
+# BENCH_local.json is a 32-core record (VERDICT r13 "what's wrong" #1):
+# EXPECTED, the per-query bands and the min-merge are all calibrated on
+# local[32], the driver's main bench configuration. The driver ALSO
+# runs the bench at a lower core count to measure scaling; in r13 that
+# 8-core pass min-merged into the 32-core bands (louvain/mis minima
+# became 8-core readings a healthy 32-core run cannot hit), poisoning
+# the same-round regression tripwire and round-over-round geomeans.
+# Runs at any other core count now SKIP the record write entirely —
+# their one-line JSON artifact still stands on stdout; the scaling
+# story lives in the BENCH_r{N}_c{M}.json driver artifacts.
+CANON_CPUS = 32
+
 # Whole-suite drift detector: the per-query RERUN_FACTOR misses the
 # case where EVERY query reads uniformly ~1.2-2x slow (the r4 freeze
 # ran in exactly such a window: 28/28 queries 1.2-2.7x with almost
@@ -595,9 +607,20 @@ def main() -> None:
     if extra:
         spark.stop()
         return
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    cpus = CANON_CPUS if cpus_env == "*" else int(cpus_env)
+    if cpus != CANON_CPUS:
+        print(
+            f"# BENCH_local.json not written: run used {cpus} cores, the "
+            f"record's bands are {CANON_CPUS}-core (VERDICT r13 #1 — a "
+            "low-core scaling pass must not pollute the canonical minima)",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return
     try:
         out = Path(__file__).resolve().parent / "BENCH_local.json"
-        _write_round_record(out, sf, timings, degraded, median_ratio)
+        _write_round_record(out, sf, timings, degraded, median_ratio, cpus)
         print(f"# wrote {out}", file=sys.stderr)
     except OSError as ex:  # read-only checkout etc. — stdout line stands
         print(f"# BENCH_local.json not written: {ex}", file=sys.stderr)
@@ -626,6 +649,7 @@ def _write_round_record(
     timings: dict[str, float],
     degraded: bool,
     median_ratio,
+    cpus: int = CANON_CPUS,
 ) -> None:
     """Within-round min-merge + variance record (VERDICT r10 asks #3/#4).
 
@@ -643,6 +667,16 @@ def _write_round_record(
     """
     import statistics
 
+    if cpus != CANON_CPUS:
+        # Defense in depth (VERDICT r13 #1): the record's bands are
+        # CANON_CPUS-core by contract; a sample taken at any other
+        # core count must never min-merge into them.
+        print(
+            f"# _write_round_record: skipping {cpus}-core sample "
+            f"(record is {CANON_CPUS}-core)",
+            file=sys.stderr,
+        )
+        return
     round_key = _newest_correctness_round()
     prev: dict = {}
     if out.exists():
@@ -717,6 +751,7 @@ def _write_round_record(
         "unit": "sec",
         "queries": merged,
         "sf": sf,
+        "cpus": cpus,
         "round_key": round_key,
         "runs_this_round": (prev.get("runs_this_round", 0) if same_round else 0) + 1,
         "degraded": degraded and median_ratio(merged) > DRIFT_MEDIAN_FACTOR,

@@ -30,9 +30,14 @@ def patched_round(monkeypatch):
     return set_round
 
 
-def _write(out: Path, timings: dict[str, float], degraded: bool = False):
-    bench._write_round_record(out, 0.1, timings, degraded, lambda m: 0.9)
-    return json.loads(out.read_text())
+def _write(
+    out: Path,
+    timings: dict[str, float],
+    degraded: bool = False,
+    cpus: int = bench.CANON_CPUS,
+):
+    bench._write_round_record(out, 0.1, timings, degraded, lambda m: 0.9, cpus)
+    return json.loads(out.read_text()) if out.exists() else None
 
 
 def test_within_round_min_merge_is_monotone(tmp_path, patched_round):
@@ -126,6 +131,30 @@ def test_prior_band_carries_across_round_roll(tmp_path, patched_round):
     rec = _write(out, {"a": 8.0})
     assert rec["prior_band"]["a"]["min"] == 3.0
     assert rec["prior_round_key"] == 11
+
+
+def test_low_core_runs_never_touch_the_record(tmp_path, patched_round):
+    """VERDICT r13 #1: the record's bands are CANON_CPUS-core. The
+    driver's low-core scaling pass (r13: 8 cores) used to min-merge
+    into them, leaving minima a healthy 32-core run cannot hit — a
+    mixed-cpus sequence must keep only the canonical samples."""
+    out = tmp_path / "BENCH_local.json"
+    # a low-core run before any canonical run: no record at all
+    assert _write(out, {"a": 1.0}, cpus=8) is None
+    assert not out.exists()
+    first = _write(out, {"a": 5.0, "b": 2.0})  # canonical 32-core
+    assert first["cpus"] == bench.CANON_CPUS
+    # the low-core pass reads faster (fewer tiny shuffle tasks) but
+    # must not lower the canonical minima nor add samples
+    rec = _write(out, {"a": 1.3, "b": 0.9}, cpus=8)
+    assert rec["queries"] == {"a": 5.0, "b": 2.0}
+    assert rec["samples"]["a"] == [5.0]
+    assert rec["runs_this_round"] == 1
+    # a later canonical run merges normally
+    rec = _write(out, {"a": 4.0, "b": 3.0})
+    assert rec["queries"] == {"a": 4.0, "b": 2.0}
+    assert rec["samples"]["a"] == [5.0, 4.0]
+    assert rec["runs_this_round"] == 2
 
 
 def test_gate_limit_caps_prior_band_ratchet():
