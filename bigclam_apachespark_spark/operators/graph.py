@@ -20,7 +20,7 @@ v47=codes/bigclam4-7.scala in /root/reference):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigclam_apachespark_spark.functions.checkpointing import (
@@ -2248,9 +2248,30 @@ def coreness_hindex(
     identity, so the returned table is bit-identical (oracle
     re-verified at sf0.01 + sf0.1). Measured at sf0.1 (38-round
     fixpoint): 2 joins + 3 actions per round → 1 join per round +
-    2 actions per 4 rounds; see OPTIMIZATION_r13.md."""
-    from pyspark.sql import Window
+    2 actions per 4 rounds; see OPTIMIZATION_r13.md.
 
+    CONVERGENCE-DETECTION CONTRACT (ADVICE r13 #3): the block-sum
+    certificate observes equal sums only at block boundaries, so the
+    loop runs up to ``2·unroll − 1`` rounds PAST the fixpoint before
+    it can stop (fixpoint 38 at sf0.1 ⇒ 44 executed rounds at
+    unroll=4) — ``max_rounds`` must budget fixpoint + 2·unroll − 1,
+    not just the fixpoint depth (default 64 keeps a 20-round margin
+    over the measured sf0.1 depth). Overshoot rounds are identity
+    recomputations, never value changes.
+
+    OPTIMIZATION r14 (guide §1.2 per-round passes — VERDICT r13 ask
+    #3): the per-round h-index is now ONE hash aggregate —
+    ``size(filter(sort_array(collect_list(cd), desc), (x, i) →
+    x ≥ i+1))`` — instead of window row_number + CASE + sum-agg. The
+    window formulation sorted ALL Σdeg joined rows per round inside
+    each partition; the agg form sorts each node's own neighbor-value
+    array (Σ O(deg·log deg) vs O(Σdeg·log Σdeg) comparisons, and one
+    operator instead of three). Equivalence: sorted descending,
+    {r : a_r ≥ r} is prefix-closed (a_{r−1} ≥ a_r ≥ r > r−1), so the
+    filter count = max prefix length = the h-index = the window's
+    Σ[cd ≥ rn] — integer-exact, oracle re-verified at sf0.01 + sf0.1.
+    Measured on the 44-executed-round sf0.1 fixpoint loop, min of 2
+    interleaved A/B runs: 26.6 s → 18.3 s (−31 %)."""
     spark = sym_edges.sparkSession
     p = spark.sparkContext.defaultParallelism
     sym_edges = (
@@ -2266,11 +2287,10 @@ def coreness_hindex(
     )
     n_v = vals.count()
     hint = F.broadcast if n_v <= CORENESS_BCAST_MAX_V else (lambda df: df)
-    w = Window.partitionBy("src").orderBy(F.col("cd").desc())
 
     if not frontier:
         return _coreness_hindex_unrolled(
-            sym_edges, vals, hint, w, max_rounds
+            sym_edges, vals, hint, max_rounds
         )
 
     converged = False
@@ -2294,13 +2314,8 @@ def coreness_hindex(
             "dst",
         ).select("src", "cd")
         new_c = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .select(
-                "src",
-                F.when(F.col("cd") >= F.col("rn"), 1).otherwise(0).alias("hit"),
-            )
-            .groupBy("src")
-            .agg(F.sum("hit").cast("long").alias("c_new"))
+            nb.groupBy("src")
+            .agg(_hindex_of_neighbor_values().alias("c_new"))
             .select(F.col("src").alias("id"), "c_new")
         )
         nv = (
@@ -2335,11 +2350,24 @@ def coreness_hindex(
     return vals.select("id", F.col("c").alias("coreness"))
 
 
+def _hindex_of_neighbor_values() -> Column:
+    """The per-node h-index as ONE aggregate expression over the
+    joined ``cd`` neighbor-value rows (OPTIMIZATION r14 — guide §1.2;
+    see ``coreness_hindex`` for the prefix-closure equivalence proof
+    vs the old window row_number + sum formulation): sort the node's
+    neighbor values descending, count the prefix with a_i ≥ i+1."""
+    return F.size(
+        F.filter(
+            F.sort_array(F.collect_list("cd"), asc=False),
+            lambda x, i: x >= i + F.lit(1),
+        )
+    ).cast("long")
+
+
 def _coreness_hindex_unrolled(
     sym_edges: DataFrame,
     vals: DataFrame,
     hint,
-    w,
     max_rounds: int,
     unroll: int = 4,
 ) -> DataFrame:
@@ -2349,10 +2377,13 @@ def _coreness_hindex_unrolled(
     ≥ 1 edge (it is built from ``sym_edges.groupBy("src")``), so one
     h-index round covers every id and no coalesce join-back is
     needed. Per block of ``unroll`` rounds: ``unroll`` chained
-    (broadcast-join → window → hash-agg) layers, ONE eager
+    (broadcast-join → single hash-agg) layers, ONE eager
     localCheckpoint, ONE 1-row sum action. Convergence certificate:
     per-node monotone non-increasing ⇒ equal consecutive block sums
-    ⟺ fixpoint (and overshoot rounds are the identity)."""
+    ⟺ fixpoint (and overshoot rounds are the identity; the loop may
+    run up to 2·unroll − 1 rounds past the fixpoint before two block
+    sums compare equal — budget ``max_rounds`` accordingly, ADVICE
+    r13 #3)."""
     prev_sum = None
     prev_gen = vals
     rounds_done = 0
@@ -2367,13 +2398,8 @@ def _coreness_hindex_unrolled(
                 "dst",
             ).select("src", "cd")
             vals = (
-                nb.withColumn("rn", F.row_number().over(w))
-                .select(
-                    "src",
-                    F.when(F.col("cd") >= F.col("rn"), 1).otherwise(0).alias("hit"),
-                )
-                .groupBy("src")
-                .agg(F.sum("hit").cast("long").alias("c"))
+                nb.groupBy("src")
+                .agg(_hindex_of_neighbor_values().alias("c"))
                 .select(F.col("src").alias("id"), "c")
             )
         vals = vals.localCheckpoint(eager=True)

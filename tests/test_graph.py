@@ -990,6 +990,16 @@ def test_coreness_hindex_fixture_and_kcore_consistency(spark, g1_edges, g2_edges
         core = {r.id for r in kcore(sym1, k=k, rounds=6).collect()}
         assert core == {v for v, c in got1.items() if c >= k}, k
 
+    # r14: the frontier variant shares the single-agg h-index round
+    # kernel (_hindex_of_neighbor_values) with the default unrolled
+    # loop — the two schedules must land on the identical fixpoint
+    # (clique-with-pendant exercises both degree extremes).
+    got3f = {
+        r.id: r.coreness
+        for r in coreness_hindex(clique, frontier=True).collect()
+    }
+    assert got3f == got3
+
 
 def test_betweenness_path_graph_exact(spark):
     """Path 0-1-2-3-4 with every node a seed and hops covering the
