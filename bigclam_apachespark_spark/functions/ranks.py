@@ -92,6 +92,71 @@ def bucketed_row_number(
     )
 
 
+def bucketed_row_number_pair(
+    df: DataFrame,
+    order_cols_1: list[str],
+    out1: str,
+    order_cols_2: list[str],
+    out2: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """TWO exact global row_numbers over the SAME relation, attached
+    to every row in one chained pass (OPTIMIZATION r14, guide §2.4 —
+    VERDICT r13 ask #4). Equivalent to calling ``bucketed_row_number``
+    twice and joining the results on a row key, but WITHOUT the join:
+    both bucket boundaries are computed from ``df`` directly (a
+    bucket id is a function of the row's own order column and the
+    column's min/max — independent of the other ranking), so the two
+    rank windows chain as Exchange(_cb1)+sort → Exchange(_cb2)+sort
+    in a single plan. vs the join formulation this removes the two
+    row-count-sized Exchanges on the join key plus the join itself.
+    Each ranking is bit-identical to ``bucketed_row_number`` with the
+    same arguments: same bounds, same bucket function, same offsets,
+    same within-bucket window ordering (``order_cols`` must make the
+    ordering total — e.g. end with a unique key — for the pairing of
+    the two ranks to be deterministic)."""
+    o1, o2 = order_cols_1[0], order_cols_2[0]
+    # ONE fused bounds row for both orderings (min/max are column
+    # properties — independent of the other ranking), so the bucket
+    # projection costs one broadcast and one crossJoin, not two
+    # chained ones whose second recomputes the first's subplan.
+    bounds = df.agg(
+        F.min(o1).cast("double").alias("_lo1"),
+        F.max(o1).cast("double").alias("_hi1"),
+        F.min(o2).cast("double").alias("_lo2"),
+        F.max(o2).cast("double").alias("_hi2"),
+    )
+
+    def cb(col: str, lo: str, hi: str) -> Column:
+        span = F.col(hi) - F.col(lo)
+        pos = F.when(F.col(col).isNull(), F.lit(0.0)).when(
+            span > 0, (F.col(col).cast("double") - F.col(lo)) / span
+        ).otherwise(F.lit(0.0))
+        return F.least(F.floor(pos * buckets), F.lit(buckets - 1)).cast("int")
+
+    b = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_cb1", cb(o1, "_lo1", "_hi1"))
+        .withColumn("_cb2", cb(o2, "_lo2", "_hi2"))
+        .drop("_lo1", "_hi1", "_lo2", "_hi2")
+    )
+    off1 = _bucket_offsets(
+        b.select(F.col("_cb1").alias("_cb")), F.lit(1)
+    ).select(F.col("_cb").alias("_cb1"), F.col("_off").alias("_off1"))
+    off2 = _bucket_offsets(
+        b.select(F.col("_cb2").alias("_cb")), F.lit(1)
+    ).select(F.col("_cb").alias("_cb2"), F.col("_off").alias("_off2"))
+    w1 = Window.partitionBy("_cb1").orderBy(*order_cols_1)
+    w2 = Window.partitionBy("_cb2").orderBy(*order_cols_2)
+    return (
+        b.join(F.broadcast(off1), "_cb1")
+        .join(F.broadcast(off2), "_cb2")
+        .withColumn(out1, (F.col("_off1") + F.row_number().over(w1)).cast("long"))
+        .withColumn(out2, (F.col("_off2") + F.row_number().over(w2)).cast("long"))
+        .drop("_cb1", "_cb2", "_off1", "_off2")
+    )
+
+
 def bucketed_running_sum(
     df: DataFrame,
     order_cols: list[str],

@@ -3402,7 +3402,9 @@ def sgns_rank_corr_row(pairs: DataFrame, emb: DataFrame) -> DataFrame:
     exact int64 products. Spearman = 1 − 6Σd²/(n³−n) with Σd² an
     exact int64 (needs n ≲ 1.6e6 pairs before 6Σd² overflows int64 —
     decimal(38) is the upgrade past that), floored to ppm."""
-    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+    from bigclam_apachespark_spark.functions.ranks import (
+        bucketed_row_number_pair,
+    )
 
     scores = sgns_pair_scores(pairs, emb)
     # pair statistics over ALL co-occurring pairs (no top-k window —
@@ -3431,16 +3433,25 @@ def sgns_rank_corr_row(pairs: DataFrame, emb: DataFrame) -> DataFrame:
         )
     )
     both = scores.join(tgt, ["a", "b"]).localCheckpoint(eager=True)
-    r_model = bucketed_row_number(
-        both.select("a", "b", (-F.col("dot_wc")).alias("neg_s")),
-        ["neg_s", "a", "b"], out="rm",
-    ).select("a", "b", "rm")
-    r_target = bucketed_row_number(
-        both.select("a", "b", (-F.col("ratio")).alias("neg_t")),
-        ["neg_t", "a", "b"], out="rt",
-    ).select("a", "b", "rt")
+    # OPTIMIZATION r14 (guide §2.4 — VERDICT r13 ask #4): both ranks
+    # ride ONE chained pass over the checkpointed pair relation
+    # (bucketed_row_number_pair) instead of two independent rankings
+    # re-joined on (a, b) — same bounds, buckets, offsets and window
+    # orderings, so each rank value is bit-identical; the (a, b) join
+    # was a bijection on the unique pair key, so the (rm, rt) pairing
+    # is unchanged. Plan: 2 Exchanges (hash (a,b) both sides) + the
+    # sort-merge join removed.
+    ranked = bucketed_row_number_pair(
+        both.select(
+            "a", "b",
+            (-F.col("dot_wc")).alias("neg_s"),
+            (-F.col("ratio")).alias("neg_t"),
+        ),
+        ["neg_s", "a", "b"], "rm",
+        ["neg_t", "a", "b"], "rt",
+    )
     d2 = (
-        r_model.join(r_target, ["a", "b"])
+        ranked
         .select(((F.col("rm") - F.col("rt")) * (F.col("rm") - F.col("rt"))).alias("d2"))
         .agg(F.count("*").alias("n_pairs"), F.sum("d2").alias("sum_d2"))
     )

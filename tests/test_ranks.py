@@ -44,3 +44,30 @@ def test_bucketed_running_sum_matches_plain_window(spark):
     assert sorted(map(tuple, got.select("id", "rs").collect())) == sorted(
         map(tuple, want.select("id", "rs").collect())
     )
+
+
+def test_bucketed_row_number_pair_matches_two_rankings(spark):
+    """r14: the chained dual ranking must reproduce, row for row, the
+    two independent bucketed_row_number calls it replaces (and hence
+    the two plain windows) — including rows whose two order keys land
+    in different buckets and NULL keys in either ordering."""
+    from bigclam_apachespark_spark.functions.ranks import (
+        bucketed_row_number_pair,
+    )
+
+    data = [(float(i % 7), float((i * 13) % 11), i) for i in range(60)]
+    data += [(None, 3.0, 100), (2.0, None, 101)]
+    df = spark.createDataFrame(data, "k1 double, k2 double, id long")
+    got = bucketed_row_number_pair(
+        df, ["k1", "id"], "r1", ["k2", "id"], "r2", buckets=8
+    )
+    a = bucketed_row_number(df, ["k1", "id"], out="r1", buckets=8).select(
+        "id", "r1"
+    )
+    b = bucketed_row_number(df, ["k2", "id"], out="r2", buckets=8).select(
+        "id", "r2"
+    )
+    want = a.join(b, "id")
+    assert sorted(map(tuple, got.select("id", "r1", "r2").collect())) == sorted(
+        map(tuple, want.select("id", "r1", "r2").collect())
+    )
