@@ -32,6 +32,19 @@ def unpersist_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:
     df.unpersist(blocking)
 
 
+def is_local_checkpoint(df: DataFrame) -> bool:
+    """True when the plan already IS a checkpoint result (LogicalRDD)
+    — the guard ``ensure_local_checkpoint`` applies, exposed for
+    callers that must know whether they OWN the materialization (and
+    so may release it) or borrowed a shared/pooled one (r14, ADVICE
+    r13 #4)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:
+        return False
+
+
 def ensure_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``localCheckpoint`` unless the plan already IS a checkpoint
     result (LogicalRDD): re-checkpointing an already-materialized

@@ -187,15 +187,24 @@ def lsh_buckets_from_wide(
     in perm order, ",")`` (the collect_list struct-sort orders by
     perm); here the band's min columns are concat_ws-joined in the
     same perm order with the same casts, so the hashed string — and
-    hence every bucket id — is byte-identical (property-tested)."""
-    n_bands = num_perms // rows_per_band
+    hence every bucket id — is byte-identical (property-tested).
+    When ``rows_per_band`` does not divide ``num_perms``, the long
+    form's ``perm // rows_per_band`` banding leaves a PARTIAL
+    trailing band from the remainder perms — emitted here the same
+    way (ADVICE r13 #2: the old ``num_perms // rows_per_band`` count
+    silently dropped those perms, so non-default configs diverged in
+    candidate generation; property-tested at num_perms=18)."""
+    n_bands = -(-num_perms // rows_per_band)  # ceil: partial band too
     band_hashes = [
         hash64(
             F.concat_ws(
                 ",",
                 *[
                     F.col(f"m{p}").cast("string")
-                    for p in range(k * rows_per_band, (k + 1) * rows_per_band)
+                    for p in range(
+                        k * rows_per_band,
+                        min((k + 1) * rows_per_band, num_perms),
+                    )
                 ],
             )
         )

@@ -886,7 +886,28 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     # (a broadcast-divide projection over the checkpoint — its two
     # consumers re-run only a 1-row agg + narrow map). Identical
     # arithmetic on identical rows — oracle re-verified.
-    edges = ensure_local_checkpoint(edges.select("src", "dst"))
+    #
+    # r14 (ADVICE r13 #4): the old ``ensure_local_checkpoint(
+    # edges.select(...))`` hid an already-checkpointed input behind
+    # the select wrapper, so a pooled/checkpointed relation was
+    # block-copied AGAIN on every invocation — and that E-sized copy
+    # was never released. Now: an input that is already a checkpoint
+    # is used through a lazy narrow projection (no copy); otherwise
+    # we checkpoint the projected relation ourselves and RELEASE it
+    # before returning (the returned plan reads only the final
+    # h/a generation checkpoints, which stay pinned until session GC
+    # — two V-sized tables, the price of returning lazy views).
+    from bigclam_apachespark_spark.functions.checkpointing import (
+        is_local_checkpoint,
+    )
+
+    owned_edges = None
+    if is_local_checkpoint(edges):
+        edges = edges.select("src", "dst")
+    else:
+        edges = owned_edges = edges.select("src", "dst").localCheckpoint(
+            eager=True
+        )
 
     def _mean_norm(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         r = raw.localCheckpoint(eager=True)
@@ -923,6 +944,8 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         )
         h_prev, (h, h_ckpt) = h_ckpt, _mean_norm(h_raw)
         unpersist_local_checkpoint(h_prev)
+    if owned_edges is not None:
+        unpersist_local_checkpoint(owned_edges)
     return h.select(
         "id", F.lit("hub").alias("role"), F.round("s", 6).alias("score")
     ).unionByName(
@@ -1140,16 +1163,29 @@ def neighborhood_features(sym_edges: DataFrame) -> DataFrame:
     )
 
 
-# Edge-count ceiling under which per-edge triangle support uses the
-# broadcast-adjacency array-intersect formulation instead of the
-# compact-forward wedge join (OPTIMIZATION r13, guide §1.2/§3.1).
-# The adjacency relation carries ~2|E| longs (~40 MB at 50M directed
-# edges) — comfortably broadcastable; past the ceiling the V-sized
-# broadcast stops fitting and the shuffle-based wedge join is the
-# scale-correct shape. Parameterized (env) with a local default, same
-# policy as the other scale-adaptive knobs.
-SUPPORT_ARRAYS_MAX_EDGES = int(
-    __import__("os").environ.get("SPARK_GRAFT_SUPPORT_ARRAYS_MAX_EDGES", 25_000_000)
+# DIRECTED-adjacency-entry ceiling under which the triangle-support /
+# walk-stepping kernels use the broadcast-adjacency array formulation
+# instead of the shuffle-based wedge/|E|-scan join (OPTIMIZATION r13,
+# guide §1.2/§3.1; unit + sizing fixed r14 per ADVICE r13 #1).
+# The unit is DIRECTED adjacency entries — i.e. array ELEMENTS of the
+# broadcast (id, neighbors[]) relation, 2x the undirected edge count —
+# so every consumer gates on the same physical broadcast size
+# (previously the support kernels compared the undirected count and
+# the walk kernels the directed count against one number: a 2x
+# regime disagreement). Honest arithmetic (the r13 comment was ~10x
+# off): 16M entries = 128 MB of raw longs + per-row array/offset
+# overhead ≈ 200-300 MB broadcast — inside the guide's "a few hundred
+# MB is usually fine" band with margin; the old 25M-undirected
+# default implied ~50M entries ≈ 400+ MB raw, risking driver/executor
+# pressure exactly at the crossover. Past the ceiling the wedge /
+# |E|-scan joins are the 100-TB shape. Parameterized (env) with a
+# local default, same policy as the other scale-adaptive knobs; the
+# sf0.1 bench graph (2.39M directed entries) sits below either
+# default, so bench plans are unchanged by the re-unit.
+SUPPORT_ARRAYS_MAX_ENTRIES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_SUPPORT_ARRAYS_MAX_EDGES", 16_000_000
+    )
 )
 
 
@@ -1159,7 +1195,9 @@ def _edge_support(und: DataFrame, n_edges: int | None = None) -> DataFrame:
     edges included). Two exact-identical formulations (parity
     unit-tested and verified row-for-row at sf0.01/sf0.1):
 
-    * ``n_edges`` known and ≤ ``SUPPORT_ARRAYS_MAX_EDGES`` → the
+    * ``n_edges`` known and 2·n_edges ≤ ``SUPPORT_ARRAYS_MAX_ENTRIES``
+      (``n_edges`` is the UNDIRECTED count; the ceiling is in directed
+      adjacency entries — ADVICE r13 #1) → the
       broadcast-adjacency array plan (``_edge_support_arrays``):
       support(x,y) = |N(x) ∩ N(y)|, one agg + two broadcast joins +
       a narrow per-row set intersection — measured 13.5 s → 1.8 s on
@@ -1172,7 +1210,7 @@ def _edge_support(und: DataFrame, n_edges: int | None = None) -> DataFrame:
     Callers that already count their edge set (the peeling loops, the
     pooled similarity build) pass ``n_edges`` so the choice costs no
     extra action."""
-    if n_edges is not None and n_edges <= SUPPORT_ARRAYS_MAX_EDGES:
+    if n_edges is not None and 2 * n_edges <= SUPPORT_ARRAYS_MAX_ENTRIES:
         return _edge_support_arrays(und)
     return _edge_support_wedges(und)
 
@@ -1880,8 +1918,9 @@ def random_walks(
         # directed edges, 1.7k-row frontier): 5.2 → 1.9 s. The count
         # is a cheap job on the already-checkpointed RDD; past the
         # ceiling the |E|-scan join path below remains the 100-TB
-        # shape (same policy knob family as SUPPORT_ARRAYS_MAX_EDGES).
-        if edges.count() <= SUPPORT_ARRAYS_MAX_EDGES:
+        # shape. ``edges`` here is the DIRECTED (symmetrized) relation
+        # — the same unit as the ceiling (ADVICE r13 #1).
+        if edges.count() <= SUPPORT_ARRAYS_MAX_ENTRIES:
             return _random_walks_arrays(edges, walk_len, n_walks, start_mod)
     starts = vertices(edges)
     if start_mod is not None:
@@ -2585,7 +2624,7 @@ def node2vec_walks(
         # second-order weights come from ONE extra broadcast of the
         # same array table keyed on prev, with the adjacency class
         # decided by array_contains instead of a left join.
-        if edges.count() <= SUPPORT_ARRAYS_MAX_EDGES:
+        if edges.count() <= SUPPORT_ARRAYS_MAX_ENTRIES:
             return _node2vec_walks_arrays(edges, walk_len, n_walks, start_mod, p, q)
     starts = vertices(edges)
     if start_mod is not None:

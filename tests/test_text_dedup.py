@@ -215,6 +215,20 @@ def test_wide_signature_path_matches_long(docs, spark):
             )
             assert f_long == f_wide
 
+    # ADVICE r13 #2: rows_per_band ∤ num_perms — the long form emits a
+    # PARTIAL trailing band from the remainder perms (18 perms / 4 rows
+    # = bands 0..4 with band 4 holding perms 16-17); the wide form must
+    # band identically instead of dropping those perms.
+    sh = shingle_table(docs)
+    long18 = minhash_signatures(docs, num_perms=18)
+    wide18 = wide_signatures_from_shingles(sh, num_perms=18)
+    b_long = sorted(map(tuple, lsh_buckets(long18, rows_per_band=4).collect()))
+    b_wide = sorted(
+        map(tuple, lsh_buckets_from_wide(wide18, 18, rows_per_band=4).collect())
+    )
+    assert b_long == b_wide
+    assert {b for _, b, _ in b_wide} == set(range(5))  # partial band present
+
 
 def test_simhash(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
