@@ -1173,18 +1173,25 @@ def neighborhood_features(sym_edges: DataFrame) -> DataFrame:
 # (previously the support kernels compared the undirected count and
 # the walk kernels the directed count against one number: a 2x
 # regime disagreement). Honest arithmetic (the r13 comment was ~10x
-# off): 16M entries = 128 MB of raw longs + per-row array/offset
-# overhead ≈ 200-300 MB broadcast — inside the guide's "a few hundred
-# MB is usually fine" band with margin; the old 25M-undirected
-# default implied ~50M entries ≈ 400+ MB raw, risking driver/executor
-# pressure exactly at the crossover. Past the ceiling the wedge /
-# |E|-scan joins are the 100-TB shape. Parameterized (env) with a
-# local default, same policy as the other scale-adaptive knobs; the
-# sf0.1 bench graph (2.39M directed entries) sits below either
-# default, so bench plans are unchanged by the re-unit.
+# off): 32M entries = 256 MB of raw longs + per-row array/offset
+# overhead ≈ 400-500 MB broadcast — the top of the guide's "a few
+# hundred MB is usually fine" band; the old 25M-undirected default
+# implied ~50M entries ≈ 400+ MB of raw longs ALONE, past it. The
+# 32M default is placed by a MEASURED crossover (r14, VERDICT ask
+# #6): at the 23.9M-entry 10x corpus the arrays formulation beats
+# the wedge/|E|-scan fallback 7.7x on ktruss (12.0 s vs 92.1), 8.1x
+# on structural similarity (11.5 vs 93.3), 3.2x on the truss
+# backbone, 1.8x on node2vec, and is a wash on uniform walks /
+# walk_pmi (SLOPE_r14_arrays.json vs SLOPE_r14_fallback.json) — the
+# crossover belongs ABOVE that regime, while past ~32M the broadcast
+# leaves the safe band and the fallback joins are the 100-TB shape.
+# Parameterized (env) with a local default, same policy as the other
+# scale-adaptive knobs; the sf0.1 bench graph (2.39M directed
+# entries) sits far below either default, so bench plans are
+# unchanged by the re-unit.
 SUPPORT_ARRAYS_MAX_ENTRIES = int(
     __import__("os").environ.get(
-        "SPARK_GRAFT_SUPPORT_ARRAYS_MAX_EDGES", 16_000_000
+        "SPARK_GRAFT_SUPPORT_ARRAYS_MAX_EDGES", 32_000_000
     )
 )
 
