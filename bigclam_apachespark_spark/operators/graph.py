@@ -2914,6 +2914,8 @@ def sgns_step(
     dim: int = SGNS_DIM,
     neg: int = SGNS_NEG,
     pairs: DataFrame | None = None,
+    id_rank: DataFrame | None = None,
+    n_ids: int | None = None,
 ) -> DataFrame:
     """ONE synchronous full-batch SGNS step (Mikolov et al. NIPS'13
     eq. 4 gradients; Levy & Goldberg NIPS'14 for why its fixpoint is
@@ -2956,9 +2958,24 @@ def sgns_step(
         walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
         pairs = sgns_pairs(walks, window)
 
-    n_vertices = verts.count()
-    ranked = bucketed_row_number(verts, ["id"], out="rk")
-    return sgns_apply(pairs, emb, ranked, n_vertices, dim=dim, neg=neg)
+    # r14 (guide §1.2 — do the work once): the vertex universe is
+    # step-invariant, so multi-step callers pass the (rank, count)
+    # pair in and pay its count action + rank construction ONCE per
+    # fit instead of once per step (~0.5-1 s/step at sf0.1).
+    if n_ids is None or id_rank is None:
+        n_ids = verts.count()
+        id_rank = bucketed_row_number(verts, ["id"], out="rk")
+    return sgns_apply(pairs, emb, id_rank, n_ids, dim=dim, neg=neg)
+
+
+def sgns_id_rank(sym_edges: DataFrame) -> tuple[DataFrame, int]:
+    """``(id_rank, n_ids)`` over the vertex universe — the
+    step-invariant negative-draw substrate of ``sgns_step``; compute
+    it once per fit and pass it into every step (r14, guide §1.2)."""
+    from bigclam_apachespark_spark.functions.ranks import bucketed_row_number
+
+    verts = vertices(sym_edges)
+    return bucketed_row_number(verts, ["id"], out="rk"), verts.count()
 
 
 def sgns_apply(
@@ -3090,9 +3107,12 @@ def sgns_pmi_agreement(
     inputs), ties broken by (a, b)."""
     walks = random_walks(sym_edges, walk_len, n_walks, start_mod)
     pairs = sgns_pairs(walks, window).localCheckpoint(eager=True)
+    ranked, n_v = sgns_id_rank(sym_edges)  # step-invariant (r14)
     emb = None
     for _ in range(steps):
-        emb = sgns_step(sym_edges, emb=emb, pairs=pairs)
+        emb = sgns_step(
+            sym_edges, emb=emb, pairs=pairs, id_rank=ranked, n_ids=n_v
+        )
         emb = emb.localCheckpoint(eager=True)
     return sgns_agreement_row(
         sym_edges, emb, pairs, k_top, walk_len, n_walks, start_mod, window

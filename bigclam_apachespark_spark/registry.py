@@ -1848,9 +1848,12 @@ def q_sgns_two_steps(spark, sf_dir):
     sym = _sym(spark, sf_dir)
     walks = G.random_walks(sym, walk_len=4, n_walks=2, start_mod=23)
     pairs = G.sgns_pairs(walks, window=2).localCheckpoint(eager=True)
+    ranked, n_v = G.sgns_id_rank(sym)  # step-invariant (r14)
     emb = None
     for _ in range(2):
-        emb = G.sgns_step(sym, emb=emb, pairs=pairs).localCheckpoint(eager=True)
+        emb = G.sgns_step(
+            sym, emb=emb, pairs=pairs, id_rank=ranked, n_ids=n_v
+        ).localCheckpoint(eager=True)
     return emb
 
 
@@ -2171,9 +2174,12 @@ def q_sgns_rank_corr(spark, sf_dir):
     sym = _sym(spark, sf_dir)
     walks = G.random_walks(sym, walk_len=4, n_walks=2, start_mod=23)
     pairs = G.sgns_pairs(walks, window=2).localCheckpoint(eager=True)
+    ranked, n_v = G.sgns_id_rank(sym)  # step-invariant (r14)
     emb = None
     for _ in range(2):
-        emb = G.sgns_step(sym, emb=emb, pairs=pairs).localCheckpoint(eager=True)
+        emb = G.sgns_step(
+            sym, emb=emb, pairs=pairs, id_rank=ranked, n_ids=n_v
+        ).localCheckpoint(eager=True)
     return G.sgns_rank_corr_row(pairs, emb)
 
 
