@@ -2538,10 +2538,16 @@ def betweenness_sampled(
         "s", F.col("s").alias("v"), F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")
     ).localCheckpoint(eager=True)
     frontier = visited
+    n_frontier = visited.count()
     dag_levels: list[DataFrame] = []
     for d in range(1, max_hops + 1):
+        # r14: both per-hop edge joins ride the exact-count frontier
+        # broadcast hint (see FRONTIER_BCAST_MAX_ROWS) — checkpointed
+        # frontiers otherwise sort-merge the full edge relation twice
+        # per hop.
         reached = (
-            frontier.join(sym_edges, frontier["v"] == sym_edges["src"])
+            _frontier_hint(frontier, n_frontier)
+            .join(sym_edges, frontier["v"] == sym_edges["src"])
             .select("s", F.col("dst").alias("w"), "sigma")
             .join(
                 visited.select("s", F.col("v").alias("w")).distinct(),
@@ -2557,7 +2563,10 @@ def betweenness_sampled(
         )
         # the shortest-path DAG edges v(d-1) -> w(d), carrying sigma_v
         dag = (
-            frontier.select("s", F.col("v"), F.col("sigma").alias("sigma_v"))
+            _frontier_hint(
+                frontier.select("s", F.col("v"), F.col("sigma").alias("sigma_v")),
+                n_frontier,
+            )
             .join(sym_edges, F.col("v") == F.col("src"))
             .select("s", "v", F.col("dst").alias("w"), "sigma_v")
             .join(nxt.select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")), ["s", "w"])
@@ -2566,7 +2575,8 @@ def betweenness_sampled(
         dag_levels.append(dag)
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-        if frontier.isEmpty():
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
     # backward: delta of the deepest level is 0; walk levels inward
     delta = None  # (s, v, delta) for levels already finalized
