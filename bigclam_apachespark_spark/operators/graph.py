@@ -520,6 +520,14 @@ def pagerank(
         deg.select(F.col("id").alias("src"), "degree"), "src"
     ).cache()
     ranks = verts.select("id", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+    # r14 (guide §3.1): checkpointed rank tables carry garbage size
+    # estimates (SPARK-39834), so the per-round join re-sorted the
+    # cached edge relation — hint the V-row rank side broadcast while
+    # V fits the same ceiling the coreness value table uses (measured
+    # 5.2 → 4.8 s warm at sf0.1, ranks hash-identical).
+    rank_hint = (
+        F.broadcast if ranks.count() <= CORENESS_BCAST_MAX_V else (lambda d: d)
+    )
     for _ in range(n_iter):
         # OPTIMIZATION r13: on the symmetrized view every vertex has
         # an in-neighbor (src set == dst set), so ``contribs`` covers
@@ -527,7 +535,9 @@ def pagerank(
         # round was the identity — one join per round instead of two,
         # identical ranks (oracle re-verified).
         contribs = (
-            edges_deg.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            edges_deg.join(
+                rank_hint(ranks.select(F.col("id").alias("src"), "r")), "src"
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("degree")).alias("m"))
         )
@@ -587,9 +597,15 @@ def pagerank_personalized(
         .cache()
     )
     ranks = verts.select("id", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+    # r14: same V-gated rank broadcast as ``pagerank``.
+    rank_hint = (
+        F.broadcast if ranks.count() <= CORENESS_BCAST_MAX_V else (lambda d: d)
+    )
     for _ in range(n_iter):
         contribs = (
-            edges_deg.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            edges_deg.join(
+                rank_hint(ranks.select(F.col("id").alias("src"), "r")), "src"
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("degree")).alias("m"))
         )
@@ -648,9 +664,13 @@ def pagerank_weighted(
     verts = edges_w.select(F.col("src").alias("id")).distinct()
     ew = edges_w.join(wsum, "src").cache()
     ranks = verts.select("id", F.lit(1.0).alias("r")).localCheckpoint(eager=True)
+    # r14: same V-gated rank broadcast as ``pagerank``.
+    rank_hint = (
+        F.broadcast if ranks.count() <= CORENESS_BCAST_MAX_V else (lambda d: d)
+    )
     for _ in range(n_iter):
         contribs = (
-            ew.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            ew.join(rank_hint(ranks.select(F.col("id").alias("src"), "r")), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(
                 F.sum(
