@@ -2150,14 +2150,24 @@ def maximal_independent_set(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_active = active.count()
     edges = sym_edges.select("src", "dst").localCheckpoint(eager=True)
     mis_parts = []
     for r in range(1, rounds + 1):
-        pri = active.select(
-            "id",
-            hash64(
-                F.concat(F.lit(f"mis:{r}:"), F.col("id").cast("string"))
-            ).alias("p"),
+        # r14 (guide §3.1): the priority table is a projection of the
+        # checkpointed active set whose EXACT row count the loop
+        # already tracks — hint it broadcast under the frontier
+        # ceiling so the two per-round scoring joins stop sort-merging
+        # the active edge relation (checkpointed plans carry garbage
+        # stats, SPARK-39834).
+        pri = _frontier_hint(
+            active.select(
+                "id",
+                hash64(
+                    F.concat(F.lit(f"mis:{r}:"), F.col("id").cast("string"))
+                ).alias("p"),
+            ),
+            n_active,
         )
         scored = (
             edges.join(
@@ -2192,6 +2202,18 @@ def maximal_independent_set(
         new_active = active.join(covered, "id", "left_anti").localCheckpoint(
             eager=True
         )
+        n_active = new_active.count()
+        if n_active == 0:
+            # converged early: every later round is a no-op on an
+            # empty active set (empty winners parts contribute no
+            # rows) — result identical to the full unconditional
+            # unroll, and the maximality guard is satisfied by
+            # construction.
+            unpersist_local_checkpoint(active)
+            unpersist_local_checkpoint(edges)
+            unpersist_local_checkpoint(new_active)
+            active = edges = None
+            break
         new_edges = (
             edges.join(
                 new_active.select(F.col("id").alias("src")), "src", "left_semi"
@@ -2204,9 +2226,11 @@ def maximal_independent_set(
         unpersist_local_checkpoint(active)
         unpersist_local_checkpoint(edges)
         active, edges = new_active, new_edges
-    n_active = active.count() if assert_converged else 0
-    unpersist_local_checkpoint(active)
-    unpersist_local_checkpoint(edges)
+    if active is not None:
+        if not assert_converged:
+            n_active = 0
+        unpersist_local_checkpoint(active)
+        unpersist_local_checkpoint(edges)
     if n_active:
         raise RuntimeError(
             f"maximal_independent_set: {n_active} vertices still active "
