@@ -821,15 +821,30 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     The reference has no analog (its community structure comes from
     BigCLAM itself); this is extension surface for the LLM-data
     pipeline (SURVEY.md §2.G)."""
+    # r14 (guide §3.1): the label table's row count is FIXED across
+    # rounds (the pair-touched vertex set), so one count up front
+    # gates a broadcast hint for every label-sized join side below —
+    # checkpointed label generations otherwise carry garbage size
+    # estimates (SPARK-39834) and the rounds sort-merge. Above the
+    # ceiling the shuffled joins remain the at-scale shape.
+    from bigclam_apachespark_spark.operators.graph import (
+        FRONTIER_BCAST_MAX_ROWS,
+    )
+
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)
     labels = sym.select("u").distinct().select("u", F.col("u").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
+    hint = (
+        F.broadcast
+        if labels.count() <= FRONTIER_BCAST_MAX_ROWS
+        else (lambda d: d)
+    )
     prev_gen = labels
     for _ in range(max_iter):
         nbr_min = (
-            sym.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            sym.join(hint(labels.select(F.col("u").alias("v"), "lbl")), "v")
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
@@ -837,14 +852,18 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # convergence count below is a scan of the checkpointed
         # generation instead of an extra labels⋈new_labels join per
         # round (OPTIMIZATION r13 — same values, one less join).
-        stepped = labels.join(nbr_min, "u", "left").select(
+        stepped = labels.join(hint(nbr_min), "u", "left").select(
             "u",
             F.col("lbl").alias("old"),
             F.least("lbl", F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
         )
         # pointer jumping: label(u) <- label(label(u))
         jumped = stepped.join(
-            stepped.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")),
+            hint(
+                stepped.select(
+                    F.col("u").alias("lbl"), F.col("lbl").alias("lbl2")
+                )
+            ),
             "lbl",
             "left",
         ).select("u", "old", F.coalesce("lbl2", F.col("lbl")).alias("lbl"))
